@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full compute, no
+driver collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "fetch_range",
+    "fetch_last_n",
+    "bucketize_mean",
+    "gts_bucketize_reduce",
+    "map_moving_mean",
+    "map_time_range_sum",
+    "apply_div",
+    "fill_previous",
+    "sessionize",
+    "zscoretest",
+    "topk_per_series",
+    "doc_exact_dedup",
+    # doc_ngram_jaccard is the exact-quadratic correctness baseline; the
+    # headline near-dup number is the LSH scale path below.
+    "doc_minhash_lsh",
+    "doc_simhash",
+    "emb_cosine_topk",
+]
+
+
+def main() -> None:
+    from warp10_platform_spark.queries import QUERIES
+    from warp10_platform_spark.session import get_spark
+
+    spark = get_spark("warp10-platform-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/parquet footers once so per-query numbers measure the
+    # queries, not session startup
+    QUERIES["tpch_q6"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline-queries wall-clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

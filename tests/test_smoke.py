@@ -1,0 +1,46 @@
+"""Foundation smoke tests: time axis parity with DuckDB, gts_id, selector."""
+
+from pyspark.sql import functions as F
+
+from warp10_platform_spark.core.selector import parse_selector, selector_predicate
+from warp10_platform_spark.sources.tables import events_points
+
+
+def test_ts_micros_matches_duckdb(spark, sf_dir, duck):
+    """unix_micros(ts) in Spark must equal epoch_us(ts) in DuckDB —
+    foundation for every time-based oracle comparison."""
+    pts = events_points(spark, sf_dir)
+    got = pts.agg(F.count("*").alias("n"), F.sum("ts").alias("s")).first()
+    want = duck.sql("SELECT count(*) n, sum(epoch_us(ts)) s FROM events").fetchone()
+    assert got["n"] == want[0]
+    assert int(got["s"]) == int(want[1])
+
+
+def test_points_schema_invariants(spark, sf_dir):
+    pts = events_points(spark, sf_dir)
+    assert {"class", "labels", "ts", "v_double", "gts_id", "labels_key"} <= set(pts.columns)
+    # one value col non-null
+    bad = pts.where(F.col("v_double").isNull()).count()
+    assert bad == 0
+
+
+def test_selector_parse():
+    s = parse_selector("sensor.temp{site~eu-.*,device=d007}")
+    assert s.class_exact == "sensor.temp"
+    assert ("site", "~", "eu-.*") in s.labels
+    assert ("device", "=", "d007") in s.labels
+    s2 = parse_selector("~sensor\\..*{}")
+    assert s2.class_regex == "sensor\\..*"
+    s3 = parse_selector("m{a=1}{o~x.*}")
+    assert s3.attributes == [("o", "~", "x.*")]
+
+
+def test_selector_predicate(spark, sf_dir):
+    pts = events_points(spark, sf_dir)
+    total = pts.count()
+    all_match = pts.where(selector_predicate("~events\\..*{}")).count()
+    assert all_match == total
+    none = pts.where(selector_predicate("nope{}")).count()
+    assert none == 0
+    some = pts.where(selector_predicate("~events\\..*{user~1.*}")).count()
+    assert 0 < some < total

@@ -1,0 +1,224 @@
+"""GTSFrame — the fluent API over the points DataFrame.
+
+This is the engine's replacement for the reference's WarpScript stack
+(SURVEY §3.1): a script like
+
+    [ $token 'sensor.temp' { 'site' '~eu-.*' } $start $end ] FETCH
+    [ SWAP bucketizer.mean 0 5 m 0 ] BUCKETIZE
+    [ SWAP [ 'site' ] reducer.max ] REDUCE
+
+becomes
+
+    gf = GTSFrame.fetch(spark, points, "sensor.temp{site~eu-.*}", start, end)
+    gf.bucketize("bucketizer.mean", span=5*60*1_000_000)
+      .reduce_("reducer.max", by=["site"])
+
+Every method is lazy — it appends DataFrame transformations; Catalyst
+parses/optimizes/plans at action time, which is the reference's missing
+query optimizer (SURVEY §4.1) obtained for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warp10_platform_spark.core.schema import with_gts_id
+from warp10_platform_spark.core.selector import selector_predicate
+from warp10_platform_spark.operators import fill as _fill
+from warp10_platform_spark.operators import filters as _filters
+from warp10_platform_spark.operators import mapper as _mapper
+from warp10_platform_spark.operators import reduce_apply as _ra
+from warp10_platform_spark.operators import reshape as _reshape
+from warp10_platform_spark.operators import sort as _sort
+from warp10_platform_spark.operators.bucketize import BucketSpec, bucketize as _bucketize
+
+
+class GTSFrame:
+    """A (lazy) set of Geo Time Series = points DataFrame + bucket metadata.
+
+    `value_col` names the current value column ('v_double' on raw points,
+    'v_agg' after bucketize, ...), so chained operators compose without
+    copying columns around.
+    """
+
+    def __init__(self, df: DataFrame, bucketspec: BucketSpec | None = None, value_col: str = "v_double"):
+        self.df = df
+        self.bucketspec = bucketspec
+        self.value_col = value_col
+
+    # ---- construction ----
+
+    @classmethod
+    def from_points(cls, df: DataFrame) -> "GTSFrame":
+        if "gts_id" not in df.columns or "labels_key" not in df.columns:
+            df = with_gts_id(df)
+        return cls(df)
+
+    @classmethod
+    def fetch(
+        cls,
+        points: DataFrame,
+        selector: str | None = None,
+        start: int | None = None,
+        end: int | None = None,
+        count: int | None = None,
+    ) -> "GTSFrame":
+        """FETCH (FETCH.java:99): selector + time-range scan. The predicate
+        lands in the Parquet scan (pushdown); `count` = last-n-per-series
+        (count-based fetch, FETCH.java:128) via a descending window."""
+        df = points
+        if selector:
+            df = df.where(selector_predicate(selector))
+        if start is not None:
+            df = df.where(F.col("ts") >= start)
+        if end is not None:
+            df = df.where(F.col("ts") <= end)
+        gf = cls.from_points(df)
+        if count is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("gts_id").orderBy(F.col("ts").desc())
+            gf = GTSFrame(
+                gf.df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= count).drop("_rn"),
+                value_col=gf.value_col,
+            )
+        return gf
+
+    # ---- frame ops ----
+
+    def bucketize(self, bucketizer: str, span: int, lastbucket: int | None = None,
+                  bucketcount: int | None = None, p: float | None = None) -> "GTSFrame":
+        out, spec = _bucketize(self.df, bucketizer, span, lastbucket, bucketcount, value_col=self.value_col, p=p)
+        return GTSFrame(out, bucketspec=spec, value_col="v_agg")
+
+    def map_aggregate(self, mapper: str, pre: int = 0, post: int = 0, p: float | None = None) -> "GTSFrame":
+        out = _mapper.map_aggregate(self.df, mapper, pre, post, value_col=self.value_col, p=p)
+        return GTSFrame(out, self.bucketspec, value_col="v_mapped")
+
+    def map_scalar(self, mapper: str, param=None) -> "GTSFrame":
+        out = _mapper.map_scalar(self.df, mapper, param, value_col=self.value_col)
+        return GTSFrame(out, self.bucketspec, value_col="v_mapped")
+
+    def delta(self) -> "GTSFrame":
+        return GTSFrame(_mapper.map_delta_prev(self.df, self.value_col), self.bucketspec, "v_mapped")
+
+    def rate(self) -> "GTSFrame":
+        return GTSFrame(_mapper.map_rate_prev(self.df, self.value_col), self.bucketspec, "v_mapped")
+
+    def reduce_(self, reducer: str, by: list[str], p: float | None = None) -> DataFrame:
+        """Terminal: returns the reduced DataFrame (one series per label
+        equivalence class)."""
+        return _ra.reduce_gts(self.df, reducer, by, value_col=self.value_col, p=p)
+
+    def apply_op(self, other: "GTSFrame", op: str, by: list[str], broadcast_other: bool = False) -> DataFrame:
+        return _ra.apply_op(self.df, other.df, op, by, value_col=self.value_col, broadcast_right=broadcast_other)
+
+    # ---- fill (requires bucketized frame) ----
+
+    def _scaffolded(self) -> DataFrame:
+        assert self.bucketspec is not None, "FILL requires a bucketized GTSFrame"
+        return _fill.scaffold(self.df, self.bucketspec)
+
+    def fillprevious(self) -> "GTSFrame":
+        return GTSFrame(_fill.fill_previous(self._scaffolded(), self.value_col), self.bucketspec, self.value_col)
+
+    def fillnext(self) -> "GTSFrame":
+        return GTSFrame(_fill.fill_next(self._scaffolded(), self.value_col), self.bucketspec, self.value_col)
+
+    def fillvalue(self, v) -> "GTSFrame":
+        return GTSFrame(_fill.fill_value(self._scaffolded(), v, self.value_col), self.bucketspec, self.value_col)
+
+    def filllinear(self) -> "GTSFrame":
+        return GTSFrame(_fill.fill_linear(self._scaffolded(), self.value_col), self.bucketspec, self.value_col)
+
+    # ---- reshaping (delegation; each returns a new GTSFrame) ----
+
+    def timeclip(self, start: int, end: int) -> "GTSFrame":
+        return self._wrap(_reshape.timeclip(self.df, start, end))
+
+    def clip(self, ranges) -> "GTSFrame":
+        return self._wrap(_reshape.clip(self.df, ranges))
+
+    def timeshift(self, delta: int) -> "GTSFrame":
+        return self._wrap(_reshape.timeshift(self.df, delta))
+
+    def timescale(self, k: float) -> "GTSFrame":
+        return self._wrap(_reshape.timescale(self.df, k))
+
+    def tickindex(self) -> "GTSFrame":
+        return self._wrap(_reshape.tickindex(self.df))
+
+    def chunk(self, width: int, lastchunk: int | None = None) -> "GTSFrame":
+        return self._wrap(_reshape.chunk(self.df, width, lastchunk))
+
+    def timesplit(self, quiet_us: int) -> "GTSFrame":
+        return self._wrap(_reshape.timesplit(self.df, quiet_us))
+
+    def dedup(self) -> "GTSFrame":
+        return self._wrap(_reshape.dedup(self.df, self.value_col))
+
+    def valuededup(self) -> "GTSFrame":
+        return self._wrap(_reshape.valuededup(self.df, self.value_col))
+
+    def compact(self) -> "GTSFrame":
+        return self._wrap(_reshape.compact(self.df, self.value_col))
+
+    def normalize(self) -> "GTSFrame":
+        return GTSFrame(_reshape.normalize(self.df, self.value_col), self.bucketspec, "v_norm")
+
+    def standardize(self) -> "GTSFrame":
+        return GTSFrame(_reshape.standardize(self.df, self.value_col), self.bucketspec, "v_std")
+
+    def isonormalize(self) -> "GTSFrame":
+        return GTSFrame(_reshape.isonormalize(self.df, self.value_col), self.bucketspec, "v_norm")
+
+    def quantize(self, bounds) -> "GTSFrame":
+        return GTSFrame(_reshape.quantize(self.df, bounds, self.value_col), self.bucketspec, "v_q")
+
+    def monotonic(self) -> "GTSFrame":
+        return GTSFrame(_reshape.monotonic(self.df, self.value_col), self.bucketspec, "v_mono")
+
+    def integrate(self) -> "GTSFrame":
+        return GTSFrame(_reshape.integrate(self.df, self.value_col), self.bucketspec, "v_int")
+
+    def shrink(self, n: int) -> "GTSFrame":
+        return self._wrap(_reshape.shrink(self.df, n))
+
+    # ---- filters ----
+
+    def filter_byclass(self, regex: str) -> "GTSFrame":
+        return self._wrap(_filters.filter_byclass(self.df, regex))
+
+    def filter_bylabels(self, clauses: dict[str, str]) -> "GTSFrame":
+        return self._wrap(_filters.filter_bylabels(self.df, clauses))
+
+    def filter_bysize(self, mn: int = 0, mx: int | None = None) -> "GTSFrame":
+        return self._wrap(_filters.filter_bysize(self.df, mn, mx))
+
+    def filter_last(self, cmp: str, threshold) -> "GTSFrame":
+        return self._wrap(_filters.filter_last(self.df, cmp, threshold, self.value_col))
+
+    # ---- sort / topk ----
+
+    def topk(self, k: int, lowest: bool = False) -> "GTSFrame":
+        return self._wrap(_sort.topk_per_series(self.df, k, self.value_col, lowest))
+
+    def lastsort(self, reverse: bool = False) -> DataFrame:
+        return _sort.lastsort(self.df, self.value_col, reverse)
+
+    def lttb(self, threshold: int) -> "GTSFrame":
+        return self._wrap(_sort.lttb(self.df, threshold, self.value_col))
+
+    # ---- plumbing ----
+
+    def _wrap(self, df: DataFrame) -> "GTSFrame":
+        return GTSFrame(df, self.bucketspec, self.value_col)
+
+    def where(self, cond) -> "GTSFrame":
+        return self._wrap(self.df.where(cond))
+
+    def select_output(self, *extra) -> DataFrame:
+        """Project to the canonical output shape (class, labels_key, ts, value)."""
+        cols = ["class", "labels_key", "ts", self.value_col]
+        return self.df.select(*[c for c in cols if c in self.df.columns], *extra)

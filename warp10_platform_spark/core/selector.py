@@ -1,0 +1,122 @@
+"""Selector → Catalyst predicate compiler.
+
+The reference selects series with `class{label=v,label~regex}` selectors:
+`=` exact / `~` regex on both class and labels, extended form
+`class{labels}{attributes}` (MetadataSelectorMatcher.java:41-55, regex
+EXPR_RE at :55; PARSESELECTOR/TOSELECTOR functions).
+
+Here a selector compiles to a pure Spark Column predicate — Catalyst can
+push the class equality into the Parquet scan and prune partitions; regex
+label clauses become rlike on element_at(labels, k).
+
+This replaces the reference's Directory metadata lookup (FETCH.java:238 →
+StandaloneDirectoryClient) with predicate pushdown + an optional
+directory-table pre-filter (see sources/directory.py).
+"""
+
+from __future__ import annotations
+
+import re
+import urllib.parse
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SELECTOR_RE = re.compile(
+    r"^(?P<cls>[^{}]*)"
+    r"(?:\{(?P<labels>[^{}]*)\})?"
+    r"(?:\{(?P<attrs>[^{}]*)\})?$"
+)
+
+
+@dataclass
+class Selector:
+    """Parsed form of `class{label=v,label~re}{attr=v}`."""
+
+    class_exact: str | None = None  # None → regex
+    class_regex: str | None = None
+    labels: list[tuple[str, str, str]] = field(default_factory=list)  # (key, op, value) op ∈ {'=','~'}
+    attributes: list[tuple[str, str, str]] = field(default_factory=list)
+
+
+def _parse_clauses(body: str) -> list[tuple[str, str, str]]:
+    out = []
+    if not body:
+        return out
+    for part in body.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        m = re.match(r"^([^=~]+)(=|~)(.*)$", part)
+        if not m:
+            raise ValueError(f"bad selector clause: {part!r}")
+        key, op, val = m.group(1), m.group(2), m.group(3)
+        # label values are URL-encoded in the reference's selector syntax
+        out.append((urllib.parse.unquote(key), op, urllib.parse.unquote(val)))
+    return out
+
+
+def parse_selector(selector: str) -> Selector:
+    """Parse `class{...}{...}`. A class starting with `~` is a regex;
+    `=class` forces exact match (reference's PARSESELECTOR semantics)."""
+    m = _SELECTOR_RE.match(selector.strip())
+    if not m:
+        raise ValueError(f"bad selector: {selector!r}")
+    cls = urllib.parse.unquote(m.group("cls") or "")
+    sel = Selector()
+    if cls.startswith("~"):
+        sel.class_regex = cls[1:]
+    elif cls.startswith("="):
+        sel.class_exact = cls[1:]
+    elif cls in ("", "~.*"):
+        sel.class_regex = ".*"
+    else:
+        sel.class_exact = cls
+    sel.labels = _parse_clauses(m.group("labels") or "")
+    sel.attributes = _parse_clauses(m.group("attrs") or "")
+    return sel
+
+
+def _anchor(regex: str) -> str:
+    """The reference matches label regexes fully anchored
+    (MetadataSelectorMatcher compiles with implicit ^...$)."""
+    out = regex
+    if not out.startswith("^"):
+        out = "^" + out
+    if not out.endswith("$"):
+        out = out + "$"
+    return out
+
+
+def selector_predicate(
+    selector: str | Selector,
+    class_col: str = "class",
+    labels_col: str = "labels",
+    attrs_col: str = "attributes",
+) -> Column:
+    """Compile a selector to a boolean Column over the points schema."""
+    sel = parse_selector(selector) if isinstance(selector, str) else selector
+    if sel.class_exact is not None:
+        pred = F.col(class_col) == sel.class_exact
+    elif sel.class_regex in (".*", None):
+        pred = F.lit(True)
+    else:
+        pred = F.col(class_col).rlike(_anchor(sel.class_regex))
+
+    def clause_pred(col_name: str, key: str, op: str, val: str) -> Column:
+        entry = F.element_at(F.col(col_name), key)
+        if op == "=":
+            if val == "":
+                # empty exact value matches absent label too (reference behavior)
+                return entry.isNull() | (entry == "")
+            return entry == val
+        if val == ".*":
+            return F.lit(True) if key == "" else entry.isNotNull()
+        return entry.isNotNull() & entry.rlike(_anchor(val))
+
+    for key, op, val in sel.labels:
+        pred = pred & clause_pred(labels_col, key, op, val)
+    for key, op, val in sel.attributes:
+        pred = pred & clause_pred(attrs_col, key, op, val)
+    return pred

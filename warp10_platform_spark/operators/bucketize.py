@@ -1,0 +1,145 @@
+"""BUCKETIZE — regular time-grid aggregation per series.
+
+Reference semantics (BUCKETIZE.java:34; GTSHelper.bucketize:2257-2360):
+the grid is ANCHORED AT `lastbucket` (not at epoch), buckets are
+(bucket_end - span, bucket_end] half-open intervals ending at
+lastbucket - k*span; bucketcount auto-derived from the data span when 0.
+A bucketizer aggregates the points of each bucket to one point whose tick
+is the bucket end. Bucketized-ness (lastbucket, span, count) becomes part
+of the series (GeoTimeSerie.java:80-96) and propagates.
+
+Spark mapping: bucket_end is a pure integer-arithmetic column (NOT the
+built-in `window()` — that anchors at epoch and cannot express the
+lastbucket anchor), then ONE hash aggregation per (gts_id, bucket_end).
+Catalyst gives partial (map-side) aggregation for all the built-in
+bucketizers, so the shuffle carries one row per (series, bucket), not per
+point — this is what keeps a 100 TB bucketize tractable: shuffle volume
+is output-sized, not input-sized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# One canonical aggregation expression per bucketizer name, over a numeric
+# value column `v` ordered by tick `ts`. Mirrors script/aggregator/* —
+# Sum.java:31, Mean.java:34, Min/Max.java:29, Count.java:30,
+# First/Last.java:29, Median.java:36, Percentile.java:38,
+# StandardDeviation.java:29, Variance.java:29, Delta.java:31, Rate.java:33,
+# RMS.java:32, Join.java:37, And/Or.java:31, Argminmax.java:46.
+def bucketizer_expr(name: str, v: Column, ts: Column, *, p: float | None = None, sep: str = ",") -> Column:
+    n = name.replace("bucketizer.", "").replace("reducer.", "").replace("mapper.", "")
+    if n in ("sum", "sum.nonnull"):
+        return F.sum(v)
+    if n in ("mean", "mean.exclude-nulls"):
+        return F.avg(v)
+    if n == "mean.circular":
+        import math
+        rad = v * math.pi / 180.0
+        return F.atan2(F.avg(F.sin(rad)), F.avg(F.cos(rad))) * 180.0 / math.pi
+    if n == "min":
+        return F.min(v)
+    if n == "max":
+        return F.max(v)
+    if n in ("count", "count.exclude-nulls", "count.nonnull"):
+        return F.count(v)
+    if n == "first":
+        return F.min_by(v, ts)
+    if n == "last":
+        return F.max_by(v, ts)
+    if n == "median":
+        return F.median(v)
+    if n == "percentile":
+        assert p is not None
+        return F.percentile(v, F.lit(p / 100.0))
+    if n == "sd":
+        return F.stddev_samp(v)
+    if n == "sd.pop":
+        return F.stddev_pop(v)
+    if n == "var":
+        return F.var_samp(v)
+    if n == "var.pop":
+        return F.var_pop(v)
+    if n == "delta":
+        return F.max_by(v, ts) - F.min_by(v, ts)
+    if n == "rate":  # delta per second; ts is LONG µs
+        return (F.max_by(v, ts) - F.min_by(v, ts)) / ((F.max(ts) - F.min(ts)) / F.lit(1_000_000.0))
+    if n == "rms":
+        return F.sqrt(F.avg(v * v))
+    if n == "join":
+        return F.concat_ws(sep, F.sort_array(F.collect_list(v.cast("string"))))
+    if n == "and":
+        return F.min(v.cast("boolean"))
+    if n == "or":
+        return F.max(v.cast("boolean"))
+    if n == "argmax":
+        return F.max_by(ts, F.when(v.isNotNull(), v))
+    if n == "argmin":
+        return F.min_by(ts, F.when(v.isNotNull(), v))
+    if n == "musigma":
+        return F.struct(F.avg(v).alias("mu"), F.stddev_samp(v).alias("sigma"))
+    raise ValueError(f"unknown bucketizer: {name}")
+
+
+@dataclass(frozen=True)
+class BucketSpec:
+    """Bucket-grid metadata carried on a GTSFrame (GeoTimeSerie.java:80-96)."""
+
+    lastbucket: int
+    bucketspan: int
+    bucketcount: int
+
+
+def bucket_end_col(lastbucket: int, span: int) -> Column:
+    """bucket_end = lastbucket - ((lastbucket - ts) DIV span)*span, grid
+    anchored at lastbucket; points with ts > lastbucket are excluded by the
+    caller. Integer DIV (not double floor) so µs-scale ticks never hit
+    float-mantissa rounding at bucket boundaries."""
+    return F.expr(f"{lastbucket}L - (({lastbucket}L - ts) DIV {span}L) * {span}L").alias("bucket_end")
+
+
+def derive_spec(df: DataFrame, span: int, lastbucket: int | None, bucketcount: int | None) -> BucketSpec:
+    """Auto-compute missing grid parameters from the data extent
+    (GTSHelper.java:2322-2360): lastbucket defaults to max(ts) and
+    bucketcount to ceil(extent/span). One tiny agg job (driver-side
+    scalars only — no data collected)."""
+    if lastbucket is None or bucketcount is None:
+        row = df.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).first()
+        mn, mx = row["mn"], row["mx"]
+        if lastbucket is None:
+            lastbucket = int(mx)
+        if bucketcount is None:
+            bucketcount = int((lastbucket - mn) // span) + 1
+    return BucketSpec(lastbucket=int(lastbucket), bucketspan=int(span), bucketcount=int(bucketcount))
+
+
+SERIES_KEYS = ["gts_id", "class", "labels_key"]
+
+
+def bucketize(
+    df: DataFrame,
+    bucketizer: str,
+    span: int,
+    lastbucket: int | None = None,
+    bucketcount: int | None = None,
+    value_col: str = "v_double",
+    p: float | None = None,
+) -> tuple[DataFrame, BucketSpec]:
+    """groupBy (series, bucket_end) + one aggregate. Returns the bucketized
+    points frame (ts = bucket end) and the grid spec."""
+    spec = derive_spec(df, span, lastbucket, bucketcount)
+    in_grid = df.where(
+        (F.col("ts") <= F.lit(spec.lastbucket))
+        & (F.col("ts") > F.lit(spec.lastbucket - spec.bucketspan * spec.bucketcount))
+    )
+    bucketed = in_grid.withColumn("bucket_end", bucket_end_col(spec.lastbucket, spec.bucketspan))
+    agg = bucketizer_expr(bucketizer, F.col(value_col), F.col("ts"), p=p).alias("v_agg")
+    out = (
+        bucketed.groupBy(*SERIES_KEYS, "bucket_end")
+        .agg(agg, F.first("labels").alias("labels"))
+        .withColumnRenamed("bucket_end", "ts")
+    )
+    return out, spec

@@ -1,0 +1,74 @@
+"""FILTER framework — whole-series predicates (SURVEY §2.2).
+
+Reference: FILTER.java:39 partitions a GTS list and keeps/drops whole
+series via a filter function (filter/FilterByClass.java:33,
+FilterByLabels.java:37, FilterBySize.java:31, FilterLast*.java:33,
+FilterAny.java:33). Spark shape: compute a per-series boolean with ONE
+aggregation, then semi-join (broadcast — the per-series table is tiny
+relative to points, ~|series| rows) back onto the points.
+"""
+
+from __future__ import annotations
+
+import operator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from warp10_platform_spark.core.selector import selector_predicate
+
+
+def filter_byclass(df: DataFrame, regex: str) -> DataFrame:
+    """filter.byclass (FilterByClass.java:33)."""
+    return df.where(F.col("class").rlike(regex))
+
+
+def filter_bylabels(df: DataFrame, clauses: dict[str, str]) -> DataFrame:
+    """filter.bylabels (FilterByLabels.java:37): {label: regex} all-match."""
+    pred = F.lit(True)
+    for k, regex in clauses.items():
+        e = F.element_at(F.col("labels"), k)
+        pred = pred & e.isNotNull() & e.rlike(regex)
+    return df.where(pred)
+
+
+def filter_byselector(df: DataFrame, selector: str) -> DataFrame:
+    """filter.byselector (FilterBySelector.java:32) — shares the FETCH
+    selector compiler."""
+    return df.where(selector_predicate(selector))
+
+
+def _semi_join_series(df: DataFrame, series_pred: DataFrame) -> DataFrame:
+    return df.join(F.broadcast(series_pred.where("keep").select("gts_id")), on="gts_id", how="left_semi")
+
+
+def filter_bysize(df: DataFrame, min_size: int = 0, max_size: int | None = None) -> DataFrame:
+    """filter.bysize (FilterBySize.java:31): keep series whose point count
+    is within [min, max]."""
+    cnt = df.groupBy("gts_id").agg(F.count("*").alias("n"))
+    keep = (F.col("n") >= min_size) & (F.col("n") <= max_size if max_size is not None else F.lit(True))
+    return _semi_join_series(df, cnt.withColumn("keep", keep))
+
+
+_CMP = {"eq": operator.eq, "ne": operator.ne, "gt": operator.gt, "ge": operator.ge, "lt": operator.lt, "le": operator.le}
+
+
+def filter_last(df: DataFrame, cmp: str, threshold, value_col: str = "v_double") -> DataFrame:
+    """filter.last.{eq,ne,gt,ge,lt,le} (FilterLastEQ/GT/LT.java:33): keep
+    series whose LATEST value satisfies the comparison."""
+    lastv = df.groupBy("gts_id").agg(F.max_by(value_col, "ts").alias("lv"))
+    keep = _CMP[cmp](F.col("lv"), F.lit(threshold))
+    return _semi_join_series(df, lastv.withColumn("keep", keep))
+
+
+def filter_any(df: DataFrame, point_pred: Column) -> DataFrame:
+    """filter.any (FilterAny.java:33): keep series where ANY point matches
+    — exists ≙ max(pred) aggregate."""
+    anyp = df.groupBy("gts_id").agg(F.max(point_pred.cast("int")).alias("a"))
+    return _semi_join_series(df, anyp.withColumn("keep", F.col("a") == 1))
+
+
+def nonempty(df: DataFrame) -> DataFrame:
+    """NONEMPTY (NONEMPTY.java) — with a points-table representation an
+    empty series has no rows, so this is the identity; kept for API parity."""
+    return df

@@ -1,0 +1,190 @@
+"""MAP — sliding-window transforms per series.
+
+Reference frame spec (MAP.java:37-47; GTSHelper.map:6275-6295):
+  mapper applied at each tick with a window [tick-pre, tick+post];
+  pre/post > 0 count TICKS (rows), < 0 count TIME (range, in time units);
+  `occurrences` caps #applications, `step` strides the output ticks.
+
+Spark mapping is 1:1 — Window.partitionBy(gts_id).orderBy(ts) with
+rowsBetween for tick-frames and rangeBetween (µs) for time-frames.
+All arithmetic mappers are pure Column expressions (whole-stage codegen,
+zero Python in the hot path). step/occurrences are row_number
+post-filters, exactly the reference's semantics.
+
+Window-per-series means the shuffle key is gts_id: at 100 TB the points
+table is bucketed on gts_id so these windows run shuffle-free; a single
+series always fits one executor's partition (series are bounded; the
+reference makes the same assumption by materializing each GTS in RAM).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from warp10_platform_spark.operators.bucketize import bucketizer_expr
+
+SERIES_KEYS = ["gts_id", "class", "labels_key"]
+
+
+def series_window(order_desc: bool = False) -> WindowSpec:
+    order = F.col("ts").desc() if order_desc else F.col("ts").asc()
+    return Window.partitionBy("gts_id").orderBy(order)
+
+
+def frame_window(pre: int, post: int) -> WindowSpec:
+    """pre/post ≥ 0 → rows-frame of that many ticks; negative → time-frame
+    of |pre|/|post| time units (µs), matching GTSHelper.map:6275-6294."""
+    w = Window.partitionBy("gts_id").orderBy("ts")
+    if pre >= 0 and post >= 0:
+        return w.rowsBetween(-pre, post)
+    return w.rangeBetween(-abs(pre), abs(post))
+
+
+# --- window aggregate mappers (mapper.sum/mean/min/max/... over a frame) ---
+
+def map_aggregate(
+    df: DataFrame,
+    mapper: str,
+    pre: int = 0,
+    post: int = 0,
+    value_col: str = "v_double",
+    out_col: str = "v_mapped",
+    p: float | None = None,
+) -> DataFrame:
+    """Apply an aggregator over the sliding frame at every tick
+    (dual registration of aggregator classes as mappers — SURVEY §2.5)."""
+    w = frame_window(pre, post)
+    n = mapper.replace("mapper.", "")
+    v, ts = F.col(value_col), F.col("ts")
+    if n == "delta":  # sum of deltas over frame == last - first
+        expr = F.last(v).over(w) - F.first(v).over(w)
+    elif n == "rate":
+        dt = (F.last(ts).over(w) - F.first(ts).over(w)) / F.lit(1_000_000.0)
+        expr = (F.last(v).over(w) - F.first(v).over(w)) / dt
+    elif n == "csum":
+        expr = F.sum(v).over(Window.partitionBy("gts_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0))
+    else:
+        expr = bucketizer_expr(n, v, ts, p=p).over(w)
+    return df.withColumn(out_col, expr)
+
+
+# --- arithmetic / scalar mappers: pure column exprs (mapper/Mapper*.java) ---
+
+_UNARY = {
+    "mapper.abs": F.abs,
+    "mapper.ceil": F.ceil,
+    "mapper.floor": F.floor,
+    "mapper.round": F.round,
+    "mapper.sqrt": F.sqrt,
+    "mapper.exp": F.exp,
+    "mapper.ln": F.log,
+    "mapper.sigmoid": lambda c: F.lit(1.0) / (F.lit(1.0) + F.exp(-c)),
+    "mapper.tanh": F.tanh,
+    "mapper.tolong": lambda c: c.cast("long"),
+    "mapper.todouble": lambda c: c.cast("double"),
+    "mapper.toboolean": lambda c: c.cast("boolean"),
+    "mapper.tostring": lambda c: c.cast("string"),
+    "mapper.finite": lambda c: F.when(~F.isnan(c) & c.isNotNull() & (F.abs(c) != float("inf")), c),
+    "mapper.year": lambda c: F.year(F.timestamp_micros(c)),
+    "mapper.month": lambda c: F.month(F.timestamp_micros(c)),
+    "mapper.day": lambda c: F.dayofmonth(F.timestamp_micros(c)),
+    "mapper.weekday": lambda c: F.dayofweek(F.timestamp_micros(c)),
+    "mapper.hour": lambda c: F.hour(F.timestamp_micros(c)),
+    "mapper.minute": lambda c: F.minute(F.timestamp_micros(c)),
+    "mapper.second": lambda c: F.second(F.timestamp_micros(c)),
+}
+
+_BINARY = {
+    "mapper.add": lambda c, k: c + k,
+    "mapper.mul": lambda c, k: c * k,
+    "mapper.pow": lambda c, k: F.pow(c, k),
+    "mapper.mod": lambda c, k: c % k,
+    "mapper.log": lambda c, k: F.log(float(k), c),  # log base k
+}
+
+
+def map_scalar(df: DataFrame, mapper: str, param=None, value_col: str = "v_double", out_col: str = "v_mapped") -> DataFrame:
+    """Tick-local mappers: value transform at each point, no frame.
+    mapper.year/month/... extract datetime fields of the tick itself
+    (MapperYear.java:29 et al. operate on the tick, tz-aware)."""
+    c = F.col("ts") if mapper in (
+        "mapper.year", "mapper.month", "mapper.day", "mapper.weekday",
+        "mapper.hour", "mapper.minute", "mapper.second",
+    ) else F.col(value_col)
+    if mapper in _UNARY:
+        return df.withColumn(out_col, _UNARY[mapper](c))
+    if mapper in _BINARY:
+        return df.withColumn(out_col, _BINARY[mapper](c, param))
+    if mapper == "mapper.replace":
+        return df.withColumn(out_col, F.lit(param))
+    if mapper == "mapper.regexp-replace":
+        pat, rep = param
+        return df.withColumn(out_col, F.regexp_replace(F.col(value_col), pat, rep))
+    if mapper == "mapper.regexp-match":
+        return df.withColumn(out_col, F.col(value_col).rlike(param))
+    raise ValueError(f"unknown scalar mapper: {mapper}")
+
+
+def map_delta_prev(df: DataFrame, value_col: str = "v_double", out_col: str = "v_mapped") -> DataFrame:
+    """mapper.delta with frame [1 tick pre, 0 post] — v - lag(v), the
+    canonical counter-delta (aggregator/Delta.java:31 as a mapper)."""
+    w = series_window()
+    return df.withColumn(out_col, F.col(value_col) - F.lag(value_col, 1).over(w))
+
+
+def map_rate_prev(df: DataFrame, value_col: str = "v_double", out_col: str = "v_mapped") -> DataFrame:
+    """mapper.rate over previous tick: delta / Δt-seconds (Rate.java:33)."""
+    w = series_window()
+    dv = F.col(value_col) - F.lag(value_col, 1).over(w)
+    dt = (F.col("ts") - F.lag("ts", 1).over(w)) / F.lit(1_000_000.0)
+    return df.withColumn(out_col, dv / dt)
+
+
+def apply_step_occurrences(df: DataFrame, step: int = 1, occurrences: int = 0) -> DataFrame:
+    """step strides output ticks; occurrences caps them (GTSHelper.map:6280)."""
+    if step <= 1 and occurrences <= 0:
+        return df
+    w = series_window()
+    out = df.withColumn("_rn", F.row_number().over(w))
+    if step > 1:
+        out = out.where((F.col("_rn") - 1) % step == 0)
+        if occurrences > 0:
+            out = out.withColumn("_rn2", F.row_number().over(w)).where(F.col("_rn2") <= occurrences).drop("_rn2")
+    elif occurrences > 0:
+        out = out.where(F.col("_rn") <= occurrences)
+    return out.drop("_rn")
+
+
+def kernel_smoother(df: DataFrame, kernel: str, bandwidth_us: int, value_col: str = "v_double", out_col: str = "v_mapped") -> DataFrame:
+    """mapper.kernel.* — kernel-weighted moving average over a time frame
+    (MapperKernelGaussian.java:24, MapperKernelSmoother.java:27).
+
+    Expressed with collect_list over a rangeBetween window + higher-order
+    functions: stays JVM-side (no pandas), weights = K(Δt/h).
+    """
+    w = Window.partitionBy("gts_id").orderBy("ts").rangeBetween(-bandwidth_us, bandwidth_us)
+    pairs = F.collect_list(F.struct(F.col("ts").alias("t"), F.col(value_col).alias("v"))).over(w)
+    t0 = F.col("ts")
+    h = F.lit(float(bandwidth_us))
+    u = lambda x: (x["t"] - t0).cast("double") / h  # noqa: E731
+    kernels = {
+        "gaussian": lambda x: F.exp(-F.lit(0.5) * u(x) * u(x)) / math.sqrt(2 * math.pi),
+        "uniform": lambda x: F.lit(0.5),
+        "triangular": lambda x: F.lit(1.0) - F.abs(u(x)),
+        "epanechnikov": lambda x: F.lit(0.75) * (F.lit(1.0) - u(x) * u(x)),
+        "cosine": lambda x: F.lit(math.pi / 4.0) * F.cos(F.lit(math.pi / 2.0) * u(x)),
+        "quartic": lambda x: F.lit(15.0 / 16.0) * F.pow(F.lit(1.0) - u(x) * u(x), 2),
+        "triweight": lambda x: F.lit(35.0 / 32.0) * F.pow(F.lit(1.0) - u(x) * u(x), 3),
+        "tricube": lambda x: F.lit(70.0 / 81.0) * F.pow(F.lit(1.0) - F.pow(F.abs(u(x)), 3), 3),
+        "logistic": lambda x: F.lit(1.0) / (F.exp(u(x)) + F.lit(2.0) + F.exp(-u(x))),
+    }
+    if kernel not in kernels:
+        raise ValueError(f"unknown kernel: {kernel}")
+    kf = kernels[kernel]
+    df2 = df.withColumn("_pairs", pairs)
+    wsum = F.aggregate(F.col("_pairs"), F.lit(0.0), lambda acc, x: acc + kf(x) * x["v"])
+    wtot = F.aggregate(F.col("_pairs"), F.lit(0.0), lambda acc, x: acc + kf(x))
+    return df2.withColumn(out_col, wsum / wtot).drop("_pairs")

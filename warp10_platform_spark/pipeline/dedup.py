@@ -1,0 +1,180 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, increasingly scalable:
+  exact          — md5 hash-groupBy (shuffle carries (hash, id)).
+  ngram jaccard  — exact set-similarity self-join on shared shingles;
+                   quadratic in co-shingled docs: the CORRECTNESS baseline.
+  minhash + LSH  — banded signature bucketing; candidates only from
+                   same-bucket pairs, then exact verify: the 100 TB path.
+  simhash        — 64-bit weighted fingerprint + hamming blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def TOKS():
+    return F.split(F.trim(F.col("text")), " ")
+
+# Mersenne prime 2^31-1 for the universal-hash family (a*h+b mod p):
+# 31-bit operands keep a*h < 2^62 so ANSI-mode long arithmetic never
+# overflows; 31-bit minhash space is ample for signature accuracy.
+_P = (1 << 31) - 1
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: md5(text) → (hash, n, keeper)."""
+    return (
+        docs.select(F.col(id_col), F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n") >= 2)
+    )
+
+
+def _shingles(docs: DataFrame, n: int, id_col: str) -> DataFrame:
+    """doc → distinct word n-gram shingles (array column). Docs shorter
+    than n tokens are dropped (no shingle)."""
+    d = docs.select(F.col(id_col).alias("doc_id"), TOKS().alias("toks")).where(F.size("toks") >= n)
+    parts = " , ' ' , ".join(f"toks[i + {j}]" for j in range(n))
+    return d.select(
+        "doc_id",
+        F.expr(f"array_distinct(transform(sequence(0, size(toks) - {n}), i -> concat({parts})))").alias("sh"),
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3, id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard ≥ threshold pairs over distinct word n-grams.
+
+    Plan: explode shingles → self equi-join on shingle (intersection
+    counts) → join per-doc sizes → filter. The equi-join shuffles on the
+    shingle value so co-shingled docs co-locate; no cartesian product.
+    """
+    sh = _shingles(docs, n, id_col)
+    e = sh.select("doc_id", F.explode("sh").alias("s"))
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    a, b = e.alias("a"), e.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    j = F.col("i") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
+    return (
+        inter.join(F.broadcast(na), F.col("id_a") == F.col("na.doc_id"))
+        .join(F.broadcast(nb), F.col("id_b") == F.col("nb.doc_id"))
+        .where(j >= threshold)
+        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32, id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature per doc: base hash = xxhash64(shingle) (JVM,
+    deterministic), hash family h_i = (a_i*h + b_i) mod p; signature[i] =
+    min over shingles. Entirely higher-order-function exprs — no UDF, no
+    shuffle (per-row computation)."""
+    import random
+
+    rnd = random.Random(42)
+    coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
+    sh = _shingles(docs, n, id_col)
+    hashed = sh.select("doc_id", F.expr(f"transform(sh, s -> xxhash64(s) & {_P}L)").alias("hs"))
+    sig_exprs = [
+        F.expr(f"array_min(transform(hs, h -> (h * {a}L + {b}L) % {_P}L))").alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return hashed.select("doc_id", F.array(*sig_exprs).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded LSH over minhash signatures → candidate pairs → exact
+    Jaccard verify. The join key is (band_index, band_hash): only docs
+    agreeing on a full band collide, so shuffle volume is |docs|·bands
+    rows — independent of the pair count. Output contract matches
+    ngram_jaccard_pairs (id_a, id_b, jaccard)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, n, num_hashes, id_col)
+    band_col = F.explode(
+        F.expr(
+            f"transform(sequence(0, {bands - 1}), b -> named_struct('band', b, 'bh', xxhash64(cast(slice(sig, b * {rows} + 1, {rows}) AS string))))"
+        )
+    )
+    banded = sig.select("doc_id", band_col.alias("bb")).select("doc_id", "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify on candidates only
+    sh = _shingles(docs, n, id_col)
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("i", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("i") / (F.size("sh_a") + F.size("sh_b") - F.col("i")))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64; fingerprint bit b = 1
+    iff sum over tokens of ±1 for bit b is positive. Expressed as 64
+    aggregate-over-array exprs — JVM-side, one pass."""
+    d = docs.select(F.col(id_col).alias("doc_id"), TOKS().alias("toks"))
+    hashed = d.select("doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("hs"))
+    bit_exprs = []
+    for bit in range(64):
+        # +1 if bit set else -1, summed over tokens
+        bit_exprs.append(
+            F.expr(
+                f"CASE WHEN aggregate(hs, 0L, (acc, h) -> acc + CASE WHEN shiftright(h, {bit}) & 1 = 1 THEN 1L ELSE -1L END) > 0 "
+                f"THEN {1 << bit if bit < 63 else -(1 << 63)}L ELSE 0L END"
+            )
+        )
+    total = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        total = total + e
+    return hashed.select("doc_id", total.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, radius: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs within hamming radius via 4-segment blocking: if
+    hamming(a,b) ≤ 3, at least one 16-bit segment is identical (pigeonhole)
+    → equi-join per segment, then exact hamming filter via bit_count."""
+    s = simhash(docs, id_col)
+    segs = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr("transform(sequence(0, 3), i -> named_struct('seg', i, 'sv', shiftright(simhash, i * 16) & 65535))")
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.seg", "b.sv")
+    a, b = segs.alias("a"), segs.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg")) & (F.col("a.sv") == F.col("b.sv")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"), ham.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= radius)
+    )

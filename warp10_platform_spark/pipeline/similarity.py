@@ -1,0 +1,79 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline: broadcast the query
+set, JVM-side dot products (zip_with + aggregate — no Python in the
+loop). The LSH variant buckets by random-hyperplane signs so candidate
+generation is O(N) — the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+
+def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
+    return df.withColumn("v", F.expr(f"transform({col}, x -> cast(x AS double))"))
+
+
+def with_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
+    d = _as_double(df, col)
+    return d.withColumn("norm", F.sqrt(F.expr(_DOT.format(a="v", b="v"))))
+
+
+def cosine_topk(queries: DataFrame, candidates: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k cosine neighbors for each query vector (excluding self).
+
+    Broadcast-join the (small) query set against all candidates; rank on
+    round(sim, 6) with id tie-break so cross-engine float ulps cannot
+    reorder."""
+    q = with_norm(queries).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn"))
+    c = with_norm(candidates).select(F.col("vec_id").alias("nid"), F.col("v").alias("cv"), F.col("norm").alias("cn"))
+    dot = F.expr(_DOT.format(a="qv", b="cv"))
+    sims = (
+        c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
+        .withColumn("sim", F.round(dot / (F.col("qn") * F.col("cn")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k).select("qid", "nid", "sim")
+
+
+def lsh_planes(dim: int, num_planes: int, seed: int = 42):
+    import random
+
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def _bucket_expr(planes) -> F.Column:
+    """Sign-bit bucket id from random hyperplanes — pure SQL exprs over
+    the array column (planes inlined as literals)."""
+    bits = []
+    for i, plane in enumerate(planes):
+        arr = "array(" + ",".join(f"{x}D" for x in plane) + ")"
+        bits.append(f"(CASE WHEN {_DOT.format(a='v', b=arr)} > 0 THEN {1 << i} ELSE 0 END)")
+    return F.expr(" + ".join(bits)).alias("bucket")
+
+
+def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int = 3, num_planes: int = 8) -> DataFrame:
+    """ANN top-k: equi-join on the hyperplane-sign bucket, rank within
+    bucket. Recall < 1 by construction (approximate); candidates shuffle
+    on bucket id — O(N), no broadcast of the corpus."""
+    dim = len(candidates.select("embedding").first()[0])
+    planes = lsh_planes(dim, num_planes)
+    q = with_norm(queries).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn"), _bucket_expr(planes)
+    )
+    c = with_norm(candidates).select(
+        F.col("vec_id").alias("nid"), F.col("v").alias("cv"), F.col("norm").alias("cn"), _bucket_expr(planes)
+    )
+    dot = F.expr(_DOT.format(a="qv", b="cv"))
+    sims = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("nid") != F.col("qid"))
+        .withColumn("sim", F.round(dot / (F.col("qn") * F.col("cn")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k).select("qid", "nid", "sim")

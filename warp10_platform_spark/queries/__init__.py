@@ -1,0 +1,28 @@
+"""Named queries + DuckDB oracles — the correctness surface of the engine.
+
+Each submodule registers queries into QUERIES/ORACLES via `register`.
+A query callable takes (spark, sf_dir) and returns a DataFrame; its
+oracle is ANSI SQL DuckDB runs on the same parquet tables. Column names
+and float rounding are kept identical on both sides (driver hash gate).
+"""
+
+from __future__ import annotations
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+from warp10_platform_spark.queries import tpch  # noqa: E402,F401
+from warp10_platform_spark.queries import gts  # noqa: E402,F401
+from warp10_platform_spark.queries import docs  # noqa: E402,F401
+from warp10_platform_spark.queries import emb  # noqa: E402,F401

@@ -1,0 +1,550 @@
+"""GTS operator queries over the events table (FIXTURES.md §F4 projection).
+
+Each query drives the engine's GTSFrame API; its oracle re-derives the
+same semantics in DuckDB SQL over a shared `pts` CTE. Grid constants are
+fixed so both sides compute the identical anchored bucket grid
+(GTSHelper.bucketize:2257 semantics, lastbucket-anchored).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from warp10_platform_spark.core.frame import GTSFrame
+from warp10_platform_spark.operators import outliers as _outliers
+from warp10_platform_spark.operators import reshape as _reshape
+from warp10_platform_spark.operators import sort as _sort
+from warp10_platform_spark.queries import register
+from warp10_platform_spark.sources.tables import events_points
+
+DAY = 86_400_000_000
+HOUR = 3_600_000_000
+LASTBUCKET = 1_706_659_200_000_000  # 2024-01-31T00:00:00Z in µs
+NDAYS = 31
+
+# Shared oracle CTE: the events→points projection (sources/tables.py twin).
+PTS = """pts AS (
+  SELECT 'events.' || event_type AS class,
+         CAST(user_id AS VARCHAR) AS "user",
+         epoch_us(ts) AS ts,
+         value AS v
+  FROM events
+)"""
+
+# Daily anchored-grid CTE over pts (raw_ts kept for first/last aggs).
+DAILY = f"""daily AS (
+  SELECT class, "user",
+         {LASTBUCKET} - (({LASTBUCKET} - ts) // {DAY}) * {DAY} AS ts,
+         ts AS raw_ts,
+         v
+  FROM pts
+  WHERE ts <= {LASTBUCKET} AND ts > {LASTBUCKET - DAY * NDAYS}
+)"""
+
+
+def _out(df, value_col, alias, ndigits=None):
+    v = F.col(value_col)
+    if ndigits is not None:
+        v = F.round(v, ndigits)
+    return df.select(
+        F.col("class"),
+        F.element_at(F.col("labels"), "user").alias("user"),
+        F.col("ts"),
+        v.alias(alias),
+    )
+
+
+# ---------- FETCH ----------
+
+@register(
+    "fetch_range",
+    f"WITH {PTS} SELECT class, \"user\", ts, v AS v_double FROM pts "
+    "WHERE class = 'events.purchase' AND ts >= 1704844800000000 AND ts <= 1705708800000000",
+)
+def fetch_range(spark, sf_dir):
+    """FETCH (FETCH.java:99): selector + time range; predicate pushed to scan."""
+    gf = GTSFrame.fetch(events_points(spark, sf_dir), "events.purchase{}", 1704844800000000, 1705708800000000)
+    return _out(gf.df, "v_double", "v_double")
+
+
+@register(
+    "fetch_last_n",
+    f"WITH {PTS} SELECT class, \"user\", ts, v AS v_double FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY class, \"user\" ORDER BY ts DESC) AS rn FROM pts"
+    ") WHERE rn <= 3",
+)
+def fetch_last_n(spark, sf_dir):
+    """Count-based FETCH (FETCH.java:128): last 3 points per series via a
+    descending per-series window — the scan-level count pushdown analog."""
+    gf = GTSFrame.fetch(events_points(spark, sf_dir), count=3)
+    return _out(gf.df, "v_double", "v_double")
+
+
+# ---------- BUCKETIZE ----------
+
+def _bucketize_oracle(agg_sql: str, alias: str = "v_agg") -> str:
+    return (
+        f"WITH {PTS}, {DAILY} "
+        f'SELECT class, "user", ts, {agg_sql} AS {alias} FROM daily GROUP BY class, "user", ts'
+    )
+
+
+def _bucketized(spark, sf_dir, bucketizer, decimal=False, **kw):
+    pts = events_points(spark, sf_dir)
+    if decimal:
+        pts = pts.withColumn("v_double", F.col("v_double").cast("decimal(28,10)"))
+    gf = GTSFrame.fetch(pts)
+    return gf.bucketize(bucketizer, DAY, LASTBUCKET, NDAYS, **kw)
+
+
+def _bucketized_decimal_mean(spark, sf_dir):
+    """Daily mean per series as double(decimal_sum)/count — the
+    reproducible form of bucketizer.mean."""
+    from warp10_platform_spark.operators.bucketize import SERIES_KEYS, bucket_end_col
+
+    df = events_points(spark, sf_dir).where(
+        (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)
+    )
+    return (
+        df.withColumn("bucket_end", bucket_end_col(LASTBUCKET, DAY))
+        .groupBy(*SERIES_KEYS, "bucket_end")
+        .agg(
+            F.round(
+                F.sum(F.col("v_double").cast("decimal(28,10)")).cast("double") / F.count("v_double"), 6
+            ).alias("v_agg"),
+            F.first("labels").alias("labels"),
+        )
+        .withColumnRenamed("bucket_end", "ts")
+    )
+
+
+@register("bucketize_mean", _bucketize_oracle("round(CAST(sum(v::DECIMAL(28,10)) AS DOUBLE) / count(v), 6)"))
+def bucketize_mean(spark, sf_dir):
+    """bucketizer.mean with DECIMAL-exact accumulation: double sums are
+    partial-aggregation-order dependent across engines; decimal sums are
+    exact, so mean = double(sum)/count is reproducible bit-for-bit."""
+    gf = _bucketized_decimal_mean(spark, sf_dir)
+    return _out(gf, "v_agg", "v_agg")
+
+
+@register("bucketize_sum", _bucketize_oracle("CAST(round(sum(v::DECIMAL(28,10)), 6) AS DOUBLE)"))
+def bucketize_sum(spark, sf_dir):
+    gf = _bucketized(spark, sf_dir, "bucketizer.sum", decimal=True)
+    return _out(gf.df.withColumn("v_agg", F.round("v_agg", 6).cast("double")), "v_agg", "v_agg")
+
+
+@register("bucketize_count", _bucketize_oracle("count(v)"))
+def bucketize_count(spark, sf_dir):
+    return _out(_bucketized(spark, sf_dir, "bucketizer.count").df, "v_agg", "v_agg")
+
+
+@register("bucketize_min_max", (
+    f"WITH {PTS}, {DAILY} "
+    'SELECT class, "user", ts, min(v) AS v_min, max(v) AS v_max FROM daily GROUP BY class, "user", ts'
+))
+def bucketize_min_max(spark, sf_dir):
+    from warp10_platform_spark.operators.bucketize import SERIES_KEYS, bucket_end_col
+
+    df = events_points(spark, sf_dir).where(
+        (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)
+    )
+    out = (
+        df.withColumn("bucket_end", bucket_end_col(LASTBUCKET, DAY))
+        .groupBy(*SERIES_KEYS, "bucket_end")
+        .agg(F.min("v_double").alias("v_min"), F.max("v_double").alias("v_max"), F.first("labels").alias("labels"))
+        .withColumnRenamed("bucket_end", "ts")
+    )
+    return out.select(
+        "class", F.element_at(F.col("labels"), "user").alias("user"), "ts", "v_min", "v_max"
+    )
+
+
+@register("bucketize_first_last", (
+    f"WITH {PTS}, {DAILY} "
+    'SELECT class, "user", ts, arg_min(v, raw_ts) AS v_first, arg_max(v, raw_ts) AS v_last '
+    'FROM daily GROUP BY class, "user", ts'
+))
+def bucketize_first_last(spark, sf_dir):
+    from warp10_platform_spark.operators.bucketize import SERIES_KEYS, bucket_end_col
+
+    df = events_points(spark, sf_dir).where(
+        (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)
+    )
+    out = (
+        df.withColumn("bucket_end", bucket_end_col(LASTBUCKET, DAY))
+        .groupBy(*SERIES_KEYS, "bucket_end")
+        .agg(
+            F.min_by("v_double", "ts").alias("v_first"),
+            F.max_by("v_double", "ts").alias("v_last"),
+            F.first("labels").alias("labels"),
+        )
+        .withColumnRenamed("bucket_end", "ts")
+    )
+    return out.select("class", F.element_at(F.col("labels"), "user").alias("user"), "ts", "v_first", "v_last")
+
+
+@register("bucketize_sd_median", (
+    f"WITH {PTS}, {DAILY} "
+    'SELECT class, "user", ts, round(stddev_samp(v), 6) AS v_sd, round(median(v), 6) AS v_median '
+    'FROM daily GROUP BY class, "user", ts'
+))
+def bucketize_sd_median(spark, sf_dir):
+    from warp10_platform_spark.operators.bucketize import SERIES_KEYS, bucket_end_col
+
+    df = events_points(spark, sf_dir).where(
+        (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)
+    )
+    out = (
+        df.withColumn("bucket_end", bucket_end_col(LASTBUCKET, DAY))
+        .groupBy(*SERIES_KEYS, "bucket_end")
+        .agg(
+            F.round(F.stddev_samp("v_double"), 6).alias("v_sd"),
+            F.round(F.median("v_double"), 6).alias("v_median"),
+            F.first("labels").alias("labels"),
+        )
+        .withColumnRenamed("bucket_end", "ts")
+    )
+    return out.select("class", F.element_at(F.col("labels"), "user").alias("user"), "ts", "v_sd", "v_median")
+
+
+# ---------- flagship: fetch → bucketize → reduce ----------
+
+@register("gts_bucketize_reduce", (
+    f"WITH {PTS}, {DAILY}, "
+    'b AS (SELECT class, "user", ts, round(CAST(sum(v::DECIMAL(28,10)) AS DOUBLE) / count(v), 6) AS v_agg FROM daily GROUP BY class, "user", ts) '
+    'SELECT "user" AS label_user, ts, max(v_agg) AS v_reduced FROM b GROUP BY "user", ts'
+))
+def gts_bucketize_reduce(spark, sf_dir):
+    """SURVEY §7 minimum slice: fetch → daily mean per series →
+    reducer.max across classes per user (REDUCE label-equivalence,
+    GTSHelper.reduce:8147)."""
+    from warp10_platform_spark.operators.bucketize import BucketSpec
+
+    b = _bucketized_decimal_mean(spark, sf_dir)
+    gf = GTSFrame(b, BucketSpec(LASTBUCKET, DAY, NDAYS), "v_agg")
+    return gf.reduce_("reducer.max", by=["user"])
+
+
+# ---------- MAP (window mappers) ----------
+
+@register("map_delta", (
+    f"WITH {PTS} SELECT class, \"user\", ts, v_mapped FROM ("
+    '  SELECT class, "user", ts, v - lag(v) OVER (PARTITION BY class, "user" ORDER BY ts) AS v_mapped FROM pts'
+    ") WHERE v_mapped IS NOT NULL"
+))
+def map_delta(spark, sf_dir):
+    gf = GTSFrame.fetch(events_points(spark, sf_dir)).delta()
+    return _out(gf.df.where(F.col("v_mapped").isNotNull()), "v_mapped", "v_mapped")
+
+
+@register("map_rate", (
+    f"WITH {PTS} SELECT class, \"user\", ts, round(v_mapped, 6) AS v_mapped FROM ("
+    '  SELECT class, "user", ts, (v - lag(v) OVER w) / ((ts - lag(ts) OVER w) / 1000000.0) AS v_mapped '
+    '  FROM pts WINDOW w AS (PARTITION BY class, "user" ORDER BY ts)'
+    ") WHERE v_mapped IS NOT NULL"
+))
+def map_rate(spark, sf_dir):
+    gf = GTSFrame.fetch(events_points(spark, sf_dir)).rate()
+    return _out(gf.df.where(F.col("v_mapped").isNotNull()), "v_mapped", "v_mapped", 6)
+
+
+@register("map_moving_mean", (
+    f"WITH {PTS} SELECT class, \"user\", ts, round(avg(v) OVER ("
+    '  PARTITION BY class, "user" ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW'
+    "), 6) AS v_mapped FROM pts"
+))
+def map_moving_mean(spark, sf_dir):
+    gf = GTSFrame.fetch(events_points(spark, sf_dir)).map_aggregate("mapper.mean", pre=2, post=0)
+    return _out(gf.df, "v_mapped", "v_mapped", 6)
+
+
+@register("map_csum", (
+    f"WITH {PTS} SELECT class, \"user\", ts, CAST(round(sum(v::DECIMAL(28,10)) OVER ("
+    '  PARTITION BY class, "user" ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW'
+    "), 6) AS DOUBLE) AS v_mapped FROM pts"
+))
+def map_csum(spark, sf_dir):
+    pts = events_points(spark, sf_dir).withColumn("v_double", F.col("v_double").cast("decimal(28,10)"))
+    gf = GTSFrame.fetch(pts).map_aggregate("mapper.csum")
+    return _out(gf.df.withColumn("v_mapped", F.round("v_mapped", 6).cast("double")), "v_mapped", "v_mapped")
+
+
+@register("map_time_range_sum", (
+    f"WITH {PTS} SELECT class, \"user\", ts, CAST(round(sum(v::DECIMAL(28,10)) OVER ("
+    '  PARTITION BY class, "user" ORDER BY ts RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW'
+    "), 6) AS DOUBLE) AS v_mapped FROM pts"
+))
+def map_time_range_sum(spark, sf_dir):
+    """Time-frame MAP (pre<0 → range window, GTSHelper.map:6275): sum over
+    the trailing hour."""
+    pts = events_points(spark, sf_dir).withColumn("v_double", F.col("v_double").cast("decimal(28,10)"))
+    gf = GTSFrame.fetch(pts).map_aggregate("mapper.sum", pre=-HOUR, post=0)
+    return _out(gf.df.withColumn("v_mapped", F.round("v_mapped", 6).cast("double")), "v_mapped", "v_mapped")
+
+
+# ---------- APPLY (op.*) ----------
+
+@register("apply_div", (
+    f"WITH {PTS}, {DAILY}, "
+    'p AS (SELECT "user", ts, CAST(round(sum(v::DECIMAL(28,10)), 6) AS DOUBLE) AS vp FROM daily WHERE class = \'events.purchase\' GROUP BY "user", ts), '
+    'w AS (SELECT "user", ts, count(v) AS vw FROM daily WHERE class = \'events.view\' GROUP BY "user", ts) '
+    'SELECT p."user" AS label_user, p.ts, round(p.vp / w.vw, 6) AS v_op FROM p JOIN w ON p."user" = w."user" AND p.ts = w.ts'
+))
+def apply_div(spark, sf_dir):
+    """APPLY op.div (OpDiv.java:29; GTSHelper.apply:7846): daily purchase
+    sum ÷ daily view count, tick-aligned per user."""
+    pts = events_points(spark, sf_dir)
+    pts_dec = pts.withColumn("v_double", F.col("v_double").cast("decimal(28,10)"))
+    p = GTSFrame.fetch(pts_dec, "events.purchase{}").bucketize("bucketizer.sum", DAY, LASTBUCKET, NDAYS)
+    p = GTSFrame(p.df.withColumn("v_agg", F.round("v_agg", 6).cast("double")), p.bucketspec, "v_agg")
+    w = GTSFrame.fetch(pts, "events.view{}").bucketize("bucketizer.count", DAY, LASTBUCKET, NDAYS)
+    out = p.apply_op(w, "op.div", by=["user"])
+    return out.select("label_user", "ts", F.round("v_op", 6).alias("v_op"))
+
+
+# ---------- FILL ----------
+
+@register("fill_previous", (
+    f"WITH {PTS}, {DAILY}, "
+    'b AS (SELECT class, "user", ts, CAST(round(sum(v::DECIMAL(28,10)), 6) AS DOUBLE) AS v_agg FROM daily GROUP BY class, "user", ts), '
+    "series AS (SELECT DISTINCT class, \"user\" FROM b), "
+    f"grid AS (SELECT s.class, s.\"user\", g.ts FROM series s, "
+    f"  (SELECT unnest(generate_series({LASTBUCKET - (NDAYS - 1) * DAY}, {LASTBUCKET}, {DAY})) AS ts) g) "
+    "SELECT grid.class, grid.\"user\", grid.ts, "
+    "  last_value(b.v_agg IGNORE NULLS) OVER (PARTITION BY grid.class, grid.\"user\" ORDER BY grid.ts) AS v_agg "
+    "FROM grid LEFT JOIN b ON b.class = grid.class AND b.\"user\" = grid.\"user\" AND b.ts = grid.ts"
+))
+def fill_previous(spark, sf_dir):
+    """FILLPREVIOUS over the daily grid (FillerPrevious.java:26): missing
+    buckets materialized by the sequence scaffold, forward-filled."""
+    gf = _bucketized(spark, sf_dir, "bucketizer.sum", decimal=True)
+    gf = GTSFrame(gf.df.withColumn("v_agg", F.round("v_agg", 6).cast("double")), gf.bucketspec, "v_agg")
+    return _out(gf.fillprevious().df, "v_agg", "v_agg")
+
+
+# ---------- reshaping ----------
+
+@register("sessionize", (
+    f"WITH {PTS}, "
+    "g AS (SELECT class, \"user\", ts, CASE WHEN ts - lag(ts) OVER w > 3600000000 THEN 1 ELSE 0 END AS brk "
+    '  FROM pts WINDOW w AS (PARTITION BY class, "user" ORDER BY ts)), '
+    "s AS (SELECT class, \"user\", ts, sum(brk) OVER (PARTITION BY class, \"user\" ORDER BY ts "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g) "
+    'SELECT class, "user", session_id, count(*) AS n, max(ts) - min(ts) AS duration_us '
+    'FROM s GROUP BY class, "user", session_id'
+))
+def sessionize(spark, sf_dir):
+    """TIMESPLIT (TIMESPLIT.java:34): gap>1h sessionization, then a
+    per-session summary."""
+    gf = GTSFrame.fetch(events_points(spark, sf_dir)).timesplit(HOUR)
+    return (
+        gf.df.groupBy("class", F.element_at(F.col("labels"), "user").alias("user"), "session_id")
+        .agg(F.count("*").alias("n"), (F.max("ts") - F.min("ts")).alias("duration_us"))
+    )
+
+
+@register("tickindex", (
+    f"WITH {PTS} SELECT class, \"user\", "
+    'row_number() OVER (PARTITION BY class, "user" ORDER BY ts) - 1 AS ts, v AS v_double FROM pts'
+))
+def tickindex(spark, sf_dir):
+    gf = GTSFrame.fetch(events_points(spark, sf_dir)).tickindex()
+    return _out(gf.df, "v_double", "v_double")
+
+
+@register("timeshift", (
+    f"WITH {PTS} SELECT class, \"user\", ts + 3600000000 AS ts, v AS v_double FROM pts"
+))
+def timeshift(spark, sf_dir):
+    gf = GTSFrame.fetch(events_points(spark, sf_dir)).timeshift(HOUR)
+    return _out(gf.df, "v_double", "v_double")
+
+
+@register("normalize", (
+    f"WITH {PTS} SELECT class, \"user\", ts, round(CASE WHEN mx = mn THEN 0.0 ELSE (v - mn) / (mx - mn) END, 6) AS v_norm "
+    "FROM (SELECT *, min(v) OVER w AS mn, max(v) OVER w AS mx FROM pts WINDOW w AS (PARTITION BY class, \"user\"))"
+))
+def normalize(spark, sf_dir):
+    gf = GTSFrame.fetch(events_points(spark, sf_dir)).normalize()
+    return _out(gf.df, "v_norm", "v_norm", 6)
+
+
+@register("standardize", (
+    f"WITH {PTS} SELECT class, \"user\", ts, round(CASE WHEN sd = 0 THEN 0.0 ELSE (v - mu) / sd END, 6) AS v_std "
+    "FROM (SELECT *, avg(v) OVER w AS mu, stddev_samp(v) OVER w AS sd FROM pts WINDOW w AS (PARTITION BY class, \"user\"))"
+))
+def standardize(spark, sf_dir):
+    gf = GTSFrame.fetch(events_points(spark, sf_dir)).standardize()
+    return _out(gf.df, "v_std", "v_std", 6)
+
+
+@register("quantize", (
+    f"WITH {PTS} SELECT class, \"user\", ts, "
+    "CASE WHEN v <= 25 THEN 0 WHEN v <= 50 THEN 1 WHEN v <= 75 THEN 2 WHEN v <= 100 THEN 3 ELSE 4 END AS v_q FROM pts"
+))
+def quantize(spark, sf_dir):
+    gf = GTSFrame.fetch(events_points(spark, sf_dir)).quantize([25.0, 50.0, 75.0, 100.0])
+    return _out(gf.df, "v_q", "v_q")
+
+
+@register("compact_quantized", (
+    f"WITH {PTS}, q AS (SELECT class, \"user\", ts, "
+    "CASE WHEN v <= 25 THEN 0 WHEN v <= 50 THEN 1 WHEN v <= 75 THEN 2 WHEN v <= 100 THEN 3 ELSE 4 END AS v_q FROM pts), "
+    "m AS (SELECT *, lag(v_q) OVER w AS pv, lead(v_q) OVER w AS nv FROM q WINDOW w AS (PARTITION BY class, \"user\" ORDER BY ts)) "
+    'SELECT class, "user", ts, v_q FROM m WHERE pv IS NULL OR nv IS NULL OR v_q != pv OR v_q != nv'
+))
+def compact_quantized(spark, sf_dir):
+    """QUANTIZE → COMPACT (COMPACT.java:32): run-compression keeping edges."""
+    gf = GTSFrame.fetch(events_points(spark, sf_dir)).quantize([25.0, 50.0, 75.0, 100.0])
+    return _out(gf.compact().df, "v_q", "v_q")
+
+
+@register("integrate", (
+    f"WITH {PTS}, m AS (SELECT class, \"user\", ts, "
+    "  (v + lag(v) OVER w) / 2.0 * ((ts - lag(ts) OVER w) / 1000000.0) AS seg "
+    '  FROM pts WINDOW w AS (PARTITION BY class, "user" ORDER BY ts)) '
+    'SELECT class, "user", ts, coalesce(sum(CAST(round(seg * 1000000) AS BIGINT)) OVER (PARTITION BY class, "user" ORDER BY ts '
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000000.0, 0.0) AS v_int FROM m"
+))
+def integrate(spark, sf_dir):
+    gf = GTSFrame.fetch(events_points(spark, sf_dir)).integrate()
+    return _out(gf.df, "v_int", "v_int")
+
+
+# ---------- sorts / top-k ----------
+
+@register("topk_per_series", (
+    f"WITH {PTS} SELECT class, \"user\", ts, v AS v_double FROM ("
+    '  SELECT *, row_number() OVER (PARTITION BY class, "user" ORDER BY v DESC, ts ASC) AS rk FROM pts'
+    ") WHERE rk <= 3"
+))
+def topk_per_series(spark, sf_dir):
+    gf = GTSFrame.fetch(events_points(spark, sf_dir)).topk(3)
+    return _out(gf.df, "v_double", "v_double")
+
+
+@register("lastsort", (
+    f"WITH {PTS} SELECT class, \"user\", arg_max(v, ts) AS last_v FROM pts GROUP BY class, \"user\""
+))
+def lastsort(spark, sf_dir):
+    """LASTSORT (LASTSORT.java:34) — per-series latest value ranking table
+    (ordering itself is order-insensitive in the compare)."""
+    gf = GTSFrame.fetch(events_points(spark, sf_dir))
+    last = _sort.lastsort(gf.df, "v_double")
+    return last.select(
+        "class",
+        F.get_json_object(F.col("labels_key"), "$[0].value").alias("user"),
+        F.col("last_v"),
+    )
+
+
+# ---------- outliers / stats ----------
+
+@register("zscoretest", (
+    f"WITH {PTS}, z AS (SELECT class, \"user\", ts, v, "
+    '  (v - avg(v) OVER w) / stddev_samp(v) OVER w AS z FROM pts WINDOW w AS (PARTITION BY class, "user") ) '
+    'SELECT class, "user", ts, round(z, 6) AS zscore FROM z WHERE abs(z) > 2'
+))
+def zscoretest(spark, sf_dir):
+    """ZSCORETEST (GTSOutliersHelper.java:227): |z| > 2 ticks."""
+    gf = GTSFrame.fetch(events_points(spark, sf_dir))
+    out = _outliers.zscoretest(gf.df, 2.0)
+    return _out(out.withColumn("zscore", F.round("zscore", 6)), "zscore", "zscore")
+
+
+@register("musigma", (
+    f"WITH {PTS} SELECT class, \"user\", round(avg(v), 6) AS mu, round(stddev_samp(v), 6) AS sigma "
+    'FROM pts GROUP BY class, "user"'
+))
+def musigma(spark, sf_dir):
+    gf = GTSFrame.fetch(events_points(spark, sf_dir))
+    out = _outliers.musigma(gf.df)
+    return out.select(
+        "class",
+        F.get_json_object(F.col("labels_key"), "$[0].value").alias("user"),
+        F.round("mu", 6).alias("mu"),
+        F.round("sigma", 6).alias("sigma"),
+    )
+
+
+@register("shannon_entropy", (
+    f"WITH {PTS}, c AS (SELECT \"user\", class, count(*) AS n FROM pts GROUP BY \"user\", class), "
+    't AS (SELECT "user", sum(n) AS tot FROM c GROUP BY "user") '
+    'SELECT c."user", round(-sum((n / tot) * ln(n / tot)), 6) AS entropy '
+    'FROM c JOIN t ON c."user" = t."user" GROUP BY c."user"'
+))
+def shannon_entropy(spark, sf_dir):
+    """reducer.shannonentropy (ShannonEntropy.java:33): event-class
+    distribution entropy per user."""
+    pts = events_points(spark, sf_dir)
+    c = pts.groupBy(F.element_at("labels", F.lit("user")).alias("user"), "class").agg(F.count("*").alias("n"))
+    t = c.groupBy("user").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        c.join(t, on="user")
+        .groupBy("user")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+    )
+
+
+@register("mode_per_user", (
+    f"WITH {PTS}, c AS (SELECT \"user\", class, count(*) AS n FROM pts GROUP BY \"user\", class) "
+    'SELECT "user", class AS mode_class, n FROM ('
+    '  SELECT *, row_number() OVER (PARTITION BY "user" ORDER BY n DESC, class ASC) AS rk FROM c'
+    ") WHERE rk = 1"
+))
+def mode_per_user(spark, sf_dir):
+    """MODE (MODE.java) with deterministic tie-break (count desc, name asc)."""
+    from pyspark.sql import Window
+
+    pts = events_points(spark, sf_dir)
+    c = pts.groupBy(F.element_at("labels", F.lit("user")).alias("user"), "class").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user").orderBy(F.col("n").desc(), F.col("class").asc())
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user", F.col("class").alias("mode_class"), "n")
+    )
+
+
+@register("value_histogram", (
+    f"WITH {PTS} SELECT class, CAST(floor(v / 25) AS BIGINT) AS bin, count(*) AS n "
+    "FROM pts GROUP BY class, bin"
+))
+def value_histogram(spark, sf_dir):
+    """VALUEHISTOGRAM (VALUEHISTOGRAM.java): value→count map per class
+    (binned for a numeric domain)."""
+    pts = events_points(spark, sf_dir)
+    return pts.groupBy(
+        "class", F.floor(F.col("v_double") / 25).cast("long").alias("bin")
+    ).agg(F.count("*").alias("n"))
+
+
+@register("find_series", (
+    f"WITH {PTS} SELECT DISTINCT class, \"user\" FROM pts WHERE class LIKE 'events.p%'"
+))
+def find_series(spark, sf_dir):
+    """FIND (FIND.java:73): metadata-only selector search — distinct
+    series identities, no data read beyond the directory columns."""
+    pts = events_points(spark, sf_dir)
+    from warp10_platform_spark.core.selector import selector_predicate
+
+    return (
+        pts.where(selector_predicate("~events\\.p.*{}"))
+        .select("class", F.element_at("labels", F.lit("user")).alias("user"))
+        .distinct()
+    )
+
+
+@register("findstats", (
+    f"WITH {PTS} SELECT count(DISTINCT class) AS n_classes, "
+    'count(DISTINCT class || \'|\' || "user") AS n_series FROM pts'
+))
+def findstats(spark, sf_dir):
+    """FINDSTATS (FIND.java:73 flag): cardinality stats. Exact here;
+    approx_count_distinct is the 100TB path (HLL++ ≙ HyperLogLogPlus.java)."""
+    pts = events_points(spark, sf_dir)
+    return pts.agg(
+        F.count_distinct("class").alias("n_classes"),
+        F.count_distinct("class", F.element_at("labels", F.lit("user"))).alias("n_series"),
+    )

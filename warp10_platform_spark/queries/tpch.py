@@ -1,0 +1,141 @@
+"""TPC-H-style relational queries — exercise scan/filter/join/agg at scale.
+
+These prove the relational substrate under the GTS engine: predicate
+pushdown to parquet, broadcast joins for dims, partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from warp10_platform_spark.queries import register
+from warp10_platform_spark.sources.tables import load_table
+
+# Sums accumulate in DECIMAL so the result is exact and order-independent
+# (double partial-aggregation order differs between engines and can flip a
+# round() at a half-ulp boundary — observed on q3 at sf0.01).
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity::DECIMAL(28,6)) AS DOUBLE)                          AS sum_qty,
+       CAST(sum(l_extendedprice::DECIMAL(28,6)) AS DOUBLE)                     AS sum_base_price,
+       CAST(round(sum(l_extendedprice::DECIMAL(28,6) * (1 - l_discount::DECIMAL(28,6))), 2) AS DOUBLE)  AS sum_disc_price,
+       CAST(round(sum(l_extendedprice::DECIMAL(28,6) * (1 - l_discount::DECIMAL(28,6)) * (1 + l_tax::DECIMAL(28,6))), 2) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(l_quantity::DECIMAL(28,6)) AS DOUBLE) / count(*), 6)     AS avg_qty,
+       round(CAST(sum(l_extendedprice::DECIMAL(28,6)) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(l_discount::DECIMAL(28,6)) AS DOUBLE) / count(*), 6)     AS avg_disc,
+       count(*)                                                                AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1", Q1_ORACLE)
+def tpch_q1(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(28,6)")  # noqa: E731
+    disc_price = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + dec("l_tax"))), 2).cast("double").alias("sum_charge"),
+            F.round(F.sum(dec("l_quantity")).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(F.sum(dec("l_discount")).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q6_ORACLE = """
+SELECT CAST(round(sum(l_extendedprice::DECIMAL(28,6) * l_discount::DECIMAL(28,6)), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+@register("tpch_q6", Q6_ORACLE)
+def tpch_q6(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,6)") * F.col("l_discount").cast("decimal(28,6)")), 2).cast("double").alias("revenue"))
+    )
+
+
+Q3_ORACLE = """
+SELECT o.o_orderkey,
+       CAST(round(sum(l.l_extendedprice::DECIMAL(28,6) * (1 - l.l_discount::DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+       epoch_us(o.o_orderdate) AS o_orderdate_us,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+"""
+
+
+@register("tpch_q3", Q3_ORACLE)
+def tpch_q3(spark, sf_dir):
+    """Join order: big fact (lineitem) last; customer is dim-sized →
+    explicit broadcast so the plan is hash-join without shuffle of the
+    fact on the dim key."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,6)") * (1 - F.col("l_discount").cast("decimal(28,6)"))), 2).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
+    )
+
+
+Q5_ORACLE = """
+SELECT n.n_name,
+       CAST(round(sum(l.l_extendedprice::DECIMAL(28,6) * (1 - l.l_discount::DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+@register("tpch_q5", Q5_ORACLE)
+def tpch_q5(spark, sf_dir):
+    """Star join: all dims broadcast; single shuffle for the final groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,6)") * (1 - F.col("l_discount").cast("decimal(28,6)"))), 2).cast("double").alias("revenue"))
+    )

@@ -1,0 +1,64 @@
+"""Testdata loaders + the events→GTS projection.
+
+The driver provides TPC-H-ish parquet tables plus `events`, `documents`,
+`embeddings` (TESTDATA.md). `events` is projected into the points schema
+(FIXTURES.md §F4): class = 'events.' || event_type, labels = {user: ...},
+ts = event time in LONG microseconds, v_double = value.
+
+At 100 TB the points table would be written partitioned by
+(class_bucket, day) with bucketing on gts_id; these loaders read the flat
+driver parquet but apply the same schema so every operator is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warp10_platform_spark.core.schema import with_gts_id
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table → canonical points DataFrame (one GTS per
+    (event_type, user_id)). unix_micros keeps the LONG-µs time axis
+    exact (Constants.java default time unit)."""
+    ev = load_table(spark, sf_dir, "events")
+    # events.ts is parquet TIMESTAMP(NANOS): with nanosAsLong it arrives as
+    # LONG ns; integer-div to the platform µs unit (matches DuckDB epoch_us).
+    ts_us = F.expr("ts DIV 1000") if dict(ev.dtypes)["ts"] == "bigint" else F.unix_micros(F.col("ts"))
+    df = ev.select(
+        F.concat(F.lit("events."), F.col("event_type")).alias("class"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("labels"),
+        F.create_map().cast("map<string,string>").alias("attributes"),
+        ts_us.alias("ts"),
+        F.lit(None).cast("double").alias("lat"),
+        F.lit(None).cast("double").alias("lon"),
+        F.lit(None).cast("long").alias("elev"),
+        F.lit(None).cast("long").alias("v_long"),
+        F.col("value").alias("v_double"),
+        F.lit(None).cast("boolean").alias("v_bool"),
+        F.lit(None).cast("string").alias("v_string"),
+        F.col("event_id"),
+    )
+    return with_gts_id(df)
+
+
+# DuckDB-side equivalent of events_points, for oracle SQL construction.
+EVENTS_POINTS_SQL = """
+SELECT 'events.' || event_type AS class,
+       CAST(user_id AS VARCHAR) AS "user",
+       epoch_us(ts) AS ts,
+       value AS v_double,
+       event_id
+FROM events
+"""
