@@ -25,6 +25,11 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet is INT64 TIMESTAMP(NANOS); a plain SparkSession (e.g. the
+    # driver's correctness harness) rejects it with PARQUET_TYPE_ILLEGAL unless
+    # this runtime-settable conf is on. Set it here so every query works on any
+    # session, not just the one built by session.py.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
