@@ -161,8 +161,8 @@ class GTSFrame:
     def valuededup(self) -> "GTSFrame":
         return self._wrap(_reshape.valuededup(self.df, self.value_col))
 
-    def compact(self) -> "GTSFrame":
-        return self._wrap(_reshape.compact(self.df, self.value_col))
+    def compact(self, preserve_ranges: bool = False) -> "GTSFrame":
+        return self._wrap(_reshape.compact(self.df, self.value_col, preserve_ranges))
 
     def normalize(self) -> "GTSFrame":
         return GTSFrame(_reshape.normalize(self.df, self.value_col), self.bucketspec, "v_norm")

@@ -109,6 +109,9 @@ def derive_spec(df: DataFrame, span: int, lastbucket: int | None, bucketcount: i
     if lastbucket is None or bucketcount is None:
         row = df.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).first()
         mn, mx = row["mn"], row["mx"]
+        if mn is None or mx is None:
+            # Empty input: the reference returns an empty bucketized GTS.
+            return BucketSpec(lastbucket=int(lastbucket or 0), bucketspan=int(span), bucketcount=int(bucketcount or 0))
         if lastbucket is None:
             lastbucket = int(mx)
         if bucketcount is None:

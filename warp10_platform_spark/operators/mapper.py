@@ -40,6 +40,11 @@ def frame_window(pre: int, post: int) -> WindowSpec:
     w = Window.partitionBy("gts_id").orderBy("ts")
     if pre >= 0 and post >= 0:
         return w.rowsBetween(-pre, post)
+    if pre > 0 or post > 0:
+        # Mixed tick/time frames (ticks on one side, a time span on the
+        # other) have no single Spark frame; refuse rather than silently
+        # reinterpret a tick count as a µs span.
+        raise ValueError(f"mixed tick/time frame not supported: pre={pre}, post={post}")
     return w.rangeBetween(-abs(pre), abs(post))
 
 

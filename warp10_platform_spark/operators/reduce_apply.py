@@ -103,8 +103,17 @@ def apply_op(
 
 def commonticks(df: DataFrame, n_series: int | None = None) -> DataFrame:
     """COMMONTICKS (COMMONTICKS.java): keep only ticks present in every
-    series. Spark: count distinct series per tick == total series —
-    a semi-join expressed as one aggregation + join, no collect."""
-    total = n_series if n_series is not None else df.select("gts_id").distinct().count()
-    ticks = df.groupBy("ts").agg(F.count_distinct("gts_id").alias("_n")).where(F.col("_n") == total).select("ts")
+    series. Spark: count distinct series per tick == total series. The
+    total is a 1-row aggregate cross-joined in (broadcast-nested-loop of a
+    single row) so the whole op stays lazy — no driver-side action."""
+    if n_series is not None:
+        total_df = None
+        pred = F.col("_n") == F.lit(n_series)
+    else:
+        total_df = df.agg(F.count_distinct("gts_id").alias("_total"))
+        pred = F.col("_n") == F.col("_total")
+    ticks = df.groupBy("ts").agg(F.count_distinct("gts_id").alias("_n"))
+    if total_df is not None:
+        ticks = ticks.join(F.broadcast(total_df))
+    ticks = ticks.where(pred).select("ts")
     return df.join(F.broadcast(ticks), on="ts", how="inner")

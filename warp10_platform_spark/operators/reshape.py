@@ -81,9 +81,13 @@ def timesplit(df: DataFrame, quiet_us: int, label: str = "timesplit") -> DataFra
 
 
 def dedup(df: DataFrame, value_col: str = "v_double") -> DataFrame:
-    """DEDUP (DEDUP.java:33; GTSHelper.dedup:7198): drop duplicate
-    (tick, value) points within a series."""
-    return df.dropDuplicates(["gts_id", "ts", value_col])
+    """DEDUP (DEDUP.java:33; GTSHelper.dedup:7198): remove duplicate TICKS
+    within a series, keeping one point per tick. The reference keeps the
+    LAST value encountered in storage order; a distributed frame has no
+    storage order, so we use a deterministic last-wins proxy: highest value
+    (nulls last) wins. One row per (gts_id, ts) survives."""
+    w = Window.partitionBy("gts_id", "ts").orderBy(F.col(value_col).desc_nulls_last())
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
 
 def valuededup(df: DataFrame, value_col: str = "v_double") -> DataFrame:
@@ -93,18 +97,16 @@ def valuededup(df: DataFrame, value_col: str = "v_double") -> DataFrame:
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
 
-def compact(df: DataFrame, value_col: str = "v_double") -> DataFrame:
-    """COMPACT (COMPACT.java:32): drop consecutive repeated values, keeping
-    the FIRST and LAST point of each run (edges preserved so plots/deltas
-    stay correct). lag/lead change detection."""
+def compact(df: DataFrame, value_col: str = "v_double", preserve_ranges: bool = False) -> DataFrame:
+    """COMPACT (COMPACT.java:44 calls GTSHelper.compact(gts, false)): drop
+    consecutive repeated values keeping only the FIRST point of each run.
+    preserve_ranges=True keeps first AND last of each run (edges preserved
+    so plots/deltas stay correct). lag/lead change detection."""
     w = _w()
     v = F.col(value_col)
-    keep = (
-        F.lag(value_col, 1).over(w).isNull()
-        | F.lead(value_col, 1).over(w).isNull()
-        | (v != F.lag(value_col, 1).over(w))
-        | (v != F.lead(value_col, 1).over(w))
-    )
+    keep = F.lag(value_col, 1).over(w).isNull() | (v != F.lag(value_col, 1).over(w))
+    if preserve_ranges:
+        keep = keep | F.lead(value_col, 1).over(w).isNull() | (v != F.lead(value_col, 1).over(w))
     return df.withColumn("_keep", keep).where(F.col("_keep")).drop("_keep")
 
 

@@ -22,6 +22,13 @@ def TOKS():
 # overflows; 31-bit minhash space is ample for signature accuracy.
 _P = (1 << 31) - 1
 
+# Base 64-bit hash templates. xxhash64 is the fast path (JVM intrinsic);
+# the md5-derived 60-bit variant computes identically in DuckDB
+# (('0x' || substr(md5(x),1,15))::BIGINT), making minhash/simhash outputs
+# oracle-checkable bit-for-bit across engines.
+_XX64 = "xxhash64({x})"
+_MD5_64 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) AS bigint)"
+
 
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical documents: md5(text) → (hash, n, keeper)."""
@@ -62,25 +69,36 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3, id_
     )
     na, nb = sizes.alias("na"), sizes.alias("nb")
     j = F.col("i") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
+    # no broadcast hint: sizes is one row per doc, which outgrows the
+    # broadcast threshold at corpus scale; AQE broadcasts it when small.
     return (
-        inter.join(F.broadcast(na), F.col("id_a") == F.col("na.doc_id"))
-        .join(F.broadcast(nb), F.col("id_b") == F.col("nb.doc_id"))
+        inter.join(na, F.col("id_a") == F.col("na.doc_id"))
+        .join(nb, F.col("id_b") == F.col("nb.doc_id"))
         .where(j >= threshold)
         .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
     )
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32, id_col: str = "doc_id") -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
+    portable: bool = False,
+) -> DataFrame:
     """MinHash signature per doc: base hash = xxhash64(shingle) (JVM,
     deterministic), hash family h_i = (a_i*h + b_i) mod p; signature[i] =
     min over shingles. Entirely higher-order-function exprs — no UDF, no
-    shuffle (per-row computation)."""
+    shuffle (per-row computation). Pass a precomputed (cached) `shingles`
+    frame to avoid re-shingling when the caller also needs the shingles."""
     import random
 
     rnd = random.Random(42)
     coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
-    sh = _shingles(docs, n, id_col)
-    hashed = sh.select("doc_id", F.expr(f"transform(sh, s -> xxhash64(s) & {_P}L)").alias("hs"))
+    sh = shingles if shingles is not None else _shingles(docs, n, id_col)
+    h = (_MD5_64 if portable else _XX64).format(x="s")
+    hashed = sh.select("doc_id", F.expr(f"transform(sh, s -> ({h}) & {_P}L)").alias("hs"))
     sig_exprs = [
         F.expr(f"array_min(transform(hs, h -> (h * {a}L + {b}L) % {_P}L))").alias(f"mh_{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -95,18 +113,23 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.3,
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Banded LSH over minhash signatures → candidate pairs → exact
     Jaccard verify. The join key is (band_index, band_hash): only docs
     agreeing on a full band collide, so shuffle volume is |docs|·bands
     rows — independent of the pair count. Output contract matches
-    ngram_jaccard_pairs (id_a, id_b, jaccard)."""
+    ngram_jaccard_pairs (id_a, id_b, jaccard). portable=True swaps the
+    base hash and band key for forms DuckDB reproduces exactly."""
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, n, num_hashes, id_col)
+    sh = _shingles(docs, n, id_col)
+    sig = minhash_signatures(docs, n, num_hashes, id_col, shingles=sh, portable=portable)
+    if portable:
+        bh = f"array_join(slice(sig, b * {rows} + 1, {rows}), ',')"
+    else:
+        bh = f"xxhash64(cast(slice(sig, b * {rows} + 1, {rows}) AS string))"
     band_col = F.explode(
-        F.expr(
-            f"transform(sequence(0, {bands - 1}), b -> named_struct('band', b, 'bh', xxhash64(cast(slice(sig, b * {rows} + 1, {rows}) AS string))))"
-        )
+        F.expr(f"transform(sequence(0, {bands - 1}), b -> named_struct('band', b, 'bh', {bh}))")
     )
     banded = sig.select("doc_id", band_col.alias("bb")).select("doc_id", "bb.band", "bb.bh")
     a, b = banded.alias("a"), banded.alias("b")
@@ -120,8 +143,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    # exact verify on candidates only
-    sh = _shingles(docs, n, id_col)
+    # exact verify on candidates only (sh shared with the signature stage)
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -134,32 +156,34 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def simhash(docs: DataFrame, id_col: str = "doc_id", portable: bool = False) -> DataFrame:
     """64-bit SimHash per doc: per-token xxhash64; fingerprint bit b = 1
-    iff sum over tokens of ±1 for bit b is positive. Expressed as 64
-    aggregate-over-array exprs — JVM-side, one pass."""
+    iff sum over tokens of ±1 for bit b is positive. JVM-side, one pass.
+    portable=True uses the md5-derived 60-bit base hash (bits 60-63 are
+    then always 0) so DuckDB reproduces the fingerprint exactly."""
     d = docs.select(F.col(id_col).alias("doc_id"), TOKS().alias("toks"))
-    hashed = d.select("doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("hs"))
-    bit_exprs = []
-    for bit in range(64):
-        # +1 if bit set else -1, summed over tokens
-        bit_exprs.append(
-            F.expr(
-                f"CASE WHEN aggregate(hs, 0L, (acc, h) -> acc + CASE WHEN shiftright(h, {bit}) & 1 = 1 THEN 1L ELSE -1L END) > 0 "
-                f"THEN {1 << bit if bit < 63 else -(1 << 63)}L ELSE 0L END"
-            )
-        )
-    total = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        total = total + e
-    return hashed.select("doc_id", total.alias("simhash"))
+    h = (_MD5_64 if portable else _XX64).format(x="t")
+    hashed = d.select("doc_id", F.expr(f"transform(toks, t -> {h})").alias("hs"))
+    # Single pass over the token hashes: accumulate a 64-element count
+    # vector (one zip_with per token), then fold the sign bits into the
+    # fingerprint. Replaces 64 independent aggregate() exprs that each
+    # re-walked the array (64 passes/row and a codegen-bloated plan).
+    counts = F.expr(
+        "aggregate(hs, array_repeat(0L, 64), (acc, h) -> "
+        "zip_with(acc, sequence(0, 63), (c, b) -> c + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1L ELSE -1L END))"
+    )
+    fp = F.expr(
+        "aggregate(zip_with(cnt, sequence(0, 63), (c, b) -> CASE WHEN c > 0 THEN shiftleft(1L, b) ELSE 0L END), "
+        "0L, (acc, v) -> acc | v)"
+    )
+    return hashed.select("doc_id", counts.alias("cnt")).select("doc_id", fp.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, radius: int = 3, id_col: str = "doc_id") -> DataFrame:
+def simhash_pairs(docs: DataFrame, radius: int = 3, id_col: str = "doc_id", portable: bool = False) -> DataFrame:
     """Near-dup pairs within hamming radius via 4-segment blocking: if
     hamming(a,b) ≤ 3, at least one 16-bit segment is identical (pigeonhole)
     → equi-join per segment, then exact hamming filter via bit_count."""
-    s = simhash(docs, id_col)
+    s = simhash(docs, id_col, portable=portable)
     segs = s.select(
         "doc_id",
         "simhash",

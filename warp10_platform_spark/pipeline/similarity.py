@@ -57,11 +57,15 @@ def _bucket_expr(planes) -> F.Column:
     return F.expr(" + ".join(bits)).alias("bucket")
 
 
-def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int = 3, num_planes: int = 8) -> DataFrame:
+def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int = 3, num_planes: int = 8, dim: int | None = None) -> DataFrame:
     """ANN top-k: equi-join on the hyperplane-sign bucket, rank within
     bucket. Recall < 1 by construction (approximate); candidates shuffle
-    on bucket id — O(N), no broadcast of the corpus."""
-    dim = len(candidates.select("embedding").first()[0])
+    on bucket id — O(N), no broadcast of the corpus.
+
+    Pass `dim` explicitly in production plans — the fallback sniffs it
+    with a driver-side .first(), which triggers a job."""
+    if dim is None:
+        dim = len(candidates.select("embedding").first()[0])
     planes = lsh_planes(dim, num_planes)
     q = with_norm(queries).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn"), _bucket_expr(planes)

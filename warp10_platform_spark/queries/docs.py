@@ -114,19 +114,81 @@ def doc_ngram_jaccard(spark, sf_dir):
     return _dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3)
 
 
-@register("doc_minhash_lsh")  # probabilistic candidate recall → rows-only check
+def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.3) -> str:
+    """DuckDB replica of minhash_lsh_pairs(portable=True): same md5-derived
+    base hash, the same (a_i, b_i) coefficients from random.Random(42), the
+    same band keys — bit-for-bit identical candidates and jaccard values."""
+    import random
+
+    rnd = random.Random(42)
+    coeffs = [(rnd.randrange(1, _dedup._P), rnd.randrange(0, _dedup._P)) for _ in range(num_hashes)]
+    rows = num_hashes // bands
+    sig_terms = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_dedup._P}))" for a, b in coeffs
+    )
+    return f"""
+WITH base AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+shing AS (
+  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                for i in range(1, len(toks) - 1)]) AS sh
+  FROM base WHERE len(toks) >= 3
+),
+hs AS (SELECT doc_id, sh,
+       list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT & {_dedup._P}) AS hs FROM shing),
+sig AS (SELECT doc_id, sh, [{sig_terms}] AS sig FROM hs),
+banded AS (
+  SELECT doc_id, b.b AS band, array_to_string(list_slice(sig, b.b * {rows} + 1, b.b * {rows} + {rows}), ',') AS bh
+  FROM sig, (SELECT unnest(range(0, {bands})) AS b) b
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b, len(list_intersect(sa.sh, sb.sh)) AS i, len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cands JOIN shing sa ON sa.doc_id = id_a JOIN shing sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, round(i * 1.0 / (na + nb - i), 6) AS jaccard
+FROM verified WHERE i * 1.0 / (na + nb - i) >= {threshold}
+"""
+
+
+@register("doc_minhash_lsh", _minhash_lsh_oracle())
 def doc_minhash_lsh(spark, sf_dir):
     """MinHash + banded LSH near-dup: shingle→minhash sig→band buckets→
     candidate pairs→exact-jaccard verify ≥ 0.3. Same output contract as
     doc_ngram_jaccard but only LSH candidates are verified — the 100 TB
-    scale path (no full self-join)."""
+    scale path (no full self-join). portable hash → exact DuckDB oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    return _dedup.minhash_lsh_pairs(docs, n=3, num_hashes=32, bands=8, threshold=0.3)
+    return _dedup.minhash_lsh_pairs(docs, n=3, num_hashes=32, bands=8, threshold=0.3, portable=True)
 
 
-@register("doc_simhash")  # hash-based → rows-only check
+def _simhash_oracle(radius: int = 3) -> str:
+    """DuckDB replica of simhash_pairs(portable=True). The md5-derived base
+    hash is 60-bit, so only bits 0-59 can be set; pair generation uses a
+    plain a<b self-join (the engine's segment blocking is an optimization
+    that cannot change the result set)."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END)) > 0"
+        f" THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(60)
+    )
+    return f"""
+WITH t AS (SELECT doc_id,
+           list_transform(string_split(trim(text), ' '), s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+           FROM documents),
+fp AS (SELECT doc_id, ({bit_terms}) AS simhash FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+"""
+
+
+@register("doc_simhash", _simhash_oracle())
 def doc_simhash(spark, sf_dir):
     """SimHash 64-bit fingerprint per doc + near pairs within hamming
-    radius 3 via 4-segment blocking."""
+    radius 3 via 4-segment blocking. portable hash → exact DuckDB oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    return _dedup.simhash_pairs(docs, radius=3)
+    pairs = _dedup.simhash_pairs(docs, radius=3, portable=True)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))

@@ -45,10 +45,34 @@ def emb_norms(spark, sf_dir):
     return _sim.with_norm(emb).select("vec_id", F.round("norm", 6).alias("norm"), F.size("embedding").alias("dim"))
 
 
-@register("emb_lsh_topk")  # probabilistic recall → rows-only check
+def _lsh_topk_oracle(dim: int = 64, num_planes: int = 8, k: int = 3) -> str:
+    """DuckDB replica of lsh_topk: identical hyperplane literals (same
+    seed/formatting as the engine), identical sign-bucket formula, rank on
+    round(sim, 6) with nid tie-break. Deterministic despite being an ANN —
+    the approximation is in recall, not in randomness."""
+    planes = _sim.lsh_planes(dim, num_planes)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{','.join(str(x) for x in p)}]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm, ({bucket}) AS bucket FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, norm AS qn, bucket FROM b WHERE vec_id < 10),
+s AS (SELECT q.qid, c.vec_id AS nid,
+             round(list_dot_product(q.qv, c.v) / (q.qn * c.norm), 6) AS sim
+      FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.qid)
+SELECT qid, nid, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk FROM s
+) WHERE rk <= {k}
+"""
+
+
+@register("emb_lsh_topk", _lsh_topk_oracle())
 def emb_lsh_topk(spark, sf_dir):
     """Scale path: random-hyperplane LSH bucketing, then top-k only within
-    buckets — replaces the O(N·Q) broadcast product at 100 TB."""
+    buckets — replaces the O(N·Q) broadcast product at 100 TB. dim passed
+    explicitly (no driver-side sniff)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return _sim.lsh_topk(queries, emb, k=3, num_planes=8)
+    return _sim.lsh_topk(queries, emb, k=3, num_planes=8, dim=64)

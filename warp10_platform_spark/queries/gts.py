@@ -390,11 +390,12 @@ def quantize(spark, sf_dir):
 @register("compact_quantized", (
     f"WITH {PTS}, q AS (SELECT class, \"user\", ts, "
     "CASE WHEN v <= 25 THEN 0 WHEN v <= 50 THEN 1 WHEN v <= 75 THEN 2 WHEN v <= 100 THEN 3 ELSE 4 END AS v_q FROM pts), "
-    "m AS (SELECT *, lag(v_q) OVER w AS pv, lead(v_q) OVER w AS nv FROM q WINDOW w AS (PARTITION BY class, \"user\" ORDER BY ts)) "
-    'SELECT class, "user", ts, v_q FROM m WHERE pv IS NULL OR nv IS NULL OR v_q != pv OR v_q != nv'
+    "m AS (SELECT *, lag(v_q) OVER w AS pv FROM q WINDOW w AS (PARTITION BY class, \"user\" ORDER BY ts)) "
+    'SELECT class, "user", ts, v_q FROM m WHERE pv IS NULL OR v_q != pv'
 ))
 def compact_quantized(spark, sf_dir):
-    """QUANTIZE → COMPACT (COMPACT.java:32): run-compression keeping edges."""
+    """QUANTIZE → COMPACT (COMPACT.java:44, preserveRanges=false): run-
+    compression keeping only the first point of each constant run."""
     gf = GTSFrame.fetch(events_points(spark, sf_dir)).quantize([25.0, 50.0, 75.0, 100.0])
     return _out(gf.compact().df, "v_q", "v_q")
 

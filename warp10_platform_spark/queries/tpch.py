@@ -90,15 +90,16 @@ GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
 
 @register("tpch_q3", Q3_ORACLE)
 def tpch_q3(spark, sf_dir):
-    """Join order: big fact (lineitem) last; customer is dim-sized →
-    explicit broadcast so the plan is hash-join without shuffle of the
-    fact on the dim key."""
+    """Join order: big fact (lineitem) last; customer is the only dim-sized
+    input → broadcast it. orders is fact-sized (1.5M rows/sf) so
+    orders⋈lineitem stays a shuffle join; AQE picks shuffle-hash/sort-merge
+    and handles skew at scale."""
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,6)") * (1 - F.col("l_discount").cast("decimal(28,6)"))), 2).cast("double").alias("revenue"))
         .select(
