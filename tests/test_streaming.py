@@ -1,0 +1,68 @@
+"""Structured Streaming ingest tests: file-source GTS text lines →
+parse → windowed aggregation → memory sink, compared to the identical
+batch computation (streaming/ingest.py is SURVEY §2.11)."""
+
+import os
+import uuid
+
+from pyspark.sql import functions as F
+
+from warp10_platform_spark.sources.gts_text import format_gts_lines, parse_gts_lines
+from warp10_platform_spark.sources.tables import events_points
+from warp10_platform_spark.streaming import read_gts_text_stream, streaming_bucketize
+
+HOUR = 3_600_000_000
+
+
+def test_streaming_file_ingest_matches_batch(spark, sf_dir, tmp_path):
+    # Export a slice of events as GTS text files (the ingress wire format).
+    pts = events_points(spark, sf_dir).where(F.col("class") == "events.purchase")
+    text_dir = str(tmp_path / "gts_text")
+    format_gts_lines(pts).write.mode("overwrite").text(text_dir)
+
+    stream = read_gts_text_stream(spark, text_dir)
+    assert stream.isStreaming
+    agg = streaming_bucketize(stream, HOUR)
+
+    sink = f"ingest_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")  # watermark allows append mode
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.table(sink)
+    # Batch twin over the same files: append mode only emits windows the
+    # watermark closed, so compare on the windows present in the sink.
+    batch_pts = parse_gts_lines(spark.read.text(text_dir))
+    batch = streaming_bucketize(batch_pts, HOUR)  # watermark is a no-op in batch mode
+    got_rows = {(r["class"], r["labels_key"], r["bucket_end"]): r["v_count"] for r in got.collect()}
+    batch_rows = {(r["class"], r["labels_key"], r["bucket_end"]): r["v_count"] for r in batch.collect()}
+    assert got_rows  # stream produced output
+    for k, v in got_rows.items():
+        assert batch_rows[k] == v
+
+
+def test_parse_drops_malformed_lines(spark):
+    lines = spark.createDataFrame(
+        [
+            ("1700000000000000// sensor.temp{site=eu-1} 21.5",),
+            ("not a gts line",),
+            ("1700000000000001/48.8:2.3/120 sensor.temp{site=eu-1,unit=C} 22",),
+            ("1700000000000002// sensor.state{} 'running'",),
+            ("1700000000000003// sensor.ok{} T",),
+        ],
+        "value string",
+    )
+    out = parse_gts_lines(lines).orderBy("ts").collect()
+    assert len(out) == 4
+    assert out[0]["v_double"] == 21.5 and out[0]["labels"] == {"site": "eu-1"}
+    assert out[1]["v_long"] == 22 and out[1]["lat"] == 48.8 and out[1]["elev"] == 120
+    assert out[2]["v_string"] == "running"
+    assert out[3]["v_bool"] is True

@@ -26,3 +26,5 @@ from warp10_platform_spark.queries import tpch  # noqa: E402,F401
 from warp10_platform_spark.queries import gts  # noqa: E402,F401
 from warp10_platform_spark.queries import docs  # noqa: E402,F401
 from warp10_platform_spark.queries import emb  # noqa: E402,F401
+from warp10_platform_spark.queries import custom  # noqa: E402,F401
+from warp10_platform_spark.queries import ingest  # noqa: E402,F401
