@@ -210,6 +210,60 @@ class GTSFrame:
     def lttb(self, threshold: int) -> "GTSFrame":
         return self._wrap(_sort.lttb(self.df, threshold, self.value_col))
 
+    # ---- bucket-grid accessors (GeoTimeSerie.java:80-96) ----
+
+    def lastbucket(self) -> int | None:
+        """LASTBUCKET (LASTBUCKET.java): 0/None when not bucketized."""
+        return self.bucketspec.lastbucket if self.bucketspec else None
+
+    def bucketspan(self) -> int | None:
+        """BUCKETSPAN (BUCKETSPAN.java)."""
+        return self.bucketspec.bucketspan if self.bucketspec else None
+
+    def bucketcount(self) -> int | None:
+        """BUCKETCOUNT (BUCKETCOUNT.java)."""
+        return self.bucketspec.bucketcount if self.bucketspec else None
+
+    def unbucketize(self) -> "GTSFrame":
+        """UNBUCKETIZE (GTSHelper.unbucketize:2676): drop grid metadata."""
+        return GTSFrame(self.df, None, self.value_col)
+
+    def onlybuckets(self) -> "GTSFrame":
+        """ONLYBUCKETS: keep only points ON the bucket grid."""
+        assert self.bucketspec is not None, "ONLYBUCKETS requires a bucketized GTSFrame"
+        s = self.bucketspec
+        on_grid = ((F.lit(s.lastbucket) - F.col("ts")) % F.lit(s.bucketspan)) == 0
+        return self._wrap(self.df.where(on_grid & (F.col("ts") <= s.lastbucket)))
+
+    def crop(self) -> "GTSFrame":
+        """CROP (CROP.java): clip to the bucket grid extent."""
+        assert self.bucketspec is not None, "CROP requires a bucketized GTSFrame"
+        s = self.bucketspec
+        return self._wrap(_reshape.crop(self.df, s.lastbucket, s.bucketspan, s.bucketcount))
+
+    def bucketize_calendar(self, bucketizer: str, unit: str = "day", tz: str = "UTC",
+                           p: float | None = None) -> "GTSFrame":
+        from warp10_platform_spark.operators.bucketize import bucketize_calendar as _bc
+
+        return GTSFrame(_bc(self.df, bucketizer, unit, tz, self.value_col, p=p), None, "v_agg")
+
+    # ---- identity rewrites ----
+
+    def rename(self, name: str) -> "GTSFrame":
+        return self._wrap(_reshape.rename(self.df, name))
+
+    def relabel(self, changes: dict) -> "GTSFrame":
+        return self._wrap(_reshape.relabel(self.df, changes))
+
+    def attick(self, tick: int) -> "GTSFrame":
+        return self._wrap(_reshape.attick(self.df, tick))
+
+    def atindex(self, index: int) -> "GTSFrame":
+        return self._wrap(_reshape.atindex(self.df, index))
+
+    def rangecompact(self) -> "GTSFrame":
+        return self._wrap(_reshape.rangecompact(self.df, self.value_col))
+
     # ---- plumbing ----
 
     def _wrap(self, df: DataFrame) -> "GTSFrame":

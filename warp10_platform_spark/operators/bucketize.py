@@ -81,7 +81,26 @@ def bucketizer_expr(name: str, v: Column, ts: Column, *, p: float | None = None,
         return F.min_by(ts, F.when(v.isNotNull(), v))
     if n == "musigma":
         return F.struct(F.avg(v).alias("mu"), F.stddev_samp(v).alias("sigma"))
+    if n == "mad":
+        # Median absolute deviation (GTSOutliersHelper.mad): nested medians
+        # via one collect_list + array exprs — group-local memory only.
+        s = F.array_sort(F.collect_list(v))
+        med = _sorted_array_median(s)
+        devs = F.array_sort(F.transform(s, lambda x: F.abs(x - med)))
+        return _sorted_array_median(devs)
+    if n == "skewness":
+        return F.skewness(v)
+    if n == "kurtosis":
+        return F.kurtosis(v)
     raise ValueError(f"unknown bucketizer: {name}")
+
+
+def _sorted_array_median(s: Column) -> Column:
+    """Exact median of a sorted numeric array column."""
+    n = F.size(s)
+    lo = F.element_at(s, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(s, (n / 2 + 1).cast("int"))
+    return F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2.0)
 
 
 @dataclass(frozen=True)
@@ -146,3 +165,31 @@ def bucketize(
         .withColumnRenamed("bucket_end", "ts")
     )
     return out, spec
+
+
+def bucketize_calendar(
+    df: DataFrame,
+    bucketizer: str,
+    unit: str = "day",
+    tz: str = "UTC",
+    value_col: str = "v_double",
+    p: float | None = None,
+) -> DataFrame:
+    """BUCKETIZECALENDAR (functions/BUCKETIZECALENDAR.java): buckets
+    aligned to calendar boundaries (day/week/month/quarter/year) in a
+    timezone — DST-aware, so buckets are not a fixed span.
+
+    Output tick = epoch-µs of the bucket START (the calendar boundary);
+    the reference indexes buckets from the Unix epoch in the given tz —
+    same partition of the time axis, different tick labeling (documented
+    deviation). Pure column math: trunc in wall-clock tz, one hash
+    aggregation, partial aggregation applies."""
+    wall = F.from_utc_timestamp(F.timestamp_micros(F.col("ts")), tz)
+    bucket_start = F.unix_micros(F.to_utc_timestamp(F.date_trunc(unit, wall), tz))
+    agg = bucketizer_expr(bucketizer, F.col(value_col), F.col("ts"), p=p).alias("v_agg")
+    return (
+        df.withColumn("bucket_start", bucket_start)
+        .groupBy(*SERIES_KEYS, "bucket_start")
+        .agg(agg, F.first("labels").alias("labels"))
+        .withColumnRenamed("bucket_start", "ts")
+    )

@@ -82,8 +82,10 @@ def apply_op(
     """
     lkeys = [F.element_at(left["labels"], k).alias(f"label_{k}") for k in by_labels]
     rkeys = [F.element_at(right["labels"], k).alias(f"label_{k}") for k in by_labels]
-    l = left.select(*lkeys, F.col("ts"), F.col(value_col).alias("v_left"))
-    r = right.select(*rkeys, F.col("ts"), F.col(value_col).alias("v_right"))
+    # frame-qualified refs: both operands may share lineage (self-apply),
+    # so bare F.col would be ambiguous.
+    l = left.select(*lkeys, left["ts"], left[value_col].alias("v_left"))
+    r = right.select(*rkeys, right["ts"], right[value_col].alias("v_right"))
     if broadcast_right:
         r = F.broadcast(r)
     join_cols = [f"label_{k}" for k in by_labels] + ["ts"]

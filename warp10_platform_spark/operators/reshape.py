@@ -168,6 +168,103 @@ def integrate(df: DataFrame, value_col: str = "v_double", out_col: str = "v_int"
     return df.withColumn(out_col, F.coalesce(total, F.lit(0.0)))
 
 
+def crop(df: DataFrame, lastbucket: int, bucketspan: int, bucketcount: int) -> DataFrame:
+    """CROP (CROP.java): restrict a bucketized series to its bucket grid
+    [lastbucket - span*count, lastbucket]."""
+    return df.where(
+        (F.col("ts") <= lastbucket) & (F.col("ts") > lastbucket - bucketspan * bucketcount)
+    )
+
+
+def rangecompact(df: DataFrame, value_col: str = "v_double") -> DataFrame:
+    """RANGECOMPACT (RANGECOMPACT.java:32 → GTSHelper.compact(gts, true)):
+    drop constant runs but keep both edges."""
+    return compact(df, value_col, preserve_ranges=True)
+
+
+def attick(df: DataFrame, tick: int) -> DataFrame:
+    """ATTICK (ATTICK.java): the point of each series at an exact tick."""
+    return df.where(F.col("ts") == tick)
+
+
+def atindex(df: DataFrame, index: int) -> DataFrame:
+    """ATINDEX (ATINDEX.java): the point at 0-based index per series
+    (negative = from the end, like the reference's -1 = last)."""
+    if index >= 0:
+        w = _w()
+        return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == index + 1).drop("_rn")
+    w = Window.partitionBy("gts_id").orderBy(F.col("ts").desc())
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == -index).drop("_rn")
+
+
+def _regen_identity(df: DataFrame) -> DataFrame:
+    """Recompute labels_key + gts_id after an identity rewrite
+    (the reference recomputes classId/labelsId on RENAME/RELABEL)."""
+    from warp10_platform_spark.core.schema import with_gts_id
+
+    return with_gts_id(df.drop("labels_key", "gts_id"))
+
+
+def rename(df: DataFrame, name: str) -> DataFrame:
+    """RENAME (RENAME.java:34): set class name; a leading '+' suffixes the
+    current name instead (reference convention)."""
+    if name.startswith("+"):
+        new = F.concat(F.col("class"), F.lit(name[1:]))
+    else:
+        new = F.lit(name)
+    return _regen_identity(df.withColumn("class", new))
+
+
+def relabel(df: DataFrame, changes: dict[str, str | None]) -> DataFrame:
+    """RELABEL (RELABEL.java:37): merge label changes; a None value drops
+    the label (reference: NULL removes; absent keys unchanged)."""
+    drops = [k for k, v in changes.items() if v is None]
+    sets = {k: v for k, v in changes.items() if v is not None}
+    labels = F.col("labels")
+    if drops:
+        labels = F.map_filter(labels, lambda k, _: ~k.isin(drops))
+    if sets:
+        pairs = []
+        for k, v in sets.items():
+            pairs += [F.lit(k), F.lit(v)]
+        labels = F.map_concat(F.map_filter(labels, lambda k, _: ~k.isin(list(sets))), F.create_map(*pairs))
+    return _regen_identity(df.withColumn("labels", labels))
+
+
+def shuffle(df: DataFrame, seed: int = 42) -> DataFrame:
+    """SHUFFLE (SHUFFLE.java): random point order. Order is not
+    observable in the frame model until an ORDER BY, so this materializes
+    a deterministic pseudo-random rank column consumers may sort on."""
+    return df.withColumn("shuffle_rank", F.xxhash64(F.col("gts_id"), F.col("ts"), F.lit(seed)))
+
+
+def pivot(df: DataFrame, on: str = "class", value_col: str = "v_double", values: list[str] | None = None) -> DataFrame:
+    """PIVOT/TOMVS: series-per-class → one wide row per (labels, tick)
+    with a column per class — the multivariate view (MVSPLIT inverse).
+    max() so colliding duplicate ticks resolve deterministically.
+    groupBy().pivot() without an explicit `values` list triggers one
+    distinct-scan — pass the classes at scale."""
+    p = df.groupBy("labels_key", "ts").pivot(on, values) if values else df.groupBy("labels_key", "ts").pivot(on)
+    return p.agg(F.max(value_col))
+
+
+def mvsplit(df: DataFrame, value_cols: list[str], class_prefix: str = "") -> DataFrame:
+    """MVSPLIT: one multivariate row → one row per (variable, tick) —
+    stack/melt via an inline array of structs (no shuffle)."""
+    entries = F.array(
+        *[
+            F.struct(F.lit(class_prefix + c).alias("class"), F.col(c).cast("double").alias("v_double"))
+            for c in value_cols
+        ]
+    )
+    ex = df.withColumn("_e", F.explode(entries))
+    return ex.select(
+        F.col("_e.class").alias("class"),
+        *[c for c in df.columns if c not in value_cols],
+        F.col("_e.v_double"),
+    ).where(F.col("v_double").isNotNull())
+
+
 def shrink(df: DataFrame, n: int) -> DataFrame:
     """SHRINK (SHRINK.java:31): truncate each series to its first n points
     (negative n → last n)."""

@@ -25,6 +25,32 @@ def lastsort(df: DataFrame, value_col: str = "v_double", reverse: bool = False) 
     return last.orderBy(F.col("last_v").desc() if reverse else F.col("last_v").asc())
 
 
+def metasort(df: DataFrame, reverse: bool = False) -> DataFrame:
+    """METASORT (METASORT.java): order SERIES by metadata (class, then
+    canonical labels). Series-level op: returns the identity table in
+    order, with a rank column for stable downstream use."""
+    ident = df.select("gts_id", "class", "labels_key").distinct()
+    order = [F.col("class"), F.col("labels_key")]
+    if reverse:
+        order = [c.desc() for c in order]
+    w = Window.orderBy(*order)
+    return ident.withColumn("meta_rank", F.row_number().over(w))
+
+
+def sortby(df: DataFrame, extractor: str, value_col: str = "v_double", reverse: bool = False) -> DataFrame:
+    """SORTBY (SORTBY.java:38): order SERIES by a per-series aggregate
+    (the 'macro' of the reference is an aggregator name here; arbitrary
+    Python extractors go through functions/custom.macro_reducer). Returns
+    series identities ranked by the extracted value."""
+    from warp10_platform_spark.operators.bucketize import bucketizer_expr
+
+    agg = bucketizer_expr(extractor, F.col(value_col), F.col("ts")).alias("sort_key")
+    per_series = df.groupBy("gts_id", "class", "labels_key").agg(agg)
+    key = F.col("sort_key").desc() if reverse else F.col("sort_key").asc()
+    w = Window.orderBy(key, F.col("class"), F.col("labels_key"))
+    return per_series.withColumn("sort_rank", F.row_number().over(w))
+
+
 def topk_per_series(df: DataFrame, k: int, value_col: str = "v_double", lowest: bool = False) -> DataFrame:
     """mapper.highest/lowest as a per-series top-k (Highest.java:29):
     window rank — no global sort, no collect."""

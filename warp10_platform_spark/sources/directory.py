@@ -1,0 +1,64 @@
+"""Directory table — series metadata separated from points (SURVEY §1.6).
+
+The reference keeps a dedicated Directory service (class/labels →
+classId/labelsId, served from memory, backed by LevelDB/HBase;
+FETCH.java:238 → StandaloneDirectoryClient) so metadata selectors never
+touch the points store. The Spark analog is a small `directory` table:
+one row per series with identity + stats, consulted by FIND/FINDSTATS
+and used as a broadcast semi-join filter in front of FETCH.
+
+At 100 TB the directory is maintained incrementally at ingest (the
+streaming_last view is its seed) and persisted as its own parquet —
+~1e6 series rows vs ~1e12 point rows, a 10^6× smaller scan for every
+metadata-only query. Here it is derived on demand from the points frame
+(same schema, same consumers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from warp10_platform_spark.core.selector import selector_predicate
+
+
+def build_directory(points: DataFrame) -> DataFrame:
+    """points → directory: one row per series (identity, labels, extent
+    stats). Shuffle carries only (gts_id, partials) — partial aggregation
+    makes this one map-side-combined pass."""
+    return points.groupBy("gts_id", "class", "labels_key").agg(
+        F.first("labels").alias("labels"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_points"),
+    )
+
+
+def find(directory: DataFrame, selector: str) -> DataFrame:
+    """FIND (FIND.java:73) over the directory only — no points scan."""
+    return directory.where(selector_predicate(selector))
+
+
+def findstats(directory: DataFrame, approx: bool = False) -> DataFrame:
+    """FINDSTATS: cardinalities from the directory. approx=True uses
+    HLL++ (approx_count_distinct ≙ the reference's HyperLogLogPlus) —
+    the 100 TB path where even the directory is large."""
+    if approx:
+        return directory.agg(
+            F.approx_count_distinct("class").alias("n_classes"),
+            F.approx_count_distinct("gts_id").alias("n_series"),
+        )
+    return directory.agg(
+        F.count_distinct("class").alias("n_classes"),
+        F.count_distinct("gts_id").alias("n_series"),
+    )
+
+
+def fetch_filtered(points: DataFrame, directory: DataFrame, selector: str) -> DataFrame:
+    """FETCH with a directory pre-filter: resolve the selector on the
+    directory (tiny), broadcast the matching gts_ids, semi-join the
+    points scan. The points-side predicate is a single IN/semi-join on
+    the clustering key — partition-prunable when points are bucketed by
+    gts_id — instead of regex evaluation per point row."""
+    ids = find(directory, selector).select("gts_id")
+    return points.join(F.broadcast(ids), on="gts_id", how="leftsemi")
