@@ -1,0 +1,89 @@
+"""Known-answer tests for the numpy-tier analytics (the rows-only driver
+queries): crafted series with unambiguous expected outputs."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from warp10_platform_spark.analytics.fit import dtw_distance, fft_top, stl_decompose
+from warp10_platform_spark.analytics.stats import esd_test, grubbs_test, t_cdf, t_ppf
+from warp10_platform_spark.core.schema import with_gts_id
+
+
+def _series(spark, values, cls="t.s", user="1"):
+    rows = [(cls, {"user": user}, i * 1_000_000, float(v)) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "class string, labels map<string,string>, ts long, v_double double")
+    return with_gts_id(df)
+
+
+def test_t_distribution_known_quantiles():
+    # NIST/commons-math reference values
+    assert abs(t_ppf(0.975, 10) - 2.2281) < 1e-3
+    assert abs(t_ppf(0.95, 5) - 2.0150) < 1e-3
+    assert abs(t_cdf(2.0, 60) - 0.9748) < 1e-3
+
+
+def test_grubbs_flags_planted_outlier(spark):
+    vals = [10.0, 10.1, 9.9, 10.2, 9.8, 10.0, 10.1, 50.0, 9.9, 10.0]
+    out = grubbs_test(_series(spark, vals)).collect()
+    assert len(out) == 1
+    assert out[0]["v_outlier"] == 50.0
+
+
+def test_grubbs_clean_series_no_flag(spark):
+    vals = [float(v) for v in np.linspace(10, 11, 20)]
+    assert grubbs_test(_series(spark, vals)).count() == 0
+
+
+def test_esd_finds_multiple_outliers(spark):
+    vals = [10.0 + 0.1 * math.sin(i) for i in range(40)]
+    vals[5], vals[20] = 60.0, -40.0
+    out = esd_test(_series(spark, vals), k=5).collect()
+    flagged = sorted(r["v_outlier"] for r in out)
+    assert flagged == [-40.0, 60.0]
+
+
+def test_stl_recovers_trend_and_period(spark):
+    n, period = 84, 7
+    i = np.arange(n)
+    season = 5.0 * np.sin(2 * np.pi * i / period)
+    y = 0.5 * i + season
+    out = (
+        stl_decompose(_series(spark, list(y)), period=period)
+        .orderBy("ts")
+        .toPandas()
+    )
+    mid = slice(period, n - period)  # edges are loess-extrapolated
+    # trend is close to the 0.5*i line
+    assert np.abs(out["trend"].to_numpy()[mid] - 0.5 * i[mid]).mean() < 1.0
+    # residual is small relative to the seasonal amplitude
+    assert np.abs(out["resid"].to_numpy()[mid]).mean() < 1.0
+
+
+def test_fft_finds_planted_frequency(spark):
+    n = 64
+    y = np.sin(2 * np.pi * 8 * np.arange(n) / n)  # bin 8 exactly
+    out = fft_top(_series(spark, list(y)), k=1).collect()
+    assert out[0]["freq_bin"] == 8
+
+
+def test_dtw_identity_and_shift():
+    a = np.array([0.0, 1.0, 2.0, 1.0, 0.0])
+    assert dtw_distance(a, a) == 0.0
+    # a time-shifted copy is closer under DTW than under Euclidean
+    b = np.array([0.0, 0.0, 1.0, 2.0, 1.0])
+    assert dtw_distance(a, b) < np.abs(a - b).sum()
+
+
+def test_sax_word_shape(spark):
+    vals = [float(v) for v in np.concatenate([np.full(8, 0.0), np.full(8, 10.0)])]
+    from warp10_platform_spark.analytics.sax import sax_words
+
+    out = sax_words(_series(spark, vals), w=8, alphabet=4).collect()
+    assert len(out) == 1
+    word = out[0]["sax_word"]
+    assert len(word) == 8
+    # low half maps to low letters, high half to high letters
+    assert set(word[:4]) == {"a"} and set(word[4:]) == {"d"}

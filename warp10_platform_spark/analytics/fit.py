@@ -1,0 +1,317 @@
+"""Regression / correlation / decomposition / spectra — SURVEY §2.10.
+
+Two tiers:
+- JVM-exact tier (lr_fit, correlate_daily, exp_smooth_last): closed-form
+  statistics assembled from exact DECIMAL/BIGINT sums — order-independent,
+  so a DuckDB oracle reproduces them bit-for-bit, and the whole operator
+  is Column expressions (codegen, partial aggregation, no Python).
+- numpy tier (stl, lowess, fft, dtw): inherently sequential/iterative
+  algorithms run per series via applyInPandas (Arrow batches), the same
+  in-RAM-series contract the reference uses.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SERIES_KEYS = ["gts_id", "class", "labels_key"]
+
+
+def lr_fit(df: DataFrame, value_col: str = "v_double") -> DataFrame:
+    """LR (functions/LR.java): per-series least-squares line value ~ time.
+
+    x = ticks re-based to the series start (µs, BIGINT — exact sums),
+    y cast DECIMAL(12,6). slope/intercept assembled in double from the
+    exact sums; slope is per SECOND (x scaled at assembly, not in the
+    accumulators, to keep them integral). One pass + one window min."""
+    w = Window.partitionBy("gts_id")
+    x = (F.col("ts") - F.min("ts").over(w)).alias("x")
+    y = F.col(value_col).cast("decimal(12,6)")
+    base = df.select(*SERIES_KEYS, x.alias("x"), y.alias("y"))
+    mom = base.groupBy(*SERIES_KEYS).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),  # bigint, exact
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(20,0)") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx, sy, sxy = F.col("sx").cast("double"), F.col("sxx"), F.col("sy"), F.col("sxy")
+    denom = n * sxx - sx * sx
+    slope_us = (n * sxy - sx * sy) / denom  # per µs
+    intercept = (sy - slope_us * sx) / n
+    return mom.where(F.col("n") >= 2).select(
+        *SERIES_KEYS,
+        (slope_us * 1_000_000.0).alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
+def correlate_daily(a: DataFrame, b: DataFrame, value_col: str = "v_agg") -> DataFrame:
+    """CORRELATE (functions/CORRELATE.java): Pearson correlation between
+    two tick-aligned series sets, per matching labels_key. Exact DECIMAL
+    moment sums over the inner-joined ticks → deterministic double."""
+    av = a.select(F.col("labels_key"), F.col("ts"), F.col(value_col).cast("decimal(12,6)").alias("va"))
+    bv = b.select(F.col("labels_key"), F.col("ts"), F.col(value_col).cast("decimal(12,6)").alias("vb"))
+    j = av.join(bv, on=["labels_key", "ts"])
+    mom = j.groupBy("labels_key").agg(
+        F.count("*").alias("n"),
+        F.sum("va").cast("double").alias("sa"),
+        F.sum("vb").cast("double").alias("sb"),
+        F.sum(F.col("va") * F.col("va")).cast("double").alias("saa"),
+        F.sum(F.col("vb") * F.col("vb")).cast("double").alias("sbb"),
+        F.sum(F.col("va") * F.col("vb")).cast("double").alias("sab"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sab") - F.col("sa") * F.col("sb") / n
+    var_a = F.col("saa") - F.col("sa") * F.col("sa") / n
+    var_b = F.col("sbb") - F.col("sb") * F.col("sb") / n
+    return mom.where((F.col("n") >= 2) & (var_a > 0) & (var_b > 0)).select(
+        "labels_key", "n", (cov / F.sqrt(var_a * var_b)).alias("corr")
+    )
+
+
+def exp_smooth_last(df: DataFrame, alpha: float, value_col: str = "v_double") -> DataFrame:
+    """SINGLEEXPONENTIALSMOOTHING (functions/SINGLEEXPONENTIALSMOOTHING.java)
+    final state per series: s_0 = v_0; s_t = (1-α)s + αv. Sequential IEEE
+    recurrence over the tick-ordered value array — JVM aggregate() HOF, so
+    a DuckDB list_reduce with the same order reproduces it exactly."""
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("ts").alias("t"), F.col(value_col).cast("double").alias("v")))
+    )
+    per = df.groupBy(*SERIES_KEYS).agg(arr.alias("pts"))
+    smoothed = F.expr(
+        f"aggregate(slice(pts, 2, size(pts) - 1), pts[0].v, (acc, p) -> acc * {1.0 - alpha}D + p.v * {alpha}D)"
+    )
+    return per.where(F.size("pts") >= 1).select(*SERIES_KEYS, smoothed.alias("s_last"))
+
+
+_DECOMP_SCHEMA = StructType(
+    [
+        StructField("class", StringType()),
+        StructField("labels_key", StringType()),
+        StructField("ts", LongType()),
+        StructField("trend", DoubleType()),
+        StructField("seasonal", DoubleType()),
+        StructField("resid", DoubleType()),
+    ]
+)
+
+
+def _loess_1d(x: np.ndarray, y: np.ndarray, frac: float, xeval: np.ndarray | None = None) -> np.ndarray:
+    """Local linear regression with tricube weights (LOWESS.java:36 inner
+    loop; no robustness iterations)."""
+    if xeval is None:
+        xeval = x
+    n = len(x)
+    r = max(2, int(math.ceil(frac * n)))
+    out = np.empty(len(xeval))
+    for i, x0 in enumerate(xeval):
+        d = np.abs(x - x0)
+        idx = np.argpartition(d, min(r - 1, n - 1))[:r]
+        dmax = d[idx].max()
+        if dmax == 0:
+            out[i] = y[idx].mean()
+            continue
+        w = (1 - (d[idx] / dmax) ** 3) ** 3
+        xw, yw = x[idx], y[idx]
+        sw, swx = w.sum(), (w * xw).sum()
+        swy, swxy, swxx = (w * yw).sum(), (w * xw * yw).sum(), (w * xw * xw).sum()
+        den = sw * swxx - swx * swx
+        if den == 0:
+            out[i] = swy / sw
+        else:
+            b = (sw * swxy - swx * swy) / den
+            a = (swy - b * swx) / sw
+            out[i] = a + b * x0
+    return out
+
+
+def _ma(v: np.ndarray, k: int) -> np.ndarray:
+    """Same-length moving average with reflect padding."""
+    if k <= 1:
+        return v
+    lo = k // 2
+    hi = k - 1 - lo
+    padded = np.concatenate([v[lo:0:-1], v, v[-2 : -2 - hi : -1]]) if hi > 0 else np.concatenate([v[lo:0:-1], v])
+    return np.convolve(padded, np.full(k, 1.0 / k), mode="valid")
+
+
+def lowess_smooth(df: DataFrame, frac: float = 0.3, value_col: str = "v_double") -> DataFrame:
+    """LOWESS (functions/LOWESS.java): per-series local regression."""
+    schema = StructType(
+        [
+            StructField("class", StringType()),
+            StructField("labels_key", StringType()),
+            StructField("ts", LongType()),
+            StructField("v_smooth", DoubleType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        x = pdf["ts"].to_numpy(np.float64)
+        y = pdf[value_col].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "class": pdf["class"],
+                "labels_key": pdf["labels_key"],
+                "ts": pdf["ts"],
+                "v_smooth": _loess_1d(x, y, frac),
+            }
+        )
+
+    return df.groupBy("gts_id").applyInPandas(run, schema=schema)
+
+
+def stl_decompose(df: DataFrame, period: int, value_col: str = "v_double", iterations: int = 2) -> DataFrame:
+    """STL (functions/STL.java:36): seasonal-trend decomposition by LOESS.
+    Inner loop only (no robustness weights): detrend → per-phase cycle
+    subseries means smoothed → deseasonalize → trend loess. `period` in
+    TICK COUNT (rows) — callers bucketize first so the series is regular,
+    exactly the reference's requirement of a bucketized input."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        y = pdf[value_col].to_numpy(np.float64)
+        n = len(y)
+        if n < 2 * period:
+            return pd.DataFrame(
+                {
+                    "class": pdf["class"],
+                    "labels_key": pdf["labels_key"],
+                    "ts": pdf["ts"],
+                    "trend": np.full(n, np.nan),
+                    "seasonal": np.full(n, np.nan),
+                    "resid": np.full(n, np.nan),
+                }
+            )
+        x = np.arange(n, dtype=np.float64)
+        trend = np.zeros(n)
+        seasonal = np.zeros(n)
+        cyc = np.empty(n)
+        for _ in range(iterations):
+            detr = y - trend
+            for ph in range(period):
+                idx = np.arange(ph, n, period)
+                sub = detr[idx]
+                cyc[idx] = _loess_1d(np.arange(len(sub), dtype=np.float64), sub, 0.75)
+            # low-pass of the cycle-subseries (MA(period) x2 + MA(3)) strips
+            # trend leakage — the classic STL step; plain centering would
+            # leave low-frequency drift inside `seasonal`.
+            low = _ma(_ma(_ma(cyc, period), period), 3)
+            seasonal = cyc - low
+            trend = _loess_1d(x, y - seasonal, max(0.3, 1.5 * period / n))
+        resid = y - trend - seasonal
+        return pd.DataFrame(
+            {
+                "class": pdf["class"],
+                "labels_key": pdf["labels_key"],
+                "ts": pdf["ts"],
+                "trend": trend,
+                "seasonal": seasonal,
+                "resid": resid,
+            }
+        )
+
+    return df.groupBy("gts_id").applyInPandas(run, schema=_DECOMP_SCHEMA)
+
+
+def fft_top(df: DataFrame, k: int = 3, value_col: str = "v_double") -> DataFrame:
+    """FFT (continuum/gts/FFT.java): per-series real FFT; returns the top-k
+    non-DC frequency bins by magnitude (regular/bucketized input assumed)."""
+    schema = StructType(
+        [
+            StructField("class", StringType()),
+            StructField("labels_key", StringType()),
+            StructField("freq_bin", LongType()),
+            StructField("magnitude", DoubleType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        y = pdf[value_col].to_numpy(np.float64)
+        if len(y) < 4:
+            return pd.DataFrame({"class": [], "labels_key": [], "freq_bin": [], "magnitude": []}).astype(
+                {"freq_bin": "int64", "magnitude": "float64", "class": "object", "labels_key": "object"}
+            )
+        mag = np.abs(np.fft.rfft(y - y.mean()))
+        bins = np.argsort(-mag[1:])[:k] + 1
+        return pd.DataFrame(
+            {
+                "class": pdf["class"].iloc[0],
+                "labels_key": pdf["labels_key"].iloc[0],
+                "freq_bin": bins.astype(np.int64),
+                "magnitude": mag[bins],
+            }
+        )
+
+    return df.groupBy("gts_id").applyInPandas(run, schema=schema)
+
+
+def dtw_distance(a: np.ndarray, b: np.ndarray, window: int | None = None) -> float:
+    """DTW (functions/DTW.java:35): dynamic-time-warping distance between
+    two value arrays (|·| point cost), optional Sakoe-Chiba band."""
+    n, m = len(a), len(b)
+    w = max(window, abs(n - m)) if window is not None else max(n, m)
+    dp = np.full((n + 1, m + 1), np.inf)
+    dp[0, 0] = 0.0
+    for i in range(1, n + 1):
+        lo, hi = max(1, i - w), min(m, i + w)
+        for j in range(lo, hi + 1):
+            cost = abs(a[i - 1] - b[j - 1])
+            dp[i, j] = cost + min(dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1])
+    return float(dp[n, m])
+
+
+def dtw_pairs(df: DataFrame, value_col: str = "v_agg", window: int | None = None) -> DataFrame:
+    """Pairwise DTW across series of one class: series collected per
+    labels_key (bounded — bucketized input), pair join, numpy DP per pair."""
+    per = df.groupBy("labels_key").agg(
+        F.expr(
+            "transform(array_sort(collect_list(named_struct('t', ts, 'v', cast(" + value_col + " AS double)))), p -> p.v)"
+        ).alias("vs")
+    )
+    a, b = per.alias("a"), per.alias("b")
+    pairs = a.join(b, F.col("a.labels_key") < F.col("b.labels_key")).select(
+        F.col("a.labels_key").alias("key_a"),
+        F.col("b.labels_key").alias("key_b"),
+        F.col("a.vs").alias("vs_a"),
+        F.col("b.vs").alias("vs_b"),
+    )
+    schema = StructType(
+        [
+            StructField("key_a", StringType()),
+            StructField("key_b", StringType()),
+            StructField("dtw", DoubleType()),
+        ]
+    )
+
+    def run(it):
+        for pdf in it:
+            out = pd.DataFrame(
+                {
+                    "key_a": pdf["key_a"],
+                    "key_b": pdf["key_b"],
+                    "dtw": [
+                        dtw_distance(np.asarray(x, np.float64), np.asarray(y, np.float64), window)
+                        for x, y in zip(pdf["vs_a"], pdf["vs_b"])
+                    ],
+                }
+            )
+            yield out
+
+    return pairs.mapInPandas(run, schema=schema)
