@@ -31,3 +31,4 @@ from warp10_platform_spark.queries import ingest  # noqa: E402,F401
 from warp10_platform_spark.queries import typed  # noqa: E402,F401
 from warp10_platform_spark.queries import coverage  # noqa: E402,F401
 from warp10_platform_spark.queries import analytics  # noqa: E402,F401
+from warp10_platform_spark.queries import media  # noqa: E402,F401

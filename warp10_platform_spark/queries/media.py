@@ -1,0 +1,121 @@
+"""Multimodal queries: binary media columns → decode → hash/feature,
+each with a DuckDB oracle that recomputes the pixel math from the md5
+hex directly (the fake content is md5(text) bytes, so the oracle needs
+no Python and no codecs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from warp10_platform_spark.multimodal import (
+    attach_fake_images,
+    audio_features,
+    dhash_images,
+    frame_sample,
+)
+from warp10_platform_spark.queries import register
+from warp10_platform_spark.sources.tables import load_table
+
+
+def _byte(src: str, i: int) -> str:
+    """DuckDB: i-th byte (0-based) of unhex(md5(src)) as INT."""
+    return f"('0x' || substr(md5({src}), {2 * i + 1}, 2))::INT"
+
+
+def _dhash_sql(src: str = "text") -> str:
+    """DuckDB twin of multimodal._dhash over the 4x4 md5-pixel image:
+    bit r*3+c set iff p[r*4+c] < p[r*4+c+1]."""
+    terms = []
+    for r in range(4):
+        for c in range(3):
+            bit = r * 3 + c
+            terms.append(
+                f"(CASE WHEN {_byte(src, r * 4 + c)} < {_byte(src, r * 4 + c + 1)} THEN {1 << bit} ELSE 0 END)"
+            )
+    return " + ".join(terms)
+
+
+@register("media_image_dhash", (
+    f"SELECT doc_id AS media_id, CAST({_dhash_sql()} AS BIGINT) AS dhash FROM documents"
+))
+def media_image_dhash(spark, sf_dir):
+    """Binary image column → decode (GRAY8 RAW header parse + numpy) →
+    difference hash, Arrow-batched mapInPandas. The oracle recomputes the
+    same bits from the md5 hex — decode path verified end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_images(docs)
+    return dhash_images(media)
+
+
+@register("media_image_dedup", (
+    f"WITH h AS (SELECT doc_id AS media_id, CAST({_dhash_sql()} AS BIGINT) AS dhash FROM documents) "
+    "SELECT dhash, count(*) AS n, min(media_id) AS keep_id FROM h GROUP BY dhash HAVING count(*) >= 2"
+))
+def media_image_dedup(spark, sf_dir):
+    """Perceptual-hash dedup tier over the binary column: group identical
+    dhashes (the media twin of doc_exact_dedup; near-dup hamming tiers
+    reuse pipeline/dedup.py's simhash blocking on the dhash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = dhash_images(attach_fake_images(docs))
+    return (
+        hashes.groupBy("dhash")
+        .agg(F.count("*").alias("n"), F.min("media_id").alias("keep_id"))
+        .where(F.col("n") >= 2)
+    )
+
+
+def _audio_oracle() -> str:
+    s1 = " + ".join(_byte("text", i) for i in range(16))
+    zc_terms = []
+    for i in range(15):
+        a, b = _byte("text", i), _byte("text", i + 1)
+        zc_terms.append(f"(CASE WHEN (({a} - m) < 0) != (({b} - m) < 0) THEN 1 ELSE 0 END)")
+    return f"""
+WITH s AS (SELECT doc_id, ({s1}) AS s1,
+           ({' + '.join(f'({_byte("text", i)} * {_byte("text", i)})' for i in range(16))}) AS s2
+           FROM documents),
+m AS (SELECT doc_id, s1 / 16.0 AS m, s1, s2 FROM s)
+SELECT doc_id AS media_id,
+       round(sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / 16.0) / 16.0), 6) AS rms,
+       CAST(({' + '.join(zc_terms)}) AS BIGINT) AS zero_crossings
+FROM m JOIN documents USING (doc_id)
+"""
+
+
+@register("media_audio_features", _audio_oracle())
+def media_audio_features(spark, sf_dir):
+    """Fake-PCM audio features (RMS + zero crossings) over the binary
+    payload — assembled from exact integer sums so the double RMS is
+    engine-reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_images(docs)
+    out = audio_features(media)
+    return out.select("media_id", F.round("rms", 6).alias("rms"), "zero_crossings")
+
+
+def _frames_oracle() -> str:
+    # frames 0 and 2 of a 4-frame video; frame k pixels = md5(text || k)
+    # (frame 0 uses plain md5(text)); mean = exact-int sum / 16.
+    rows = []
+    for k in (0, 2):
+        src = "text" if k == 0 else f"text || '{k}'"
+        s = " + ".join(_byte(src, i) for i in range(16))
+        rows.append(f"SELECT doc_id AS media_id, {k} AS frame_idx, ({s}) / 16.0 AS mean_pixel FROM documents")
+    return " UNION ALL ".join(rows)
+
+
+@register("media_frame_sample", _frames_oracle())
+def media_frame_sample(spark, sf_dir):
+    """Video-style frame sampling: 4 concatenated GRAY8 frames per doc,
+    keep every 2nd, per-frame mean pixel (exact /16 division)."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = [F.unhex(F.md5("text"))] + [F.unhex(F.md5(F.concat(F.col("text"), F.lit(str(k))))) for k in (1, 2, 3)]
+    import struct as _struct
+
+    header = F.lit(b"GR8\x00" + _struct.pack(">HH", 4, 4)).cast("binary")
+    video = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, *frames).alias("content"),
+    )
+    return frame_sample(video, every=2)
