@@ -264,6 +264,54 @@ class GTSFrame:
     def rangecompact(self) -> "GTSFrame":
         return self._wrap(_reshape.rangecompact(self.df, self.value_col))
 
+    # ---- projections (VALUES/TICKS/NAME/LABELS, SURVEY §2.2) ----
+
+    def values(self) -> DataFrame:
+        """VALUES (VALUES.java): the value column per series."""
+        return self.df.select("gts_id", "class", "labels_key", self.value_col)
+
+    def ticks(self) -> DataFrame:
+        """TICKS (TICKS.java)."""
+        return self.df.select("gts_id", "class", "labels_key", "ts")
+
+    def names(self) -> DataFrame:
+        """NAME (NAME.java): distinct class names."""
+        return self.df.select("class").distinct()
+
+    def labels(self) -> DataFrame:
+        """LABELS (LABELS.java): one labels map per series."""
+        return self.df.select("gts_id", "class", "labels_key", "labels").dropDuplicates(
+            ["gts_id", "class", "labels_key"]
+        )
+
+    # ---- geo (operators/geo.py) ----
+
+    def hdist(self) -> DataFrame:
+        from warp10_platform_spark.operators import geo as _geo
+
+        return _geo.hdist(self.df)
+
+    def hspeed(self) -> "GTSFrame":
+        from warp10_platform_spark.operators import geo as _geo
+
+        return GTSFrame(_geo.hspeed(self.df), self.bucketspec, "speed_ms")
+
+    def geo_within(self, lat_min, lat_max, lon_min, lon_max) -> "GTSFrame":
+        from warp10_platform_spark.operators import geo as _geo
+
+        return self._wrap(_geo.geo_within_bbox(self.df, lat_min, lat_max, lon_min, lon_max))
+
+    # ---- custom predicates / misc ----
+
+    def mfilter(self, fn) -> "GTSFrame":
+        return self._wrap(_filters.mfilter(self.df, fn, self.value_col))
+
+    def unique(self) -> "GTSFrame":
+        return self._wrap(_filters.unique(self.df, self.value_col))
+
+    def fillticks(self, ticks: list[int]) -> "GTSFrame":
+        return self._wrap(_fill.fillticks(self.df, ticks, self.value_col))
+
     # ---- plumbing ----
 
     def _wrap(self, df: DataFrame) -> "GTSFrame":

@@ -1,0 +1,69 @@
+"""Time scalar helpers — ISO8601 durations, TSELEMENTS (SURVEY §2.9).
+
+The reference's DURATION (functions/DURATION.java) converts an ISO8601
+duration literal to platform time units at script build time; the Spark
+analog is a Python helper used while building the plan. TSELEMENTS
+(TSELEMENTS.java) splits a tick into calendar fields in a tz — pure
+Column expressions here.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+US = 1
+MS = 1_000
+S = 1_000_000
+MINUTE = 60 * S
+HOUR = 3600 * S
+DAY = 86_400 * S
+WEEK = 7 * DAY
+
+_DUR_RE = re.compile(
+    r"^P(?:(?P<weeks>\d+(?:\.\d+)?)W)?(?:(?P<days>\d+(?:\.\d+)?)D)?"
+    r"(?:T(?:(?P<hours>\d+(?:\.\d+)?)H)?(?:(?P<minutes>\d+(?:\.\d+)?)M)?"
+    r"(?:(?P<seconds>\d+(?:\.\d+)?)S)?)?$"
+)
+
+
+def parse_duration(s: str) -> int:
+    """ISO8601 duration → LONG µs (DURATION.java semantics: calendar-free
+    components only — P…W/D/T…H/M/S; months/years need a calendar and are
+    rejected, as the reference routes those to ADDMONTHS/ADDYEARS)."""
+    m = _DUR_RE.match(s)
+    if not m or s in ("P", "PT"):
+        raise ValueError(f"invalid ISO8601 duration: {s!r}")
+    parts = {k: float(v) if v else 0.0 for k, v in m.groupdict().items()}
+    total = (
+        parts["weeks"] * WEEK
+        + parts["days"] * DAY
+        + parts["hours"] * HOUR
+        + parts["minutes"] * MINUTE
+        + parts["seconds"] * S
+    )
+    return int(round(total))
+
+
+def tselements(ts: Column, tz: str = "UTC") -> Column:
+    """TSELEMENTS (TSELEMENTS.java): tick → [year, month, day, hour,
+    minute, second, microseconds] in tz, as an array<long>."""
+    t = F.from_utc_timestamp(F.timestamp_micros(ts), tz)
+    return F.array(
+        F.year(t).cast("long"),
+        F.month(t).cast("long"),
+        F.dayofmonth(t).cast("long"),
+        F.hour(t).cast("long"),
+        F.minute(t).cast("long"),
+        F.second(t).cast("long"),
+        (ts % 1_000_000).cast("long"),
+    )
+
+
+def from_tselements(year: Column, month: Column, day: Column, hour: Column,
+                    minute: Column, second: Column, micros: Column, tz: str = "UTC") -> Column:
+    """->TSELEMENTS inverse: calendar fields in tz → LONG µs tick."""
+    t = F.make_timestamp(year, month, day, hour, minute, second)
+    return F.unix_micros(F.to_utc_timestamp(t, tz)) + micros

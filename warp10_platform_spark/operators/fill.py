@@ -81,3 +81,126 @@ def interpolate(df: DataFrame, value_col: str = "v_agg") -> DataFrame:
     """INTERPOLATE (continuum/gts/INTERPOLATE.java) — alias of linear fill
     on an already-scaffolded frame."""
     return fill_linear(df, value_col)
+
+
+def fillticks(df: DataFrame, ticks: list[int], value_col: str = "v_agg") -> DataFrame:
+    """FILLTICKS (FILLTICKS.java): materialize the given ticks on every
+    series (null value when absent) — callers chain a filler. Same
+    scaffold shape as FILL but with an explicit tick list, no bucket grid
+    required."""
+    series = df.select(*SERIES_KEYS, "labels").dropDuplicates(SERIES_KEYS)
+    wanted = series.withColumn("ts", F.explode(F.array(*[F.lit(t).cast("long") for t in ticks])))
+    value_cols = [c for c in df.columns if c not in SERIES_KEYS + ["labels", "ts"]]
+    have = df.select(*SERIES_KEYS, "ts", *value_cols)
+    extra = wanted.join(have.select(*SERIES_KEYS, "ts"), on=SERIES_KEYS + ["ts"], how="left_anti")
+    for c in value_cols:
+        extra = extra.withColumn(c, F.lit(None).cast(dict(df.dtypes)[c]))
+    return df.unionByName(extra.select(df.columns), allowMissingColumns=False)
+
+
+# ---- model fillers (filler/FillerSpline.java:29, FillerAkima.java,
+# FillerTrend.java, FillerLowess.java) — fitting is inherently per-series
+# sequential, so these run through applyInPandas with numpy solvers
+# (scipy absent from this image; the math is self-contained below). ----
+
+def _fit_filler(df: DataFrame, kind: str, value_col: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def natural_cubic(x: "np.ndarray", y: "np.ndarray", xq: "np.ndarray") -> "np.ndarray":
+        n = len(x)
+        if n < 3:
+            return np.interp(xq, x, y)
+        h = np.diff(x)
+        # tridiagonal system for second derivatives (natural: M0 = Mn-1 = 0)
+        A = np.zeros((n, n))
+        rhs = np.zeros(n)
+        A[0, 0] = A[-1, -1] = 1.0
+        for i in range(1, n - 1):
+            A[i, i - 1] = h[i - 1]
+            A[i, i] = 2 * (h[i - 1] + h[i])
+            A[i, i + 1] = h[i]
+            rhs[i] = 6 * ((y[i + 1] - y[i]) / h[i] - (y[i] - y[i - 1]) / h[i - 1])
+        M = np.linalg.solve(A, rhs)
+        idx = np.clip(np.searchsorted(x, xq) - 1, 0, n - 2)
+        d = xq - x[idx]
+        hi = h[idx]
+        return (
+            y[idx]
+            + d * ((y[idx + 1] - y[idx]) / hi - hi * (2 * M[idx] + M[idx + 1]) / 6)
+            + d * d * M[idx] / 2
+            + d * d * d * (M[idx + 1] - M[idx]) / (6 * hi)
+        )
+
+    def akima(x: "np.ndarray", y: "np.ndarray", xq: "np.ndarray") -> "np.ndarray":
+        n = len(x)
+        if n < 3:
+            return np.interp(xq, x, y)
+        m = np.diff(y) / np.diff(x)  # n-1 segment slopes
+        # standard Akima boundary extension: two virtual slopes each side
+        ml1 = 2 * m[0] - m[1]
+        ml2 = 2 * ml1 - m[0]
+        mr1 = 2 * m[-1] - m[-2]
+        mr2 = 2 * mr1 - m[-1]
+        mm = np.concatenate([[ml2, ml1], m, [mr1, mr2]])  # n+3 slopes
+        w1 = np.abs(mm[3:] - mm[2:-1])  # |m_{i+1} - m_i|
+        w2 = np.abs(mm[1:-2] - mm[:-3])  # |m_{i-1} - m_{i-2}|
+        denom = w1 + w2
+        t = np.where(denom > 0, (w1 * mm[1:-2] + w2 * mm[2:-1]) / np.where(denom == 0, 1, denom), (mm[1:-2] + mm[2:-1]) / 2)
+        idx = np.clip(np.searchsorted(x, xq) - 1, 0, n - 2)
+        d = xq - x[idx]
+        hi = np.diff(x)[idx]
+        a, b = y[idx], t[idx]
+        c = (3 * m[idx] - 2 * t[idx] - t[idx + 1]) / hi
+        e = (t[idx] + t[idx + 1] - 2 * m[idx]) / (hi * hi)
+        return a + b * d + c * d * d + e * d * d * d
+
+    def trend(x: "np.ndarray", y: "np.ndarray", xq: "np.ndarray") -> "np.ndarray":
+        # least-squares line over the present points (FillerTrend)
+        xm, ym = x.mean(), y.mean()
+        den = ((x - xm) ** 2).sum()
+        b = ((x - xm) * (y - ym)).sum() / den if den > 0 else 0.0
+        return ym + b * (xq - xm)
+
+    def lowess(x: "np.ndarray", y: "np.ndarray", xq: "np.ndarray") -> "np.ndarray":
+        from warp10_platform_spark.analytics.fit import _loess_1d
+
+        return _loess_1d(x, y, 0.5, xq)
+
+    models = {"spline": natural_cubic, "akima": akima, "trend": trend, "lowess": lowess}
+    fitf = models[kind]
+
+    out_schema = df.schema
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        mask = pdf[value_col].notna().to_numpy()
+        if mask.sum() < 2 or mask.all():
+            return pdf
+        x = pdf.loc[mask, "ts"].to_numpy(np.float64)
+        y = pdf.loc[mask, value_col].to_numpy(np.float64)
+        xq = pdf.loc[~mask, "ts"].to_numpy(np.float64)
+        pdf.loc[~mask, value_col] = fitf(x, y, xq)
+        return pdf
+
+    return df.groupBy("gts_id").applyInPandas(run, schema=out_schema)
+
+
+def fill_spline(df: DataFrame, value_col: str = "v_agg") -> DataFrame:
+    """filler.spline (FillerSpline.java:29) — natural cubic spline."""
+    return _fit_filler(df, "spline", value_col)
+
+
+def fill_akima(df: DataFrame, value_col: str = "v_agg") -> DataFrame:
+    """filler.akima (FillerAkima.java) — Akima sub-spline."""
+    return _fit_filler(df, "akima", value_col)
+
+
+def fill_trend(df: DataFrame, value_col: str = "v_agg") -> DataFrame:
+    """filler.trend (FillerTrend.java) — least-squares line fill."""
+    return _fit_filler(df, "trend", value_col)
+
+
+def fill_lowess(df: DataFrame, value_col: str = "v_agg") -> DataFrame:
+    """filler.lowess (FillerLowess.java) — local regression fill."""
+    return _fit_filler(df, "lowess", value_col)

@@ -72,3 +72,36 @@ def nonempty(df: DataFrame) -> DataFrame:
     """NONEMPTY (NONEMPTY.java) — with a points-table representation an
     empty series has no rows, so this is the identity; kept for API parity."""
     return df
+
+
+def mfilter(df: DataFrame, fn, value_col: str = "v_double") -> DataFrame:
+    """MFILTER (MFILTER.java): custom whole-series predicate — the
+    filter-side of the MACROMAPPER surface. `fn(Frame) -> bool` sees the
+    series' (ticks, values) and decides keep/drop; runs per series via
+    applyInPandas, then broadcast semi-join like every other filter."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    from warp10_platform_spark.functions.custom import Frame
+
+    schema = StructType([StructField("gts_id", LongType()), StructField("keep", BooleanType())])
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        fr = Frame(
+            tick=int(pdf["ts"].iloc[-1]),
+            ticks=pdf["ts"].to_numpy(np.int64),
+            values=pdf[value_col].to_numpy(np.float64),
+        )
+        return pd.DataFrame({"gts_id": [pdf["gts_id"].iloc[0]], "keep": [bool(fn(fr))]})
+
+    verdicts = df.select("gts_id", "ts", value_col).groupBy("gts_id").applyInPandas(run, schema=schema)
+    return _semi_join_series(df, verdicts)
+
+
+def unique(df: DataFrame, value_col: str = "v_double") -> DataFrame:
+    """UNIQUE (UNIQUE.java): drop exact duplicate (tick, value) points
+    within a series (DEDUP drops duplicate ticks; UNIQUE requires the
+    value to match too)."""
+    return df.dropDuplicates(["gts_id", "ts", value_col])

@@ -32,3 +32,4 @@ from warp10_platform_spark.queries import typed  # noqa: E402,F401
 from warp10_platform_spark.queries import coverage  # noqa: E402,F401
 from warp10_platform_spark.queries import analytics  # noqa: E402,F401
 from warp10_platform_spark.queries import media  # noqa: E402,F401
+from warp10_platform_spark.queries import geo  # noqa: E402,F401

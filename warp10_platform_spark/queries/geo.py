@@ -1,0 +1,176 @@
+"""Geo + write-path + export queries.
+
+Coordinates are synthesized deterministically from the event tick
+(pure arithmetic both engines can compute), so haversine/HHCode results
+have exact SQL oracles; distance sums are quantized to integer mm before
+accumulation (the INTEGRATE trick) to stay order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from warp10_platform_spark.operators import geo as _geo
+from warp10_platform_spark.queries import register
+from warp10_platform_spark.queries.gts import PTS
+from warp10_platform_spark.sources import write as _write
+from warp10_platform_spark.sources.tables import events_points
+
+# lat/lon derived from the tick: bounded, varies per point, same formula
+# in Spark and SQL. (No geo columns in the driver testdata.)
+_LAT = "(CAST(ts % 1700 AS DOUBLE) / 10.0 - 85.0)"
+_LON = "(CAST((ts DIV 1000) % 3500 AS DOUBLE) / 10.0 - 175.0)"
+_LAT_SQL = "(CAST(ts % 1700 AS DOUBLE) / 10.0 - 85.0)"
+_LON_SQL = "(CAST((ts // 1000) % 3500 AS DOUBLE) / 10.0 - 175.0)"
+
+
+def _with_coords(spark, sf_dir):
+    pts = events_points(spark, sf_dir)
+    return pts.withColumn("lat", F.expr(_LAT)).withColumn("lon", F.expr(_LON))
+
+
+_HAV_SQL = (
+    "2.0 * 6371000.0 * asin(least(1.0, sqrt("
+    "sin(radians(lat - plat) / 2) ^ 2 + cos(radians(plat)) * cos(radians(lat)) * sin(radians(lon - plon) / 2) ^ 2)))"
+)
+
+
+@register("geo_hdist", (
+    f"WITH {PTS}, "
+    f'c AS (SELECT class, "user", ts, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM pts), '
+    'l AS (SELECT class, "user", ts, lat, lon, '
+    '      lag(lat) OVER w AS plat, lag(lon) OVER w AS plon FROM c WINDOW w AS (PARTITION BY class, "user" ORDER BY ts)), '
+    f's AS (SELECT class, "user", CAST(round({_HAV_SQL} * 1000) AS BIGINT) AS seg_mm FROM l WHERE plat IS NOT NULL) '
+    'SELECT class, "user", CAST(sum(seg_mm) AS DOUBLE) / 1000.0 AS hdist_m FROM s GROUP BY class, "user"'
+))
+def geo_hdist(spark, sf_dir):
+    """HDIST (geo aggregate): total haversine track length per series.
+    Segments quantized to integer mm before the sum → order-independent
+    exact accumulation (same device as INTEGRATE)."""
+    segs = _geo.segment_dist(_with_coords(spark, sf_dir))
+    seg_mm = F.round(F.col("seg_m") * 1000).cast("long")
+    return (
+        segs.where(F.col("seg_m").isNotNull())
+        .withColumn("seg_mm", seg_mm)
+        .groupBy("class", F.element_at("labels", F.lit("user")).alias("user"))
+        .agg((F.sum("seg_mm").cast("double") / 1000.0).alias("hdist_m"))
+    )
+
+
+@register("geo_speed_bbox", (
+    f"WITH {PTS}, "
+    f'c AS (SELECT class, "user", ts, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM pts), '
+    "b AS (SELECT * FROM c WHERE lat BETWEEN -40 AND 40 AND lon BETWEEN -90 AND 90), "
+    'l AS (SELECT class, "user", ts, lat, lon, lag(lat) OVER w AS plat, lag(lon) OVER w AS plon, '
+    '      lag(ts) OVER w AS pts_ FROM b WINDOW w AS (PARTITION BY class, "user" ORDER BY ts)) '
+    f'SELECT class, "user", ts, round({_HAV_SQL} / ((ts - pts_) / 1000000.0), 3) AS speed_ms '
+    "FROM l WHERE plat IS NOT NULL"
+))
+def geo_speed_bbox(spark, sf_dir):
+    """mapper.geo.within (bbox) → HSPEED: instantaneous speed of the
+    in-zone track (filter BEFORE the lag window, like the reference's
+    zone clip then speed)."""
+    boxed = _geo.geo_within_bbox(_with_coords(spark, sf_dir), -40, 40, -90, 90)
+    sped = _geo.hspeed(boxed)
+    return sped.where(F.col("seg_m").isNotNull()).select(
+        "class",
+        F.element_at("labels", F.lit("user")).alias("user"),
+        "ts",
+        F.round("speed_ms", 3).alias("speed_ms"),
+    )
+
+
+@register("geo_hhcode_cells", (
+    f"WITH {PTS}, "
+    f'c AS (SELECT {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM pts), '
+    "q AS (SELECT least(CAST(floor((lat + 90.0) / 180.0 * 256) AS BIGINT), 255) AS latq, "
+    "             least(CAST(floor((lon + 180.0) / 360.0 * 256) AS BIGINT), 255) AS lonq FROM c), "
+    "h AS (SELECT ("
+    + " + ".join(
+        f"(((latq >> {i}) & 1) << {2 * i + 1}) + (((lonq >> {i}) & 1) << {2 * i})" for i in range(8)
+    )
+    + ") AS hh FROM q) "
+    "SELECT hh, count(*) AS n FROM h GROUP BY hh"
+))
+def geo_hhcode_cells(spark, sf_dir):
+    """HHCode (HHCodeHelper.java): Morton-interleave spatial bucketing at
+    8 bits/axis; point count per cell — the spatial-partitioning key for
+    geo joins at scale."""
+    c = _with_coords(spark, sf_dir)
+    return c.select(_geo.hhcode(F.col("lat"), F.col("lon"), bits=8).alias("hh")).groupBy("hh").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register("update_lww", (
+    f"WITH {PTS} SELECT class, \"user\", ts, "
+    "CASE WHEN class = 'events.purchase' THEN -1.0 ELSE v END AS v_double FROM pts"
+))
+def update_lww(spark, sf_dir):
+    """UPDATE (UPDATE.java:47): re-ingest every purchase point with value
+    -1 at the same ticks — last-write-wins replacement."""
+    pts = events_points(spark, sf_dir)
+    new = pts.where(F.col("class") == "events.purchase").withColumn("v_double", F.lit(-1.0))
+    out = _write.update(pts, new)
+    return out.select(
+        "class", F.element_at("labels", F.lit("user")).alias("user"), "ts", "v_double"
+    )
+
+
+@register("delete_selector", (
+    f"WITH {PTS} SELECT class, \"user\", ts, v AS v_double FROM pts "
+    "WHERE NOT (class = 'events.purchase' AND ts >= 1704844800000000 AND ts <= 1705708800000000)"
+))
+def delete_selector(spark, sf_dir):
+    """DELETE (DELETE.java:50): erase purchase points in a time range;
+    survivors returned (anti-predicate pushed to the scan)."""
+    out = _write.delete(events_points(spark, sf_dir), "events.purchase{}", 1704844800000000, 1705708800000000)
+    return out.select(
+        "class", F.element_at("labels", F.lit("user")).alias("user"), "ts", "v_double"
+    )
+
+
+@register("meta_attributes", (
+    f"WITH {PTS} SELECT class, \"user\", ts, "
+    "CASE WHEN class LIKE 'events.p%' THEN 'hot' ELSE NULL END AS tier FROM pts"
+))
+def meta_attributes(spark, sf_dir):
+    """META (META.java:47): set attributes on selector-matched series —
+    mutable metadata, identity (gts_id) unchanged."""
+    out = _write.meta(events_points(spark, sf_dir), "~events\\.p.*{}", {"tier": "hot"})
+    return out.select(
+        "class",
+        F.element_at("labels", F.lit("user")).alias("user"),
+        "ts",
+        F.element_at("attributes", F.lit("tier")).alias("tier"),
+    )
+
+
+@register("export_tsv", (
+    f"WITH {PTS} SELECT CAST(ts AS VARCHAR) || chr(9) || class || '{{user=' || \"user\" || '}}' "
+    "|| chr(9) || CAST(v AS VARCHAR) AS value FROM pts"
+))
+def export_tsv(spark, sf_dir):
+    """/fetch TSV export (EgressFetchHandler.java:1077-1085): golden-output
+    parity — byte-identical lines across engines."""
+    return _write.export_tsv(events_points(spark, sf_dir))
+
+
+@register("mfilter_series", (
+    f"WITH {PTS}, "
+    'k AS (SELECT class, "user" FROM pts GROUP BY class, "user" HAVING count(*) > 40 AND max(v) - min(v) > 100) '
+    'SELECT p.class, p."user", p.ts, p.v AS v_double FROM pts p JOIN k USING (class, "user")'
+))
+def mfilter_series(spark, sf_dir):
+    """MFILTER (MFILTER.java): custom Python whole-series predicate (keep
+    series with >40 points and range >100) — integer/extremum math, so
+    the SQL oracle reproduces the verdicts exactly."""
+    from warp10_platform_spark.operators.filters import mfilter
+
+    out = mfilter(
+        events_points(spark, sf_dir),
+        lambda fr: len(fr.ticks) > 40 and (fr.values.max() - fr.values.min()) > 100,
+    )
+    return out.select(
+        "class", F.element_at("labels", F.lit("user")).alias("user"), "ts", "v_double"
+    )
