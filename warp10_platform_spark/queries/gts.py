@@ -62,8 +62,12 @@ def _out(df, value_col, alias, ndigits=None):
     "WHERE class = 'events.purchase' AND ts >= 1704844800000000 AND ts <= 1705708800000000",
 )
 def fetch_range(spark, sf_dir):
-    """FETCH (FETCH.java:99): selector + time range; predicate pushed to scan."""
-    gf = GTSFrame.fetch(events_points(spark, sf_dir), "events.purchase{}", 1704844800000000, 1705708800000000)
+    """FETCH (FETCH.java:99): selector + time range over the CANONICAL
+    points layout — the class predicate prunes partitions and the ts
+    range lands in PushedFilters (the 100 TB scan shape)."""
+    from warp10_platform_spark.sources.tables import canonical_points
+
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir), "events.purchase{}", 1704844800000000, 1705708800000000)
     return _out(gf.df, "v_double", "v_double")
 
 

@@ -58,6 +58,25 @@ def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_gts_id(df)
 
 
+def canonical_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The points table in its canonical STORAGE layout: µs LONG ts as a
+    physical column, partitioned by class — what the 100 TB lake looks
+    like (SURVEY §1.6: partition by class/day, bucket by gts_id), instead
+    of the on-the-fly events projection whose derived ts/class defeat
+    parquet predicate pushdown.
+
+    Materialized once per sf_dir under the repo's .cache/ and reused;
+    FETCH range + class predicates then land in PushedFilters /
+    partition pruning for real."""
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".cache", f"points_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        events_points(spark, sf_dir).write.mode("overwrite").partitionBy("class").parquet(path)
+    return spark.read.parquet(path)
+
+
 # DuckDB-side equivalent of events_points, for oracle SQL construction.
 EVENTS_POINTS_SQL = """
 SELECT 'events.' || event_type AS class,
