@@ -87,3 +87,15 @@ def test_sax_word_shape(spark):
     assert len(word) == 8
     # low half maps to low letters, high half to high letters
     assert set(word[:4]) == {"a"} and set(word[4:]) == {"d"}
+
+
+def test_stl_esd_flags_seasonal_anomaly(spark):
+    import numpy as np
+    from warp10_platform_spark.analytics.fit import stl_esd_test
+
+    n, period = 84, 7
+    i = np.arange(n)
+    y = 10.0 + 5.0 * np.sin(2 * np.pi * i / period)
+    y[40] += 30.0  # planted anomaly invisible to plain thresholds near peak
+    out = stl_esd_test(_series(spark, list(y)), period=period, k=3).collect()
+    assert any(r["ts"] == 40 * 1_000_000 for r in out)

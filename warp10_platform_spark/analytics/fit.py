@@ -262,6 +262,108 @@ def fft_top(df: DataFrame, k: int = 3, value_col: str = "v_double") -> DataFrame
     return df.groupBy("gts_id").applyInPandas(run, schema=schema)
 
 
+def stl_esd_test(df: DataFrame, period: int, k: int = 5, alpha: float = 0.05, value_col: str = "v_double") -> DataFrame:
+    """STLESDTEST (functions/STLESDTEST.java): STL decompose, then run the
+    generalized ESD test on the residual — seasonal-aware anomaly
+    detection (HYBRIDTEST's core). Two applyInPandas passes, shuffle key
+    unchanged (gts_id) so the second groupBy reuses the partitioning."""
+    from warp10_platform_spark.analytics.stats import esd_test
+
+    dec = stl_decompose(df, period, value_col)
+    resid = dec.select(
+        "class",
+        "labels_key",
+        F.xxhash64("class", "labels_key").alias("gts_id"),
+        "ts",
+        F.col("resid").alias("v_double"),
+    ).where(F.col("v_double").isNotNull())
+    return esd_test(resid, k=k, alpha=alpha)
+
+
+def holt_smooth(df: DataFrame, alpha: float = 0.3, beta: float = 0.1, value_col: str = "v_double") -> DataFrame:
+    """DOUBLEEXPONENTIALSMOOTHING (functions/DOUBLEEXPONENTIALSMOOTHING.java):
+    Holt's linear method — level/trend recurrence per series; returns the
+    final (level, trend) state and the one-step forecast."""
+    schema = StructType(
+        [
+            StructField("class", StringType()),
+            StructField("labels_key", StringType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("forecast", DoubleType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        y = pdf[value_col].to_numpy(np.float64)
+        if len(y) < 2:
+            return pd.DataFrame({"class": [], "labels_key": [], "level": [], "trend": [], "forecast": []}).astype(
+                {"level": "float64", "trend": "float64", "forecast": "float64", "class": "object", "labels_key": "object"}
+            )
+        level, trend = y[0], y[1] - y[0]
+        for v in y[1:]:
+            prev = level
+            level = alpha * v + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1 - beta) * trend
+        return pd.DataFrame(
+            {
+                "class": [pdf["class"].iloc[0]],
+                "labels_key": [pdf["labels_key"].iloc[0]],
+                "level": [level],
+                "trend": [trend],
+                "forecast": [level + trend],
+            }
+        )
+
+    return df.groupBy("gts_id").applyInPandas(run, schema=schema)
+
+
+def sax_discords(df: DataFrame, word_len: int = 4, alphabet: int = 4, top: int = 3, value_col: str = "v_double") -> DataFrame:
+    """DISCORDS (functions/DISCORDS.java): the most unusual subsequences —
+    sliding-window SAX words per position, rank by rarity of the word
+    within the series, return the top rarest window starts."""
+    from warp10_platform_spark.analytics.sax import BREAKPOINTS, _ALPHA
+
+    bps = BREAKPOINTS[alphabet]
+    schema = StructType(
+        [
+            StructField("class", StringType()),
+            StructField("labels_key", StringType()),
+            StructField("ts", LongType()),
+            StructField("word", StringType()),
+            StructField("occurrences", LongType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        y = pdf[value_col].to_numpy(np.float64)
+        n = len(y)
+        if n < word_len + 1 or y.std(ddof=1) == 0:
+            return pd.DataFrame({"class": [], "labels_key": [], "ts": [], "word": [], "occurrences": []}).astype(
+                {"ts": "int64", "occurrences": "int64", "class": "object", "labels_key": "object", "word": "object"}
+            )
+        z = (y - y.mean()) / y.std(ddof=1)
+        letters = np.digitize(z, bps)
+        words = ["".join(_ALPHA[v] for v in letters[i : i + word_len]) for i in range(n - word_len + 1)]
+        counts: dict[str, int] = {}
+        for w in words:
+            counts[w] = counts.get(w, 0) + 1
+        order = sorted(range(len(words)), key=lambda i: (counts[words[i]], words[i], i))[:top]
+        return pd.DataFrame(
+            {
+                "class": [pdf["class"].iloc[0]] * len(order),
+                "labels_key": [pdf["labels_key"].iloc[0]] * len(order),
+                "ts": pdf["ts"].to_numpy(np.int64)[order],
+                "word": [words[i] for i in order],
+                "occurrences": np.array([counts[words[i]] for i in order], np.int64),
+            }
+        )
+
+    return df.groupBy("gts_id").applyInPandas(run, schema=schema)
+
+
 def dtw_distance(a: np.ndarray, b: np.ndarray, window: int | None = None) -> float:
     """DTW (functions/DTW.java:35): dynamic-time-warping distance between
     two value arrays (|·| point cost), optional Sakoe-Chiba band."""

@@ -85,6 +85,58 @@ class GTSFrame:
             )
         return gf
 
+    @classmethod
+    def fetch_with_boundary(
+        cls,
+        points: DataFrame,
+        selector: str | None,
+        start: int,
+        end: int,
+        boundary_pre: int = 0,
+        boundary_post: int = 0,
+    ) -> "GTSFrame":
+        """FETCH with boundary.pre/post (FETCH.java boundary params): the
+        range scan plus up to N points per series immediately BEFORE start
+        and AFTER end — the as-of context every rate/fill at a range edge
+        needs. One scan, one window: rank points outside the range by
+        distance from the boundary and keep the nearest N."""
+        from pyspark.sql import Window
+
+        df = points
+        if selector:
+            df = df.where(selector_predicate(selector))
+        df = with_gts_id(df) if "gts_id" not in df.columns else df
+        inside = (F.col("ts") >= start) & (F.col("ts") <= end)
+        wpre = Window.partitionBy("gts_id").orderBy(F.col("ts").desc())
+        wpost = Window.partitionBy("gts_id").orderBy(F.col("ts").asc())
+        pre_rank = F.row_number().over(wpre)
+        post_rank = F.row_number().over(wpost)
+        before = df.where(F.col("ts") < start).withColumn("_rn", pre_rank).where(
+            F.col("_rn") <= boundary_pre
+        ).drop("_rn")
+        after = df.where(F.col("ts") > end).withColumn("_rn", post_rank).where(
+            F.col("_rn") <= boundary_post
+        ).drop("_rn")
+        return cls(df.where(inside).unionByName(before).unionByName(after))
+
+    def skip(self, n: int) -> "GTSFrame":
+        """FETCH skip parameter: drop the first n points per series."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("gts_id").orderBy("ts")
+        return self._wrap(
+            self.df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") > n).drop("_rn")
+        )
+
+    def sample(self, rate: float) -> "GTSFrame":
+        """FETCH sample parameter: deterministic hash-based point sampling
+        (md5 of class|labels_key|ts — reproducible across runs AND
+        engines, unlike rand(); the reference seeds a PRNG per request)."""
+        bucket = F.expr(
+            "cast(conv(substr(md5(concat(class, '|', labels_key, '|', cast(ts AS string))), 1, 8), 16, 10) AS bigint) % 10000"
+        )
+        return self._wrap(self.df.where(bucket < int(rate * 10000)))
+
     # ---- frame ops ----
 
     def bucketize(self, bucketizer: str, span: int, lastbucket: int | None = None,

@@ -108,7 +108,25 @@ _BINARY = {
     "mapper.pow": lambda c, k: F.pow(c, k),
     "mapper.mod": lambda c, k: c % k,
     "mapper.log": lambda c, k: F.log(float(k), c),  # log base k
+    # value-predicate mappers (mapper/MapperGT.java et al. — tick kept,
+    # value replaced by the boolean verdict)
+    "mapper.gt": lambda c, k: c > k,
+    "mapper.ge": lambda c, k: c >= k,
+    "mapper.lt": lambda c, k: c < k,
+    "mapper.le": lambda c, k: c <= k,
+    "mapper.eq": lambda c, k: c == k,
+    "mapper.ne": lambda c, k: c != k,
+    # clamps (MapperMinX/MapperMaxX: cap values at x)
+    "mapper.min.x": lambda c, k: F.least(c, F.lit(k)),
+    "mapper.max.x": lambda c, k: F.greatest(c, F.lit(k)),
 }
+
+
+def npdf_mapper(df: DataFrame, mu: float, sigma: float, value_col: str = "v_double", out_col: str = "v_mapped") -> DataFrame:
+    """mapper.npdf (MapperNPDF.java): N(mu, sigma) density of each value."""
+    c = (F.col(value_col) - mu) / sigma
+    coef = 1.0 / (sigma * math.sqrt(2.0 * math.pi))
+    return df.withColumn(out_col, F.lit(coef) * F.exp(F.lit(-0.5) * c * c))
 
 
 def map_scalar(df: DataFrame, mapper: str, param=None, value_col: str = "v_double", out_col: str = "v_mapped") -> DataFrame:

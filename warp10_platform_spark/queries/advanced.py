@@ -1,0 +1,143 @@
+"""FETCH options (boundary/skip/sample), counter analytics, composed
+anomaly tests, discords, Holt smoothing, HLL cardinalities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from warp10_platform_spark.analytics import fit as _fit
+from warp10_platform_spark.core.frame import GTSFrame
+from warp10_platform_spark.operators.mapper import map_scalar, npdf_mapper
+from warp10_platform_spark.queries import register
+from warp10_platform_spark.queries.gts import PTS
+from warp10_platform_spark.sources.directory import build_directory, findstats
+from warp10_platform_spark.sources.tables import events_points
+
+_B_START, _B_END = 1704844800000000, 1705708800000000
+
+
+@register("fetch_boundary", (
+    f"WITH {PTS}, sel AS (SELECT * FROM pts WHERE class = 'events.purchase'), "
+    f"inside AS (SELECT class, \"user\", ts, v FROM sel WHERE ts >= {_B_START} AND ts <= {_B_END}), "
+    "pre AS (SELECT class, \"user\", ts, v FROM ("
+    f"  SELECT *, row_number() OVER (PARTITION BY \"user\" ORDER BY ts DESC) AS rn FROM sel WHERE ts < {_B_START}"
+    ") WHERE rn <= 2), "
+    "post AS (SELECT class, \"user\", ts, v FROM ("
+    f"  SELECT *, row_number() OVER (PARTITION BY \"user\" ORDER BY ts ASC) AS rn FROM sel WHERE ts > {_B_END}"
+    ") WHERE rn <= 1) "
+    "SELECT class, \"user\", ts, v AS v_double FROM inside "
+    "UNION ALL SELECT class, \"user\", ts, v AS v_double FROM pre "
+    "UNION ALL SELECT class, \"user\", ts, v AS v_double FROM post"
+))
+def fetch_boundary(spark, sf_dir):
+    """FETCH boundary.pre=2 / boundary.post=1 (FETCH.java boundary
+    params): range scan + nearest out-of-range context points — the
+    as-of boundary every edge rate/fill needs."""
+    gf = GTSFrame.fetch_with_boundary(
+        events_points(spark, sf_dir), "events.purchase{}", _B_START, _B_END, boundary_pre=2, boundary_post=1
+    )
+    return gf.df.select(
+        "class", F.element_at("labels", F.lit("user")).alias("user"), "ts", "v_double"
+    )
+
+
+@register("fetch_skip_sample", (
+    f"WITH {PTS}, s AS ("
+    '  SELECT class, "user", ts, v, row_number() OVER (PARTITION BY class, "user" ORDER BY ts) AS rn, '
+    "         ('0x' || substr(md5(class || '|' || '[{' || '\"key\":\"user\",\"value\":\"' || \"user\" || '\"' || '}]' || '|' || CAST(ts AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b"
+    "  FROM pts) "
+    "SELECT class, \"user\", ts, v AS v_double FROM s WHERE rn > 5 AND b < 5000"
+))
+def fetch_skip_sample(spark, sf_dir):
+    """FETCH skip=5 + sample=0.5: per-series offset + deterministic
+    hash-based sampling (reproducible across engines — rand() is not)."""
+    gf = GTSFrame.fetch(events_points(spark, sf_dir)).skip(5).sample(0.5)
+    return gf.df.select(
+        "class", F.element_at("labels", F.lit("user")).alias("user"), "ts", "v_double"
+    )
+
+
+@register("rate_of_resets", (
+    f"WITH {PTS}, l AS ("
+    '  SELECT class, "user", v, lag(v) OVER (PARTITION BY class, "user" ORDER BY ts) AS pv FROM pts) '
+    'SELECT class, "user", count(*) FILTER (WHERE v < pv) AS resets, count(pv) AS steps '
+    'FROM l GROUP BY class, "user"'
+))
+def rate_of_resets(spark, sf_dir):
+    """Rate-of-resets (counter analytics): count of decreasing steps per
+    series — the counter-wrap detector feeding RESETS-compensation."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("gts_id").orderBy("ts")
+    pts = events_points(spark, sf_dir).withColumn("pv", F.lag("v_double").over(w))
+    return pts.groupBy("class", F.element_at("labels", F.lit("user")).alias("user")).agg(
+        F.count(F.when(F.col("v_double") < F.col("pv"), 1)).alias("resets"),
+        F.count("pv").alias("steps"),
+    )
+
+
+@register("mapper_npdf_band", (
+    f"WITH {PTS} SELECT class, \"user\", ts, "
+    "round(1.0 / (25.0 * sqrt(2 * pi())) * exp(-0.5 * ((v - 50.0) / 25.0) ^ 2), 6) AS npdf, "
+    "least(greatest(v, 10.0), 90.0) AS clamped, (v > 50.0) AS above "
+    "FROM pts"
+))
+def mapper_npdf_band(spark, sf_dir):
+    """mapper.npdf + clamp (min.x/max.x) + value-predicate mapper —
+    the §2.5 scalar-mapper tail."""
+    pts = events_points(spark, sf_dir)
+    out = npdf_mapper(pts, mu=50.0, sigma=25.0, out_col="npdf")
+    out = map_scalar(out, "mapper.min.x", 90.0, out_col="v_cap")
+    out = map_scalar(out, "mapper.max.x", 10.0, value_col="v_cap", out_col="clamped")
+    out = map_scalar(out, "mapper.gt", 50.0, out_col="above")
+    return out.select(
+        "class",
+        F.element_at("labels", F.lit("user")).alias("user"),
+        "ts",
+        F.round("npdf", 6).alias("npdf"),
+        "clamped",
+        "above",
+    )
+
+
+@register("stl_esd_outliers")  # iterative decomposition + t-quantiles → rows-only
+def stl_esd_outliers(spark, sf_dir):
+    """STLESDTEST (STLESDTEST.java): seasonal-aware anomalies — ESD on the
+    STL residual of daily-mean series (period 7)."""
+    from warp10_platform_spark.queries.gts import _bucketized
+
+    b = _bucketized(spark, sf_dir, "bucketizer.mean")
+    out = _fit.stl_esd_test(b.df, period=7, k=3, value_col="v_agg")
+    return out.select("class", F.get_json_object("labels_key", "$[0].value").alias("user"), "ts", "v_outlier")
+
+
+@register("sax_discords")  # sliding-window symbolic ranking → rows-only
+def sax_discords(spark, sf_dir):
+    """DISCORDS (DISCORDS.java): rarest SAX subsequences per series."""
+    out = _fit.sax_discords(events_points(spark, sf_dir), word_len=4, alphabet=4, top=3)
+    return out.select(
+        "class", F.get_json_object("labels_key", "$[0].value").alias("user"), "ts", "word", "occurrences"
+    )
+
+
+@register("holt_smooth")  # two-state recurrence → rows-only
+def holt_smooth(spark, sf_dir):
+    """Double exponential smoothing (Holt): final level/trend/forecast."""
+    out = _fit.holt_smooth(events_points(spark, sf_dir), alpha=0.3, beta=0.1)
+    return out.select(
+        "class",
+        F.get_json_object("labels_key", "$[0].value").alias("user"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"),
+    )
+
+
+@register("findstats_hll")  # HLL++ sketch (approximate by design) → rows-only
+def findstats_hll(spark, sf_dir):
+    """FINDSTATS approx variant: HLL++ cardinalities
+    (approx_count_distinct ≙ the reference's HyperLogLogPlus) — the
+    directory-scale path where exact distinct is itself too big."""
+    d = build_directory(events_points(spark, sf_dir))
+    return findstats(d, approx=True)
