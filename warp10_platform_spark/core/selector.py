@@ -120,3 +120,13 @@ def selector_predicate(
     for key, op, val in sel.attributes:
         pred = pred & clause_pred(attrs_col, key, op, val)
     return pred
+
+
+def to_selector(cls: str, labels: dict[str, str] | None = None, exact: bool = True) -> str:
+    """TOSELECTOR (TOSELECTOR.java:30): (class, labels) → selector string,
+    URL-encoding names/values like the reference (inverse of
+    parse_selector for exact matches)."""
+    enc = urllib.parse.quote
+    body = ",".join(f"{enc(k, safe='')}={enc(v, safe='')}" for k, v in sorted((labels or {}).items()))
+    prefix = "=" if exact and (cls.startswith("~") or cls.startswith("=")) else ""
+    return f"{prefix}{enc(cls, safe='.~=')}{{{body}}}"

@@ -77,12 +77,16 @@ def macro_mapper(
     pre: int = 0,
     post: int = 0,
     value_col: str = "v_double",
+    min_points: int | None = None,
 ) -> DataFrame:
     """MAP with a custom Python mapper over each sliding frame.
 
     pre/post ≥ 0 count ticks, < 0 count time-µs (both must share sign,
     like operators/mapper.frame_window). Runs applyInPandas per series:
     sort by ts, slide the frame, call fn(Frame) per tick.
+
+    min_points implements STRICTMAPPER (mapper/STRICTMAPPER.java): frames
+    with fewer points (range edges) emit NaN instead of calling fn.
     """
     if (pre < 0) != (post < 0) and (pre != 0 and post != 0):
         raise ValueError(f"mixed tick/time frame not supported: pre={pre}, post={post}")
@@ -103,6 +107,9 @@ def macro_mapper(
                 hi = int(np.searchsorted(ts, ts[i] - post, side="right"))
             else:
                 lo, hi = max(0, i - pre), min(n, i + post + 1)
+            if min_points is not None and hi - lo < min_points:
+                out[i] = np.nan
+                continue
             fr = Frame(
                 tick=int(ts[i]),
                 ticks=ts[lo:hi],

@@ -92,7 +92,47 @@ def bucketizer_expr(name: str, v: Column, ts: Column, *, p: float | None = None,
         return F.skewness(v)
     if n == "kurtosis":
         return F.kurtosis(v)
+    if n in ("shannonentropy", "shannonentropy.0"):
+        # -(Σ p ln p) over the value distribution (ShannonEntropy.java:33).
+        # Built from the sorted distinct-count array so the fold order is
+        # well-defined (sorted by value) and engine-reproducible.
+        pairs = F.array_sort(F.map_entries(_value_counts(v)))
+        n_tot = F.aggregate(pairs, F.lit(0).cast("long"), lambda acc, e: acc + e["value"])
+        return -F.aggregate(
+            pairs,
+            F.lit(0.0),
+            lambda acc, e: acc
+            + (e["value"].cast("double") / n_tot) * F.log(e["value"].cast("double") / n_tot),
+        )
+    if n == "highest":
+        assert p is not None, "bucketizer.highest needs the k parameter (as p)"
+        return F.slice(F.reverse(F.array_sort(F.collect_list(v))), 1, int(p))
+    if n == "lowest":
+        assert p is not None, "bucketizer.lowest needs the k parameter (as p)"
+        return F.slice(F.array_sort(F.collect_list(v)), 1, int(p))
+    if n == "mode":
+        # most frequent value; ties → smallest value (deterministic, unlike
+        # engine-native mode()). One pass over the count map.
+        pairs = F.array_sort(F.map_entries(_value_counts(v)))
+        best = F.aggregate(
+            pairs,
+            F.named_struct(F.lit("key"), F.lit(None).cast("double"), F.lit("value"), F.lit(0).cast("long")),
+            lambda acc, e: F.when(e["value"] > acc["value"], e).otherwise(acc),
+        )
+        return best["key"]
     raise ValueError(f"unknown bucketizer: {name}")
+
+
+def _value_counts(v: Column) -> Column:
+    """value → occurrence-count map, as one aggregate expression."""
+    return F.aggregate(
+        F.collect_list(v),
+        F.create_map().cast("map<double,long>"),
+        lambda acc, x: F.map_concat(
+            F.map_filter(acc, lambda k, _: k != x),
+            F.create_map(x, F.coalesce(F.element_at(acc, x), F.lit(0)) + 1),
+        ),
+    )
 
 
 def _sorted_array_median(s: Column) -> Column:

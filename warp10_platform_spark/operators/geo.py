@@ -105,6 +105,36 @@ def hhcode(lat: Column, lon: Column, bits: int = 16) -> Column:
     return out
 
 
+def vspeed(df: DataFrame, out_col: str = "vspeed_ms") -> DataFrame:
+    """VSPEED: vertical speed m/s over the previous segment."""
+    w = _w()
+    dz = (F.col("elev") - F.lag("elev", 1).over(w)).cast("double")
+    dt_s = (F.col("ts") - F.lag("ts", 1).over(w)) / F.lit(1_000_000.0)
+    return df.withColumn(out_col, dz / dt_s)
+
+
+def truecourse(df: DataFrame, out_col: str = "course_deg") -> DataFrame:
+    """TRUECOURSE (aggregator/TrueCourse.java:38): initial great-circle
+    bearing from the previous point, degrees in [0, 360)."""
+    w = _w()
+    lat1, lon1 = F.radians(F.lag("lat", 1).over(w)), F.radians(F.lag("lon", 1).over(w))
+    lat2, lon2 = F.radians(F.col("lat")), F.radians(F.col("lon"))
+    dlon = lon2 - lon1
+    y = F.sin(dlon) * F.cos(lat2)
+    x = F.cos(lat1) * F.sin(lat2) - F.sin(lat1) * F.cos(lat2) * F.cos(dlon)
+    deg = F.degrees(F.atan2(y, x))
+    return df.withColumn(out_col, (deg + 360.0) % 360.0)
+
+
+def latlon_extract(df: DataFrame) -> DataFrame:
+    """mapper.geo.latitude / longitude / elevation extracts
+    (MapperGeoLatitude.java:31 et al.): location components become the
+    value columns."""
+    return df.withColumn("v_lat", F.col("lat")).withColumn("v_lon", F.col("lon")).withColumn(
+        "v_elev", F.col("elev").cast("double")
+    )
+
+
 def motionsplit(df: DataFrame, max_gap_m: float, label: str = "motionsplit") -> DataFrame:
     """MOTIONSPLIT (MOTIONSPLIT.java): split a track where the distance
     between consecutive points exceeds max_gap_m — the spatial twin of

@@ -122,6 +122,34 @@ _BINARY = {
 }
 
 
+def dotproduct_mapper(
+    df: DataFrame,
+    weights: list[float],
+    pre: int,
+    post: int,
+    value_col: str = "v_double",
+    out_col: str = "v_mapped",
+    activation: str | None = None,
+) -> DataFrame:
+    """mapper.dotproduct (+.sigmoid/.tanh/.positive) —
+    MapperDotProduct.java:34: dot of the frame's values with a constant
+    weight vector; null where the frame is shorter than the vector
+    (edges). JVM HOF exprs, whole-stage codegen."""
+    w = frame_window(pre, post)
+    arr = F.collect_list(F.col(value_col)).over(w)
+    lits = "array(" + ",".join(f"{x}D" for x in weights) + ")"
+    df2 = df.withColumn("_fr", arr)
+    dot = F.expr(f"aggregate(zip_with(_fr, {lits}, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+    out = F.when(F.size("_fr") == len(weights), dot)
+    if activation == "sigmoid":
+        out = F.lit(1.0) / (F.lit(1.0) + F.exp(-out))
+    elif activation == "tanh":
+        out = F.tanh(out)
+    elif activation == "positive":
+        out = F.greatest(out, F.lit(0.0))
+    return df2.withColumn(out_col, out).drop("_fr")
+
+
 def npdf_mapper(df: DataFrame, mu: float, sigma: float, value_col: str = "v_double", out_col: str = "v_mapped") -> DataFrame:
     """mapper.npdf (MapperNPDF.java): N(mu, sigma) density of each value."""
     c = (F.col(value_col) - mu) / sigma
