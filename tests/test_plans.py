@@ -1,0 +1,45 @@
+"""Physical-plan assertions — the properties that matter at 100 TB."""
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from warp10_platform_spark.plans import plan_report
+
+
+def test_fetch_range_pushes_predicates(spark, sf_dir):
+    r = plan_report(E.queries()["fetch_range"](spark, sf_dir))
+    pushed = " ".join(r.pushed_filters)
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThanOrEqual(ts" in pushed
+    assert any("events.purchase" in p for p in r.partition_filters)
+    assert r.cartesian_products == 0
+
+
+def test_tpch_q6_scan_prunes_columns(spark, sf_dir):
+    r = plan_report(E.queries()["tpch_q6"](spark, sf_dir))
+    cols = r.scan_columns()
+    # only the 4 referenced lineitem columns are read
+    assert {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"} <= cols
+    assert "l_comment" not in cols and "l_orderkey" not in cols
+    assert any("l_shipdate" in p for p in r.pushed_filters)
+
+
+def test_tpch_q3_joins_sanely(spark, sf_dir):
+    # Only customer carries an explicit broadcast hint; the orders⋈lineitem
+    # strategy is left to size stats/AQE (broadcast at toy SF, shuffle at
+    # scale). Assert the invariants: joins are hash-based, no cartesian.
+    r = plan_report(E.queries()["tpch_q3"](spark, sf_dir))
+    assert r.broadcast_joins + r.sortmerge_joins + r.shuffle_hash_joins >= 2
+    assert r.cartesian_products == 0
+    import inspect
+
+    from warp10_platform_spark.queries import tpch
+
+    src = inspect.getsource(tpch.tpch_q3)
+    assert "broadcast(c)" in src and "broadcast(o)" not in src and "broadcast(li)" not in src
+
+
+def test_no_python_in_jvm_operator_paths(spark, sf_dir):
+    # bucketize/map/reduce pipelines must not contain Python eval nodes
+    for name in ["bucketize_mean", "map_moving_mean", "gts_bucketize_reduce", "doc_simhash"]:
+        r = plan_report(E.queries()[name](spark, sf_dir))
+        assert r.python_evals == 0, name

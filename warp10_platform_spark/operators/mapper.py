@@ -76,6 +76,70 @@ def map_aggregate(
     return df.withColumn(out_col, expr)
 
 
+def map_csum_chunked(
+    df: DataFrame,
+    chunk_width_us: int,
+    value_col: str = "v_double",
+    out_col: str = "v_mapped",
+) -> DataFrame:
+    """Scale-safe cumulative sum (mapper.csum for unbounded series).
+
+    A plain running-sum window holds one whole series in a single task —
+    the first thing to break when one series spans years at 100 TB. Here
+    the window state is bounded by chunking the time axis:
+      1. local cumsum within (gts_id, chunk)           — bounded frame
+      2. per-chunk totals, carry-in = sum of PRIOR chunk totals
+         (a window over one row per chunk — trivially small)
+      3. result = carry-in + local cumsum
+    With DECIMAL values (exact addition) this equals the single-window
+    csum bit-for-bit; chunk width tunes max rows per window task."""
+    chunk = (F.col("ts") / F.lit(chunk_width_us)).cast("long")
+    with_chunk = df.withColumn("_chunk", chunk)
+    w_local = Window.partitionBy("gts_id", "_chunk").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    local = with_chunk.withColumn("_local", F.sum(value_col).over(w_local))
+    totals = with_chunk.groupBy("gts_id", "_chunk").agg(F.sum(value_col).alias("_tot"))
+    w_carry = Window.partitionBy("gts_id").orderBy("_chunk").rowsBetween(Window.unboundedPreceding, -1)
+    carry = totals.withColumn("_carry", F.sum("_tot").over(w_carry)).select("gts_id", "_chunk", "_carry")
+    joined = local.join(carry, on=["gts_id", "_chunk"], how="left")
+    return (
+        joined.withColumn(out_col, F.coalesce(F.col("_carry"), F.lit(0)) + F.col("_local"))
+        .drop("_chunk", "_local", "_carry")
+    )
+
+
+def map_at_ticks(
+    df: DataFrame,
+    mapper: str,
+    ticks: list[int],
+    pre_us: int,
+    post_us: int = 0,
+    value_col: str = "v_double",
+    out_col: str = "v_mapped",
+    p: float | None = None,
+) -> DataFrame:
+    """MAP with IMPOSED OUTPUT TICKS (GTSHelper.map:6295 `ticks` param):
+    evaluate a time-frame aggregate at an explicit tick list rather than
+    at each data point. Scaffold rows (null value) are unioned in, the
+    rangeBetween window aggregates only real points (nulls are ignored by
+    the aggregate), and only scaffold ticks are emitted."""
+    series = df.select("gts_id", "class", "labels_key", "labels").dropDuplicates(["gts_id"])
+    scaffold = series.withColumn("ts", F.explode(F.array(*[F.lit(int(t)).cast("long") for t in ticks])))
+    value_cols = [c for c in df.columns if c not in ("gts_id", "class", "labels_key", "labels", "ts")]
+    for c in value_cols:
+        scaffold = scaffold.withColumn(c, F.lit(None).cast(dict(df.dtypes)[c]))
+    scaffold = scaffold.withColumn("_imposed", F.lit(True))
+    data = df.select(*scaffold.columns[:-1]).withColumn("_imposed", F.lit(False))
+    unioned = data.unionByName(scaffold)
+    w = Window.partitionBy("gts_id").orderBy("ts").rangeBetween(-pre_us, post_us)
+    n = mapper.replace("mapper.", "")
+    agg = bucketizer_expr(n, F.col(value_col), F.col("ts"), p=p).over(w)
+    return (
+        unioned.withColumn(out_col, agg)
+        .where(F.col("_imposed"))
+        .drop("_imposed", *[c for c in value_cols if c != out_col])
+    )
+
+
 # --- arithmetic / scalar mappers: pure column exprs (mapper/Mapper*.java) ---
 
 _UNARY = {

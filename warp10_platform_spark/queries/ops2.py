@@ -173,3 +173,53 @@ def makegts_edit(spark, sf_dir):
     return pts.select(
         "class", F.element_at("labels", F.lit("site")).alias("site"), "ts", "v_double"
     )
+
+
+@register("map_csum_chunked", (
+    f"WITH {PTS} SELECT class, \"user\", ts, CAST(round(sum(v::DECIMAL(28,10)) OVER ("
+    '  PARTITION BY class, "user" ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW'
+    "), 6) AS DOUBLE) AS v_mapped FROM pts"
+))
+def map_csum_chunked(spark, sf_dir):
+    """Chunked mapper.csum — the 100 TB-safe running sum: weekly chunks
+    bound window state; exact DECIMAL addition makes it equal the plain
+    single-window csum bit-for-bit (same oracle as map_csum)."""
+    from warp10_platform_spark.operators.mapper import map_csum_chunked as _csum
+
+    WEEK = 7 * 86_400_000_000
+    pts = events_points(spark, sf_dir).withColumn("v_double", F.col("v_double").cast("decimal(28,10)"))
+    out = _csum(pts, WEEK)
+    return out.select(
+        "class",
+        F.element_at("labels", F.lit("user")).alias("user"),
+        "ts",
+        F.round("v_mapped", 6).cast("double").alias("v_mapped"),
+    )
+
+
+@register("map_imposed_ticks", (
+    f"WITH {PTS}, "
+    "series AS (SELECT DISTINCT class, \"user\" FROM pts), "
+    "ticks AS (SELECT unnest([1704844800000000, 1705449600000000, 1706054400000000]) AS t), "
+    "g AS (SELECT s.class, s.\"user\", k.t FROM series s, ticks k) "
+    "SELECT g.class, g.\"user\", g.t AS ts, "
+    "  CAST(round(coalesce(sum(p.v::DECIMAL(28,10)) FILTER (WHERE p.ts >= g.t - 86400000000 AND p.ts <= g.t), 0), 6) AS DOUBLE) AS v_mapped "
+    "FROM g LEFT JOIN pts p ON p.class = g.class AND p.\"user\" = g.\"user\" "
+    "GROUP BY g.class, g.\"user\", g.t"
+))
+def map_imposed_ticks(spark, sf_dir):
+    """MAP with imposed output ticks (GTSHelper.map:6295): 1-day trailing
+    sum evaluated at three explicit ticks per series."""
+    from warp10_platform_spark.operators.mapper import map_at_ticks
+
+    DAY_US = 86_400_000_000
+    pts = events_points(spark, sf_dir).withColumn("v_double", F.col("v_double").cast("decimal(28,10)"))
+    out = map_at_ticks(
+        pts, "sum", [1704844800000000, 1705449600000000, 1706054400000000], pre_us=DAY_US, post_us=0
+    )
+    return out.select(
+        "class",
+        F.element_at("labels", F.lit("user")).alias("user"),
+        "ts",
+        F.round(F.coalesce(F.col("v_mapped"), F.lit(0)), 6).cast("double").alias("v_mapped"),
+    )
