@@ -93,3 +93,51 @@ def test_tselements_timezone(spark):
     df = spark.range(1).select(F.lit(ts).alias("ts"))
     el = df.select(tselements(F.col("ts"), "Europe/Paris").alias("e")).collect()[0]["e"]
     assert el[3] == 1  # hour in Paris
+
+
+def test_fill_rlowess_ignores_outlier(spark):
+    from warp10_platform_spark.operators.fill import fill_lowess, fill_rlowess
+
+    # line with one wild present point near the hole
+    pairs = []
+    for t in range(11):
+        v = None if t == 5 else float(2.0 * t)
+        if t == 4:
+            v = 500.0  # outlier
+        pairs.append((t * 1_000_000, v))
+    df = _sparse_series(spark, pairs)
+    plain = _filled(fill_lowess(df), 5)
+    robust = _filled(fill_rlowess(df), 5)
+    assert abs(robust - 10.0) < 1.5
+    assert abs(robust - 10.0) < abs(plain - 10.0)  # robustness helped
+
+
+def test_fill_newton_exact_on_cubic(spark):
+    from warp10_platform_spark.operators.fill import fill_newton
+
+    df = _grid_with_holes(spark, lambda t: t**3 - 2 * t)
+    out = fill_newton(df)
+    assert abs(_filled(out, 3) - (27 - 6)) < 1e-6
+    assert abs(_filled(out, 7) - (343 - 14)) < 1e-6
+
+
+def test_geo_polygon_ray_casting(spark):
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.core.schema import with_gts_id
+    from warp10_platform_spark.operators.geo import geo_within_polygon
+
+    rows = [
+        ("g.t", {"u": "1"}, 1, 0.5, 0.5, 1.0),   # inside unit square
+        ("g.t", {"u": "1"}, 2, 1.5, 0.5, 2.0),   # outside (lat)
+        ("g.t", {"u": "1"}, 3, 0.5, -0.5, 3.0),  # outside (lon)
+        ("g.t", {"u": "1"}, 4, 0.25, 0.75, 4.0), # inside
+    ]
+    df = with_gts_id(
+        spark.createDataFrame(
+            rows, "class string, labels map<string,string>, ts long, lat double, lon double, v_double double"
+        )
+    )
+    square = [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0)]
+    got = sorted(r["ts"] for r in geo_within_polygon(df, square).collect())
+    assert got == [1, 4]

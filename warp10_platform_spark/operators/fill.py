@@ -167,7 +167,45 @@ def _fit_filler(df: DataFrame, kind: str, value_col: str) -> DataFrame:
 
         return _loess_1d(x, y, 0.5, xq)
 
-    models = {"spline": natural_cubic, "akima": akima, "trend": trend, "lowess": lowess}
+    def rlowess(x: "np.ndarray", y: "np.ndarray", xq: "np.ndarray") -> "np.ndarray":
+        # robust lowess (FillerRlowess.java): bisquare-reweighted refit —
+        # fit, downweight outliers by residual, refit on inliers
+        from warp10_platform_spark.analytics.fit import _loess_1d
+
+        fit0 = _loess_1d(x, y, 0.5, x)
+        resid = y - fit0
+        s = np.median(np.abs(resid)) or 1.0
+        w = np.clip(1 - (resid / (6 * s)) ** 2, 0, None) ** 2
+        keep = w > 0.1
+        if keep.sum() < 2:
+            return _loess_1d(x, y, 0.5, xq)
+        return _loess_1d(x[keep], y[keep], 0.5, xq)
+
+    def newton(x: "np.ndarray", y: "np.ndarray", xq: "np.ndarray") -> "np.ndarray":
+        # FillerNewton: divided-difference polynomial through the nearest
+        # points (degree capped at 4 — full-degree Newton oscillates)
+        deg = min(4, len(x) - 1)
+        out = np.empty(len(xq))
+        for i, xv in enumerate(xq):
+            idx = np.argsort(np.abs(x - xv))[: deg + 1]
+            xs, ys = x[idx], y[idx].copy()
+            coef = ys.copy()
+            for j in range(1, len(xs)):
+                coef[j:] = (coef[j:] - coef[j - 1 : -1]) / (xs[j:] - xs[: -j])
+            acc = coef[-1]
+            for j in range(len(xs) - 2, -1, -1):
+                acc = acc * (xv - xs[j]) + coef[j]
+            out[i] = acc
+        return out
+
+    models = {
+        "spline": natural_cubic,
+        "akima": akima,
+        "trend": trend,
+        "lowess": lowess,
+        "rlowess": rlowess,
+        "newton": newton,
+    }
     fitf = models[kind]
 
     out_schema = df.schema
@@ -227,3 +265,13 @@ def fill_trend(df: DataFrame, value_col: str = "v_agg") -> DataFrame:
 def fill_lowess(df: DataFrame, value_col: str = "v_agg") -> DataFrame:
     """filler.lowess (FillerLowess.java) — local regression fill."""
     return _fit_filler(df, "lowess", value_col)
+
+
+def fill_rlowess(df: DataFrame, value_col: str = "v_agg") -> DataFrame:
+    """filler.rlowess (FillerRlowess.java) — robust (bisquare) lowess."""
+    return _fit_filler(df, "rlowess", value_col)
+
+
+def fill_newton(df: DataFrame, value_col: str = "v_agg") -> DataFrame:
+    """filler.newton (FillerNewton.java) — divided-difference polynomial."""
+    return _fit_filler(df, "newton", value_col)

@@ -74,6 +74,20 @@ def nonempty(df: DataFrame) -> DataFrame:
     return df
 
 
+def filter_active_after(df: DataFrame, t: int) -> DataFrame:
+    """FETCH active.after (FETCH.java params): keep series whose LAST
+    tick is ≥ t — live series only."""
+    last = df.groupBy("gts_id").agg(F.max("ts").alias("lt"))
+    return _semi_join_series(df, last.withColumn("keep", F.col("lt") >= t))
+
+
+def filter_quiet_after(df: DataFrame, t: int) -> DataFrame:
+    """FETCH quiet.after: keep series with NO tick ≥ t — gone-quiet
+    series (the complement of active.after)."""
+    last = df.groupBy("gts_id").agg(F.max("ts").alias("lt"))
+    return _semi_join_series(df, last.withColumn("keep", F.col("lt") < t))
+
+
 def mfilter(df: DataFrame, fn, value_col: str = "v_double") -> DataFrame:
     """MFILTER (MFILTER.java): custom whole-series predicate — the
     filter-side of the MACROMAPPER surface. `fn(Frame) -> bool` sees the

@@ -85,6 +85,26 @@ def geo_outside_bbox(df: DataFrame, lat_min: float, lat_max: float, lon_min: flo
     )
 
 
+def geo_within_polygon(df: DataFrame, polygon: list[tuple[float, float]]) -> DataFrame:
+    """mapper.geo.within for an arbitrary polygon (MapperGeoWithin.java:36
+    with a GeoXPShape): ray-casting point-in-polygon, unrolled into pure
+    Column expressions (one XOR term per edge — no UDF, no geo library).
+    `polygon` is [(lat, lon), ...], closed implicitly."""
+    lat, lon = F.col("lat"), F.col("lon")
+    inside = F.lit(False)
+    n = len(polygon)
+    for i in range(n):
+        y1, x1 = polygon[i]
+        y2, x2 = polygon[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge never crosses a horizontal ray
+        crosses = ((F.lit(y1) > lat) != (F.lit(y2) > lat)) & (
+            lon < (F.lit(x2 - x1)) * (lat - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+        )
+        inside = inside != crosses  # boolean XOR (Column has no ^ operator)
+    return df.where(lat.isNotNull() & inside)
+
+
 def hhcode(lat: Column, lon: Column, bits: int = 16) -> Column:
     """HHCode (HHCodeHelper.java): Morton/Z-order interleave of the
     quantized lat/lon — `bits` bits per axis (≤31), lat in odd positions.
