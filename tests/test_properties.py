@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis): selector roundtrip, duration
+algebra, bucket-grid invariants, GTS text-format roundtrip.
+
+Spark-touching properties generate a BATCH of rows per example and make
+one Spark call, so hypothesis iterations don't multiply job count.
+"""
+
+import math
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from warp10_platform_spark.core.selector import parse_selector, selector_predicate, to_selector
+from warp10_platform_spark.functions.timeutil import DAY, HOUR, MINUTE, S, parse_duration
+from warp10_platform_spark.operators.bucketize import bucket_end_col
+
+_name = st.text(alphabet=string.ascii_lowercase + string.digits + "._-", min_size=1, max_size=12)
+_val = st.text(alphabet=string.ascii_letters + string.digits + "-_/ ", min_size=0, max_size=10)
+
+
+@given(cls=_name, labels=st.dictionaries(_name, _val, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_selector_roundtrip(cls, labels):
+    sel = to_selector(cls, labels)
+    parsed = parse_selector(sel)
+    assert parsed.class_exact == cls
+    assert {k: v for k, _, v in parsed.labels} == labels
+    assert all(op == "=" for _, op, _ in parsed.labels)
+
+
+@given(d=st.integers(0, 30), h=st.integers(0, 23), m=st.integers(0, 59), s=st.integers(0, 59))
+@settings(max_examples=100, deadline=None)
+def test_duration_composition(d, h, m, s):
+    iso = f"P{d}DT{h}H{m}M{s}S"
+    assert parse_duration(iso) == d * DAY + h * HOUR + m * MINUTE + s * S
+
+
+@given(
+    ticks=st.lists(st.integers(0, 10**15), min_size=1, max_size=50),
+    span=st.integers(1, 10**9),
+    anchor_off=st.integers(0, 10**9),
+)
+@settings(max_examples=200, deadline=None)
+def test_bucket_grid_invariants_python(ticks, span, anchor_off):
+    """bucket_end = lastbucket - ((lastbucket - ts) DIV span)*span must
+    (a) lie on the lastbucket-anchored grid and (b) cover ts within
+    (bucket_end - span, bucket_end]."""
+    lastbucket = max(ticks) + anchor_off
+    for ts in ticks:
+        be = lastbucket - ((lastbucket - ts) // span) * span
+        assert (lastbucket - be) % span == 0
+        assert be - span < ts <= be
+
+
+def test_bucket_end_col_matches_python(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(rnd.randrange(0, 10**15),) for _ in range(500)]
+    span = 86_400_000_000
+    lastbucket = max(t for t, in rows) + 12345
+    df = spark.createDataFrame(rows, "ts long").withColumn("be", bucket_end_col(lastbucket, span))
+    for r in df.collect():
+        expect = lastbucket - ((lastbucket - r["ts"]) // span) * span
+        assert r["be"] == expect
+
+
+def test_gts_text_roundtrip_property(spark):
+    """format(parse) identity over randomized typed points — one batched
+    Spark roundtrip over hypothesis-style generated rows."""
+    import random
+
+    from warp10_platform_spark.core.schema import with_gts_id
+    from warp10_platform_spark.sources.gts_text import format_gts_lines, parse_gts_lines
+
+    rnd = random.Random(99)
+    rows = []
+    for i in range(300):
+        kind = rnd.choice(["d", "l", "b", "s"])
+        v_long = rnd.randrange(-10**12, 10**12) if kind == "l" else None
+        v_double = (
+            rnd.choice([0.0, -1.5, 1e-7, 12345.678, 9.87e20, float(rnd.randrange(10**6)) + 0.25])
+            if kind == "d"
+            else None
+        )
+        v_bool = rnd.random() < 0.5 if kind == "b" else None
+        v_string = "".join(rnd.choices(string.ascii_letters + string.digits + " _-", k=rnd.randrange(0, 12))) if kind == "s" else None
+        rows.append(
+            (
+                "c." + rnd.choice(["a", "b", "cc"]),
+                {"k": str(rnd.randrange(100))},
+                rnd.randrange(0, 10**15),
+                rnd.uniform(-90, 90) if rnd.random() < 0.5 else None,
+                rnd.uniform(-180, 180) if rnd.random() < 0.5 else None,
+                rnd.randrange(-10**6, 10**6) if rnd.random() < 0.5 else None,
+                v_long,
+                v_double,
+                v_bool,
+                v_string,
+            )
+        )
+    schema = (
+        "class string, labels map<string,string>, ts long, lat double, lon double, elev long, "
+        "v_long long, v_double double, v_bool boolean, v_string string"
+    )
+    df = with_gts_id(
+        spark.createDataFrame(rows, schema).withColumn(
+            "lon", F.when(F.col("lat").isNotNull(), F.coalesce("lon", F.lit(0.0)))
+        ).withColumn("lat", F.when(F.col("lon").isNotNull(), F.col("lat")))
+        .withColumn("attributes", F.create_map().cast("map<string,string>"))
+    )
+    back = parse_gts_lines(format_gts_lines(df)).orderBy("ts", "class").collect()
+    orig = df.orderBy("ts", "class").collect()
+    assert len(back) == len(orig)
+    for b, o in zip(back, orig):
+        assert b["class"] == o["class"] and b["ts"] == o["ts"] and b["labels"] == o["labels"]
+        assert b["v_long"] == o["v_long"] and b["v_bool"] == o["v_bool"]
+        if o["v_string"] is not None:
+            assert b["v_string"] == o["v_string"]
+        if o["v_double"] is not None:
+            assert b["v_double"] == o["v_double"] or (math.isnan(b["v_double"]) and math.isnan(o["v_double"]))

@@ -66,3 +66,58 @@ def test_parse_drops_malformed_lines(spark):
     assert out[1]["v_long"] == 22 and out[1]["lat"] == 48.8 and out[1]["elev"] == 120
     assert out[2]["v_string"] == "running"
     assert out[3]["v_bool"] is True
+
+
+def test_streaming_sessionize(spark, sf_dir, tmp_path):
+    from warp10_platform_spark.streaming import streaming_sessionize
+
+    pts = events_points(spark, sf_dir).where(F.col("class") == "events.purchase")
+    text_dir = str(tmp_path / "sess_text")
+    format_gts_lines(pts).write.mode("overwrite").text(text_dir)
+
+    stream = parse_gts_lines(spark.readStream.text(text_dir))
+    agg = streaming_sessionize(stream, gap="1 hour")
+    sink = f"sess_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.format("memory").queryName(sink).outputMode("append").trigger(availableNow=True).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table(sink).collect()
+    assert got  # sessions emitted
+    # sessions of one series never overlap
+    by_series = {}
+    for r in got:
+        by_series.setdefault((r["class"], r["labels_key"]), []).append((r["session_start"], r["session_end"]))
+    for spans in by_series.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 <= s2
+
+
+def test_streaming_counter_delta_state_across_batches(spark, tmp_path):
+    import os
+
+    from warp10_platform_spark.streaming import streaming_counter_delta
+
+    # two files = two micro-batches (maxFilesPerTrigger=1): the delta at the
+    # first point of batch 2 needs the state carried from batch 1
+    d = tmp_path / "delta_text"
+    os.makedirs(d)
+    (d / "b1.txt").write_text(
+        "1000000// c.cnt{u=1} 10.0\n2000000// c.cnt{u=1} 12.5\n"
+    )
+    (d / "b2.txt").write_text(
+        "3000000// c.cnt{u=1} 20.0\n4000000// c.cnt{u=1} 19.0\n"
+    )
+    stream = parse_gts_lines(spark.readStream.option("maxFilesPerTrigger", 1).text(str(d)))
+    out = streaming_counter_delta(stream)
+    sink = f"delta_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.format("memory").queryName(sink).outputMode("append").trigger(availableNow=True).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["ts"]: r["v_delta"] for r in spark.table(sink).collect()}
+    # batch boundaries don't matter: all three deltas present and correct
+    assert rows == {2000000: 2.5, 3000000: 7.5, 4000000: -1.0}

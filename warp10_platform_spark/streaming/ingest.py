@@ -73,6 +73,79 @@ def streaming_bucketize(
     )
 
 
+def streaming_sessionize(
+    points: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 minute",
+    value_col: str = "v_double",
+) -> DataFrame:
+    """Continuous TIMESPLIT: event-time session windows per series —
+    a session closes after `gap` of quiet, exactly the batch operator's
+    semantics but incremental (state bounded by the watermark)."""
+    with_event_time = points.withColumn("event_time", F.timestamp_micros(F.col("ts")))
+    return (
+        with_event_time.withWatermark("event_time", watermark_delay)
+        .groupBy(F.col("class"), F.col("labels_key"), F.session_window("event_time", gap).alias("w"))
+        .agg(F.count(value_col).alias("n_points"), F.sum(value_col).alias("v_sum"))
+        .select(
+            "class",
+            "labels_key",
+            F.unix_micros(F.col("w.start")).alias("session_start"),
+            F.unix_micros(F.col("w.end")).alias("session_end"),
+            "n_points",
+            "v_sum",
+        )
+    )
+
+
+def streaming_counter_delta(points: DataFrame, watermark_delay: str = "1 minute") -> DataFrame:
+    """Custom STATEFUL streaming operator (the applyInPandasWithState
+    surface — SURVEY §2.11/§2.12): per-series counter delta ACROSS
+    micro-batches. State = (last_ts, last_value); each batch emits
+    v - state.last for its points in tick order, then updates the state —
+    the streaming twin of mapper.delta that a windowed aggregation cannot
+    express (state must survive between triggers)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("gts_id", LongType()),
+            StructField("class", StringType()),
+            StructField("labels_key", StringType()),
+            StructField("ts", LongType()),
+            StructField("v_delta", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_ts", LongType()), StructField("last_v", DoubleType())])
+
+    def fn(key, pdfs, state: GroupState):
+        last_ts, last_v = state.get if state.exists else (None, None)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for _, r in pdf.iterrows():
+                if last_v is not None:
+                    rows.append((int(key[0]), r["class"], r["labels_key"], int(r["ts"]), float(r["v_double"]) - last_v))
+                last_ts, last_v = int(r["ts"]), float(r["v_double"])
+        state.update((last_ts, last_v))
+        yield pd.DataFrame(rows, columns=["gts_id", "class", "labels_key", "ts", "v_delta"])
+
+    with_event_time = points.withColumn("event_time", F.timestamp_micros(F.col("ts")))
+    return (
+        with_event_time.withWatermark("event_time", watermark_delay)
+        .groupBy("gts_id")
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+    )
+
+
 def streaming_last(points: DataFrame, watermark_delay: str = "1 minute", value_col: str = "v_double") -> DataFrame:
     """Continuous last-value view per series (the reference's
     'last tick' directory/plasma use case): max_by over event time in
