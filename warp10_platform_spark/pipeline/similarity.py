@@ -57,6 +57,67 @@ def _bucket_expr(planes) -> F.Column:
     return F.expr(" + ".join(bits)).alias("bucket")
 
 
+def ivf_assign(df: DataFrame, centroids: list[list[float]], col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (the inverted-file cell). Centroids are plan literals (trained
+    offline / sampled deterministically); assignment is a JVM-side argmin
+    over per-centroid dot-product distances — no UDF, no shuffle."""
+    d = _as_double(df, col)
+    dists = []
+    for i, c in enumerate(centroids):
+        arr = "array(" + ",".join(f"{x}D" for x in c) + ")"
+        # squared L2 via dot products: |v-c|^2 = v·v - 2 v·c + c·c
+        cc = sum(x * x for x in c)
+        dists.append(
+            f"named_struct('d', {_DOT.format(a='v', b='v')} - 2.0D * {_DOT.format(a='v', b=arr)} + {cc}D, 'i', {i})"
+        )
+    best = f"array_min(array({', '.join(dists)}))"  # struct compare: d first, i tie-break
+    return d.withColumn("ivf_cell", F.expr(best + ".i"))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN top-k: search only the query's cell (nprobe=1) — the
+    cell equi-join replaces the whole-corpus broadcast product; recall < 1
+    by construction, like the reference's sketch-based approximations."""
+    q = with_norm(ivf_assign(queries, centroids)).select(
+        F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn"), "ivf_cell"
+    )
+    c = with_norm(ivf_assign(candidates, centroids)).select(
+        F.col(id_col).alias("nid"), F.col("v").alias("cv"), F.col("norm").alias("cn"), "ivf_cell"
+    )
+    dot = F.expr(_DOT.format(a="qv", b="cv"))
+    sims = (
+        c.join(F.broadcast(q), "ivf_cell")
+        .where(F.col("nid") != F.col("qid"))
+        .withColumn("sim", F.round(dot / (F.col("qn") * F.col("cn")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k).select("qid", "nid", "sim")
+
+
+def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95, id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the embedding tier of the
+    dedup ladder): exact all-pairs baseline — id_a < id_b, cos ≥ t.
+    Quadratic by design (correctness baseline); the scale path blocks by
+    LSH/IVF cell first and verifies only in-cell pairs."""
+    n = with_norm(df).select(F.col(id_col).alias("id"), F.col("v"), F.col("norm"))
+    a = n.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = n.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.expr(_DOT.format(a="va", b="vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int = 3, num_planes: int = 8, dim: int | None = None) -> DataFrame:
     """ANN top-k: equi-join on the hyperplane-sign bucket, rank within
     bucket. Recall < 1 by construction (approximate); candidates shuffle

@@ -76,3 +76,70 @@ def emb_lsh_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return _sim.lsh_topk(queries, emb, k=3, num_planes=8, dim=64)
+
+
+def _ivf_centroids(dim: int = 64, n: int = 8, seed: int = 7) -> list[list[float]]:
+    import random
+
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n)]
+
+
+def _ivf_topk_oracle(dim: int = 64, n_cells: int = 8, k: int = 3) -> str:
+    """DuckDB replica of ivf_topk: same centroid literals, same squared-L2
+    assignment (argmin with (d, i) tie-break), same in-cell ranking."""
+    cents = _ivf_centroids(dim, n_cells)
+    vals = ", ".join(
+        f"({i}, [{','.join(str(x) for x in c)}]::DOUBLE[], {sum(x * x for x in c)})" for i, c in enumerate(cents)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents(i, c, cc) AS (VALUES {vals}),
+dist AS (
+  SELECT e.vec_id, cents.i,
+         list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, cents.c) + cents.cc AS d
+  FROM e CROSS JOIN cents
+),
+cell AS (
+  SELECT vec_id, i AS ivf_cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rk FROM dist
+  ) WHERE rk = 1
+),
+b AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS norm, cell.ivf_cell
+      FROM e JOIN cell ON e.vec_id = cell.vec_id),
+q AS (SELECT vec_id AS qid, v AS qv, norm AS qn, ivf_cell FROM b WHERE vec_id < 10),
+s AS (SELECT q.qid, c.vec_id AS nid,
+             round(list_dot_product(q.qv, c.v) / (q.qn * c.norm), 6) AS sim
+      FROM q JOIN b c ON c.ivf_cell = q.ivf_cell AND c.vec_id != q.qid)
+SELECT qid, nid, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk FROM s
+) WHERE rk <= {k}
+"""
+
+
+@register("emb_ivf_topk", _ivf_topk_oracle())
+def emb_ivf_topk(spark, sf_dir):
+    """IVF ANN (inverted-file, nprobe=1): coarse-quantize to 8 cells with
+    literal centroids, search only the query's cell — the second scale
+    path beside hyperplane LSH."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return _sim.ivf_topk(queries, emb, _ivf_centroids(), k=3)
+
+
+@register("emb_cosine_dup", (
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.4
+"""
+))
+def emb_cosine_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (dedup ladder, embedding
+    tier): exact all-pairs baseline at cos >= 0.4; the scale path blocks
+    by LSH/IVF cell first."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _sim.cosine_dup_pairs(emb, threshold=0.4)
