@@ -65,8 +65,8 @@ def bucketizer_expr(name: str, v: Column, ts: Column, *, p: float | None = None,
         return F.var_pop(v)
     if n == "delta":
         return F.max_by(v, ts) - F.min_by(v, ts)
-    if n == "rate":  # delta per second; ts is LONG µs
-        return (F.max_by(v, ts) - F.min_by(v, ts)) / ((F.max(ts) - F.min(ts)) / F.lit(1_000_000.0))
+    if n == "rate":  # delta per second; ts is LONG µs; null for 1-point buckets
+        return F.try_divide(F.max_by(v, ts) - F.min_by(v, ts), (F.max(ts) - F.min(ts)) / F.lit(1_000_000.0))
     if n == "rms":
         return F.sqrt(F.avg(v * v))
     if n == "join":

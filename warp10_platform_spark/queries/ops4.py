@@ -1,0 +1,238 @@
+"""Coverage sweep 4: APPLY comparison/boolean ops, COMMONTICKS, CHUNK,
+time-extract mappers, argmin/argmax, join/delta/rate bucketizers,
+circular mean, LTTB downsampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from warp10_platform_spark.core.frame import GTSFrame
+from warp10_platform_spark.operators import reduce_apply as _ra
+from warp10_platform_spark.queries import register
+from warp10_platform_spark.queries.gts import DAILY, DAY, LASTBUCKET, NDAYS, PTS, _bucketized
+from warp10_platform_spark.sources.tables import events_points
+
+_DAILY_COUNTS = (
+    'c AS (SELECT class, "user", ts, count(*) AS n FROM daily GROUP BY class, "user", ts)'
+)
+
+
+@register("apply_compare_or", (
+    f"WITH {PTS}, {DAILY}, {_DAILY_COUNTS}, "
+    "a AS (SELECT \"user\", ts, n FROM c WHERE class = 'events.purchase'), "
+    "b AS (SELECT \"user\", ts, n FROM c WHERE class = 'events.click') "
+    'SELECT a."user" AS label_user, a.ts, (a.n > b.n) AS gt, '
+    "       ((a.n >= 3) OR (b.n >= 3)) AS either_active "
+    'FROM a JOIN b ON a."user" = b."user" AND a.ts = b.ts'
+))
+def apply_compare_or(spark, sf_dir):
+    """APPLY op.gt + op.or (op/OpGT.java:31, OpBoolean.java:27):
+    tick-aligned comparison and boolean combination of two daily series."""
+    counts = _bucketized(spark, sf_dir, "bucketizer.count")
+    a = counts.df.where(F.col("class") == "events.purchase")
+    b = counts.df.where(F.col("class") == "events.click")
+    gt = _ra.apply_op(a, b, "op.gt", by_labels=["user"], value_col="v_agg").select(
+        "label_user", "ts", F.col("v_op").alias("gt")
+    )
+    a3 = a.withColumn("v_agg", F.col("v_agg") >= 3)
+    b3 = b.withColumn("v_agg", F.col("v_agg") >= 3)
+    either = _ra.apply_op(a3, b3, "op.or", by_labels=["user"], value_col="v_agg").select(
+        "label_user", "ts", F.col("v_op").alias("either_active")
+    )
+    return gt.join(either, on=["label_user", "ts"])
+
+
+@register("commonticks_daily", (
+    f"WITH {PTS}, {DAILY}, "
+    'c AS (SELECT class, ts, count(*) AS n FROM daily GROUP BY class, ts), '
+    "nall AS (SELECT count(DISTINCT class) AS total FROM c), "
+    "common AS (SELECT ts FROM c GROUP BY ts HAVING count(DISTINCT class) = (SELECT total FROM nall)) "
+    "SELECT c.class, c.ts, c.n FROM c JOIN common ON c.ts = common.ts"
+))
+def commonticks_daily(spark, sf_dir):
+    """COMMONTICKS (COMMONTICKS.java) over class-level daily series
+    (REDUCE by class first): ticks present in EVERY class — the total is
+    a lazy 1-row aggregate cross-join, no driver action."""
+    from warp10_platform_spark.operators.bucketize import bucket_end_col
+
+    df = events_points(spark, sf_dir).where(
+        (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)
+    )
+    per_class = (
+        df.withColumn("ts", bucket_end_col(LASTBUCKET, DAY))
+        .groupBy("class", "ts")
+        .agg(F.count("*").alias("n"))
+        .withColumn("gts_id", F.xxhash64("class"))
+    )
+    out = _ra.commonticks(per_class)
+    return out.select("class", "ts", "n")
+
+
+@register("chunk_label", (
+    f"WITH {PTS} SELECT class, \"user\", ts, "
+    f"CAST(({LASTBUCKET} - ts) // {7 * DAY} AS VARCHAR) AS chunkid "
+    f"FROM pts WHERE ts <= {LASTBUCKET}"
+))
+def chunk_label(spark, sf_dir):
+    """CHUNK (CHUNK.java:37): weekly chunks anchored at lastchunk; the
+    chunk id becomes a new label (sub-series identity)."""
+    gf = GTSFrame.fetch(events_points(spark, sf_dir), end=LASTBUCKET).chunk(7 * DAY, LASTBUCKET)
+    return gf.df.select(
+        "class",
+        F.element_at("labels", F.lit("user")).alias("user"),
+        "ts",
+        F.element_at("labels", F.lit("chunkid")).alias("chunkid"),
+    )
+
+
+@register("time_extract", (
+    f"WITH {PTS} SELECT class, \"user\", ts, "
+    "year(make_timestamp(ts)) AS y, month(make_timestamp(ts)) AS m, "
+    "dayofmonth(make_timestamp(ts)) AS d, hour(make_timestamp(ts)) AS h "
+    "FROM pts"
+))
+def time_extract(spark, sf_dir):
+    """Time-extract mappers (MapperYear/Month/DayOfMonth/HourOfDay.java:29):
+    calendar fields of the tick itself (UTC)."""
+    from warp10_platform_spark.operators.mapper import map_scalar
+
+    pts = events_points(spark, sf_dir)
+    out = map_scalar(pts, "mapper.year", out_col="y")
+    out = map_scalar(out, "mapper.month", out_col="m")
+    out = map_scalar(out, "mapper.day", out_col="d")
+    out = map_scalar(out, "mapper.hour", out_col="h")
+    return out.select(
+        "class", F.element_at("labels", F.lit("user")).alias("user"), "ts", "y", "m", "d", "h"
+    )
+
+
+@register("bucketize_argminmax", (
+    f"WITH {PTS}, {DAILY} "
+    'SELECT class, "user", ts, arg_max(raw_ts, v) AS t_max, arg_min(raw_ts, v) AS t_min '
+    'FROM daily GROUP BY class, "user", ts'
+))
+def bucketize_argminmax(spark, sf_dir):
+    """bucketizer.argmax/argmin (aggregator/Argminmax.java:46): the tick
+    of each bucket's extremum."""
+    from warp10_platform_spark.operators.bucketize import SERIES_KEYS, bucket_end_col
+
+    df = events_points(spark, sf_dir).where(
+        (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)
+    )
+    out = (
+        df.withColumn("bucket_end", bucket_end_col(LASTBUCKET, DAY))
+        .groupBy(*SERIES_KEYS, "bucket_end")
+        .agg(
+            F.max_by("ts", "v_double").alias("t_max"),
+            F.min_by("ts", "v_double").alias("t_min"),
+            F.first("labels").alias("labels"),
+        )
+    )
+    return out.select(
+        "class",
+        F.element_at("labels", F.lit("user")).alias("user"),
+        F.col("bucket_end").alias("ts"),
+        "t_max",
+        "t_min",
+    )
+
+
+@register("bucketize_join_delta_rate", (
+    f"WITH {PTS}, {DAILY} "
+    'SELECT class, "user", ts, '
+    "array_to_string(list(CAST(v AS VARCHAR) ORDER BY CAST(v AS VARCHAR)), ',') AS joined, "
+    "arg_max(v, raw_ts) - arg_min(v, raw_ts) AS delta, "
+    "round((arg_max(v, raw_ts) - arg_min(v, raw_ts)) / ((max(raw_ts) - min(raw_ts)) / 1000000.0), 6) AS rate "
+    'FROM daily GROUP BY class, "user", ts HAVING max(raw_ts) > min(raw_ts)'
+))
+def bucketize_join_delta_rate(spark, sf_dir):
+    """bucketizer.join (sorted, Join.java:37) + delta (last-first,
+    Delta.java:31) + rate per second (Rate.java:33) in one bucket pass."""
+    from warp10_platform_spark.operators.bucketize import SERIES_KEYS, bucket_end_col, bucketizer_expr
+
+    df = events_points(spark, sf_dir).where(
+        (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)
+    )
+    v, ts = F.col("v_double"), F.col("ts")
+    out = (
+        df.withColumn("bucket_end", bucket_end_col(LASTBUCKET, DAY))
+        .groupBy(*SERIES_KEYS, "bucket_end")
+        .agg(
+            bucketizer_expr("join", v.cast("string"), ts).alias("joined"),
+            bucketizer_expr("delta", v, ts).alias("delta"),
+            F.round(bucketizer_expr("rate", v, ts), 6).alias("rate"),
+            F.first("labels").alias("labels"),
+            (F.max("ts") > F.min("ts")).alias("_multi"),
+        )
+        .where(F.col("_multi"))
+    )
+    return out.select(
+        "class",
+        F.element_at("labels", F.lit("user")).alias("user"),
+        F.col("bucket_end").alias("ts"),
+        "joined",
+        "delta",
+        "rate",
+    )
+
+
+@register("circular_mean_daily", (
+    f"WITH {PTS}, {DAILY}, "
+    # values (0-ish..500) → degrees: v*0.72 maps into [0,360); quantize
+    # sin/cos to 1e-12 so the accumulation is order-independent
+    "t AS (SELECT class, \"user\", ts, "
+    "      CAST(round(sin(radians(v * 0.72)) * 1e12) AS BIGINT) AS sq, "
+    "      CAST(round(cos(radians(v * 0.72)) * 1e12) AS BIGINT) AS cq "
+    "      FROM daily) "
+    'SELECT class, "user", ts, '
+    "round(degrees(atan2(CAST(sum(sq) AS DOUBLE) / count(*) / 1e12, CAST(sum(cq) AS DOUBLE) / count(*) / 1e12)), 6) AS v_agg "
+    'FROM t GROUP BY class, "user", ts'
+))
+def circular_mean_daily(spark, sf_dir):
+    """bucketizer.mean.circular (aggregator/CircularMean.java:37) over
+    values mapped to degrees: atan2(avg sin, avg cos), with sin/cos
+    quantized to 1e-12 before summation (order-independent — the same
+    exactness device as INTEGRATE)."""
+    from warp10_platform_spark.operators.bucketize import SERIES_KEYS, bucket_end_col
+
+    df = events_points(spark, sf_dir).where(
+        (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)
+    )
+    rad = F.radians(F.col("v_double") * 0.72)
+    sq = F.round(F.sin(rad) * 1e12).cast("long")
+    cq = F.round(F.cos(rad) * 1e12).cast("long")
+    out = (
+        df.withColumn("bucket_end", bucket_end_col(LASTBUCKET, DAY))
+        .withColumn("_sq", sq)
+        .withColumn("_cq", cq)
+        .groupBy(*SERIES_KEYS, "bucket_end")
+        .agg(
+            F.round(
+                F.degrees(
+                    F.atan2(
+                        F.sum("_sq").cast("double") / F.count("*") / 1e12,
+                        F.sum("_cq").cast("double") / F.count("*") / 1e12,
+                    )
+                ),
+                6,
+            ).alias("v_agg"),
+            F.first("labels").alias("labels"),
+        )
+    )
+    return out.select(
+        "class",
+        F.element_at("labels", F.lit("user")).alias("user"),
+        F.col("bucket_end").alias("ts"),
+        "v_agg",
+    )
+
+
+@register("lttb_downsample")  # sequential triangle selection → rows-only
+def lttb_downsample(spark, sf_dir):
+    """LTTB (LTTB.java:32): largest-triangle-three-buckets downsample to
+    24 points per series."""
+    gf = GTSFrame.fetch(events_points(spark, sf_dir)).lttb(24)
+    return gf.df.select(
+        "class", F.get_json_object("labels_key", "$[0].value").alias("user"), "ts", "v_double"
+    )
