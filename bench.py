@@ -50,10 +50,13 @@ def main() -> None:
     spark = get_spark("warp10-platform-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/parquet footers once so per-query numbers measure the
-    # queries, not session startup; also materialize the canonical points
-    # layout (a one-time storage build, not query work)
-    QUERIES["tpch_q6"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+    # Warm-up: JVM JIT + parquet footers + Arrow path, one query per
+    # physical shape (scan-agg, per-series window, HOF exprs), so the
+    # timed loop measures steady-state query cost rather than first-hit
+    # compilation; also materialize the canonical points layout (a
+    # one-time storage build, not query work).
+    for warm in ("tpch_q6", "map_delta", "doc_exact_dedup"):
+        QUERIES[warm](spark, SF_DIR).write.mode("overwrite").format("noop").save()
     from warp10_platform_spark.sources.tables import canonical_points
 
     canonical_points(spark, SF_DIR).limit(1).count()
