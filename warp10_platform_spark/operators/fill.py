@@ -51,6 +51,37 @@ def fill_previous(df: DataFrame, value_col: str = "v_agg") -> DataFrame:
     return df.withColumn(value_col, F.last(value_col, ignorenulls=True).over(w))
 
 
+def fill_previous_packed(bucketized: DataFrame, spec: BucketSpec, value_col: str = "v_agg") -> DataFrame:
+    """Scaffold + previous-fill in ONE pass over the bucketized frame
+    (vs scaffold()'s dropDuplicates + join + window = 3 extra shuffles):
+    collect each series' (bucket, value) map, generate the grid with
+    sequence(), and fill by a running-state fold — all HOF exprs, one
+    groupBy shuffle total. Per-series state is bucketcount entries, the
+    same bound the scaffold grid has (maxbuckets guard)."""
+    first_bucket = spec.lastbucket - (spec.bucketcount - 1) * spec.bucketspan
+    per = bucketized.groupBy("gts_id", "class", "labels_key").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("ts"), F.col(value_col).alias("v")))
+        ).alias("m"),
+        F.first("labels").alias("labels"),
+    )
+    grid = f"sequence({first_bucket}L, {spec.lastbucket}L, {spec.bucketspan}L)"
+    filled = F.expr(
+        f"aggregate({grid}, "
+        f"named_struct('acc', array()::array<struct<t:bigint,v:double>>, 'lst', cast(null AS double)), "
+        f"(s, t) -> named_struct("
+        f"  'acc', array_append(s.acc, named_struct('t', t, 'v', coalesce(element_at(m, t), s.lst))), "
+        f"  'lst', coalesce(element_at(m, t), s.lst)), "
+        f"s -> s.acc)"
+    )
+    ex = per.withColumn("_f", F.explode(filled))
+    return ex.select(
+        "gts_id", "class", "labels_key", "labels",
+        F.col("_f.t").alias("ts"),
+        F.col("_f.v").alias(value_col),
+    )
+
+
 def fill_next(df: DataFrame, value_col: str = "v_agg") -> DataFrame:
     """FILLNEXT / filler.next (FillerNext.java:26)."""
     w = Window.partitionBy("gts_id").orderBy("ts").rowsBetween(0, Window.unboundedFollowing)

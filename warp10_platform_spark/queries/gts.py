@@ -319,11 +319,15 @@ def apply_div(spark, sf_dir):
     "FROM grid LEFT JOIN b ON b.class = grid.class AND b.\"user\" = grid.\"user\" AND b.ts = grid.ts"
 ))
 def fill_previous(spark, sf_dir):
-    """FILLPREVIOUS over the daily grid (FillerPrevious.java:26): missing
-    buckets materialized by the sequence scaffold, forward-filled."""
+    """FILLPREVIOUS over the daily grid (FillerPrevious.java:26) — the
+    packed single-shuffle path: scaffold + forward fill as one HOF fold
+    per series instead of dropDuplicates+join+window."""
+    from warp10_platform_spark.operators.fill import fill_previous_packed
+
     gf = _bucketized(spark, sf_dir, "bucketizer.sum", decimal=True)
-    gf = GTSFrame(gf.df.withColumn("v_agg", F.round("v_agg", 6).cast("double")), gf.bucketspec, "v_agg")
-    return _out(gf.fillprevious().df, "v_agg", "v_agg")
+    b = gf.df.withColumn("v_agg", F.round("v_agg", 6).cast("double"))
+    out = fill_previous_packed(b, gf.bucketspec)
+    return _out(out, "v_agg", "v_agg")
 
 
 # ---------- reshaping ----------
