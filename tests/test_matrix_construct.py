@@ -40,3 +40,55 @@ def test_newgts_empty_and_edits(spark):
     assert len(rows) == 1 and rows[0]["v_double"] == 2.5
     gone = removetick(pts, "s.x", '[{"key":"k","value":"1"}]', 100)
     assert gone.count() == 0
+
+
+def test_kvstore_roundtrip_and_lookup(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.sources.kvstore import kv_lookup, kvload, kvstore
+
+    path = str(tmp_path / "kv")
+    kvstore(spark, path, {"a": "1", "b": "2"})
+    kv = kvload(spark, path)
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    out = {r["k"]: r["kv_value"] for r in kv_lookup(df, kv, on="k").collect()}
+    assert out == {"a": "1", "b": "2", "c": None}
+
+
+def test_parse_literal_lines(spark):
+    from warp10_platform_spark.sources.gts_text import parse
+
+    out = parse(spark, ["123// a.b{x=1} 4.5", "456// a.b{x=1} 6"]).orderBy("ts").collect()
+    assert out[0]["v_double"] == 4.5 and out[1]["v_long"] == 6
+
+
+def test_geo_approximate_snaps_to_cell_center(spark):
+    from warp10_platform_spark.core.schema import with_gts_id
+    from warp10_platform_spark.operators.geo import geo_approximate
+
+    df = with_gts_id(
+        spark.createDataFrame(
+            [("g", {"u": "1"}, 1, 45.1, 100.7, 1.0)],
+            "class string, labels map<string,string>, ts long, lat double, lon double, v_double double",
+        )
+    )
+    r = geo_approximate(df, bits=2).collect()[0]  # 4x4 cells of 45 x 90 deg
+    assert r["lat"] == 67.5 and r["lon"] == 135.0  # center of cell [3,3]
+
+
+def test_atbucket(spark):
+    from warp10_platform_spark.core.construct import makegts
+    from warp10_platform_spark.operators.reshape import atbucket
+
+    pts = makegts(spark, "s", {}, [100, 200, 300], [1.0, 2.0, 3.0])
+    assert atbucket(pts, 300, 100, 0).collect()[0]["v_double"] == 3.0
+    assert atbucket(pts, 300, 100, 2).collect()[0]["v_double"] == 1.0
+
+
+def test_streaming_subscribe_filters_selector(spark):
+    from warp10_platform_spark.sources.gts_text import parse
+    from warp10_platform_spark.streaming.ingest import subscribe
+
+    pts = parse(spark, ["1// a.x{s=1} 1", "2// a.y{s=1} 2", "3// a.x{s=2} 3"])
+    got = sorted(r["ts"] for r in subscribe(pts, "a.x{}").collect())
+    assert got == [1, 3]

@@ -155,6 +155,18 @@ def latlon_extract(df: DataFrame) -> DataFrame:
     )
 
 
+def geo_approximate(df: DataFrame, bits: int = 8) -> DataFrame:
+    """mapper.geo.approximate (MapperGeoApproximate.java): snap locations
+    to the HHCode cell center at the given resolution — the spatial
+    down-quantizer (coarser bits = coarser grid)."""
+    scale = 1 << bits
+    latq = F.least(F.floor((F.col("lat") + 90.0) / 180.0 * scale), F.lit(scale - 1))
+    lonq = F.least(F.floor((F.col("lon") + 180.0) / 360.0 * scale), F.lit(scale - 1))
+    return df.withColumn("lat", (latq + 0.5) * (180.0 / scale) - 90.0).withColumn(
+        "lon", (lonq + 0.5) * (360.0 / scale) - 180.0
+    )
+
+
 def motionsplit(df: DataFrame, max_gap_m: float, label: str = "motionsplit") -> DataFrame:
     """MOTIONSPLIT (MOTIONSPLIT.java): split a track where the distance
     between consecutive points exceeds max_gap_m — the spatial twin of

@@ -187,6 +187,12 @@ def attick(df: DataFrame, tick: int) -> DataFrame:
     return df.where(F.col("ts") == tick)
 
 
+def atbucket(df: DataFrame, lastbucket: int, bucketspan: int, bucket_index: int) -> DataFrame:
+    """ATBUCKET (ATBUCKET.java:31): the point of each series at bucket
+    index i (0 = the lastbucket bucket, counting backwards)."""
+    return df.where(F.col("ts") == lastbucket - bucket_index * bucketspan)
+
+
 def atindex(df: DataFrame, index: int) -> DataFrame:
     """ATINDEX (ATINDEX.java): the point at 0-based index per series
     (negative = from the end, like the reference's -1 = last)."""

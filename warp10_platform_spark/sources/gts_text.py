@@ -82,6 +82,15 @@ def parse_gts_lines(lines: DataFrame, default_ts: int | None = None) -> DataFram
     return with_gts_id(typed)
 
 
+def parse(spark, lines: list[str] | DataFrame, default_ts: int | None = None) -> DataFrame:
+    """PARSE / SMARTPARSE (script/functions/PARSE.java, SMARTPARSE.java):
+    parse GTS input-format strings inside a job — literal list or an
+    existing one-string-column DataFrame; same regex pipeline as ingest."""
+    if isinstance(lines, list):
+        lines = spark.createDataFrame([(s,) for s in lines], "value string")
+    return parse_gts_lines(lines, default_ts=default_ts)
+
+
 def format_gts_lines(points: DataFrame) -> DataFrame:
     """points DataFrame → text lines (single `value` string column) — the
     /fetch text export format (EgressFetchHandler.java:1077-1085) and the

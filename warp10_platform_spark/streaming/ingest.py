@@ -146,6 +146,16 @@ def streaming_counter_delta(points: DataFrame, watermark_delay: str = "1 minute"
     )
 
 
+def subscribe(points: DataFrame, selector: str) -> DataFrame:
+    """Plasma SUBSCRIBE (continuum/plasma/PlasmaFrontEnd.java; SUBSCRIBE):
+    a selector-filtered continuous view of the ingest stream — the
+    predicate evaluates per micro-batch; attach any writeStream sink
+    (memory/Kafka/foreachBatch ≙ the WebSocket push)."""
+    from warp10_platform_spark.core.selector import selector_predicate
+
+    return points.where(selector_predicate(selector))
+
+
 def streaming_last(points: DataFrame, watermark_delay: str = "1 minute", value_col: str = "v_double") -> DataFrame:
     """Continuous last-value view per series (the reference's
     'last tick' directory/plasma use case): max_by over event time in
