@@ -280,43 +280,42 @@ def stl_esd_test(df: DataFrame, period: int, k: int = 5, alpha: float = 0.05, va
     return esd_test(resid, k=k, alpha=alpha)
 
 
-def holt_smooth(df: DataFrame, alpha: float = 0.3, beta: float = 0.1, value_col: str = "v_double") -> DataFrame:
+def holt_smooth(df: DataFrame, alpha_num: int = 3, beta_num: int = 1, denom: int = 10,
+                value_col: str = "v_double") -> DataFrame:
     """DOUBLEEXPONENTIALSMOOTHING (functions/DOUBLEEXPONENTIALSMOOTHING.java):
-    Holt's linear method — level/trend recurrence per series; returns the
-    final (level, trend) state and the one-step forecast."""
-    schema = StructType(
-        [
-            StructField("class", StringType()),
-            StructField("labels_key", StringType()),
-            StructField("level", DoubleType()),
-            StructField("trend", DoubleType()),
-            StructField("forecast", DoubleType()),
-        ]
+    Holt's linear method — level/trend recurrence per series, seeded
+    l0=v0, b0=v1-v0, folded tick-ordered as a JVM aggregate() HOF
+    (whole-stage codegen, no Python).
+
+    Deviation from the reference (documented, same precedent as
+    INTEGRATE): the state is kept in int64 micro-units with rational
+    α=alpha_num/denom, β=beta_num/denom and floor division, so the fold
+    is exact integer arithmetic — bit-identical to a DuckDB list_reduce
+    (pure-double folds drift by ULPs between engines: FMA contraction)."""
+    an, bn, d = int(alpha_num), int(beta_num), int(denom)
+    ca, cb = d - an, d - bn
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("ts").alias("t"), F.col(value_col).cast("double").alias("v")))
     )
-
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts").reset_index(drop=True)
-        y = pdf[value_col].to_numpy(np.float64)
-        if len(y) < 2:
-            return pd.DataFrame({"class": [], "labels_key": [], "level": [], "trend": [], "forecast": []}).astype(
-                {"level": "float64", "trend": "float64", "forecast": "float64", "class": "object", "labels_key": "object"}
-            )
-        level, trend = y[0], y[1] - y[0]
-        for v in y[1:]:
-            prev = level
-            level = alpha * v + (1 - alpha) * (level + trend)
-            trend = beta * (level - prev) + (1 - beta) * trend
-        return pd.DataFrame(
-            {
-                "class": [pdf["class"].iloc[0]],
-                "labels_key": [pdf["labels_key"].iloc[0]],
-                "level": [level],
-                "trend": [trend],
-                "forecast": [level + trend],
-            }
-        )
-
-    return df.groupBy("gts_id").applyInPandas(run, schema=schema)
+    per = (
+        df.groupBy(*SERIES_KEYS)
+        .agg(arr.alias("pts"))
+        .where(F.size("pts") >= 2)
+        .withColumn("vs", F.expr("transform(pts, p -> CAST(floor(p.v * 1000000.0D + 0.5D) AS BIGINT))"))
+    )
+    lvl = f"CAST(floor(({an}L * p + {ca}L * (acc.l + acc.b)) / {d}.0D) AS BIGINT)"
+    st = F.expr(
+        "aggregate(slice(vs, 2, size(vs) - 1), "
+        "named_struct('l', vs[0], 'b', vs[1] - vs[0]), "
+        f"(acc, p) -> named_struct('l', {lvl}, 'b', "
+        f"CAST(floor(({bn}L * ({lvl} - acc.l) + {cb}L * acc.b) / {d}.0D) AS BIGINT)))"
+    )
+    return per.select(*SERIES_KEYS, st.alias("st")).select(
+        *SERIES_KEYS,
+        (F.col("st.l") / F.lit(1000000.0)).alias("level"),
+        (F.col("st.b") / F.lit(1000000.0)).alias("trend"),
+        ((F.col("st.l") + F.col("st.b")) / F.lit(1000000.0)).alias("forecast"),
+    )
 
 
 def sax_discords(df: DataFrame, word_len: int = 4, alphabet: int = 4, top: int = 3, value_col: str = "v_double") -> DataFrame:

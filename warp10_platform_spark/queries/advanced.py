@@ -121,16 +121,42 @@ def sax_discords(spark, sf_dir):
     )
 
 
-@register("holt_smooth")  # two-state recurrence → rows-only
+HOLT_ORACLE = f"""
+WITH {PTS},
+per AS (
+  SELECT class, "user",
+         list_transform(list(v ORDER BY ts, v),
+                        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS vs
+  FROM pts GROUP BY class, "user"
+),
+st AS (
+  SELECT class, "user",
+    list_reduce(
+      list_prepend([vs[1], vs[2] - vs[1]],
+                   list_transform(vs[2:], x -> [x, 0::BIGINT])),
+      (acc, p) -> [CAST(floor((3 * p[1] + 7 * (acc[1] + acc[2])) / 10.0) AS BIGINT),
+                   CAST(floor((1 * (CAST(floor((3 * p[1] + 7 * (acc[1] + acc[2])) / 10.0) AS BIGINT) - acc[1])
+                               + 9 * acc[2]) / 10.0) AS BIGINT)]) AS s
+  FROM per WHERE len(vs) >= 2
+)
+SELECT class, "user", s[1] / 1000000.0 AS level, s[2] / 1000000.0 AS trend,
+       (s[1] + s[2]) / 1000000.0 AS forecast
+FROM st
+"""
+
+
+@register("holt_smooth", HOLT_ORACLE)
 def holt_smooth(spark, sf_dir):
-    """Double exponential smoothing (Holt): final level/trend/forecast."""
-    out = _fit.holt_smooth(events_points(spark, sf_dir), alpha=0.3, beta=0.1)
+    """Double exponential smoothing (Holt, α=0.3 β=0.1): final
+    level/trend/forecast per series. Exact int64 micro-unit fold — the
+    identical integer recurrence on both engines (no float drift)."""
+    out = _fit.holt_smooth(events_points(spark, sf_dir), alpha_num=3, beta_num=1, denom=10)
     return out.select(
         "class",
         F.get_json_object("labels_key", "$[0].value").alias("user"),
-        F.round("level", 6).alias("level"),
-        F.round("trend", 6).alias("trend"),
-        F.round("forecast", 6).alias("forecast"),
+        "level",
+        "trend",
+        "forecast",
     )
 
 
