@@ -416,3 +416,62 @@ def dtw_pairs(df: DataFrame, value_col: str = "v_agg", window: int | None = None
             yield out
 
     return pairs.mapInPandas(run, schema=schema)
+
+
+def correlate_lagged(a: DataFrame, b: DataFrame, lags: list[int], step_us: int,
+                     value_col: str = "v_agg") -> DataFrame:
+    """CORRELATE (continuum/gts/CORRELATE.java): sliding cross-correlation
+    — Pearson r between series a and series b shifted by each lag
+    (lag * step_us on the time axis). One exploded join + grouped exact
+    DECIMAL moment sums (same determinism discipline as correlate_daily);
+    no per-lag rescan of either input."""
+    av = a.select("labels_key", "ts", F.col(value_col).cast("decimal(12,6)").alias("va"))
+    bv = b.select("labels_key", "ts", F.col(value_col).cast("decimal(12,6)").alias("vb"))
+    lag_col = F.explode(F.array(*[F.lit(l) for l in lags])).alias("lag")
+    bl = bv.select("labels_key", "ts", "vb", lag_col).withColumn(
+        "ts", F.col("ts") + F.col("lag").cast("long") * F.lit(step_us)
+    )
+    j = av.join(bl, on=["labels_key", "ts"])
+    mom = j.groupBy("labels_key", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum("va").cast("double").alias("sa"),
+        F.sum("vb").cast("double").alias("sb"),
+        F.sum(F.col("va") * F.col("va")).cast("double").alias("saa"),
+        F.sum(F.col("vb") * F.col("vb")).cast("double").alias("sbb"),
+        F.sum(F.col("va") * F.col("vb")).cast("double").alias("sab"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sab") - F.col("sa") * F.col("sb") / n
+    var_a = F.col("saa") - F.col("sa") * F.col("sa") / n
+    var_b = F.col("sbb") - F.col("sb") * F.col("sb") / n
+    return mom.where((F.col("n") >= 2) & (var_a > 0) & (var_b > 0)).select(
+        "labels_key", "lag", "n", (cov / F.sqrt(var_a * var_b)).alias("corr")
+    )
+
+
+_SQRT2 = 1.4142135623730951
+
+
+def haar_dwt_level1(df: DataFrame, value_col: str = "v_agg") -> DataFrame:
+    """FDWT, one Haar level (script/fwt/ forward wavelet transform):
+    consecutive bucket pairs → (approx, detail) = ((v0+v1)/√2, (v0−v1)/√2).
+    Dense pair index from row_number so missing buckets don't misalign
+    pairs; odd tails are dropped (reference pads to a power of two — we
+    keep only complete pairs so the oracle is exact)."""
+    w = Window.partitionBy("labels_key").orderBy("ts")
+    d = df.withColumn("_i", F.row_number().over(w) - 1)
+    pair = d.withColumn("_k", (F.col("_i") / 2).cast("long")).withColumn(
+        "_side", F.col("_i") % 2
+    )
+    g = pair.groupBy("labels_key", "_k").agg(
+        F.max(F.when(F.col("_side") == 0, F.col(value_col))).alias("v0"),
+        F.max(F.when(F.col("_side") == 1, F.col(value_col))).alias("v1"),
+        F.first("class", ignorenulls=True).alias("class"),
+    )
+    return g.where(F.col("v1").isNotNull()).select(
+        "class",
+        "labels_key",
+        F.col("_k").alias("k"),
+        ((F.col("v0") + F.col("v1")) / F.lit(_SQRT2)).alias("approx"),
+        ((F.col("v0") - F.col("v1")) / F.lit(_SQRT2)).alias("detail"),
+    )

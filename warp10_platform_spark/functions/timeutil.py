@@ -47,6 +47,22 @@ def parse_duration(s: str) -> int:
     return int(round(total))
 
 
+def humanduration(us: int) -> str:
+    """HUMANDURATION (functions/HUMANDURATION.java:28): LONG µs → compact
+    human-readable duration, largest-unit-first, zero components skipped
+    (e.g. 95400000000 → '1d2h30m')."""
+    if us == 0:
+        return "0"
+    sign = "-" if us < 0 else ""
+    us = abs(us)
+    out = []
+    for unit, suffix in ((WEEK, "w"), (DAY, "d"), (HOUR, "h"), (MINUTE, "m"), (S, "s"), (MS, "ms"), (US, "us")):
+        q, us = divmod(us, unit)
+        if q:
+            out.append(f"{q}{suffix}")
+    return sign + "".join(out)
+
+
 def tselements(ts: Column, tz: str = "UTC") -> Column:
     """TSELEMENTS (TSELEMENTS.java): tick → [year, month, day, hour,
     minute, second, microseconds] in tz, as an array<long>."""

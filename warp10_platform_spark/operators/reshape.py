@@ -279,3 +279,24 @@ def shrink(df: DataFrame, n: int) -> DataFrame:
         return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= n).drop("_rn")
     w = Window.partitionBy("gts_id").orderBy(F.col("ts").desc())
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= -n).drop("_rn")
+
+
+def max_tick_sliding_window(df: DataFrame, n: int, order_col: str = "event_id") -> DataFrame:
+    """MAXTICKSLIDINGWINDOW (functions/MaxTickSlidingWindow.java:24): cap
+    each series to its most recent n points. Batch analog of the
+    streaming encoder cap — ties on ts broken deterministically by
+    order_col so the kept set is stable across engines/partitionings."""
+    w = Window.partitionBy("gts_id").orderBy(F.col("ts").desc(), F.col(order_col).desc())
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= n).drop("_rn")
+
+
+def max_time_sliding_window(df: DataFrame, span_us: int) -> DataFrame:
+    """MAXTIMESLIDINGWINDOW (functions/MaxTimeSlidingWindow.java:24): keep
+    only points within span_us of each series' latest tick. One window
+    max + filter — no self-join."""
+    w = Window.partitionBy("gts_id")
+    return (
+        df.withColumn("_mx", F.max("ts").over(w))
+        .where(F.col("ts") > F.col("_mx") - F.lit(span_us))
+        .drop("_mx")
+    )
