@@ -458,15 +458,14 @@ def haar_dwt_level1(df: DataFrame, value_col: str = "v_agg") -> DataFrame:
     Dense pair index from row_number so missing buckets don't misalign
     pairs; odd tails are dropped (reference pads to a power of two — we
     keep only complete pairs so the oracle is exact)."""
-    w = Window.partitionBy("labels_key").orderBy("ts")
+    w = Window.partitionBy("class", "labels_key").orderBy("ts")
     d = df.withColumn("_i", F.row_number().over(w) - 1)
     pair = d.withColumn("_k", (F.col("_i") / 2).cast("long")).withColumn(
         "_side", F.col("_i") % 2
     )
-    g = pair.groupBy("labels_key", "_k").agg(
+    g = pair.groupBy("class", "labels_key", "_k").agg(
         F.max(F.when(F.col("_side") == 0, F.col(value_col))).alias("v0"),
         F.max(F.when(F.col("_side") == 1, F.col(value_col))).alias("v1"),
-        F.first("class", ignorenulls=True).alias("class"),
     )
     return g.where(F.col("v1").isNotNull()).select(
         "class",

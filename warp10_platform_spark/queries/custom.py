@@ -120,12 +120,22 @@ def _np_slope(fr) -> float:
     return float(((x - xm) * (fr.values - ym)).sum() / den)
 
 
-@register("macro_window_slope")  # float-sum order across engines differs → rows-only
+MACRO_SLOPE_ORACLE = f"""
+WITH {PTS},
+s AS (SELECT class, "user", ts,
+             regr_slope(v, CAST(ts - {LASTBUCKET} AS DOUBLE) / 1000000.0)
+               OVER (PARTITION BY class, "user" ORDER BY ts ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sl
+      FROM pts)
+SELECT class, "user", ts, round(sl, 6) AS v_mapped FROM s"""
+
+
+@register("macro_window_slope", MACRO_SLOPE_ORACLE)
 def macro_window_slope(spark, sf_dir):
     """Custom mapper: rolling regression slope over [3 pre, 3 post] ticks.
-    Demonstrates numpy vectorization inside the macro surface; no SQL
-    oracle (covariance accumulation order is engine-specific), driver
-    records the rows-only check."""
+    Demonstrates numpy vectorization inside the macro surface. Oracled via
+    DuckDB regr_slope (slope is invariant to the x-shift: numpy centers x
+    at the frame tick, the oracle at LASTBUCKET — verified bit-exact at
+    sf0.001 and sf0.01 after round 6)."""
     pts = events_points(spark, sf_dir)
     out = macro_mapper(pts, _np_slope, pre=3, post=3)
     return out.select(
