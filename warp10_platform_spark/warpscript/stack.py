@@ -1,0 +1,128 @@
+"""The WarpScript value stack (MemoryWarpScriptStack.java), Spark-backed.
+
+Execution contract (reference `exec`, :1060-1075): literals push
+themselves; `<% %>` captures a Macro (a token list, :862-893); `$var`
+loads from the symbol table (:1030-1043); any other token resolves in the
+function registry and is applied immediately against the stack. GTS lists
+on this stack are lazy DataFrames in the canonical points schema — macro
+and control-flow execution happen in the driver, data work stays in
+Catalyst plans.
+
+Limits: like the reference seeds max-ops/max-depth from config
+(MemoryWarpScriptStack.java:220-247), we enforce a statement budget and a
+stack-depth cap so a runaway script fails fast in the driver rather than
+submitting unbounded Spark jobs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from warp10_platform_spark.warpscript.tokenizer import Token, tokenize
+
+
+class Macro:
+    __slots__ = ("tokens",)
+
+    def __init__(self, tokens: list[Token]):
+        self.tokens = tokens
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<Macro {len(self.tokens)} stmts>"
+
+
+class Mark:
+    """List-open marker (reference MARK sentinel for `[`)."""
+
+
+class MapMark(Mark):
+    """Map-open marker for `{`."""
+
+
+class WarpScriptStack:
+    def __init__(self, spark, sf_dir: str, max_ops: int = 100_000, max_depth: int = 1000):
+        from warp10_platform_spark.warpscript.functions import REGISTRY
+
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.stack: list[Any] = []
+        self.symbols: dict[str, Any] = {}
+        self.registry: dict[str, Callable[[WarpScriptStack], None]] = REGISTRY
+        self.max_ops = max_ops
+        self.max_depth = max_depth
+        self._ops = 0
+
+    # -- stack primitives -------------------------------------------------
+    def push(self, v: Any) -> None:
+        self.stack.append(v)
+        if len(self.stack) > self.max_depth:
+            raise RuntimeError("stack depth limit exceeded")
+
+    def pop(self) -> Any:
+        if not self.stack:
+            raise RuntimeError("pop on empty stack")
+        return self.stack.pop()
+
+    def peek(self) -> Any:
+        if not self.stack:
+            raise RuntimeError("peek on empty stack")
+        return self.stack[-1]
+
+    def depth(self) -> int:
+        return len(self.stack)
+
+    # -- execution --------------------------------------------------------
+    def exec(self, script: str) -> None:
+        self._run(tokenize(script))
+
+    def exec_macro(self, macro: Macro) -> None:
+        self._run(macro.tokens)
+
+    def _run(self, tokens: list[Token]) -> None:
+        i = 0
+        n = len(tokens)
+        while i < n:
+            t = tokens[i]
+            self._ops += 1
+            if self._ops > self.max_ops:
+                raise RuntimeError("ops limit exceeded")
+            if t.kind in ("number", "string", "bool", "null"):
+                self.push(t.value)
+            elif t.kind == "load":
+                if t.value not in self.symbols:
+                    raise NameError(f"line {t.lineno}: undefined variable ${t.value}")
+                self.push(self.symbols[t.value])
+            elif t.kind == "deref":
+                macro = self.symbols.get(t.value)
+                if not isinstance(macro, Macro):
+                    raise NameError(f"line {t.lineno}: @{t.value} is not a macro")
+                self.exec_macro(macro)
+            elif t.kind == "stmt" and t.value == "<%":
+                # capture to matching %> (nesting allowed), reference :862-893
+                depth = 1
+                j = i + 1
+                while j < n and depth:
+                    if tokens[j].kind == "stmt" and tokens[j].value == "<%":
+                        depth += 1
+                    elif tokens[j].kind == "stmt" and tokens[j].value == "%>":
+                        depth -= 1
+                    j += 1
+                if depth:
+                    raise SyntaxError(f"line {t.lineno}: unterminated macro")
+                self.push(Macro(tokens[i + 1 : j - 1]))
+                i = j
+                continue
+            else:
+                fn = self.registry.get(t.value)
+                if fn is None:
+                    raise NameError(f"line {t.lineno}: unknown function {t.value!r}")
+                fn(self)
+            i += 1
+
+
+def exec_script(spark, sf_dir: str, script: str):
+    """Run a script on a fresh stack and return the top of stack — the
+    /exec analog (response = final stack, EgressExecHandler.java tail)."""
+    st = WarpScriptStack(spark, sf_dir)
+    st.exec(script)
+    return st.peek() if st.depth() else None
