@@ -99,3 +99,29 @@ def test_stl_esd_flags_seasonal_anomaly(spark):
     y[40] += 30.0  # planted anomaly invisible to plain thresholds near peak
     out = stl_esd_test(_series(spark, list(y)), period=period, k=3).collect()
     assert any(r["ts"] == 40 * 1_000_000 for r in out)
+
+
+def test_haar_roundtrip_and_multilevel(spark):
+    """FDWT level-1 → IDWT rebuilds the series; cascade emits one detail
+    set per level with halving length."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from warp10_platform_spark.analytics.fit import haar_dwt, haar_dwt_level1, haar_idwt_level1
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    rows = [Row(**{"class": "c", "labels_key": "{}", "ts": i, "v_agg": v}) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows)
+
+    c1 = haar_dwt_level1(df, value_col="v_agg")
+    back = haar_idwt_level1(c1).orderBy("i").select("v").rdd.map(lambda r: r[0]).collect()
+    assert np.allclose(back, vals)
+
+    multi = haar_dwt(df, levels=3, value_col="v_agg").collect()
+    per_level = {}
+    for r in multi:
+        per_level.setdefault(r["level"], []).append(r)
+    assert {len(per_level[1]), len(per_level[2]), len(per_level[3])} == {4, 2, 1}
+    # level-3 approximation of an 8-length Haar cascade is sum/ sqrt(2)^3
+    a3 = per_level[3][0]["approx"]
+    assert abs(a3 - sum(vals) / (2.0 ** 1.5)) < 1e-9

@@ -474,3 +474,41 @@ def haar_dwt_level1(df: DataFrame, value_col: str = "v_agg") -> DataFrame:
         ((F.col("v0") + F.col("v1")) / F.lit(_SQRT2)).alias("approx"),
         ((F.col("v0") - F.col("v1")) / F.lit(_SQRT2)).alias("detail"),
     )
+
+
+def haar_idwt_level1(coeffs: DataFrame) -> DataFrame:
+    """IDWT, one Haar level (script/fwt/ inverse transform): rebuild the
+    pair values from (approx, detail): v0 = (a+d)/√2, v1 = (a−d)/√2.
+    Exact inverse of haar_dwt_level1 up to float round-trip."""
+    v0 = (F.col("approx") + F.col("detail")) / F.lit(_SQRT2)
+    v1 = (F.col("approx") - F.col("detail")) / F.lit(_SQRT2)
+    ex = coeffs.select(
+        "class",
+        "labels_key",
+        F.explode(
+            F.array(
+                F.struct((F.col("k") * 2).alias("_i"), v0.alias("v")),
+                F.struct((F.col("k") * 2 + 1).alias("_i"), v1.alias("v")),
+            )
+        ).alias("p"),
+    )
+    return ex.select("class", "labels_key", F.col("p._i").alias("i"), F.col("p.v").alias("v"))
+
+
+def haar_dwt(df: DataFrame, levels: int, value_col: str = "v_agg") -> DataFrame:
+    """Multi-level FDWT: re-apply the Haar level to the approximation
+    channel; detail coefficients are emitted per level (standard cascade).
+    Returns (class, labels_key, level, k, approx, detail) — approx rows
+    only carry the final level's approximation, like the packed wavelet
+    layout the reference's fwt classes use."""
+    out = None
+    cur = df.select("class", "labels_key", "ts", F.col(value_col).alias("_v"))
+    for lvl in range(1, levels + 1):
+        c = haar_dwt_level1(cur, value_col="_v")
+        details = c.select(
+            "class", "labels_key", F.lit(lvl).alias("level"), "k", "approx", "detail"
+        )
+        out = details if out is None else out.unionByName(details)
+        # next level consumes this level's approximations as the series
+        cur = c.select("class", "labels_key", (F.col("k")).alias("ts"), F.col("approx").alias("_v"))
+    return out
