@@ -43,3 +43,15 @@ def test_no_python_in_jvm_operator_paths(spark, sf_dir):
     for name in ["bucketize_mean", "map_moving_mean", "gts_bucketize_reduce", "doc_simhash"]:
         r = plan_report(E.queries()[name](spark, sf_dir))
         assert r.python_evals == 0, name
+
+
+def test_find_scans_directory_only(spark, sf_dir):
+    """FIND resolves on the materialized directory parquet — the plan
+    must not open the points/events store at all (SURVEY §1.6)."""
+    from warp10_platform_spark.plans.audit import explain_formatted
+    from warp10_platform_spark.sources.directory import directory_table, find
+
+    d = directory_table(spark, sf_dir)
+    plan = explain_formatted(find(d, "~events\\.p.*{}"))
+    assert "directory_" in plan
+    assert "events.parquet" not in plan

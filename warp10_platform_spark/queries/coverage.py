@@ -11,7 +11,7 @@ from warp10_platform_spark.operators import reshape as _reshape
 from warp10_platform_spark.operators import sort as _sort
 from warp10_platform_spark.queries import register
 from warp10_platform_spark.queries.gts import DAILY, DAY, LASTBUCKET, NDAYS, PTS
-from warp10_platform_spark.sources.directory import build_directory, fetch_filtered, find, findstats
+from warp10_platform_spark.sources.directory import directory_table, build_directory, fetch_filtered, find, findstats
 from warp10_platform_spark.sources.tables import events_points
 
 TZ = "Europe/Paris"
@@ -136,7 +136,7 @@ def find_series_directory(spark, sf_dir):
     """FIND via the directory table (SURVEY §1.6): selector resolved on
     one row per series — at scale this scans the directory parquet only,
     never the points store."""
-    directory = build_directory(events_points(spark, sf_dir))
+    directory = directory_table(spark, sf_dir)
     return find(directory, "~events\\.p.*{}").select(
         "class", F.get_json_object("labels_key", "$[0].value").alias("user")
     )
@@ -163,7 +163,7 @@ def fetch_directory_semijoin(spark, sf_dir):
 def findstats_directory(spark, sf_dir):
     """FINDSTATS over the directory (exact; approx HLL variant is the
     same call with approx=True)."""
-    directory = build_directory(events_points(spark, sf_dir))
+    directory = directory_table(spark, sf_dir)
     return findstats(directory)
 
 

@@ -62,3 +62,25 @@ def fetch_filtered(points: DataFrame, directory: DataFrame, selector: str) -> Da
     gts_id — instead of regex evaluation per point row."""
     ids = find(directory, selector).select("gts_id")
     return points.join(F.broadcast(ids), on="gts_id", how="leftsemi")
+
+
+def directory_table(spark, sf_dir: str) -> DataFrame:
+    """The directory in its canonical STORAGE form: materialized parquet
+    built once per dataset (the reference's Directory service persists
+    exactly this: series identity + extents, StandaloneDirectoryClient).
+    Every FIND/FINDSTATS then scans ~1 row per series and never opens the
+    points store — asserted by tests/test_plans.py."""
+    import hashlib
+    import os
+
+    from warp10_platform_spark.sources.tables import events_points
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache",
+        f"directory_{key}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_directory(events_points(spark, sf_dir)).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
