@@ -39,4 +39,5 @@ from warp10_platform_spark.queries import ops3  # noqa: E402,F401
 from warp10_platform_spark.queries import ops4  # noqa: E402,F401
 from warp10_platform_spark.queries import ops5  # noqa: E402,F401
 from warp10_platform_spark.queries import ops6  # noqa: E402,F401
+from warp10_platform_spark.queries import ops7  # noqa: E402,F401
 from warp10_platform_spark.queries import ws  # noqa: E402,F401

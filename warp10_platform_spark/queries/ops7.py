@@ -1,0 +1,177 @@
+"""Coverage sweep 7 — oracled queries for inventory rows that were
+implemented but had no CORRECTNESS entry: projections
+(VALUES/TICKS/NAME/LABELS, script/functions/VALUES.java, TICKS.java),
+MAP step/occurrences operands (GTSHelper.map:6280), value-predicate and
+clamp mappers (mapper/MapperGT.java, MapperMinX.java), VALUESORT + LIMIT
+(VALUESORT.java:27, LIMIT.java), FILLTICKS + filler.previous
+(FILLTICKS.java, filler/FillerPrevious.java:26), BucketSpec accessors
+(BUCKETSPAN.java, BUCKETCOUNT.java, LASTBUCKET.java) and
+NONEMPTY/MAXGTS (NONEMPTY.java, MAXGTS).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from warp10_platform_spark.core.frame import GTSFrame
+from warp10_platform_spark.operators import fill as _fill
+from warp10_platform_spark.operators import sort as _sort
+from warp10_platform_spark.queries import register
+from warp10_platform_spark.queries.gts import DAY, LASTBUCKET, NDAYS, PTS, _bucketized
+from warp10_platform_spark.sources.tables import events_points
+
+
+def _user():
+    return F.element_at(F.col("labels"), "user").alias("user")
+
+
+def _user_from_key():
+    return F.get_json_object("labels_key", "$[0].value").alias("user")
+
+
+@register("projection_accessors", (
+    f"WITH {PTS} "
+    'SELECT class, "user", count(ts) AS n_ticks, min(ts) AS first_ts, max(ts) AS last_ts, '
+    "       round(min(v), 6) AS v_min, round(max(v), 6) AS v_max "
+    'FROM pts GROUP BY class, "user"'
+))
+def projection_accessors(spark, sf_dir):
+    """VALUES/TICKS projections (VALUES.java, TICKS.java): per-series
+    tick census from the TICKS projection joined to the value range from
+    the VALUES projection — both accessors exercised, one shuffle each on
+    the series key."""
+    gf = GTSFrame.fetch(events_points(spark, sf_dir))
+    t = gf.ticks().groupBy("class", "labels_key").agg(
+        F.count("ts").alias("n_ticks"), F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    v = gf.values().groupBy("class", "labels_key").agg(
+        F.round(F.min("v_double"), 6).alias("v_min"), F.round(F.max("v_double"), 6).alias("v_max")
+    )
+    return t.join(v, on=["class", "labels_key"]).select(
+        "class", _user_from_key(), "n_ticks", "first_ts", "last_ts", "v_min", "v_max"
+    )
+
+
+@register("map_step_occurrences", (
+    f"WITH {PTS}, "
+    'r AS (SELECT class, "user", ts, abs(v) AS v_abs, '
+    '             row_number() OVER (PARTITION BY class, "user" ORDER BY ts) AS rn FROM pts) '
+    'SELECT class, "user", ts, round(v_abs, 6) AS v_abs FROM r '
+    "WHERE (rn - 1) % 3 = 0 AND (rn - 1) // 3 < 4"
+))
+def map_step_occurrences(spark, sf_dir):
+    """MAP step/occurrences operands (GTSHelper.map:6280): mapper.abs with
+    step=3 (every 3rd tick) and occurrences=4 (at most 4 outputs per
+    series) — the stride/cap post-filter over the mapped frame."""
+    from warp10_platform_spark.operators.mapper import apply_step_occurrences
+
+    gf = GTSFrame.fetch(events_points(spark, sf_dir)).map_scalar("mapper.abs")
+    out = apply_step_occurrences(gf.df, step=3, occurrences=4)
+    return out.select("class", _user(), "ts", F.round("v_mapped", 6).alias("v_abs"))
+
+
+@register("predicate_clamp_mappers", (
+    f"WITH {PTS} "
+    'SELECT class, "user", ts, v > 50.0 AS gt50, round(least(v, 50.0), 6) AS clamped '
+    "FROM pts WHERE class = 'events.purchase'"
+))
+def predicate_clamp_mappers(spark, sf_dir):
+    """Value-predicate + clamp mappers (mapper/MapperGT.java:24,
+    MapperMinX.java): mapper.gt emits the boolean verdict per tick,
+    mapper.min.x caps the value — both single column exprs, fused into
+    one projection (no join needed: each mapper keeps the input row)."""
+    gf = GTSFrame.fetch(events_points(spark, sf_dir), "events.purchase{}")
+    flagged = gf.map_scalar("mapper.gt", 50.0)
+    clamped = GTSFrame(flagged.df.withColumnRenamed("v_mapped", "gt50"), value_col="v_double").map_scalar(
+        "mapper.min.x", 50.0
+    )
+    return clamped.df.select(
+        "class", _user(), "ts", "gt50", F.round("v_mapped", 6).alias("clamped")
+    )
+
+
+@register("valuesort_limit", (
+    f"WITH {PTS} "
+    "SELECT v AS v_double FROM (SELECT DISTINCT v FROM pts) u ORDER BY v LIMIT 5"
+))
+def valuesort_limit(spark, sf_dir):
+    """VALUESORT + LIMIT (VALUESORT.java:27, LIMIT.java): ascending global
+    value order over the distinct value set (ties removed so the head is
+    deterministic in any engine), capped at 5 — Spark executes this as a
+    TakeOrderedAndProject, no full sort materialization."""
+    pts = events_points(spark, sf_dir).select("v_double").distinct()
+    return _sort.valuesort(pts, "v_double").limit(5)
+
+
+_FT = [LASTBUCKET - 20 * DAY, LASTBUCKET - 10 * DAY, LASTBUCKET]  # probe ticks
+
+
+@register("fillticks_previous", (
+    f"WITH {PTS}, "
+    's AS (SELECT DISTINCT class, "user" FROM pts), '
+    f"t AS (SELECT unnest([{_FT[0]}, {_FT[1]}, {_FT[2]}]) AS ts), "
+    "st AS (SELECT class, \"user\", ts FROM s CROSS JOIN t), "
+    "f AS (SELECT st.class, st.\"user\", st.ts, "
+    "             (SELECT arg_max(p.v, p.ts) FROM pts p "
+    "              WHERE p.class = st.class AND p.\"user\" = st.\"user\" AND p.ts <= st.ts) AS v "
+    "      FROM st) "
+    'SELECT class, "user", ts, round(v, 6) AS v_filled FROM f WHERE v IS NOT NULL'
+))
+def fillticks_previous(spark, sf_dir):
+    """FILLTICKS + filler.previous (FILLTICKS.java,
+    filler/FillerPrevious.java:26): materialize three probe ticks on every
+    series, forward-fill from the latest earlier point, return the probe
+    rows (rows with no prior point stay null and are dropped, matching
+    the reference's empty-fill behavior)."""
+    gf = GTSFrame.fetch(events_points(spark, sf_dir)).fillticks(_FT)
+    filled = _fill.fill_previous(gf.df, "v_double")
+    probes = filled.where(F.col("ts").isin(_FT) & F.col("v_double").isNotNull())
+    return probes.select("class", _user(), "ts", F.round("v_double", 6).alias("v_filled"))
+
+
+@register("bucketspec_accessors", (
+    f"WITH {PTS}, "
+    f"daily AS (SELECT class, \"user\", {LASTBUCKET} - (({LASTBUCKET} - ts) // {DAY}) * {DAY} AS ts "
+    f"          FROM pts WHERE ts <= {LASTBUCKET} AND ts > {LASTBUCKET - DAY * NDAYS}) "
+    'SELECT class, "user", count(DISTINCT ts) AS n_filled, '
+    f"       {DAY} AS bucketspan, {NDAYS} AS bucketcount, {LASTBUCKET} AS lastbucket "
+    'FROM daily GROUP BY class, "user"'
+))
+def bucketspec_accessors(spark, sf_dir):
+    """BucketSpec accessors (BUCKETSPAN.java, BUCKETCOUNT.java,
+    LASTBUCKET.java) + ONLYBUCKETS: bucketize daily, read the spec back
+    through the frame accessors, and count the non-empty buckets per
+    series (ONLYBUCKETS is the identity on an unscaffolded bucketized
+    frame, so its size IS the filled-bucket count)."""
+    gf = _bucketized(spark, sf_dir, "bucketizer.count")
+    ob = gf.onlybuckets()
+    return ob.df.groupBy("class", "labels_key").agg(F.count("*").alias("n_filled")).select(
+        "class",
+        _user_from_key(),
+        "n_filled",
+        F.lit(gf.bucketspan()).alias("bucketspan"),
+        F.lit(gf.bucketcount()).alias("bucketcount"),
+        F.lit(gf.lastbucket()).alias("lastbucket"),
+    )
+
+
+@register("nonempty_maxgts", (
+    f"WITH {PTS}, "
+    f"clipped AS (SELECT * FROM pts WHERE ts >= {LASTBUCKET - 5 * DAY} AND ts <= {LASTBUCKET}), "
+    'sz AS (SELECT class, "user", count(*) AS n FROM clipped GROUP BY class, "user"), '
+    'r AS (SELECT *, row_number() OVER (ORDER BY class, "user") AS rk, count(*) OVER () AS n_series FROM sz) '
+    'SELECT class, "user", n, n_series FROM r WHERE rk <= 5'
+))
+def nonempty_maxgts(spark, sf_dir):
+    """NONEMPTY + MAXGTS/LIMIT (NONEMPTY.java): clip to the last 5 days,
+    keep only series that still have points (empty series vanish from the
+    points model — NONEMPTY is counting them), cap the listing at the
+    first 5 series in metadata order, carrying the total series count."""
+    gf = GTSFrame.fetch(events_points(spark, sf_dir)).timeclip(LASTBUCKET - 5 * DAY, LASTBUCKET)
+    sz = gf.df.groupBy("class", "labels_key").agg(F.count("*").alias("n"))
+    w = Window.orderBy("class", "labels_key")
+    r = sz.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_series", F.count("*").over(Window.partitionBy())
+    )
+    return r.where(F.col("rk") <= 5).select("class", _user_from_key(), "n", "n_series")
