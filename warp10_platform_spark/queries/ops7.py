@@ -175,3 +175,104 @@ def nonempty_maxgts(spark, sf_dir):
         "n_series", F.count("*").over(Window.partitionBy())
     )
     return r.where(F.col("rk") <= 5).select("class", _user_from_key(), "n", "n_series")
+
+
+# ---------- oracled spectral + sketch queries ----------
+
+_TWO_PI = 6.283185307179586  # float64(2*pi), same literal in both engines
+
+_FFT_CD = (
+    'cd AS (SELECT class, ts, CAST(count(*) AS DOUBLE) AS v FROM daily GROUP BY class, ts)'
+)
+
+
+@register("fft_bins", (
+    "WITH {pts}, {daily}, {cd}, "
+    "arr AS (SELECT class, list(v ORDER BY ts) AS a FROM cd GROUP BY class), "
+    "bins AS (SELECT class, a, k FROM arr, (SELECT unnest([1, 2, 3, 4]) AS k) ks), "
+    "c AS (SELECT class, k, "
+    f"  list_reduce(list_transform(a, (x, i) -> x * cos({_TWO_PI} * k * (i - 1) / len(a))), (p, q) -> p + q) AS re, "
+    f"  list_reduce(list_transform(a, (x, i) -> x * sin({_TWO_PI} * k * (i - 1) / len(a))), (p, q) -> p + q) AS im "
+    "  FROM bins) "
+    "SELECT class, k, round(sqrt(re * re + im * im), 6) AS magnitude FROM c"
+).format(pts=PTS, daily=__import__("warp10_platform_spark.queries.gts", fromlist=["DAILY"]).DAILY, cd=_FFT_CD))
+def fft_bins(spark, sf_dir):
+    """FFT at fixed bins (continuum/gts/FFT.java): DFT magnitude of each
+    class's daily-count series at frequency bins k=1..4. The sums fold a
+    ts-ordered array left-to-right on BOTH engines (Spark `aggregate`
+    with 0.0 seed == DuckDB `list_reduce` first-element seed, exact),
+    so the doubles match bit-for-bit before round(6). Unlike the numpy
+    fft_top_bins (rows-only), this shape is fully JVM-side and oracled."""
+    counts = _bucketized(spark, sf_dir, "bucketizer.count")
+    base = counts.df.groupBy("class", "ts").agg(F.sum("v_agg").cast("double").alias("v"))
+    arr = base.groupBy("class").agg(
+        F.expr("transform(sort_array(collect_list(struct(ts, v))), s -> s.v)").alias("a")
+    )
+    bins = arr.select("class", "a", F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])).alias("k"))
+    k, n = F.col("k"), F.size("a")
+
+    def fold(trig):
+        terms = F.transform("a", lambda x, i: x * trig(F.lit(_TWO_PI) * k * i / n))
+        return F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+
+    re, im = fold(F.cos), fold(F.sin)
+    return bins.select("class", "k", F.round(F.sqrt(re * re + im * im), 6).alias("magnitude"))
+
+
+# HyperLogLog with a portable hash: both engines derive the SAME 60-bit
+# hash from md5, so registers, integer-exact 2^-M sums, and the estimate
+# agree bit-for-bit — an HLL whose oracle is the same HLL, not a
+# tolerance band.
+_HLL_SQL = (
+    f"WITH {PTS}, "
+    "h AS (SELECT class, ('0x' || substr(md5('hll:' || \"user\"), 1, 15))::BIGINT AS hv FROM pts), "
+    "r AS (SELECT class, hv >> 52 AS reg, hv & ((1::BIGINT << 52) - 1) AS w FROM h), "
+    "m AS (SELECT class, reg, max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mj "
+    "      FROM r GROUP BY class, reg), "
+    "s AS (SELECT class, sum(1::BIGINT << (53 - mj)) AS sum_int, count(*) AS nreg FROM m GROUP BY class), "
+    "e AS (SELECT class, "
+    "        (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0 "
+    "          / CAST(sum_int + (256 - nreg) * (1::BIGINT << 53) AS DOUBLE) AS e_raw, "
+    "        256 - nreg AS v0 FROM s), "
+    "x AS (SELECT class, CASE WHEN e_raw <= 640.0 AND v0 > 0 THEN 256.0 * ln(256.0 / v0) ELSE e_raw END AS est FROM e), "
+    "d AS (SELECT class, count(DISTINCT \"user\") AS n_exact FROM pts GROUP BY class) "
+    "SELECT x.class, CAST(floor(x.est) AS BIGINT) AS hll_est, d.n_exact "
+    "FROM x JOIN d ON x.class = d.class"
+)
+
+
+@register("hll_cardinality", _HLL_SQL)
+def hll_cardinality(spark, sf_dir):
+    """FINDSTATS HLL (the reference's HyperLogLogPlus,
+    script/HyperLogLogPlus.java): per-class distinct-user estimate with
+    p=8 (256 registers). The 2^-M register sum is kept as an exact
+    BIGINT in 2^-53 units, so the only float ops are one division and
+    (in the small-range branch) one ln — identical in both engines.
+    Pure streaming aggregate: no distinct, no shuffle of raw users —
+    THE sketch shape for 100 TB directory stats. Exact count joined in
+    for reference."""
+    pts = events_points(spark, sf_dir)
+    user = F.element_at("labels", "user")
+    h = F.expr(
+        "cast(conv(substr(md5(concat('hll:', element_at(labels, 'user'))), 1, 15), 16, 10) AS bigint)"
+    )
+    r = pts.select(
+        "class",
+        F.shiftright(h, 52).alias("reg"),
+        (h.bitwiseAND(F.expr("shiftleft(CAST(1 AS BIGINT), 52) - 1"))).alias("w"),
+        user.alias("user"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.expr("bin(w)")))
+    m = r.groupBy("class", "reg").agg(F.max(rho).alias("mj"))
+    s = m.groupBy("class").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - mj)")).alias("sum_int"),
+        F.count("*").alias("nreg"),
+    )
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+    total = (F.col("sum_int") + (F.lit(256) - F.col("nreg")) * F.expr("shiftleft(CAST(1 AS BIGINT), 53)")).cast("double")
+    e_raw = F.lit(alpha_m2) / total
+    v0 = F.lit(256) - F.col("nreg")
+    est = F.when((e_raw <= 640.0) & (v0 > 0), F.lit(256.0) * F.log(F.lit(256.0) / v0)).otherwise(e_raw)
+    x = s.select("class", F.floor(est).cast("long").alias("hll_est"))
+    d = r.groupBy("class").agg(F.count_distinct("user").alias("n_exact"))
+    return x.join(d, on="class")
