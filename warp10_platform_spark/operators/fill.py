@@ -54,10 +54,15 @@ def fill_previous(df: DataFrame, value_col: str = "v_agg") -> DataFrame:
 def fill_previous_packed(bucketized: DataFrame, spec: BucketSpec, value_col: str = "v_agg") -> DataFrame:
     """Scaffold + previous-fill in ONE pass over the bucketized frame
     (vs scaffold()'s dropDuplicates + join + window = 3 extra shuffles):
-    collect each series' (bucket, value) map, generate the grid with
-    sequence(), and fill by a running-state fold — all HOF exprs, one
-    groupBy shuffle total. Per-series state is bucketcount entries, the
-    same bound the scaffold grid has (maxbuckets guard)."""
+    collect each series' (bucket, value) map, then each PRESENT bucket
+    covers the grid ticks up to (exclusive) the next present bucket, so
+    the filled series is a flatten of per-key sequences — O(grid) work,
+    no running-state fold (an aggregate+array_append fold re-copies the
+    accumulator per step → O(grid²) per series). A leading null segment
+    covers grid ticks before the first present bucket, matching the
+    scaffold + last(ignoreNulls) window semantics. All HOF exprs, one
+    groupBy shuffle total; per-series state is bounded by the same
+    maxbuckets guard the scaffold grid has."""
     first_bucket = spec.lastbucket - (spec.bucketcount - 1) * spec.bucketspan
     per = bucketized.groupBy("gts_id", "class", "labels_key").agg(
         F.map_from_entries(
@@ -65,16 +70,20 @@ def fill_previous_packed(bucketized: DataFrame, spec: BucketSpec, value_col: str
         ).alias("m"),
         F.first("labels").alias("labels"),
     )
-    grid = f"sequence({first_bucket}L, {spec.lastbucket}L, {spec.bucketspan}L)"
-    filled = F.expr(
-        f"aggregate({grid}, "
-        f"named_struct('acc', array()::array<struct<t:bigint,v:double>>, 'lst', cast(null AS double)), "
-        f"(s, t) -> named_struct("
-        f"  'acc', array_append(s.acc, named_struct('t', t, 'v', coalesce(element_at(m, t), s.lst))), "
-        f"  'lst', coalesce(element_at(m, t), s.lst)), "
-        f"s -> s.acc)"
+    fb, lb, span = first_bucket, spec.lastbucket, spec.bucketspan
+    segs = (
+        "concat("
+        f"  CASE WHEN size(ks) = 0 THEN array(named_struct('s', {fb}L, 'e', {lb}L, 'v', cast(null AS double)))"
+        f"       WHEN ks[0] > {fb}L THEN array(named_struct('s', {fb}L, 'e', ks[0] - {span}L, 'v', cast(null AS double)))"
+        "       ELSE cast(array() AS array<struct<s:bigint,e:bigint,v:double>>) END,"
+        "  transform(ks, (k, j) -> named_struct("
+        f"    's', k, 'e', coalesce(try_element_at(ks, j + 2) - {span}L, {lb}L), 'v', try_element_at(m, k))))"
     )
-    ex = per.withColumn("_f", F.explode(filled))
+    filled = F.expr(
+        f"flatten(transform({segs}, g -> "
+        f"  transform(sequence(g.s, g.e, {span}L), t -> named_struct('t', t, 'v', g.v))))"
+    )
+    ex = per.withColumn("ks", F.sort_array(F.map_keys("m"))).withColumn("_f", F.explode(filled))
     return ex.select(
         "gts_id", "class", "labels_key", "labels",
         F.col("_f.t").alias("ts"),
