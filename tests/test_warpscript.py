@@ -133,3 +133,147 @@ def test_labels_map_in_fetch(spark, sf_dir):
     df = st.peek().df
     users = [r[0] for r in df.select("labels").limit(50).collect()]
     assert users and all(u["user"] == "1" for u in users)
+
+
+# ---------- extended stack / control flow / scalars ----------
+
+def test_dupn_dropn_roll_rolld():
+    st = run("1 2 3 2 DUPN")            # dup top 2 → 1 2 3 2 3
+    assert st.stack == [1, 2, 3, 2, 3]
+    st = run("1 2 3 4 2 DROPN")
+    assert st.stack == [1, 2]
+    st = run("1 2 3 3 ROLL")            # move 3rd-from-top (1) to top
+    assert st.stack == [2, 3, 1]
+    st = run("1 2 3 3 ROLLD")           # move top (3) to 3rd position
+    assert st.stack == [3, 1, 2]
+
+
+def test_mark_counting():
+    st = run("'a' MARK 1 2 3 COUNTTOMARK")
+    assert st.stack[-1] == 3
+    st = run("'a' MARK 1 2 3 CLEARTOMARK")
+    assert st.stack == ["a"]
+
+
+def test_while_until_forstep():
+    st = run("0 'i' STORE <% $i 5 < %> <% $i 1 + 'i' STORE %> WHILE $i")
+    assert st.stack == [5]
+    st = run("0 'n' STORE <% $n 1 + 'n' STORE %> <% $n 3 >= %> UNTIL $n")
+    assert st.stack == [3]
+    st = run("0 10 30 2 <% + %> FORSTEP")  # 0+10+12+...+30
+    assert st.stack == [10 + 12 + 14 + 16 + 18 + 20 + 22 + 24 + 26 + 28 + 30]
+
+
+def test_break_continue_return_stop():
+    st = run("0 [ 1 2 3 4 5 ] <% DUP 3 == <% DROP BREAK %> IFT + %> FOREACH")
+    assert st.stack == [1 + 2]
+    st = run("0 [ 1 2 3 4 ] <% DUP 2 == <% DROP CONTINUE %> IFT + %> FOREACH")
+    assert st.stack == [1 + 3 + 4]
+    st = run("<% 1 RETURN 99 %> EVAL 2")   # RETURN skips the 99
+    assert st.stack == [1, 2]
+    st = run("1 STOP 99")
+    assert st.stack == [1]
+
+
+def test_assert_msgfail_defined():
+    with pytest.raises(RuntimeError, match="ASSERT"):
+        run("1 2 > ASSERT")
+    with pytest.raises(RuntimeError, match="boom"):
+        run("'boom' MSGFAIL")
+    st = run("7 'x' STORE 'x' DEFINED 'y' DEFINED")
+    assert st.stack == [True, False]
+
+
+def test_math_scalars():
+    st = run("16.0 SQRT 8.0 CBRT 1.0 EXP LOG 2.5 ROUND -2.5 ROUND 2.5 FLOOR 2.5 CEIL -3 ABS")
+    assert st.stack == [4.0, 2.0, 1.0, 3, -2, 2, 3, 3]
+    st = run("-4 SIGNUM PI 0 * NaN ISNaN")
+    assert st.stack == [-1.0, 0.0, True]
+
+
+def test_string_functions():
+    st = run("' padded ' TRIM TOUPPER")
+    assert st.stack == ["PADDED"]
+    st = run("'a,b,c' ',' SPLIT '-' JOIN")
+    assert st.stack == ["a-b-c"]
+    st = run("'hello' 1 SUBSTRING 'hello' 1 3 SUBSTRING")
+    assert st.stack == ["ello", "ell"]
+    st = run("'aXbXc' 'X' '_' REPLACE 'aXbXc' 'X' '_' REPLACEALL")
+    assert st.stack == ["a_bXc", "a_b_c"]
+    st = run("'v42' 'v([0-9]+)' MATCH")
+    assert st.stack == [["v42", "42"]]
+    st = run("'nope' 'v([0-9]+)' MATCHER MATCH")
+    assert st.stack == [[]]
+
+
+def test_list_map_functions():
+    st = run("[ 1 2 ] [ 3 ] APPEND [ [ 9 ] [ 8 7 ] ] FLATTEN APPEND")
+    assert st.stack == [[1, 2, 3, 9, 8, 7]]
+    st = run("[ 1 2 3 4 5 ] [ 1 3 ] SUBLIST [ 5 4 1 ] LSORT REVERSE")
+    assert st.stack == [[2, 3, 4], [5, 4, 1]]
+    st = run("{ 'b' 2 'a' 1 } MSORT KEYLIST { 'b' 2 'a' 1 } VALUELIST LSORT")
+    assert st.stack == [["a", "b"], [1, 2]]
+    st = run("{ 'a' 1 } 2 'b' PUT 'b' CONTAINSKEY SWAP 2 CONTAINSVALUE")
+    assert st.stack == [True, {"a": 1, "b": 2}, True]
+    st = run("{ 'a' 1 'b' 2 } 'a' REMOVE")
+    assert st.stack == [{"b": 2}, 1]
+    st = run("[ 1 2 3 ] 2 CONTAINS")
+    assert st.stack == [[1, 2, 3], True]
+    st = run("'hello' 'ell' CONTAINS")
+    assert st.stack == [True]
+    st = run("[ [ 1 2 ] [ 3 4 ] ] ZIP")
+    assert st.stack == [[[1, 3], [2, 4]]]
+    st = run("[ 7 8 ] UNLIST CLEARTOMARK [ 7 8 ] UNLIST COUNTTOMARK")
+    assert st.stack[-1] == 2
+
+
+def test_lmap_lfilter_lflatmap():
+    st = run("[ 1 2 3 ] <% DROP 10 * %> LMAP")        # index dropped, ×10
+    assert st.stack == [[10, 20, 30]]
+    st = run("[ 1 2 3 ] <% 2 * %> false LMAP")        # no index pushed
+    assert st.stack == [[2, 4, 6]]
+    st = run("[ 1 2 3 4 ] <% DROP 2 % 0 == %> LFILTER")
+    assert st.stack == [[2, 4]]
+    st = run("[ 1 2 ] <% DUP 1 + 2 ->LIST %> false LFLATMAP")
+    assert st.stack == [[1, 2, 2, 3]]
+
+
+def test_time_scalars():
+    st = run("0 ISO8601")
+    assert st.stack == ["1970-01-01T00:00:00.000000Z"]
+    st = run("'PT1H30M' DURATION")
+    assert st.stack == [5_400_000_000]
+    st = run("1706659200000000 TSELEMENTS")
+    assert st.stack == [[2024, 1, 31, 0, 0, 0, 0]]
+    st = run("1706659200000000 'Europe/Paris' TSELEMENTS")
+    assert st.stack == [[2024, 1, 31, 1, 0, 0, 0]]
+
+
+def test_gts_bindings_lazy(spark, sf_dir):
+    from warp10_platform_spark.core.frame import GTSFrame
+
+    st = WarpScriptStack(spark, sf_dir)
+    st.exec(
+        """
+        [ 'events.purchase' { } 0 2000000000000000 ] FETCH
+        'gts' STORE
+        $gts 'renamed.series' RENAME
+        $gts { 'dc' 'eu' } RELABEL
+        $gts UNIQUE
+        $gts 3600000000 TIMESHIFT
+        """
+    )
+    assert all(isinstance(v, GTSFrame) for v in st.stack)
+
+
+def test_gts_scalar_accessors(spark, sf_dir):
+    st = WarpScriptStack(spark, sf_dir)
+    st.exec(
+        """
+        [ 'events.purchase' { 'user' '1' } 0 2000000000000000 ] FETCH
+        'g' STORE
+        $g LASTTICK $g FIRSTTICK
+        """
+    )
+    last, first = st.stack[-2], st.stack[-1]
+    assert isinstance(last, int) and isinstance(first, int) and first <= last

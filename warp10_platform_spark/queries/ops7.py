@@ -276,3 +276,21 @@ def hll_cardinality(spark, sf_dir):
     x = s.select("class", F.floor(est).cast("long").alias("hll_est"))
     d = r.groupBy("class").agg(F.count_distinct("user").alias("n_exact"))
     return x.join(d, on="class")
+
+
+@register("wrap_unwrap_roundtrip", (
+    f"WITH {PTS} "
+    'SELECT class, "user", ts, round(v, 6) AS v '
+    "FROM pts WHERE class = 'events.purchase'"
+))
+def wrap_unwrap_roundtrip(spark, sf_dir):
+    """WRAP → UNWRAP functional roundtrip (WRAP.java, UNWRAP.java via
+    core/wrap.py): pack every purchase series into a base64 blob, parse
+    it back, and the exploded points must equal the original fetch —
+    proving the blob is self-contained (metadata + ordered ticks)."""
+    from warp10_platform_spark.core.wrap import unwrap, wrap
+
+    gf = GTSFrame.fetch(events_points(spark, sf_dir), "events.purchase{}")
+    blobs = wrap(gf.df)
+    pts = unwrap(blobs)
+    return pts.select("class", _user(), "ts", F.round("v_double", 6).alias("v"))

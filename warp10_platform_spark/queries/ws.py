@@ -124,3 +124,52 @@ def ws_apply_gt(spark, sf_dir):
     """
     out = exec_script(spark, sf_dir, script)
     return out.select("label_user", "ts", "v_op")
+
+
+HOUR_US = 3_600_000_000
+
+
+@register("ws_lmap_timeshift_merge", (
+    f"WITH {PTS} "
+    'SELECT class, "user", pts.ts + o.off AS ts, round(v, 6) AS v '
+    "FROM pts CROSS JOIN (SELECT unnest([0, 3600000000, 7200000000]) AS off) o "
+    "WHERE class = 'events.purchase'"
+))
+def ws_lmap_timeshift_merge(spark, sf_dir):
+    """LMAP over an offsets list building TIMESHIFTed copies, merged into
+    one GTS set (LMAP.java index-disabled form + TIMESHIFT.java + MERGE) —
+    the functional-list surface driving lazy frame ops: three shifted
+    plans union into ONE Catalyst plan, no job until collect."""
+    script = f"""
+    [ 'events.purchase' {{}} 0 2000000000000000 ] FETCH 'g' STORE
+    [ 0 1 2 ] <% {HOUR_US} * 'off' STORE $g $off TIMESHIFT %> false LMAP
+    MERGE
+    """
+    gf = exec_script(spark, sf_dir, script)
+    return _out(gf.df, "v_double", "v", ndigits=6)
+
+
+@register("ws_relabel_reduce_grp", (
+    f"WITH {PTS}, {DAILY}, "
+    'b AS (SELECT class, "user", ts, count(v) AS v_agg FROM daily GROUP BY class, "user", ts) '
+    "SELECT 'ALL' AS label_grp, ts, CAST(sum(v_agg) AS BIGINT) AS v_reduced "
+    "FROM b WHERE class = 'events.purchase' GROUP BY ts"
+))
+def ws_relabel_reduce_grp(spark, sf_dir):
+    """RELABEL to a computed label (string ops JOIN/TOUPPER + WHILE
+    arithmetic build the label value in-script), then REDUCE sum over the
+    new label — the RELABEL.java gts_id-recompute path feeding
+    REDUCE.java label equivalence classes."""
+    script = f"""
+    // build the label value 'ALL' with list/string functions
+    [ 'a' 'll' ] '' JOIN TOUPPER 'grpval' STORE
+    // count the grid days with a WHILE loop (exercises the loop surface)
+    0 'n' STORE
+    <% $n {NDAYS} < %> <% $n 1 + 'n' STORE %> WHILE
+    [ 'events.purchase' {{}} {_START} {LASTBUCKET} ] FETCH
+    [ SWAP bucketizer.count {LASTBUCKET} {DAY} $n ] BUCKETIZE
+    {{ 'grp' $grpval }} RELABEL
+    [ SWAP 1 ->LIST [ 'grp' ] reducer.sum ] REDUCE
+    """
+    out = exec_script(spark, sf_dir, script)
+    return out.select("label_grp", "ts", F.col("v_reduced").cast("long").alias("v_reduced"))

@@ -190,6 +190,8 @@ def _ifte(st):
 
 @register("FOREACH")
 def _foreach(st):
+    from warp10_platform_spark.warpscript.stack import BreakLoop, ContinueLoop
+
     macro = st.pop()
     seq = st.pop()
     items = seq.items() if isinstance(seq, dict) else seq
@@ -199,17 +201,29 @@ def _foreach(st):
             st.push(item[1])
         else:
             st.push(item)
-        st.exec_macro(macro)
+        try:
+            st.exec_macro(macro)
+        except BreakLoop:
+            return
+        except ContinueLoop:
+            continue
 
 
 @register("FOR")
 def _for(st):
+    from warp10_platform_spark.warpscript.stack import BreakLoop, ContinueLoop
+
     macro = st.pop()
     stop = st.pop()
     start = st.pop()
     for i in range(start, stop + 1):
         st.push(i)
-        st.exec_macro(macro)
+        try:
+            st.exec_macro(macro)
+        except BreakLoop:
+            return
+        except ContinueLoop:
+            continue
 
 
 # ---------- arithmetic / comparison / logic ----------
@@ -481,3 +495,608 @@ def _sort(st):
 
 
 REGISTRY["{}"] = lambda st: st.push({})  # common shorthand for an empty label map
+
+
+# ---------- extended stack manipulation (WarpScriptLib registrations) ----------
+
+@register("DUPN")
+def _dupn(st):
+    n = st.pop()
+    if n < 0 or n > st.depth():
+        raise RuntimeError("DUPN count out of range")
+    for v in st.stack[-n:] if n else []:
+        st.push(v)
+
+
+@register("DROPN")
+def _dropn(st):
+    n = st.pop()
+    for _ in range(n):
+        st.pop()
+
+
+@register("ROLL")
+def _roll(st):
+    """Move the n-th element (1-based from the top) to the top (ROLL.java)."""
+    n = st.pop()
+    if n < 1 or n > st.depth():
+        raise RuntimeError("ROLL index out of range")
+    st.push(st.stack.pop(-n))
+
+
+@register("ROLLD")
+def _rolld(st):
+    """Move the top element down to the n-th position (ROLLD.java)."""
+    n = st.pop()
+    if n < 1 or n > st.depth():
+        raise RuntimeError("ROLLD index out of range")
+    v = st.pop()
+    st.stack.insert(len(st.stack) - n + 1, v)
+
+
+@register("COUNTTOMARK")
+def _counttomark(st):
+    for i, v in enumerate(reversed(st.stack)):
+        if isinstance(v, _Mark):
+            st.push(i)
+            return
+    raise RuntimeError("no MARK on stack")
+
+
+@register("CLEARTOMARK")
+def _cleartomark(st):
+    while True:
+        if isinstance(st.pop(), _Mark):
+            return
+
+
+# ---------- extended control flow ----------
+
+@register("WHILE")
+def _while(st):
+    """`<% cond %> <% body %> WHILE` (WHILE.java: pops RUN-macro then
+    WHILE-macro; loops while the condition macro leaves true)."""
+    from warp10_platform_spark.warpscript.stack import BreakLoop, ContinueLoop
+
+    body = st.pop()
+    cond = st.pop()
+    while True:
+        st.exec_macro(cond)
+        if not st.pop():
+            return
+        try:
+            st.exec_macro(body)
+        except BreakLoop:
+            return
+        except ContinueLoop:
+            continue
+
+
+@register("UNTIL")
+def _until(st):
+    """`<% body %> <% cond %> UNTIL` (UNTIL.java): run body, then stop
+    once the condition macro leaves true."""
+    from warp10_platform_spark.warpscript.stack import BreakLoop, ContinueLoop
+
+    cond = st.pop()
+    body = st.pop()
+    while True:
+        try:
+            st.exec_macro(body)
+        except BreakLoop:
+            return
+        except ContinueLoop:
+            pass
+        st.exec_macro(cond)
+        if st.pop():
+            return
+
+
+@register("FORSTEP")
+def _forstep(st):
+    """`start stop step <% body %> FORSTEP` (FORSTEP.java)."""
+    from warp10_platform_spark.warpscript.stack import BreakLoop, ContinueLoop
+
+    macro = st.pop()
+    step = st.pop()
+    stop = st.pop()
+    start = st.pop()
+    if step == 0:
+        raise RuntimeError("FORSTEP step must be non-zero")
+    i = start
+    while (i <= stop) if step > 0 else (i >= stop):
+        st.push(i)
+        try:
+            st.exec_macro(macro)
+        except BreakLoop:
+            return
+        except ContinueLoop:
+            pass
+        i += step
+
+
+@register("BREAK")
+def _break(st):
+    from warp10_platform_spark.warpscript.stack import BreakLoop
+
+    raise BreakLoop()
+
+
+@register("CONTINUE")
+def _continue(st):
+    from warp10_platform_spark.warpscript.stack import ContinueLoop
+
+    raise ContinueLoop()
+
+
+@register("RETURN")
+def _return(st):
+    from warp10_platform_spark.warpscript.stack import MacroReturn
+
+    raise MacroReturn()
+
+
+@register("STOP")
+def _stop(st):
+    from warp10_platform_spark.warpscript.stack import ScriptStop
+
+    raise ScriptStop()
+
+
+@register("ASSERT")
+def _assert(st):
+    if not st.pop():
+        raise RuntimeError("ASSERT failed")
+
+
+@register("MSGFAIL")
+def _msgfail(st):
+    raise RuntimeError(str(st.pop()))
+
+
+@register("DEFINED")
+def _defined(st):
+    st.push(st.pop() in st.symbols)
+
+
+@register("ISNULL")
+def _isnull(st):
+    st.push(st.pop() is None)
+
+
+@register("ISNaN")
+def _isnan(st):
+    v = st.pop()
+    st.push(isinstance(v, float) and v != v)
+
+
+# ---------- math (Math.* delegates in the reference) ----------
+
+import math as _math  # noqa: E402
+
+REGISTRY["SQRT"] = lambda st: st.push(_math.sqrt(st.pop()))
+REGISTRY["CBRT"] = lambda st: st.push(_math.cbrt(st.pop()))
+REGISTRY["EXP"] = lambda st: st.push(_math.exp(st.pop()))
+REGISTRY["LOG"] = lambda st: st.push(_math.log(st.pop()))       # natural (Math.log)
+REGISTRY["LOG10"] = lambda st: st.push(_math.log10(st.pop()))
+REGISTRY["LOG1P"] = lambda st: st.push(_math.log1p(st.pop()))
+REGISTRY["CEIL"] = lambda st: st.push(_math.ceil(st.pop()))     # Math.ceil → LONG
+REGISTRY["FLOOR"] = lambda st: st.push(_math.floor(st.pop()))
+REGISTRY["ROUND"] = lambda st: st.push(_math.floor(st.pop() + 0.5))  # Math.round half-up
+REGISTRY["RINT"] = lambda st: st.push(float(round(st.pop())))   # Math.rint half-even
+
+
+def _signum(st):
+    v = st.pop()
+    st.push(float((v > 0) - (v < 0)))
+
+
+REGISTRY["SIGNUM"] = _signum
+REGISTRY["PI"] = lambda st: st.push(_math.pi)
+REGISTRY["NaN"] = lambda st: st.push(float("nan"))
+REGISTRY["MINLONG"] = lambda st: st.push(-(2 ** 63))
+REGISTRY["MAXLONG"] = lambda st: st.push(2 ** 63 - 1)
+
+
+# ---------- strings ----------
+
+REGISTRY["TOUPPER"] = lambda st: st.push(st.pop().upper())
+REGISTRY["TOLOWER"] = lambda st: st.push(st.pop().lower())
+REGISTRY["TRIM"] = lambda st: st.push(st.pop().strip())
+
+
+@register("SPLIT")
+def _split(st):
+    sep = st.pop()
+    st.push(st.pop().split(sep))
+
+
+@register("JOIN")
+def _join(st):
+    sep = st.pop()
+    st.push(sep.join(str(x) for x in st.pop()))
+
+
+@register("SUBSTRING")
+def _substring(st):
+    """`str start SUBSTRING` or `str start len SUBSTRING` (SUBSTRING.java):
+    the two-number form takes (start, length)."""
+    b = st.pop()
+    a = st.pop()
+    if isinstance(a, str):
+        st.push(a[b:])
+    else:
+        s = st.pop()
+        st.push(s[a : a + b])
+
+
+@register("REPLACE")
+def _replace(st):
+    import re
+
+    repl = st.pop()
+    pat = st.pop()
+    st.push(re.sub(pat, repl, st.pop(), count=1))
+
+
+@register("REPLACEALL")
+def _replaceall(st):
+    import re
+
+    repl = st.pop()
+    pat = st.pop()
+    st.push(re.sub(pat, repl, st.pop()))
+
+
+@register("MATCHER")
+def _matcher(st):
+    import re
+
+    st.push(re.compile(st.pop()))
+
+
+@register("MATCH")
+def _match(st):
+    """str pattern MATCH → list of match groups (group 0 first) on a full
+    match, else an empty list (MATCH.java: Matcher.matches())."""
+    import re
+
+    pat = st.pop()
+    if isinstance(pat, str):
+        pat = re.compile(pat)
+    m = pat.fullmatch(st.pop())
+    st.push([m.group(0), *[g for g in m.groups()]] if m else [])
+
+
+# ---------- lists / maps ----------
+
+@register("APPEND")
+def _append(st):
+    b = st.pop()
+    a = st.pop()
+    if isinstance(a, dict) and isinstance(b, dict):
+        st.push({**a, **b})
+    else:
+        st.push(list(a) + list(b))
+
+
+@register("FLATTEN")
+def _flatten(st):
+    def flat(xs):
+        out = []
+        for x in xs:
+            out.extend(flat(x) if isinstance(x, list) else [x])
+        return out
+
+    st.push(flat(st.pop()))
+
+
+@register("REVERSE")
+def _reverse(st):
+    v = st.pop()
+    st.push(v[::-1])
+
+
+@register("SUBLIST")
+def _sublist(st):
+    """`list [ i j ] SUBLIST` (indices list) or `list start end (step)?
+    SUBLIST` — inclusive range with negative-index wrap (SUBLIST.java)."""
+    top = st.pop()
+    if isinstance(top, list):
+        lst = st.pop()
+        n = len(lst)
+        if len(top) == 2:
+            a, b = (x + n if x < 0 else x for x in top)
+            st.push(lst[a : b + 1] if a <= b else lst[b : a + 1][::-1])
+        else:
+            st.push([lst[i] for i in top])
+        return
+    # numeric form: collected (start end step?) below the top
+    nums = [top]
+    while isinstance(st.peek(), (int, float)) and len(nums) < 3:
+        nums.insert(0, st.pop())
+    lst = st.pop()
+    n = len(lst)
+    start = nums[0] + n if nums[0] < 0 else nums[0]
+    end = (nums[1] + n if nums[1] < 0 else nums[1]) if len(nums) > 1 else n - 1
+    step = nums[2] if len(nums) > 2 else (1 if start <= end else -1)
+    stop = end + (1 if step > 0 else -1)
+    st.push(lst[start : (stop if stop >= 0 else None) : step])
+
+
+@register("LSORT")
+def _lsort(st):
+    st.push(sorted(st.pop()))
+
+
+@register("MSORT")
+def _msort(st):
+    st.push(dict(sorted(st.pop().items())))
+
+
+@register("KEYLIST")
+def _keylist(st):
+    st.push(list(st.pop().keys()))
+
+
+@register("VALUELIST")
+def _valuelist(st):
+    st.push(list(st.pop().values()))
+
+
+@register("PUT")
+def _put(st):
+    """`map value key PUT` (PUT.java: pops key then value, peeks the map)."""
+    key = st.pop()
+    value = st.pop()
+    coll = st.peek()
+    if isinstance(coll, dict):
+        coll[key] = value
+    else:
+        coll[int(key)] = value
+
+
+@register("REMOVE")
+def _remove(st):
+    """map key / list idx REMOVE → modified collection + removed element
+    (REMOVE.java pushes both)."""
+    key = st.pop()
+    coll = st.pop()
+    if isinstance(coll, dict):
+        out = dict(coll)
+        st.push(out)
+        st.push(out.pop(key, None))
+    else:
+        out = list(coll)
+        removed = out.pop(key + len(out) if key < 0 else key) if -len(out) <= key < len(out) else None
+        st.push(out)
+        st.push(removed)
+
+
+@register("CONTAINS")
+def _contains(st):
+    """list elem CONTAINS → list bool; str substr CONTAINS → bool
+    (CONTAINS.java peeks collections, pops strings)."""
+    elt = st.pop()
+    coll = st.peek()
+    if isinstance(coll, str):
+        st.pop()
+        st.push(elt in coll)
+    else:
+        st.push(elt in coll)
+
+
+@register("CONTAINSKEY")
+def _containskey(st):
+    key = st.pop()
+    st.push(key in st.peek())
+
+
+@register("CONTAINSVALUE")
+def _containsvalue(st):
+    val = st.pop()
+    st.push(val in st.peek().values())
+
+
+@register("ZIP")
+def _zip(st):
+    st.push([list(t) for t in zip(*st.pop())])
+
+
+@register("UNLIST")
+def _unlist(st):
+    """Push a MARK then every element (UNLIST.java) — pairs with ] or
+    COUNTTOMARK/CLEARTOMARK."""
+    lst = st.pop()
+    st.push(_Mark())
+    for v in lst:
+        st.push(v)
+
+
+@register("UNMAP")
+def _unmap(st):
+    d = st.pop()
+    st.push(_MapMark())
+    for k, v in d.items():
+        st.push(k)
+        st.push(v)
+
+
+def _push_index_variant(st):
+    """LMAP/LFILTER share the optional trailing-boolean 'push index' arg
+    (default true in the reference)."""
+    top = st.pop()
+    push_index = True
+    if isinstance(top, bool):
+        push_index = top
+        top = st.pop()
+    return top, push_index
+
+
+@register("LMAP")
+def _lmap(st):
+    """list macro (bool)? LMAP (LMAP.java: macro sees element then index,
+    unless the boolean disables the index push)."""
+    macro, push_index = _push_index_variant(st)
+    lst = st.pop()
+    out = []
+    for i, v in enumerate(lst):
+        st.push(v)
+        if push_index:
+            st.push(i)
+        st.exec_macro(macro)
+        out.append(st.pop())
+    st.push(out)
+
+
+@register("LFILTER")
+def _lfilter(st):
+    macro, push_index = _push_index_variant(st)
+    lst = st.pop()
+    out = []
+    for i, v in enumerate(lst):
+        st.push(v)
+        if push_index:
+            st.push(i)
+        st.exec_macro(macro)
+        if st.pop():
+            out.append(v)
+    st.push(out)
+
+
+@register("LFLATMAP")
+def _lflatmap(st):
+    macro, push_index = _push_index_variant(st)
+    lst = st.pop()
+    out = []
+    for i, v in enumerate(lst):
+        st.push(v)
+        if push_index:
+            st.push(i)
+        st.exec_macro(macro)
+        r = st.pop()
+        out.extend(r if isinstance(r, list) else [r])
+    st.push(out)
+
+
+# ---------- time scalars (functions/timeutil.py backs these) ----------
+
+@register("ISO8601")
+def _iso8601(st):
+    """µs timestamp → ISO-8601 UTC string (ISO8601.java)."""
+    from datetime import datetime, timezone
+
+    us = st.pop()
+    dt = datetime.fromtimestamp(us / 1_000_000, tz=timezone.utc)
+    st.push(dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{us % 1_000_000:06d}Z")
+
+
+@register("DURATION")
+def _duration(st):
+    """ISO-8601 duration string → µs (DURATION.java via timeutil)."""
+    from warp10_platform_spark.functions.timeutil import parse_duration
+
+    st.push(parse_duration(st.pop()))
+
+
+@register("HUMANDURATION")
+def _humanduration(st):
+    from warp10_platform_spark.functions.timeutil import humanduration
+
+    st.push(humanduration(st.pop()))
+
+
+@register("TSELEMENTS", "->TSELEMENTS")
+def _tselements(st):
+    """ts (tz)? → [year month day hour minute second us] (TSELEMENTS.java).
+    Driver-side scalar twin of functions.timeutil.tselements."""
+    from datetime import datetime, timezone
+    from zoneinfo import ZoneInfo
+
+    top = st.pop()
+    if isinstance(top, str):
+        tz, us = ZoneInfo(top), st.pop()
+    else:
+        tz, us = timezone.utc, top
+    dt = datetime.fromtimestamp(us // 1_000_000, tz=tz)
+    st.push([dt.year, dt.month, dt.day, dt.hour, dt.minute, dt.second, us % 1_000_000])
+
+
+# ---------- additional GTS bindings (engine operators already built) ----------
+
+_frame_method("RENAME", "rename", n_params=1)
+_frame_method("ATINDEX", "atindex", n_params=1)
+_frame_method("ATTICK", "attick", n_params=1)
+_frame_method("CROP", "crop")
+_frame_method("UNBUCKETIZE", "unbucketize")
+_frame_method("ONLYBUCKETS", "onlybuckets")
+_frame_method("FILLTICKS", "fillticks", n_params=1)
+_frame_method("RANGECOMPACT", "rangecompact")
+_frame_method("UNIQUE", "unique")
+
+
+@register("RELABEL")
+def _relabel(st):
+    """gts { changes } RELABEL (RELABEL.java: empty-string value removes a
+    label; the engine method recomputes gts_id)."""
+    changes = st.pop()
+    st.push(_as_frame(st.pop()).relabel(changes))
+
+
+@register("NAME")
+def _name(st):
+    st.push(_as_frame(st.pop()).names())
+
+
+@register("LABELS")
+def _labels(st):
+    st.push(_as_frame(st.pop()).labels())
+
+
+@register("TICKS")
+def _ticks(st):
+    st.push(_as_frame(st.pop()).ticks())
+
+
+@register("VALUESORT")
+def _valuesort(st):
+    from warp10_platform_spark.operators.sort import valuesort as _vs
+
+    gf = _as_frame(st.pop())
+    st.push(gf._wrap(_vs(gf.df, gf.value_col)))
+
+
+@register("LASTSORT")
+def _lastsort(st):
+    st.push(_as_frame(st.pop()).lastsort())
+
+
+@register("BUCKETSPAN")
+def _bucketspan(st):
+    st.push(_as_frame(st.pop()).bucketspan())
+
+
+@register("BUCKETCOUNT")
+def _bucketcount(st):
+    st.push(_as_frame(st.pop()).bucketcount())
+
+
+@register("LASTBUCKET")
+def _lastbucket(st):
+    st.push(_as_frame(st.pop()).lastbucket())
+
+
+@register("LASTTICK")
+def _lasttick(st):
+    """Scalar max tick over the frame (LASTTICK.java) — a driver-side
+    action by definition (it returns a number to the script)."""
+    gf = _as_frame(st.pop())
+    row = gf.df.agg(F.max("ts").alias("t")).first()
+    st.push(row["t"])
+
+
+@register("FIRSTTICK")
+def _firsttick(st):
+    gf = _as_frame(st.pop())
+    row = gf.df.agg(F.min("ts").alias("t")).first()
+    st.push(row["t"])

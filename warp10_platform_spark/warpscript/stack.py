@@ -31,6 +31,22 @@ class Macro:
         return f"<Macro {len(self.tokens)} stmts>"
 
 
+class BreakLoop(Exception):
+    """BREAK (BREAK.java): exit the nearest enclosing loop."""
+
+
+class ContinueLoop(Exception):
+    """CONTINUE (CONTINUE.java): next iteration of the nearest loop."""
+
+
+class MacroReturn(Exception):
+    """RETURN (RETURN.java): exit the currently-executing macro."""
+
+
+class ScriptStop(Exception):
+    """STOP (STOP.java): end script execution without error."""
+
+
 class Mark:
     """List-open marker (reference MARK sentinel for `[`)."""
 
@@ -73,10 +89,16 @@ class WarpScriptStack:
 
     # -- execution --------------------------------------------------------
     def exec(self, script: str) -> None:
-        self._run(tokenize(script))
+        try:
+            self._run(tokenize(script))
+        except ScriptStop:
+            pass
 
     def exec_macro(self, macro: Macro) -> None:
-        self._run(macro.tokens)
+        try:
+            self._run(macro.tokens)
+        except MacroReturn:
+            pass
 
     def _run(self, tokens: list[Token]) -> None:
         i = 0
