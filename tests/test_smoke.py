@@ -44,3 +44,16 @@ def test_selector_predicate(spark, sf_dir):
     assert none == 0
     some = pts.where(selector_predicate("~events\\..*{user~1.*}")).count()
     assert 0 < some < total
+
+
+def test_connected_components_chain_and_clique(spark):
+    from warp10_platform_spark.pipeline.cluster import connected_components
+
+    # chain 1-2-3-4-5 (diameter 4, needs multiple propagation rounds) and
+    # a separate triangle 10-11-12
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        ["id_a", "id_b"],
+    )
+    got = {r["id"]: r["rep"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}

@@ -128,6 +128,41 @@ class GTSFrame:
             self.df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") > n).drop("_rn")
         )
 
+    def thin(self, step: int = 1, timestep: int = 1) -> "GTSFrame":
+        """FETCH step/timestep params (FETCH.java:129-130, scan semantics
+        MultiScanGTSDecoderIterator.java:380-420): iterate each series in
+        DESCENDING time; a point survives `timestep` if its tick is at
+        least `timestep` older than the last surviving tick (greedy from
+        the newest point), and `step` then keeps every step-th survivor.
+        The greedy carry makes this sequential per series → Arrow-batched
+        applyInPandas (same class as LTTB), not a window."""
+        if step <= 1 and timestep <= 1:
+            return self
+        import pandas as pd
+
+        schema = self.df.schema
+        stp, tstep = int(step), int(timestep)
+
+        def _thin(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values("ts", ascending=False)
+            nxt = None  # None = +inf (first point always passes timestep)
+            steps = 0
+            keep = []
+            for t in pdf["ts"]:
+                if nxt is not None and t > nxt:
+                    keep.append(False)
+                    continue
+                nxt = t - tstep
+                if steps > 0:
+                    steps -= 1
+                    keep.append(False)
+                else:
+                    steps = stp - 1
+                    keep.append(True)
+            return pdf[pd.Series(keep, index=pdf.index)]
+
+        return self._wrap(self.df.groupBy("gts_id").applyInPandas(_thin, schema))
+
     def sample(self, rate: float) -> "GTSFrame":
         """FETCH sample parameter: deterministic hash-based point sampling
         (md5 of class|labels_key|ts — reproducible across runs AND

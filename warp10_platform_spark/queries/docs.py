@@ -192,3 +192,26 @@ def doc_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = _dedup.simhash_pairs(docs, radius=3, portable=True)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@register("doc_dup_clusters", (
+    "WITH RECURSIVE pairs AS (" + NGRAM_JACCARD_ORACLE + "), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+    "          UNION SELECT id_b, id_a FROM pairs), "
+    "reach(id, r) AS ("
+    "  SELECT a, a FROM edges GROUP BY a "
+    "  UNION "
+    "  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b) "
+    "SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id"
+))
+def doc_dup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components → canonical keeper per
+    cluster (pipeline/cluster.py min-label propagation). Edges are the
+    exact-Jaccard pairs so the component set is deterministic; the oracle
+    computes the same closure with a recursive CTE. At 100 TB the same
+    operator runs over the LSH pair stream instead."""
+    from warp10_platform_spark.pipeline.cluster import dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    return dup_clusters(pairs)

@@ -294,3 +294,31 @@ def wrap_unwrap_roundtrip(spark, sf_dir):
     blobs = wrap(gf.df)
     pts = unwrap(blobs)
     return pts.select("class", _user(), "ts", F.round("v_double", 6).alias("v"))
+
+
+_THIN_STEP = 2
+_THIN_TSTEP = 10 * DAY
+
+
+@register("fetch_step_timestep", (
+    f"WITH RECURSIVE {PTS}, "
+    'rows_ AS (SELECT class, "user", ts, v, '
+    '  row_number() OVER (PARTITION BY class, "user" ORDER BY ts DESC) AS rn FROM pts), '
+    "walk AS ("
+    f'  SELECT class, "user", rn, ts, v, ts - {_THIN_TSTEP} AS nxt, {_THIN_STEP} - 1 AS steps, true AS keep '
+    "  FROM rows_ WHERE rn = 1 "
+    "  UNION ALL "
+    '  SELECT r.class, r."user", r.rn, r.ts, r.v, '
+    f"    CASE WHEN r.ts <= w.nxt THEN r.ts - {_THIN_TSTEP} ELSE w.nxt END, "
+    f"    CASE WHEN r.ts <= w.nxt THEN (CASE WHEN w.steps > 0 THEN w.steps - 1 ELSE {_THIN_STEP} - 1 END) ELSE w.steps END, "
+    "    (r.ts <= w.nxt AND w.steps = 0) "
+    '  FROM rows_ r JOIN walk w ON r.class = w.class AND r."user" = w."user" AND r.rn = w.rn + 1) '
+    'SELECT class, "user", ts, round(v, 6) AS v FROM walk WHERE keep'
+))
+def fetch_step_timestep(spark, sf_dir):
+    """FETCH step+timestep thinning (FETCH.java:129-130; scan loop
+    MultiScanGTSDecoderIterator.java:380-420): greedy newest-first
+    timestep spacing, then every step-th survivor. The oracle replays the
+    identical state machine with a recursive CTE."""
+    gf = GTSFrame.fetch(events_points(spark, sf_dir)).thin(step=_THIN_STEP, timestep=_THIN_TSTEP)
+    return gf.df.select("class", _user(), "ts", F.round("v_double", 6).alias("v"))
