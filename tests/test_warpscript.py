@@ -277,3 +277,23 @@ def test_gts_scalar_accessors(spark, sf_dir):
     )
     last, first = st.stack[-2], st.stack[-1]
     assert isinstance(last, int) and isinstance(first, int) and first <= last
+
+
+def test_switch():
+    script = (
+        "7 'x' STORE "
+        "<% $x 5 < %> <% 'small' %> "
+        "<% $x 10 < %> <% 'medium' %> "
+        "<% 'large' %> 2 SWITCH"
+    )
+    assert run(script).stack == ["medium"]
+    assert run("99 'x' STORE <% $x 5 < %> <% 'small' %> <% 'big' %> 1 SWITCH").stack == ["big"]
+
+
+def test_try_catch_finally_rethrow():
+    st = run("<% 'boom' MSGFAIL %> <% 'caught' %> <% 'cleanup' %> TRY")
+    assert st.stack == ["caught", "cleanup"]
+    st = run("<% 1 %> <% 'caught' %> <% %> TRY")
+    assert st.stack == [1]
+    with pytest.raises(RuntimeError, match="boom"):
+        run("<% 'boom' MSGFAIL %> <% RETHROW %> <% %> TRY")

@@ -69,6 +69,12 @@ def bucketizer_expr(name: str, v: Column, ts: Column, *, p: float | None = None,
         return F.try_divide(F.max_by(v, ts) - F.min_by(v, ts), (F.max(ts) - F.min(ts)) / F.lit(1_000_000.0))
     if n == "rms":
         return F.sqrt(F.avg(v * v))
+    if n == "product":
+        # MapperProduct.java:30 — exact ordered fold (value-sorted so the
+        # double product is deterministic and engine-independent).
+        return F.aggregate(
+            F.array_sort(F.collect_list(v)), F.lit(1.0), lambda acc, x: acc * x
+        )
     if n == "join":
         return F.concat_ws(sep, F.sort_array(F.collect_list(v.cast("string"))))
     if n == "and":

@@ -157,6 +157,12 @@ _UNARY = {
     "mapper.toboolean": lambda c: c.cast("boolean"),
     "mapper.tostring": lambda c: c.cast("string"),
     "mapper.finite": lambda c: F.when(~F.isnan(c) & c.isNotNull() & (F.abs(c) != float("inf")), c),
+    "mapper.parsedouble": lambda c: c.cast("double"),  # MapperParseDouble.java:30
+    "mapper.tick": lambda c: c,            # MapperTick.java:29 (value := tick; ts col routed)
+    "mapper.datetime": lambda c: F.concat(  # MapperDateTime.java: tick → ISO-8601 UTC string
+        F.date_format(F.timestamp_micros(c), "yyyy-MM-dd'T'HH:mm:ss"),
+        F.format_string(".%06dZ", F.pmod(c, F.lit(1_000_000))),
+    ),
     "mapper.year": lambda c: F.year(F.timestamp_micros(c)),
     "mapper.month": lambda c: F.month(F.timestamp_micros(c)),
     "mapper.day": lambda c: F.dayofmonth(F.timestamp_micros(c)),
@@ -228,11 +234,32 @@ def map_scalar(df: DataFrame, mapper: str, param=None, value_col: str = "v_doubl
     c = F.col("ts") if mapper in (
         "mapper.year", "mapper.month", "mapper.day", "mapper.weekday",
         "mapper.hour", "mapper.minute", "mapper.second",
+        "mapper.tick", "mapper.datetime",
     ) else F.col(value_col)
     if mapper in _UNARY:
         return df.withColumn(out_col, _UNARY[mapper](c))
     if mapper in _BINARY:
         return df.withColumn(out_col, _BINARY[mapper](c, param))
+    # geo projections (MapperGeoLatitude.java:30 et al.): value := the
+    # point's geo component; clearposition nulls the geo columns.
+    if mapper == "mapper.geo.latitude":
+        return df.withColumn(out_col, F.col("lat"))
+    if mapper == "mapper.geo.longitude":
+        return df.withColumn(out_col, F.col("lon"))
+    if mapper == "mapper.geo.elevation":
+        return df.withColumn(out_col, F.col("elev"))
+    if mapper == "mapper.geo.clearposition":
+        cleared = df
+        for g in ("lat", "lon", "elev"):
+            if g in df.columns:
+                cleared = cleared.withColumn(g, F.lit(None).cast(dict(df.dtypes)[g]))
+        return cleared.withColumn(out_col, F.col(value_col))
+    if mapper == "mapper.compareto":
+        # MapperCompareTo: -1/0/1 against the operand
+        return df.withColumn(
+            out_col,
+            F.when(F.col(value_col) > param, 1).when(F.col(value_col) < param, -1).otherwise(0),
+        )
     if mapper == "mapper.replace":
         return df.withColumn(out_col, F.lit(param))
     if mapper == "mapper.regexp-replace":

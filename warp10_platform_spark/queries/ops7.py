@@ -322,3 +322,56 @@ def fetch_step_timestep(spark, sf_dir):
     identical state machine with a recursive CTE."""
     gf = GTSFrame.fetch(events_points(spark, sf_dir)).thin(step=_THIN_STEP, timestep=_THIN_TSTEP)
     return gf.df.select("class", _user(), "ts", F.round("v_double", 6).alias("v"))
+
+
+@register("mapper_scalar_coverage", (
+    f"WITH {PTS} "
+    'SELECT class, "user", ts, ts AS v_tick, '
+    "strftime(make_timestamp(ts), '%Y-%m-%dT%H:%M:%S') || printf('.%06dZ', ts % 1000000) AS v_dt, "
+    "CASE WHEN v > 0.5 THEN 1 WHEN v < 0.5 THEN -1 ELSE 0 END AS v_cmp "
+    "FROM pts WHERE class = 'events.purchase'"
+))
+def mapper_scalar_coverage(spark, sf_dir):
+    """mapper.tick / mapper.datetime / mapper.compareto
+    (MapperTick.java:29, MapperDateTime.java, MapperCompareTo.java):
+    tick-local value rewrites, all JVM expressions."""
+    from warp10_platform_spark.operators.mapper import map_scalar
+
+    gf = GTSFrame.fetch(events_points(spark, sf_dir), "events.purchase{}")
+    df = map_scalar(gf.df, "mapper.tick", out_col="v_tick")
+    df = map_scalar(df, "mapper.datetime", out_col="v_dt")
+    df = map_scalar(df, "mapper.compareto", param=0.5, out_col="v_cmp")
+    return df.select("class", _user(), "ts", "v_tick", "v_dt", "v_cmp")
+
+
+@register("bucketize_product", (
+    f"WITH {PTS}, "
+    f"d AS (SELECT class, \"user\", {LASTBUCKET} - (({LASTBUCKET} - ts) // {DAY}) * {DAY} AS ts, "
+    "  (CASE WHEN v > 0.5 THEN 3 WHEN v < 0.5 THEN 1 ELSE 2 END)::DOUBLE AS c "
+    f"  FROM pts WHERE ts <= {LASTBUCKET} AND ts > {LASTBUCKET - DAY * NDAYS}) "
+    'SELECT class, "user", ts, '
+    "  list_reduce(list_sort(list(c)), (a, b) -> a * b) AS v_agg "
+    'FROM d GROUP BY class, "user", ts'
+))
+def bucketize_product(spark, sf_dir):
+    """bucketizer.product (MapperProduct.java:30 dual-registered as an
+    aggregator): exact value-sorted double fold so the product is
+    order-deterministic and engine-identical. Input is compareto+2 ∈
+    {1,2,3} so magnitudes stay bounded."""
+    from warp10_platform_spark.operators.mapper import map_scalar
+
+    gf = _bucketized_input(spark, sf_dir)
+    return _out_agg(gf)
+
+
+def _bucketized_input(spark, sf_dir):
+    from warp10_platform_spark.operators.mapper import map_scalar
+
+    gf = GTSFrame.fetch(events_points(spark, sf_dir), None, LASTBUCKET - DAY * NDAYS + 1, LASTBUCKET)
+    df = map_scalar(gf.df, "mapper.compareto", param=0.5, out_col="v_cmp")
+    df = df.withColumn("v_double", (F.col("v_cmp") + 2).cast("double"))
+    return GTSFrame(df.drop("v_cmp"), value_col="v_double").bucketize("bucketizer.product", DAY, lastbucket=LASTBUCKET, bucketcount=NDAYS)
+
+
+def _out_agg(gf):
+    return gf.df.select("class", _user(), "ts", "v_agg")

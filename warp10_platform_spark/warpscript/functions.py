@@ -670,6 +670,58 @@ def _isnan(st):
     st.push(isinstance(v, float) and v != v)
 
 
+@register("SWITCH")
+def _switch(st):
+    """`<% cond %> <% exec %> … <% default %> ncases SWITCH`
+    (SWITCH.java): run condition macros in definition order; the first
+    that leaves true selects its exec macro, else the default runs."""
+    ncases = st.pop()
+    default = st.pop()
+    cases = []
+    for _ in range(ncases):
+        exec_m = st.pop()
+        cond_m = st.pop()
+        cases.insert(0, (cond_m, exec_m))
+    chosen = default
+    for cond_m, exec_m in cases:
+        st.exec_macro(cond_m)
+        if st.pop() is True:
+            chosen = exec_m
+            break
+    st.exec_macro(chosen)
+
+
+@register("TRY")
+def _try(st):
+    """`<% try %> <% catch %> <% finally %> TRY` (TRY.java): the last
+    error is kept for RETHROW, mirroring ATTRIBUTE_LAST_ERROR."""
+    finally_m = st.pop()
+    catch_m = st.pop()
+    try_m = st.pop()
+    from warp10_platform_spark.warpscript.stack import (
+        BreakLoop, ContinueLoop, MacroReturn, ScriptStop,
+    )
+
+    try:
+        st.exec_macro(try_m)
+    except (BreakLoop, ContinueLoop, MacroReturn, ScriptStop):
+        raise  # loop/macro control is not an error
+    except Exception as exc:  # noqa: BLE001 — the catch macro decides
+        st.last_error = exc
+        st.exec_macro(catch_m)
+    finally:
+        if finally_m.tokens:
+            st.exec_macro(finally_m)
+
+
+@register("RETHROW")
+def _rethrow(st):
+    err = getattr(st, "last_error", None)
+    if err is None:
+        raise RuntimeError("RETHROW with no prior error")
+    raise err
+
+
 # ---------- math (Math.* delegates in the reference) ----------
 
 import math as _math  # noqa: E402
