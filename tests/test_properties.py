@@ -121,3 +121,46 @@ def test_gts_text_roundtrip_property(spark):
             assert b["v_string"] == o["v_string"]
         if o["v_double"] is not None:
             assert b["v_double"] == o["v_double"] or (math.isnan(b["v_double"]) and math.isnan(o["v_double"]))
+
+
+def test_thin_matches_reference_state_machine(spark):
+    """GTSFrame.thin against a direct replay of the reference scan loop
+    (MultiScanGTSDecoderIterator.java:380-420) on randomized series."""
+    import random
+
+    from warp10_platform_spark.core.frame import GTSFrame
+    from warp10_platform_spark.core.schema import with_gts_id
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(7)
+    rows = []
+    for s in range(5):
+        ticks = sorted(rnd.sample(range(0, 5000), rnd.randint(1, 60)))
+        for t in ticks:
+            rows.append((f"c{s}", t, float(rnd.randint(0, 100))))
+    df = spark.createDataFrame(rows, ["class", "ts", "v_double"]).withColumn(
+        "labels", F.create_map().cast("map<string,string>")
+    )
+    df = with_gts_id(df)
+
+    for step, timestep in ((1, 100), (3, 1), (2, 250)):
+        got = {
+            (r["class"], r["ts"])
+            for r in GTSFrame(df).thin(step=step, timestep=timestep).df.collect()
+        }
+        want = set()
+        by_series = {}
+        for cls, t, v in rows:
+            by_series.setdefault(cls, []).append(t)
+        for cls, ticks in by_series.items():
+            nxt, steps = None, 0
+            for t in sorted(ticks, reverse=True):
+                if nxt is not None and t > nxt:
+                    continue
+                nxt = t - timestep
+                if steps > 0:
+                    steps -= 1
+                    continue
+                steps = step - 1
+                want.add((cls, t))
+        assert got == want, (step, timestep)

@@ -87,8 +87,14 @@ def lttb(df: DataFrame, threshold: int, value_col: str = "v_double") -> DataFram
             hi = min(hi, n - 1)
             nlo = int(np.floor((i + 1) * bucket_size) + 1)
             nhi = min(int(np.floor((i + 2) * bucket_size) + 1), n)
-            avg_x = x[nlo:nhi].mean() if nhi > nlo else x[n - 1]
-            avg_y = y[nlo:nhi].mean() if nhi > nlo else y[n - 1]
+            # sequential (left-fold) means, NOT np.mean (pairwise summation):
+            # the fold order is reproducible in plain SQL, which makes the
+            # whole selection oracle-able bit-for-bit
+            if nhi > nlo:
+                avg_x = sum(float(v) for v in x[nlo:nhi]) / (nhi - nlo)
+                avg_y = sum(float(v) for v in y[nlo:nhi]) / (nhi - nlo)
+            else:
+                avg_x, avg_y = x[n - 1], y[n - 1]
             ax, ay = x[a], y[a]
             areas = np.abs((ax - avg_x) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (avg_y - ay))
             a = lo + int(areas.argmax())

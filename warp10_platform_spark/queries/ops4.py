@@ -228,11 +228,74 @@ def circular_mean_daily(spark, sf_dir):
     )
 
 
-@register("lttb_downsample")  # sequential triangle selection → rows-only
+LTTB_ORACLE = """
+WITH RECURSIVE pts AS (
+  SELECT 'events.' || event_type AS class, epoch_us(ts) AS ts, value AS v FROM events
+),
+s AS (
+  SELECT class,
+         list(ts ORDER BY ts) AS tl,
+         list(ts::DOUBLE ORDER BY ts) AS x,
+         list(v::DOUBLE ORDER BY ts) AS y,
+         CAST(count(*) AS INT) AS n
+  FROM pts GROUP BY class
+),
+walk AS (
+  SELECT class, 0 AS j, 0 AS a, [0] AS keep FROM s WHERE n > 24
+  UNION ALL
+  SELECT class, j + 1,
+         list_reduce(
+           list_transform(range(lo, hi), k ->
+             {'ar': abs((x[a + 1] - avgx) * (y[k + 1] - y[a + 1]) - (x[a + 1] - x[k + 1]) * (avgy - y[a + 1])),
+              'i': k}),
+           (p, q) -> CASE WHEN q.ar > p.ar THEN q ELSE p END).i,
+         list_append(keep, list_reduce(
+           list_transform(range(lo, hi), k ->
+             {'ar': abs((x[a + 1] - avgx) * (y[k + 1] - y[a + 1]) - (x[a + 1] - x[k + 1]) * (avgy - y[a + 1])),
+              'i': k}),
+           (p, q) -> CASE WHEN q.ar > p.ar THEN q ELSE p END).i)
+  FROM (
+    SELECT w.class, w.j, w.a, w.keep, s.n, s.x, s.y,
+           CAST(floor(w.j * ((s.n - 2) / 22.0)) AS INT) + 1 AS lo,
+           LEAST(CAST(floor((w.j + 1) * ((s.n - 2) / 22.0)) AS INT) + 1, s.n - 1) AS hi,
+           CAST(floor((w.j + 1) * ((s.n - 2) / 22.0)) AS INT) + 1 AS nlo,
+           LEAST(CAST(floor((w.j + 2) * ((s.n - 2) / 22.0)) AS INT) + 1, s.n) AS nhi
+    FROM walk w JOIN s ON s.class = w.class
+    WHERE w.j < 22
+  ) q1_,
+  LATERAL (
+    SELECT CASE WHEN nhi > nlo THEN list_reduce(list_slice(x, nlo + 1, nhi), (p, q) -> p + q) / (nhi - nlo) ELSE x[n] END AS avgx,
+           CASE WHEN nhi > nlo THEN list_reduce(list_slice(y, nlo + 1, nhi), (p, q) -> p + q) / (nhi - nlo) ELSE y[n] END AS avgy
+  ) q2_
+),
+chosen AS (
+  SELECT w.class, unnest(list_append(w.keep, s.n - 1)) AS idx
+  FROM walk w JOIN s ON s.class = w.class WHERE w.j = 22
+)
+SELECT c.class, s.tl[c.idx + 1] AS ts, s.y[c.idx + 1] AS v_double
+FROM chosen c JOIN s ON s.class = c.class
+UNION ALL
+SELECT p.class, p.ts, p.v AS v_double
+FROM pts p JOIN s ON s.class = p.class WHERE s.n <= 24
+"""
+
+
+@register("lttb_downsample", LTTB_ORACLE)
 def lttb_downsample(spark, sf_dir):
-    """LTTB (LTTB.java:32): largest-triangle-three-buckets downsample to
-    24 points per series."""
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).lttb(24)
-    return gf.df.select(
-        "class", F.get_json_object("labels_key", "$[0].value").alias("user"), "ts", "v_double"
+    """LTTB (LTTB.java:32): largest-triangle-three-buckets downsample of
+    each per-class series (users merged → thousands of points, so the
+    triangle walk actually runs at gate scale) to 24 points. The oracle
+    replays the identical greedy selection with a recursive CTE — the
+    bucket means are sequential left-folds in BOTH engines (not
+    np.mean's pairwise summation), which is what makes the argmax
+    bit-reproducible."""
+    from warp10_platform_spark.core.schema import with_gts_id
+
+    pts = events_points(spark, sf_dir).select(
+        "class",
+        F.create_map().cast("map<string,string>").alias("labels"),
+        "ts",
+        "v_double",
     )
+    gf = GTSFrame(with_gts_id(pts)).lttb(24)
+    return gf.df.select("class", "ts", "v_double")
