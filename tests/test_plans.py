@@ -55,3 +55,38 @@ def test_find_scans_directory_only(spark, sf_dir):
     plan = explain_formatted(find(d, "~events\\.p.*{}"))
     assert "directory_" in plan
     assert "events.parquet" not in plan
+
+
+def test_packed_fill_is_single_shuffle(spark, sf_dir):
+    """SCALE.md claim: fill_previous_packed = scaffold + fill in ONE
+    groupBy shuffle (plus the bucketize shuffle feeding it) — no
+    dropDuplicates + join + window cascade."""
+    r = plan_report(E.queries()["fill_previous"](spark, sf_dir))
+    # bucketize groupBy + packed-fill groupBy; anything more means the
+    # scaffold-join path snuck back in
+    assert r.exchanges <= 2, r.exchanges
+    assert r.python_evals == 0
+
+
+def test_wrap_unwrap_adds_no_extra_shuffle(spark, sf_dir):
+    """unwrap(wrap(pts)) is one groupBy shuffle total: wrap groups per
+    series, unwrap is a pure per-row parse+explode."""
+    r = plan_report(E.queries()["wrap_unwrap_roundtrip"](spark, sf_dir))
+    assert r.exchanges <= 1, r.exchanges
+    assert r.python_evals == 0
+
+
+def test_chained_per_series_ops_share_partitioning(spark, sf_dir):
+    """Two stacked per-series windows (delta then running sum) must not
+    re-exchange between them — Catalyst reuses the gts_id partitioning."""
+    from warp10_platform_spark.core.frame import GTSFrame
+    from warp10_platform_spark.sources.tables import events_points
+
+    gf = GTSFrame.fetch(events_points(spark, sf_dir), "events.purchase{}")
+    chained = gf.delta().df
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("gts_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    out = chained.withColumn("csum", F.sum("v_mapped").over(w))
+    r = plan_report(out)
+    assert r.exchanges == 1, r.exchanges

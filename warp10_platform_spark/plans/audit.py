@@ -47,10 +47,16 @@ def plan_report(df: DataFrame) -> PlanReport:
     r.pushed_filters = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     r.partition_filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     r.read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    r.broadcast_joins = len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan))
-    r.sortmerge_joins = len(re.findall(r"SortMergeJoin", plan))
-    r.shuffle_hash_joins = len(re.findall(r"ShuffledHashJoin", plan))
-    r.cartesian_products = len(re.findall(r"CartesianProduct", plan))
-    r.exchanges = len(re.findall(r"\bExchange\b", plan))
-    r.python_evals = len(re.findall(r"ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas|MapInPandas", plan))
+    # Count only the detail-section node headers "(N) NodeName" — the
+    # formatted plan prints every node twice (tree + detail), so a bare
+    # substring count would double every figure.
+    def _nodes(name: str) -> int:
+        return len(re.findall(rf"^\(\d+\) (?:{name})\b", plan, re.MULTILINE))
+
+    r.broadcast_joins = _nodes("BroadcastHashJoin|BroadcastNestedLoopJoin")
+    r.sortmerge_joins = _nodes("SortMergeJoin")
+    r.shuffle_hash_joins = _nodes("ShuffledHashJoin")
+    r.cartesian_products = _nodes("CartesianProduct")
+    r.exchanges = _nodes("Exchange")
+    r.python_evals = _nodes("ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas|MapInPandas")
     return r
