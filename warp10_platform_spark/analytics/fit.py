@@ -337,13 +337,31 @@ def sax_discords(df: DataFrame, word_len: int = 4, alphabet: int = 4, top: int =
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ts").reset_index(drop=True)
-        y = pdf[value_col].to_numpy(np.float64)
-        n = len(y)
-        if n < word_len + 1 or y.std(ddof=1) == 0:
+        # Quantize to integer µ-units, then sequential (left-fold) mean and
+        # variance — every float op is reproducible in plain SQL in the
+        # same order, making the letter assignment (and thus the whole
+        # discord ranking) bit-exact cross-engine. np.mean/np.std use
+        # pairwise summation, which no SQL engine replays.
+        yq = np.floor(pdf[value_col].to_numpy(np.float64) * 1e6 + 0.5)
+        x = yq / 1e6
+        n = len(x)
+        if n < word_len + 1:
             return pd.DataFrame({"class": [], "labels_key": [], "ts": [], "word": [], "occurrences": []}).astype(
                 {"ts": "int64", "occurrences": "int64", "class": "object", "labels_key": "object", "word": "object"}
             )
-        z = (y - y.mean()) / y.std(ddof=1)
+        s = 0.0
+        for v in x:
+            s += v
+        mean = s / n
+        s2 = 0.0
+        for v in x:
+            s2 += (v - mean) ** 2
+        if s2 == 0.0:
+            return pd.DataFrame({"class": [], "labels_key": [], "ts": [], "word": [], "occurrences": []}).astype(
+                {"ts": "int64", "occurrences": "int64", "class": "object", "labels_key": "object", "word": "object"}
+            )
+        std = float(np.sqrt(s2 / (n - 1)))
+        z = (x - mean) / std
         letters = np.digitize(z, bps)
         words = ["".join(_ALPHA[v] for v in letters[i : i + word_len]) for i in range(n - word_len + 1)]
         counts: dict[str, int] = {}

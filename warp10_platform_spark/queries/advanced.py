@@ -112,9 +112,59 @@ def stl_esd_outliers(spark, sf_dir):
     return out.select("class", F.get_json_object("labels_key", "$[0].value").alias("user"), "ts", "v_outlier")
 
 
-@register("sax_discords")  # sliding-window symbolic ranking → rows-only
+DISCORDS_ORACLE = f"""
+WITH {PTS},
+per AS (
+  SELECT class, "user",
+         list(ts ORDER BY ts) AS tl,
+         list_transform(list(v ORDER BY ts),
+                        q -> floor(q * 1000000.0 + 0.5) / 1000000.0) AS xs,
+         CAST(count(*) AS INT) AS n
+  FROM pts GROUP BY class, "user"
+),
+m AS (
+  SELECT class, "user", tl, xs, n,
+         list_reduce(xs, (a, b) -> a + b) / n AS mean
+  FROM per WHERE n >= 5
+),
+m2 AS (
+  SELECT *, list_reduce(list_transform(xs, v -> (v - mean) * (v - mean)), (a, b) -> a + b) AS s2
+  FROM m
+),
+lett AS (
+  SELECT class, "user", tl, n,
+         list_transform(xs, v ->
+           CAST((v - mean) / sqrt(s2 / (n - 1)) >= -0.6745 AS INT) +
+           CAST((v - mean) / sqrt(s2 / (n - 1)) >= 0.0 AS INT) +
+           CAST((v - mean) / sqrt(s2 / (n - 1)) >= 0.6745 AS INT)) AS lc
+  FROM m2 WHERE s2 > 0
+),
+flat AS (
+  SELECT class, "user",
+         unnest(list_transform(range(0, n - 3), i -> {{
+           'ts': tl[i + 1],
+           'word': substr('abcd', lc[i + 1] + 1, 1) || substr('abcd', lc[i + 2] + 1, 1) ||
+                   substr('abcd', lc[i + 3] + 1, 1) || substr('abcd', lc[i + 4] + 1, 1)}})) AS u
+  FROM lett
+),
+f2 AS (SELECT class, "user", u.ts AS ts, u.word AS word FROM flat),
+cnt AS (SELECT class, "user", word, count(*) AS occurrences FROM f2 GROUP BY class, "user", word),
+ranked AS (
+  SELECT f.class, f."user", f.ts, f.word, c.occurrences,
+         row_number() OVER (PARTITION BY f.class, f."user"
+                            ORDER BY c.occurrences, f.word, f.ts) AS rk
+  FROM f2 f JOIN cnt c ON c.class = f.class AND c."user" = f."user" AND c.word = f.word
+)
+SELECT class, "user", ts, word, occurrences FROM ranked WHERE rk <= 3
+"""
+
+
+@register("sax_discords", DISCORDS_ORACLE)
 def sax_discords(spark, sf_dir):
-    """DISCORDS (DISCORDS.java): rarest SAX subsequences per series."""
+    """DISCORDS (DISCORDS.java): rarest SAX subsequences per series.
+    Values quantize to µ-units and the mean/variance are sequential
+    left-folds in both engines, so the symbol assignment — and therefore
+    the rarity ranking — is bit-exact against the SQL replay."""
     out = _fit.sax_discords(events_points(spark, sf_dir), word_len=4, alphabet=4, top=3)
     return out.select(
         "class", F.get_json_object("labels_key", "$[0].value").alias("user"), "ts", "word", "occurrences"
