@@ -36,8 +36,8 @@ mom AS (
   FROM b GROUP BY class, "user"
 )
 SELECT class, "user",
-       round((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx) * 1000000.0, 6) AS slope,
-       round((sy - (n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n, 6) AS intercept
+       round((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx) * 1000000.0, 6) + 0.0 AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n, 6) + 0.0 AS intercept
 FROM mom WHERE n >= 2
 """
 
@@ -48,7 +48,12 @@ def lr_slope(spark, sf_dir):
     exact integer/decimal accumulators → engine-independent double."""
     out = _fit.lr_fit(events_points(spark, sf_dir))
     return out.select(
-        "class", _user(), F.round("slope", 6).alias("slope"), F.round("intercept", 6).alias("intercept")
+        "class",
+        _user(),
+        # + 0.0 normalizes IEEE -0.0 to +0.0 (matches the oracle's `+ 0.0`;
+        # the driver's value hash is sign-bit-sensitive).
+        (F.round("slope", 6) + F.lit(0.0)).alias("slope"),
+        (F.round("intercept", 6) + F.lit(0.0)).alias("intercept"),
     )
 
 

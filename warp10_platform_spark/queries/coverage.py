@@ -88,7 +88,7 @@ SKEW_ORACLE = (
     f"WITH {PTS}, {DAILY}, mom AS ({_MOMENTS_SQL}) "
     "SELECT class, \"user\", ts, "
     "round((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n)) / "
-    "      ((s2/n - (s1/n)*(s1/n)) ^ 1.5), 6) AS v_skew "
+    "      ((s2/n - (s1/n)*(s1/n)) ^ 1.5), 6) + 0.0 AS v_skew "
     "FROM mom WHERE n >= 2 AND (s2/n - (s1/n)*(s1/n)) > 0"
 )
 
@@ -124,7 +124,7 @@ def bucketize_skewness(spark, sf_dir):
             "class",
             F.get_json_object("labels_key", "$[0].value").alias("user"),
             F.col("bucket_end").alias("ts"),
-            F.round(skew, 6).alias("v_skew"),
+            (F.round(skew, 6) + F.lit(0.0)).alias("v_skew"),
         )
     )
 

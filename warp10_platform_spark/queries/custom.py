@@ -126,7 +126,7 @@ s AS (SELECT class, "user", ts,
              regr_slope(v, CAST(ts - {LASTBUCKET} AS DOUBLE) / 1000000.0)
                OVER (PARTITION BY class, "user" ORDER BY ts ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sl
       FROM pts)
-SELECT class, "user", ts, round(sl, 6) AS v_mapped FROM s"""
+SELECT class, "user", ts, round(sl, 6) + 0.0 AS v_mapped FROM s"""
 
 
 @register("macro_window_slope", MACRO_SLOPE_ORACLE)
@@ -142,5 +142,5 @@ def macro_window_slope(spark, sf_dir):
         "class",
         F.get_json_object(F.col("labels_key"), "$[0].value").alias("user"),
         "ts",
-        F.round("v_mapped", 6).alias("v_mapped"),
+        (F.round("v_mapped", 6) + F.lit(0.0)).alias("v_mapped"),
     )

@@ -242,7 +242,7 @@ def map_delta(spark, sf_dir):
 
 
 @register("map_rate", (
-    f"WITH {PTS} SELECT class, \"user\", ts, round(v_mapped, 6) AS v_mapped FROM ("
+    f"WITH {PTS} SELECT class, \"user\", ts, round(v_mapped, 6) + 0.0 AS v_mapped FROM ("
     '  SELECT class, "user", ts, (v - lag(v) OVER w) / ((ts - lag(ts) OVER w) / 1000000.0) AS v_mapped '
     '  FROM pts WINDOW w AS (PARTITION BY class, "user" ORDER BY ts)'
     ") WHERE v_mapped IS NOT NULL"
@@ -336,8 +336,8 @@ def fill_previous(spark, sf_dir):
     f"WITH {PTS}, "
     "g AS (SELECT class, \"user\", ts, CASE WHEN ts - lag(ts) OVER w > 3600000000 THEN 1 ELSE 0 END AS brk "
     '  FROM pts WINDOW w AS (PARTITION BY class, "user" ORDER BY ts)), '
-    "s AS (SELECT class, \"user\", ts, sum(brk) OVER (PARTITION BY class, \"user\" ORDER BY ts "
-    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g) "
+    "s AS (SELECT class, \"user\", ts, CAST(sum(brk) OVER (PARTITION BY class, \"user\" ORDER BY ts "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g) "
     'SELECT class, "user", session_id, count(*) AS n, max(ts) - min(ts) AS duration_us '
     'FROM s GROUP BY class, "user", session_id'
 ))

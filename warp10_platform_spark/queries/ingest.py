@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from warp10_platform_spark.queries import register
 from warp10_platform_spark.queries.gts import PTS
 from warp10_platform_spark.sources.gts_text import format_gts_lines, parse_gts_lines
-from warp10_platform_spark.sources.tables import events_points, load_table
+from warp10_platform_spark.sources.tables import epoch_us_col, events_points, load_table
 
 
 @register(
@@ -52,7 +52,7 @@ def gts_text_typed(spark, sf_dir):
     the typed value columns, re-emitted with a type tag."""
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("string").alias("k"),
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts"),
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', CAST(o_orderdate AS TIMESTAMP_NTZ))").alias("ts"),
         "o_orderstatus",
         "o_orderpriority",
         "o_orderkey",

@@ -26,7 +26,7 @@ from warp10_platform_spark.sources.tables import events_points
     "      list((c.c::DOUBLE / n.n) * ln(c.c::DOUBLE / n.n) ORDER BY c.v) AS terms "
     '      FROM c JOIN n ON c.class = n.class AND c."user" = n."user" AND c.ts = n.ts '
     '      GROUP BY c.class, c."user", c.ts) '
-    'SELECT class, "user", ts, round(-list_reduce(terms, (a, b) -> a + b), 6) AS v_agg FROM e'
+    'SELECT class, "user", ts, round(-list_reduce(terms, (a, b) -> a + b), 6) + 0.0 AS v_agg FROM e'
 ))
 def entropy_daily(spark, sf_dir):
     """bucketizer.shannonentropy (aggregator/ShannonEntropy.java:33):
@@ -37,7 +37,8 @@ def entropy_daily(spark, sf_dir):
         "class",
         F.get_json_object("labels_key", "$[0].value").alias("user"),
         "ts",
-        F.round("v_agg", 6).alias("v_agg"),
+        # + 0.0 folds IEEE -0.0 (single-value buckets) to +0.0 on both engines.
+        (F.round("v_agg", 6) + F.lit(0.0)).alias("v_agg"),
     )
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from warp10_platform_spark.functions.timeutil import humanduration, parse_duration
 from warp10_platform_spark.queries import register
-from warp10_platform_spark.sources.tables import load_table
+from warp10_platform_spark.sources.tables import epoch_us_col, load_table
 
 
 # ---------- BigDecimal suite (BD* — exact decimal arithmetic) ----------
@@ -67,7 +67,7 @@ def tselements_tz(spark, sf_dir):
     [Y, M, D, h, m, s, µs] decomposed in a named timezone
     (America/New_York), the reference's tz-aware calendar splitter."""
     ev = load_table(spark, sf_dir, "events")
-    ts_us = F.expr("ts DIV 1000") if dict(ev.dtypes)["ts"] == "bigint" else F.unix_micros("ts")
+    ts_us = epoch_us_col(ev, "ts")
     e = ev.select("event_id", ts_us.alias("us")).where(F.col("event_id") % 101 == 0)
     lt = F.from_utc_timestamp(F.timestamp_micros(F.col("us")), "America/New_York")
     return e.select(
@@ -102,7 +102,7 @@ def duration_shift(spark, sf_dir):
     to platform µs, shift every tick, render human-readable. The oracle's
     literal 95400000000 / '1d2h30m' pins the parser to the spec."""
     ev = load_table(spark, sf_dir, "events")
-    ts_us = F.expr("ts DIV 1000") if dict(ev.dtypes)["ts"] == "bigint" else F.unix_micros("ts")
+    ts_us = epoch_us_col(ev, "ts")
     span = parse_duration(_ISO)
     return (
         ev.where(F.col("event_id") % 101 == 0)

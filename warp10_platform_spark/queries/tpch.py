@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from warp10_platform_spark.queries import register
-from warp10_platform_spark.sources.tables import load_table
+from warp10_platform_spark.sources.tables import epoch_us_col, load_table
 
 # Sums accumulate in DECIMAL so the result is exact and order-independent
 # (double partial-aggregation order differs between engines and can flip a
@@ -36,7 +36,7 @@ def tpch_q1(spark, sf_dir):
     dec = lambda c: F.col(c).cast("decimal(28,6)")  # noqa: E731
     disc_price = dec("l_extendedprice") * (1 - dec("l_discount"))
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
@@ -64,8 +64,8 @@ def tpch_q6(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.where(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
@@ -95,8 +95,8 @@ def tpch_q3(spark, sf_dir):
     orders⋈lineitem stays a shuffle join; AQE picks shuffle-hash/sort-merge
     and handles skew at scale."""
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
-    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz"))
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz"))
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
@@ -105,7 +105,7 @@ def tpch_q3(spark, sf_dir):
         .select(
             "o_orderkey",
             "revenue",
-            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', CAST(o_orderdate AS TIMESTAMP_NTZ))").alias("o_orderdate_us"),
             "o_orderpriority",
         )
     )

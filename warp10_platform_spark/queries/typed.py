@@ -16,7 +16,7 @@ from warp10_platform_spark.operators import mapper as _mapper
 from warp10_platform_spark.operators import reduce_apply as _ra
 from warp10_platform_spark.queries import register
 from warp10_platform_spark.queries.gts import DAILY, DAY, LASTBUCKET, NDAYS, PTS
-from warp10_platform_spark.sources.tables import events_points, load_table
+from warp10_platform_spark.sources.tables import epoch_us_col, events_points, load_table
 
 
 def _daily_bool(spark, sf_dir, cls: str, min_count: int):
@@ -83,7 +83,7 @@ def string_regexp_match(spark, sf_dir):
     pts = o.select(
         F.lit("orders.status").alias("class"),
         F.create_map(F.lit("k"), F.col("o_orderkey").cast("string")).alias("labels"),
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts"),
+        epoch_us_col(o, "o_orderdate").alias("ts"),
         F.col("o_orderstatus").alias("v_string"),
     )
     out = _mapper.map_scalar(pts, "mapper.regexp-match", "^O$", value_col="v_string")
@@ -107,7 +107,7 @@ def string_mappers(spark, sf_dir):
     pts = o.select(
         F.lit("orders.clerk").alias("class"),
         F.col("o_orderkey").cast("string").alias("k"),
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts"),
+        epoch_us_col(o, "o_orderdate").alias("ts"),
         F.col("o_orderpriority").alias("v_string"),
     )
     return pts.select(

@@ -25,22 +25,43 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet is INT64 TIMESTAMP(NANOS); a plain SparkSession (e.g. the
-    # driver's correctness harness) rejects it with PARQUET_TYPE_ILLEGAL unless
-    # this runtime-settable conf is on. Set it here so every query works on any
-    # session, not just the one built by session.py.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Older driver testdata wrote events.ts as INT64 TIMESTAMP(NANOS), which a
+    # plain SparkSession (e.g. the driver's correctness harness) rejects with
+    # PARQUET_TYPE_ILLEGAL unless this runtime-settable conf is on. Set it here
+    # so every query works on any session, not just the one built by
+    # session.py. Guarded: the legacy conf may not exist in future Spark.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def epoch_us_col(df: DataFrame, name: str = "ts"):
+    """Column `name` → platform LONG-µs epoch, timezone-independent.
+
+    Handles every shape the driver testdata has shipped: INT64
+    TIMESTAMP(NANOS) (→ LONG ns under nanosAsLong), tz-less timestamp[us]
+    (→ TIMESTAMP_NTZ in Spark 4), DATE, and tz'd TIMESTAMP. The NTZ/DATE
+    path measures from the NTZ epoch with timestampdiff so the result never
+    depends on spark.sql.session.timeZone (matches DuckDB epoch_us on
+    naive timestamps)."""
+    dtype = dict(df.dtypes)[name]
+    if dtype == "bigint":
+        return F.expr(f"`{name}` DIV 1000")
+    if dtype in ("timestamp_ntz", "date"):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', CAST(`{name}` AS TIMESTAMP_NTZ))"
+        )
+    return F.unix_micros(F.col(name))
 
 
 def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table → canonical points DataFrame (one GTS per
-    (event_type, user_id)). unix_micros keeps the LONG-µs time axis
+    (event_type, user_id)). epoch_us_col keeps the LONG-µs time axis
     exact (Constants.java default time unit)."""
     ev = load_table(spark, sf_dir, "events")
-    # events.ts is parquet TIMESTAMP(NANOS): with nanosAsLong it arrives as
-    # LONG ns; integer-div to the platform µs unit (matches DuckDB epoch_us).
-    ts_us = F.expr("ts DIV 1000") if dict(ev.dtypes)["ts"] == "bigint" else F.unix_micros(F.col("ts"))
+    ts_us = epoch_us_col(ev, "ts")
     df = ev.select(
         F.concat(F.lit("events."), F.col("event_type")).alias("class"),
         F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("labels"),
