@@ -176,6 +176,60 @@ def lowess_smooth(df: DataFrame, frac: float = 0.3, value_col: str = "v_double")
     return df.groupBy("gts_id").applyInPandas(run, schema=schema)
 
 
+def lowess_smooth_exact(df: DataFrame, frac: float = 0.3, value_col: str = "v_double") -> DataFrame:
+    """LOWESS with SQL-replayable determinism (short/bucketized series):
+    neighbors chosen and folded in (|x-x0|, x) order, weighted moments as
+    sequential left folds — bit-identical to a DuckDB list_reduce replay.
+    The numpy `lowess_smooth` remains the long-series fast path."""
+    schema = StructType(
+        [
+            StructField("class", StringType()),
+            StructField("labels_key", StringType()),
+            StructField("ts", LongType()),
+            StructField("v_smooth", DoubleType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        xs = [float(t) for t in pdf["ts"]]
+        ys = [float(v) for v in pdf[value_col]]
+        n = len(xs)
+        r = max(2, int(math.ceil(frac * n)))
+        out = []
+        for x0 in xs:
+            cand = sorted(range(n), key=lambda j: (abs(xs[j] - x0), xs[j]))[: min(r, n)]
+            dmax = max(abs(xs[j] - x0) for j in cand)
+            if dmax == 0.0:
+                s = 0.0
+                for j in cand:
+                    s += ys[j]
+                out.append(s / len(cand))
+                continue
+            sw = swx = swy = swxy = swxx = 0.0
+            for j in cand:
+                t = abs(xs[j] - x0) / dmax
+                u = 1.0 - t * t * t
+                w = u * u * u  # explicit cubes (not pow) — mirrors the SQL oracle exactly
+                sw += w
+                swx += w * xs[j]
+                swy += w * ys[j]
+                swxy += w * xs[j] * ys[j]
+                swxx += w * xs[j] * xs[j]
+            den = sw * swxx - swx * swx
+            if den == 0.0:
+                out.append(swy / sw)
+            else:
+                b = (sw * swxy - swx * swy) / den
+                a = (swy - b * swx) / sw
+                out.append(a + b * x0)
+        return pd.DataFrame(
+            {"class": pdf["class"], "labels_key": pdf["labels_key"], "ts": pdf["ts"], "v_smooth": out}
+        )
+
+    return df.groupBy("gts_id").applyInPandas(run, schema=schema)
+
+
 def stl_decompose(df: DataFrame, period: int, value_col: str = "v_double", iterations: int = 2) -> DataFrame:
     """STL (functions/STL.java:36): seasonal-trend decomposition by LOESS.
     Inner loop only (no robustness weights): detrend → per-phase cycle
@@ -396,9 +450,13 @@ def dtw_distance(a: np.ndarray, b: np.ndarray, window: int | None = None) -> flo
     return float(dp[n, m])
 
 
-def dtw_pairs(df: DataFrame, value_col: str = "v_agg", window: int | None = None) -> DataFrame:
+def dtw_pairs(
+    df: DataFrame, value_col: str = "v_agg", window: int | None = None, key_col: str = "labels_key"
+) -> DataFrame:
     """Pairwise DTW across series of one class: series collected per
-    labels_key (bounded — bucketized input), pair join, numpy DP per pair."""
+    `key_col` (bounded — bucketized input), pair join, numpy DP per pair."""
+    if key_col != "labels_key":
+        df = df.drop("labels_key").withColumnRenamed(key_col, "labels_key")
     per = df.groupBy("labels_key").agg(
         F.expr(
             "transform(array_sort(collect_list(named_struct('t', ts, 'v', cast(" + value_col + " AS double)))), p -> p.v)"

@@ -108,15 +108,53 @@ def _mu_sigma(v: np.ndarray, use_median: bool) -> tuple[float, float]:
     return float(v.mean()), float(v.std(ddof=1))
 
 
+def _mu_sigma_fold(v: np.ndarray) -> tuple[float, float]:
+    """Left-fold mean/std(ddof=1) in element order — bit-identical to a
+    DuckDB `list_reduce` over the same ts-ordered list (numpy's pairwise
+    summation is NOT), enabling exact cross-engine oracles. Use for short
+    (bucketized) series; numpy `_mu_sigma` is the long-series fast path."""
+    n = len(v)
+    m = 0.0
+    for x in v:
+        m += float(x)
+    m /= n
+    ss = 0.0
+    for x in v:
+        d = float(x) - m
+        ss += d * d
+    return m, math.sqrt(ss / (n - 1))
+
+
+def _argmax_z_fold(v: np.ndarray, m: float, s: float) -> tuple[int, float]:
+    """First index of the strictly-largest |z| in element order (matches a
+    first-match list scan in SQL), plus the max |z| itself."""
+    best_i, best_z = 0, -1.0
+    for i, x in enumerate(v):
+        z = abs((float(x) - m) / s)
+        if z > best_z:
+            best_i, best_z = i, z
+    return best_i, best_z
+
+
 def _grubbs_critical(n: int, alpha: float) -> float:
     t = t_ppf(alpha / (2.0 * n), n - 2)
     return (n - 1) * abs(t) / math.sqrt(n * (n - 2 + t * t))
 
 
-def grubbs_test(df: DataFrame, alpha: float = 0.05, use_median: bool = False, value_col: str = "v_double") -> DataFrame:
+def grubbs_test(
+    df: DataFrame,
+    alpha: float = 0.05,
+    use_median: bool = False,
+    value_col: str = "v_double",
+    exact_moments: bool = False,
+) -> DataFrame:
     """GRUBBSTEST (GTSOutliersHelper.grubbsTest:260): flag the single most
     deviant point per series iff its studentized deviation exceeds the
-    Grubbs critical value. Returns the anomalous points."""
+    Grubbs critical value. Returns the anomalous points.
+
+    exact_moments=True computes the moments by ts-ordered left fold
+    (`_mu_sigma_fold`) so the decision is bit-reproducible by a SQL
+    oracle; intended for short bucketized series."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ts").reset_index(drop=True)
@@ -127,24 +165,44 @@ def grubbs_test(df: DataFrame, alpha: float = 0.05, use_median: bool = False, va
         )
         if n < 3:
             return empty
-        m, std = _mu_sigma(v, use_median)
+        if exact_moments and not use_median:
+            m, std = _mu_sigma_fold(v)
+        else:
+            m, std = _mu_sigma(v, use_median)
         if std == 0.0:
             return empty
-        z = np.abs((v - m) / std)
-        i = int(z.argmax())
-        if z[i] > _grubbs_critical(n, alpha):
+        if exact_moments:
+            i, zmax = _argmax_z_fold(v, m, std)
+        else:
+            z = np.abs((v - m) / std)
+            i = int(z.argmax())
+            zmax = float(z[i])
+        if zmax > _grubbs_critical(n, alpha):
             return pdf.iloc[[i]][["class", "labels_key", "ts"]].assign(v_outlier=v[i])
         return empty
 
     return df.groupBy("gts_id").applyInPandas(run, schema=_OUT_SCHEMA)
 
 
+def _esd_critical(n: int, alpha: float) -> float:
+    t = t_ppf(1.0 - alpha / (2.0 * n), n - 2)
+    return (n - 1) * t / math.sqrt((n - 2 + t * t) * n)
+
+
 def esd_test(
-    df: DataFrame, k: int, alpha: float = 0.05, use_median: bool = False, value_col: str = "v_double"
+    df: DataFrame,
+    k: int,
+    alpha: float = 0.05,
+    use_median: bool = False,
+    value_col: str = "v_double",
+    exact_moments: bool = False,
 ) -> DataFrame:
     """ESDTEST (GTSOutliersHelper.ESDTest:329): generalized extreme
     Studentized deviate test — up to k outliers per series, iteratively
-    removing the most deviant point and recomputing the statistic."""
+    removing the most deviant point and recomputing the statistic.
+
+    exact_moments=True → ts-ordered left-fold moments (`_mu_sigma_fold`)
+    for SQL-oracle bit-reproducibility on short bucketized series."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ts").reset_index(drop=True)
@@ -158,16 +216,21 @@ def esd_test(
             n = len(idx)
             if n < 3:
                 break
-            m, std = _mu_sigma(v[idx], use_median)
+            if exact_moments and not use_median:
+                m, std = _mu_sigma_fold(v[idx])
+            else:
+                m, std = _mu_sigma(v[idx], use_median)
             if std == 0.0:
                 break
-            z = np.abs((v[idx] - m) / std)
-            i_local = int(z.argmax())
+            if exact_moments:
+                i_local, zmax = _argmax_z_fold(v[idx], m, std)
+            else:
+                z = np.abs((v[idx] - m) / std)
+                i_local = int(z.argmax())
+                zmax = float(z[i_local])
             i = int(idx[i_local])
-            p = 1.0 - alpha / (2.0 * n)
-            t = t_ppf(p, n - 2)
-            lam = (n - 1) * t / math.sqrt((n - 2 + t * t) * n)
-            cand.append((i, float(z[i_local]), lam))
+            lam = _esd_critical(n, alpha)
+            cand.append((i, zmax, lam))
             alive[i] = False
         # the number of outliers = the LARGEST j whose statistic exceeds λ_j
         last = -1

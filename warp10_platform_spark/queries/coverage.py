@@ -11,7 +11,14 @@ from warp10_platform_spark.operators import reshape as _reshape
 from warp10_platform_spark.operators import sort as _sort
 from warp10_platform_spark.queries import register
 from warp10_platform_spark.queries.gts import DAILY, DAY, LASTBUCKET, NDAYS, PTS
-from warp10_platform_spark.sources.directory import directory_table, build_directory, fetch_filtered, find, findstats
+from warp10_platform_spark.sources.directory import (
+    build_directory,
+    directory_table,
+    fetch_filtered,
+    fetch_gskip_gcount,
+    find,
+    findstats,
+)
 from warp10_platform_spark.sources.tables import events_points
 
 TZ = "Europe/Paris"
@@ -151,6 +158,26 @@ def fetch_directory_semijoin(spark, sf_dir):
     pts = events_points(spark, sf_dir)
     directory = build_directory(pts)
     out = fetch_filtered(pts, directory, "events.purchase{}")
+    return out.select(
+        "class", F.element_at("labels", F.lit("user")).alias("user"), "ts", "v_double"
+    )
+
+
+@register("fetch_gcount", (
+    f"WITH {PTS}, "
+    'dir AS (SELECT DISTINCT class, "user" FROM pts), '
+    'rk AS (SELECT class, "user", row_number() OVER (ORDER BY class, "user") AS rn FROM dir), '
+    'sel AS (SELECT class, "user" FROM rk WHERE rn > 3 AND rn <= 13) '
+    'SELECT p.class, p."user", p.ts, p.v AS v_double '
+    'FROM pts p JOIN sel s ON p.class = s.class AND p."user" = s."user"'
+))
+def fetch_gcount(spark, sf_dir):
+    """FETCH gskip=3 gcount=10 (FETCH.java:135-136): skip the first 3
+    matched series in directory order, fetch the next 10 — the global
+    series budget across the whole match set."""
+    pts = events_points(spark, sf_dir)
+    directory = build_directory(pts)
+    out = fetch_gskip_gcount(pts, directory, "~events\\..*{}", gskip=3, gcount=10)
     return out.select(
         "class", F.element_at("labels", F.lit("user")).alias("user"), "ts", "v_double"
     )

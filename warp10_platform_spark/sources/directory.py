@@ -64,6 +64,29 @@ def fetch_filtered(points: DataFrame, directory: DataFrame, selector: str) -> Da
     return points.join(F.broadcast(ids), on="gts_id", how="leftsemi")
 
 
+def fetch_gskip_gcount(
+    points: DataFrame, directory: DataFrame, selector: str, gskip: int = 0, gcount: int | None = None
+) -> DataFrame:
+    """FETCH gskip/gcount (FETCH.java:135-136, 627-638): skip the first
+    `gskip` matched SERIES, then fetch at most `gcount` series — a series
+    budget, not a point budget. The reference walks the directory iterator
+    in its storage order; here the order is pinned to (class, labels_key),
+    the deterministic analog. The ranked match set stays directory-sized
+    (one row per series), so the global window is cheap even at 10^6
+    series, and the points scan still sees only a broadcast semi-join."""
+    from pyspark.sql import Window
+
+    matched = find(directory, selector)
+    w = Window.orderBy("class", "labels_key")
+    ranked = matched.withColumn("_rn", F.row_number().over(w))
+    hi = gskip + gcount if gcount is not None else None
+    cond = F.col("_rn") > gskip
+    if hi is not None:
+        cond = cond & (F.col("_rn") <= hi)
+    ids = ranked.where(cond).select("gts_id")
+    return points.join(F.broadcast(ids), on="gts_id", how="leftsemi")
+
+
 def directory_table(spark, sf_dir: str) -> DataFrame:
     """The directory in its canonical STORAGE form: materialized parquet
     built once per dataset (the reference's Directory service persists
