@@ -125,3 +125,68 @@ def test_haar_roundtrip_and_multilevel(spark):
     # level-3 approximation of an 8-length Haar cascade is sum/ sqrt(2)^3
     a3 = per_level[3][0]["approx"]
     assert abs(a3 - sum(vals) / (2.0 ** 1.5)) < 1e-9
+
+
+def test_bicubic2d_reproduces_bilinear_and_handles_edges():
+    import numpy as np
+
+    from warp10_platform_spark.analytics.interpolate import Bicubic2D
+
+    xs = np.arange(8.0)
+    ys = np.arange(8.0)
+    interp = Bicubic2D(xs, ys, np.outer(xs, ys))
+    # interior cells: exact reproduction of f = x*y (dyadic arithmetic)
+    qx = np.array([1.25, 2.5, 3.75, 5.5])
+    qy = np.array([1.5, 4.25, 2.75, 5.25])
+    got = interp(qx, qy)
+    assert np.array_equal(got, qx * qy)
+    # grid nodes evaluate to the grid values everywhere (incl. borders)
+    nodes_x = np.array([0.0, 3.0, 7.0])
+    nodes_y = np.array([0.0, 5.0, 7.0])
+    assert np.array_equal(interp(nodes_x, nodes_y), nodes_x * nodes_y)
+    # out of domain -> NaN
+    assert np.isnan(interp(np.array([-1.0]), np.array([2.0]))[0])
+
+
+def test_bicubic2d_smooth_surface_accuracy():
+    import numpy as np
+
+    from warp10_platform_spark.analytics.interpolate import Bicubic2D
+
+    xs = np.linspace(0, 3, 13)
+    ys = np.linspace(0, 3, 13)
+    f = np.sin(xs)[:, None] * np.cos(ys)[None, :]
+    interp = Bicubic2D(xs, ys, f)
+    qx = np.random.default_rng(7).uniform(0.5, 2.5, 200)
+    qy = np.random.default_rng(8).uniform(0.5, 2.5, 200)
+    got = interp(qx, qy)
+    want = np.sin(qx) * np.cos(qy)
+    assert np.max(np.abs(got - want)) < 5e-4
+
+
+def test_wkt_parse_shapes_and_point_in_polygon():
+    from warp10_platform_spark.operators.wkt import (
+        _point_in_rings, geo_intersects, parse_geojson, parse_wkt, to_wkt,
+    )
+
+    p = parse_wkt("POINT (2.5 48.8)")
+    assert p.kind == "POINT" and p.coords == [(2.5, 48.8)]
+    ls = parse_wkt("LINESTRING (0 0, 1 1, 2 0)")
+    assert ls.kind == "LINESTRING" and len(ls.coords) == 3
+    poly = parse_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert len(poly.coords) == 2  # outer + hole
+    # inside outer, outside hole
+    assert _point_in_rings(poly.coords, 2.0, 2.0)
+    # inside the hole -> not contained (even-odd parity)
+    assert not _point_in_rings(poly.coords, 5.0, 5.0)
+    assert not _point_in_rings(poly.coords, 20.0, 5.0)
+    mp = parse_wkt("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))")
+    assert mp.kind == "MULTIPOLYGON" and len(mp.coords) == 2
+    gj = parse_geojson('{"type": "Polygon", "coordinates": [[[0,0],[10,0],[10,10],[0,10],[0,0]]]}')
+    assert gj.kind == "POLYGON"
+    # round-trip parses back to the same coordinates
+    assert parse_wkt(to_wkt(poly)).coords == poly.coords
+    # edge-crossing intersection without vertex containment
+    a = parse_wkt("POLYGON ((0 0, 10 0, 10 1, 0 1, 0 0))")
+    b = parse_wkt("POLYGON ((5 -5, 6 -5, 6 5, 5 5, 5 -5))")
+    assert geo_intersects(a, b)

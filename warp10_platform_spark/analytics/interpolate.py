@@ -12,9 +12,8 @@ partial derivatives by 2-point central differences on interior nodes, zero
 on the border rows/columns, Hermite bicubic per cell, the whole domain
 valid (the reference does not override isValidPoint)."""
 
-from __future__ import annotations
-
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
@@ -102,14 +101,12 @@ def apply_interpolator_2d(
     """Apply a Bicubic2D built from literal grids to (x, y) columns via an
     Arrow-batched pandas UDF — the grid rides the closure, the query
     points stay distributed."""
-    import pandas as pd  # noqa: F401
+    import pandas as pd
 
     interp = Bicubic2D(xs, ys, fgrid)
 
     @F.pandas_udf(DoubleType())
-    def _interp(x: "pd.Series", y: "pd.Series") -> "pd.Series":
-        import pandas as pd
-
+    def _interp(x: pd.Series, y: pd.Series) -> pd.Series:
         return pd.Series(interp(x.to_numpy(np.float64), y.to_numpy(np.float64)))
 
     return df.withColumn(out_col, _interp(F.col(x_col), F.col(y_col)))

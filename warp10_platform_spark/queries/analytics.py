@@ -250,6 +250,48 @@ def esd_outliers(spark, sf_dir):
     return out.select("class", _user(), "ts", "v_outlier")
 
 
+# INTERPOLATOR.2D oracle: on the fixture grid f(x,y) = x·y with integer
+# axes, every quantity in the bicubic pipeline (central-difference
+# derivatives, Hermite coefficients, u/v powers at quarter offsets) is a
+# small dyadic rational — float arithmetic is EXACT end-to-end, and exact
+# bicubic interpolation of a bilinear function on interior cells IS x·y.
+# So the oracle is literally `x * y`, and equality is bitwise, not
+# approximate. Query points keep to interior cells (1..6): the reference
+# zeroes border derivatives, so border cells would not reproduce x·y.
+INTERP2D_ORACLE = """
+WITH q AS (
+  SELECT event_id,
+         CAST(1 + (event_id % 5) AS DOUBLE) + 0.25::DOUBLE * (1 + (event_id // 5) % 3) AS x,
+         CAST(1 + ((event_id // 3) % 5) AS DOUBLE) + 0.25::DOUBLE * (1 + (event_id // 7) % 3) AS y
+  FROM events WHERE event_id % 101 = 0
+)
+SELECT event_id, x, y, x * y AS v_interp FROM q
+"""
+
+
+@register("interp2d_bicubic", INTERP2D_ORACLE)
+def interp2d_bicubic(spark, sf_dir):
+    """INTERPOLATOR.2D.BICUBIC (script/interpolation/BicubicInterpolator.java,
+    WarpScriptLib.java:1950): bicubic interpolation over an 8x8 grid of
+    f = x*y, queried at event-derived interior points."""
+    import numpy as np
+
+    from warp10_platform_spark.analytics.interpolate import apply_interpolator_2d
+    from warp10_platform_spark.sources.tables import load_table
+
+    xs = np.arange(8.0)
+    ys = np.arange(8.0)
+    fgrid = np.outer(xs, ys)
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 101 == 0)
+    eid = F.col("event_id")
+    q = ev.select(
+        "event_id",
+        ((1 + eid % 5).cast("double") + F.lit(0.25) * (1 + F.expr("event_id DIV 5") % 3)).alias("x"),
+        ((1 + F.expr("event_id DIV 3") % 5).cast("double") + F.lit(0.25) * (1 + F.expr("event_id DIV 7") % 3)).alias("y"),
+    )
+    return apply_interpolator_2d(q, xs, ys, fgrid)
+
+
 @register("stl_decompose")  # iterative loess → rows-only
 def stl_decompose(spark, sf_dir):
     """STL (STL.java:36): trend/seasonal/resid of daily-mean series,

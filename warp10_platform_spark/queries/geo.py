@@ -174,3 +174,60 @@ def mfilter_series(spark, sf_dir):
     return out.select(
         "class", F.element_at("labels", F.lit("user")).alias("user"), "ts", "v_double"
     )
+
+
+# A WKT fence with a HOLE: pentagon outer ring, square inner ring, over the
+# synthesized lat/lon domain. The oracle's ray cast is generated from the
+# SAME ring literals by rings_contains_sql — term-for-term identical
+# arithmetic, so in/out decisions match bitwise.
+_FENCE_WKT = (
+    "POLYGON ((-120 -60, 120 -60, 140 20, 0 75, -140 20, -120 -60), "
+    "(-40 -20, 40 -20, 40 30, -40 30, -40 -20))"
+)
+
+
+def _fence_oracle():
+    from warp10_platform_spark.operators.wkt import parse_wkt, rings_contains_sql
+
+    cond = rings_contains_sql(parse_wkt(_FENCE_WKT).coords)
+    return (
+        f"WITH {PTS}, "
+        f'c AS (SELECT class, "user", ts, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM pts) '
+        f'SELECT class, "user", ts, lat, lon FROM c WHERE {cond}'
+    )
+
+
+@register("geo_wkt_fence", _fence_oracle())
+def geo_wkt_fence(spark, sf_dir):
+    """GEO.WKT + GEOWITHIN (GeoWKT.java, GEOWITHIN.java,
+    WarpScriptLib.java:1011-1031): polygon-with-hole fence applied to the
+    located points as a pure Column ray cast — beyond-bbox geometry with
+    no UDF and no geo library."""
+    from warp10_platform_spark.operators.wkt import geo_within_wkt
+
+    fenced = geo_within_wkt(_with_coords(spark, sf_dir), _FENCE_WKT)
+    return fenced.select(
+        "class", F.element_at("labels", F.lit("user")).alias("user"), "ts", "lat", "lon"
+    )
+
+
+@register("geo_wkt_relations", (
+    "SELECT 'pentagon~square' AS pair, true AS intersects, "
+    "'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))' AS roundtrip "
+    "UNION ALL SELECT 'pentagon~far', false, 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))' "
+    "ORDER BY pair"
+))
+def geo_wkt_relations(spark, sf_dir):
+    """GEOINTERSECTS + TOWKT on literal shapes (GEOINTERSECTS.java): the
+    driver-side exact-geometry predicates, pinned by a constant oracle."""
+    from warp10_platform_spark.operators.wkt import geo_intersects, parse_wkt, to_wkt
+
+    fence = parse_wkt(_FENCE_WKT)
+    square = parse_wkt("POLYGON ((-10 -10, 50 -10, 50 40, -10 40))")
+    far = parse_wkt("POLYGON ((160 60, 170 60, 170 70, 160 70))")
+    rt = to_wkt(parse_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"))
+    rows = [
+        ("pentagon~square", geo_intersects(fence, square), rt),
+        ("pentagon~far", geo_intersects(fence, far), rt),
+    ]
+    return spark.createDataFrame(rows, "pair string, intersects boolean, roundtrip string")
