@@ -164,3 +164,40 @@ def test_thin_matches_reference_state_machine(spark):
                 steps = step - 1
                 want.add((cls, t))
         assert got == want, (step, timestep)
+
+
+def test_minhash_lsh_all_dup_corpus_guarded(spark):
+    """Band-skew guard: a corpus of byte-identical docs must band-join
+    over ONE representative (not quadratic×bands) and still emit every
+    pair, each verified at jaccard 1.0."""
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.pipeline.dedup import minhash_lsh_pairs
+
+    n = 120
+    dup = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta eta theta").alias("text"),
+    )
+    out = minhash_lsh_pairs(dup).collect()
+    assert len(out) == n * (n - 1) // 2
+    assert all(r["jaccard"] == 1.0 for r in out)
+    assert all(r["id_a"] < r["id_b"] for r in out)
+
+
+def test_minhash_lsh_guard_preserves_candidates(spark):
+    """Rep-level banding + expansion must yield the same verified pairs as
+    plain doc-level banding (mixed corpus with exact dups and near-dups)."""
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.pipeline.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [base, base, base + " extra", "completely different words entirely here now", base]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    # LSH candidates are a subset of exact pairs and must include every
+    # identical-text pair (same signature -> same bands by construction)
+    assert lsh <= exact
+    assert {(0, 1), (0, 4), (1, 4)} <= lsh
