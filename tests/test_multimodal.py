@@ -41,3 +41,64 @@ def test_dhash_bits():
     img = np.arange(16, dtype=np.uint8).reshape(4, 4)
     assert _dhash(img) == (1 << 12) - 1
     assert _dhash(img[::, ::-1]) == 0  # decreasing → no bits
+
+
+def test_png_roundtrip_and_filters():
+    """Decoder handles every scanline filter, not just the writer's
+    filter-0: hand-build filtered streams and compare to the reference
+    unfiltered image."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from warp10_platform_spark.multimodal.media import (
+        _PNG_SIG, decode_gray_raw, decode_png, encode_png_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (9, 13), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png_gray(img)), img)
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+
+    def png_with_filters(img, filts):
+        h, w = img.shape
+        rows = []
+        prev = np.zeros(w, np.int64)
+        for r, filt in zip(range(h), filts):
+            line = img[r].astype(np.int64)
+            if filt == 0:
+                enc = line
+            elif filt == 1:  # Sub
+                enc = line - np.concatenate([[0], line[:-1]])
+            elif filt == 2:  # Up
+                enc = line - prev
+            elif filt == 3:  # Average
+                left = np.concatenate([[0], line[:-1]])
+                enc = line - ((left + prev) >> 1)
+            else:  # Paeth: left predictor == Sub when prev row unused? use full paeth
+                left = np.concatenate([[0], line[:-1]])
+                ul = np.concatenate([[0], prev[:-1]])
+                p = left + prev - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+                enc = line - pred
+            rows.append(b"\x00"[:0] + bytes([filt]) + bytes((enc & 0xFF).astype(np.uint8).tolist()))
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"".join(rows))) + chunk(b"IEND", b"")
+
+    filts = [0, 1, 2, 3, 4, 2, 4, 1, 3]
+    assert np.array_equal(decode_png(png_with_filters(img, filts)), img)
+
+    # RGB -> integer luma through decode_gray_raw
+    rgb = rng.integers(0, 256, (3, 4, 3), dtype=np.uint8)
+    h, w, _ = rgb.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + rgb[r].tobytes() for r in range(h))
+    png_rgb = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    got = decode_gray_raw(png_rgb)
+    want = ((299 * rgb[:, :, 0].astype(np.int64) + 587 * rgb[:, :, 1].astype(np.int64) + 114 * rgb[:, :, 2].astype(np.int64)) // 1000).astype(np.uint8)
+    assert np.array_equal(got, want)

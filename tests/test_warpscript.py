@@ -297,3 +297,46 @@ def test_try_catch_finally_rethrow():
     assert st.stack == [1]
     with pytest.raises(RuntimeError, match="boom"):
         run("<% 'boom' MSGFAIL %> <% RETHROW %> <% %> TRY")
+
+
+def test_registry_extension_names(spark):
+    """The widened registry: math, bitwise, encodings, digests, sets,
+    calendar arithmetic, SNAPSHOT/TYPEOF — driver-side, no Spark jobs."""
+    import math
+
+    from warp10_platform_spark.warpscript.functions import REGISTRY
+    from warp10_platform_spark.warpscript.stack import WarpScriptStack
+
+    assert len(REGISTRY) >= 370
+
+    st = WarpScriptStack(spark, "/root/testdata/sf0.001")
+
+    def run(script):
+        st.stack.clear()
+        st.exec(script)
+        return st.pop()
+
+    assert run("0.5 SIN") == math.sin(0.5)
+    assert run("1.0 2.0 ATAN2") == math.atan2(1.0, 2.0)
+    assert run("90.0 TORADIANS TODEGREES") == 90.0
+    assert run("13 2 >>") == 3
+    assert run("1 6 <<") == 64
+    assert run("255 BITCOUNT") == 8
+    assert run("5 3 BITGET") == 0
+    assert run("'a b' URLENCODE") == "a%20b"
+    assert run("'hi' ->B64") == "aGk="
+    assert run("'aGk=' B64->") == "hi"
+    assert run("'hi' ->HEX") == "6869"
+    assert run("'hi' MD5 ->HEX") == "49f68a5c8493ec2c0bf489821c21fc3b"
+    assert run("[ 1 2 2 3 ] ->SET [ 2 3 4 ] ->SET INTERSECTION SET->") == [2, 3]
+    assert run("{ 'a' 1 'b' 2 'c' 3 } [ 'a' 'c' ] SUBMAP") == {"a": 1, "c": 3}
+    assert run("[ 1 2 3 ] CLONEREVERSE") == [3, 2, 1]
+    assert run("[ 2024 2 29 0 0 0 0 ] TSELEMENTS-> ") == 1709164800000000
+    assert run("[ 2024 1 31 0 0 0 0 ] TSELEMENTS-> 1 ADDMONTHS") == 1709164800000000  # clamps to Feb 29
+    assert run("0 3 ADDDAYS") == 3 * 86_400_000_000
+    assert run("1.5 TYPEOF") == "DOUBLE"
+    assert run("[ 1 2 ] TYPEOF") == "LIST"
+    assert run("'{\"a\": [1, 2]}' JSON-> 'a' GET 1 GET") == 2
+    assert run("[ 1 'x' ] ->JSON") == '[1,"x"]'
+    # SNAPSHOT → EVAL rebuilds the stack
+    assert run("1 'two' [ 3 ] SNAPSHOT EVAL") == [3]

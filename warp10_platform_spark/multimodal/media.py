@@ -9,12 +9,12 @@ path, so this is engine-native surface):
 - decode / resize / hash / frame-sample run as Arrow-batched pandas
   functions over mapInPandas: bytes cross to Python once per batch, all
   pixel math is numpy.
-- This container has no image/audio codecs, so "real" formats (JPEG,
-  PNG, WAV) are STUBBED: decode_gray_raw raises NotImplementedError for
-  them unless PIL is importable. The engine's own GRAY8 RAW format
-  (`b"GR8\\0" + width + height + pixels`) is decoded for real — header
-  parse + numpy frombuffer — so the entire Spark-side pipeline (binary
-  column → Arrow → decode → feature → join back) is genuinely exercised.
+- PNG (8-bit non-interlaced grayscale/RGB, all five scanline filters) is
+  decoded FOR REAL via stdlib zlib — no codec library needed — and the
+  engine's own GRAY8 RAW format (`b"GR8\\0" + width + height + pixels`)
+  via header parse + numpy frombuffer. Other formats (JPEG, WAV, other
+  PNG variants) delegate to PIL when importable, else raise a clearly
+  labeled NotImplementedError.
 - Test content is generated deterministically from md5(text) so a SQL
   oracle can recompute pixel-derived features without any Python.
 """
@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import BinaryType, DoubleType, LongType, StringType, StructField, StructType
 
 MAGIC = b"GR8\x00"
 
@@ -47,12 +47,123 @@ def attach_fake_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Minimal PNG decoder (stdlib zlib only): 8-bit non-interlaced
+    grayscale (color type 0) → (h, w) uint8, or truecolor RGB (type 2)
+    → (h, w, 3) uint8. Full filter support (None/Sub/Up/Average/Paeth)."""
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    import zlib
+
+    pos, w = 8, 0
+    h = bitdepth = colortype = interlace = None
+    idat = b""
+    while pos < len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            w, h, bitdepth, colortype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if bitdepth != 8 or colortype not in (0, 2) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant unsupported (bitdepth={bitdepth}, colortype={colortype}, interlace={interlace}); "
+            "supported: 8-bit non-interlaced grayscale/RGB"
+        )
+    bpp = 1 if colortype == 0 else 3
+    raw = zlib.decompress(idat)
+    stride = w * bpp
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for r in range(h):
+        off = r * (stride + 1)
+        filt = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if filt == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif filt == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif filt == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif filt != 0:
+            raise ValueError(f"bad PNG filter {filt}")
+        out[r * stride : (r + 1) * stride] = line
+        prev = line
+    arr = np.frombuffer(bytes(out), dtype=np.uint8)
+    if colortype == 0:
+        return arr.reshape(h, w)
+    return arr.reshape(h, w, 3)
+
+
+def encode_png_gray(img: np.ndarray) -> bytes:
+    """Minimal PNG writer for fixtures: 8-bit grayscale, filter 0 rows,
+    one zlib-compressed IDAT."""
+    import zlib
+
+    img = np.asarray(img, np.uint8)
+    h, w = img.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_gray_raw(content: bytes) -> np.ndarray:
-    """Decode one GRAY8 RAW payload → (h, w) uint8 array. Real formats
-    are delegated to PIL when present, else explicitly unimplemented."""
+    """Decode one image payload → (h, w) uint8 grayscale. GRAY8 RAW and
+    PNG (8-bit gray/RGB, via the stdlib-zlib decoder above) are decoded
+    for real; other formats delegate to PIL when present, else are
+    explicitly unimplemented. RGB collapses to integer luma
+    (299R + 587G + 114B) // 1000."""
     if content[:4] == MAGIC:
         w, h = struct.unpack(">HH", content[4:8])
         return np.frombuffer(content[8 : 8 + w * h], dtype=np.uint8).reshape(h, w)
+    if content[:8] == _PNG_SIG:
+        img = decode_png(content)
+        if img.ndim == 3:
+            lum = (
+                299 * img[:, :, 0].astype(np.int64)
+                + 587 * img[:, :, 1].astype(np.int64)
+                + 114 * img[:, :, 2].astype(np.int64)
+            ) // 1000
+            return lum.astype(np.uint8)
+        return img
     try:
         import io
 
@@ -61,8 +172,43 @@ def decode_gray_raw(content: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(content)).convert("L"))
     except ImportError as e:
         raise NotImplementedError(
-            "non-RAW image decoding requires an image codec (PIL) not present in this environment"
+            "non-RAW/non-PNG image decoding requires an image codec (PIL) not present in this environment"
         ) from e
+
+
+def attach_png_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """documents → media rows carrying REAL PNG bytes: each doc's 4x4
+    md5-pixel image encoded through the PNG writer (Arrow-batched
+    mapInPandas — encoding is Python, but the pixel source is the same
+    md5(text) the SQL oracle recomputes)."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    src = docs.select(F.col(id_col).alias("media_id"), F.unhex(F.md5("text")).alias("px"))
+
+    def run(batches):
+        for pdf in batches:
+            content = [
+                encode_png_gray(np.frombuffer(bytes(px), dtype=np.uint8).reshape(4, 4))
+                for px in pdf["px"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": "image/png",
+                    "width": pd.array([4] * len(pdf), dtype="int64"),
+                    "height": pd.array([4] * len(pdf), dtype="int64"),
+                    "content": content,
+                }
+            )
+
+    return src.mapInPandas(run, schema=schema)
 
 
 def resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:

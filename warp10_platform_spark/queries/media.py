@@ -119,3 +119,19 @@ def media_frame_sample(spark, sf_dir):
         F.concat(header, *frames).alias("content"),
     )
     return frame_sample(video, every=2)
+
+
+@register("media_png_dhash", (
+    f"SELECT doc_id AS media_id, CAST({_dhash_sql()} AS BIGINT) AS dhash FROM documents"
+))
+def media_png_dhash(spark, sf_dir):
+    """REAL PNG bytes end-to-end: encode each doc's 4x4 md5-pixel image
+    as PNG (stdlib-zlib writer), then decode through the PNG decoder
+    (chunk walk, inflate, de-filter) and difference-hash. Same oracle as
+    the RAW variant — the pixels are identical, so any decode bug breaks
+    the hash."""
+    from warp10_platform_spark.multimodal import attach_png_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_png_images(docs)
+    return dhash_images(media)

@@ -173,3 +173,82 @@ def ws_relabel_reduce_grp(spark, sf_dir):
     """
     out = exec_script(spark, sf_dir, script)
     return out.select("label_grp", "ts", F.col("v_reduced").cast("long").alias("v_reduced"))
+
+
+@register("ws_scalar_mapper_chain", (
+    f"WITH {PTS} "
+    'SELECT class, "user", ts, round(abs(v * 2.5::DOUBLE) + 1.0::DOUBLE, 6) AS v_mapped FROM pts'
+))
+def ws_scalar_mapper_chain(spark, sf_dir):
+    """Scalar-mapper factory tokens through MAP (MapperMul/MapperAbs/
+    MapperAdd): `2.5 mapper.mul` pops its param at creation exactly like
+    the reference factory functions."""
+    script = f"""
+    [ '~events\\..*' {{}} 0 {LASTBUCKET + DAY * 366} ] FETCH
+    [ SWAP 2.5 mapper.mul 0 0 0 ] MAP
+    [ SWAP mapper.abs 0 0 0 ] MAP
+    [ SWAP 1.0 mapper.add 0 0 0 ] MAP
+    """
+    gf = exec_script(spark, sf_dir, script)
+    return _out(gf.df, "v_mapped", "v_mapped", ndigits=6)
+
+
+@register("ws_snapshot_eval", (
+    "SELECT '[ 1 2 3 ] { ''k'' 1.5 } ''a%27b''' AS snap, "
+    "3 AS third, 1.5 AS kval, 'a''b' AS s"
+))
+def ws_snapshot_eval(spark, sf_dir):
+    """SNAPSHOT → EVAL round-trip (SNAPSHOT.java): the snapshot string
+    rebuilds the stack; values re-read after EVAL must match the
+    originals (list elem, map entry, escaped string)."""
+    script = """
+    [ 1 2 3 ] { 'k' 1.5 } 'a%27b' URLDECODE
+    SNAPSHOT
+    DUP 'snap' STORE
+    EVAL
+    's' STORE 'm' STORE 'l' STORE
+    $snap
+    $l 2 GET
+    $m 'k' GET
+    $s
+    """
+    st_vals = []
+    from warp10_platform_spark.warpscript.stack import WarpScriptStack
+
+    st = WarpScriptStack(spark, sf_dir)
+    st.exec(script)
+    s = st.pop(); kval = st.pop(); third = st.pop(); snap = st.pop()
+    return spark.createDataFrame(
+        [(snap, third, kval, s)], "snap string, third long, kval double, s string"
+    )
+
+
+@register("ws_string_digest_suite", (
+    "WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS c FROM orders WHERE o_orderkey % 1001 = 0) "
+    "SELECT k, md5(c) AS md5_hex, "
+    "       replace(to_base64(encode(c)), chr(10), '') AS b64, "
+    "       CAST(length(c) AS BIGINT) AS len, "
+    "       upper(c) AS up "
+    "FROM o"
+))
+def ws_string_digest_suite(spark, sf_dir):
+    """Digest + encoding names over real table strings: MD5 → ->HEX,
+    ->B64, SIZE, TOUPPER — driven per row through the evaluator via
+    FOREACH over the collected comment list (bounded by the key filter),
+    proving the script surface composes with table data."""
+    from warp10_platform_spark.sources.tables import load_table
+    from warp10_platform_spark.warpscript.stack import WarpScriptStack
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 1001 == 0)
+        .select("o_orderkey", F.col("o_orderpriority").alias("o_comment"))
+        .collect()
+    )
+    st = WarpScriptStack(spark, sf_dir, max_ops=1_000_000)
+    out = []
+    for r in rows:
+        st.exec(f"'{r['o_comment']}' DUP DUP DUP MD5 ->HEX 'h' STORE ->B64 'b' STORE SIZE 'n' STORE TOUPPER 'u' STORE")
+        out.append((r["o_orderkey"], st.symbols["h"], st.symbols["b"], st.symbols["n"], st.symbols["u"]))
+        st.stack.clear()
+    return spark.createDataFrame(out, "k long, md5_hex string, b64 string, len long, up string")

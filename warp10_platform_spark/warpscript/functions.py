@@ -383,11 +383,20 @@ def _bucketize(st):
 
 @register("MAP")
 def _map(st):
-    """[ gts… mapper pre post occurrences ] MAP (MAP.java:39-47)."""
+    """[ gts… mapper pre post occurrences ] MAP (MAP.java:39-47). The
+    mapper slot holds an aggregator name, a scalar-mapper name, or a
+    (scalar-mapper, param) factory tuple."""
+    from warp10_platform_spark.operators.mapper import _BINARY as _SCB
+    from warp10_platform_spark.operators.mapper import _UNARY as _SCU
+
     args = st.pop()
     gts, mapper, pre, post, _occ = args[:-4], args[-4], args[-3], args[-2], args[-1]
     gf = _as_frame(gts if len(gts) != 1 else gts[0])
-    if mapper == "mapper.delta" and pre == 1 and post == 0:
+    if isinstance(mapper, tuple) and mapper[0] in _SCB:
+        st.push(gf.map_scalar(mapper[0], mapper[1]))
+    elif isinstance(mapper, str) and mapper in _SCU:
+        st.push(gf.map_scalar(mapper))
+    elif mapper == "mapper.delta" and pre == 1 and post == 0:
         st.push(gf.delta())
     elif mapper == "mapper.rate" and pre == 1 and post == 0:
         st.push(gf.rate())
@@ -427,10 +436,10 @@ def _filter(st):
         from warp10_platform_spark.core.selector import selector_predicate
 
         st.push(GTSFrame(gf.df.where(selector_predicate(param)), gf.bucketspec, gf.value_col))
-    elif name == "filter.last.gt":
-        st.push(gf.filter_last(">", param))
-    elif name == "filter.last.lt":
-        st.push(gf.filter_last("<", param))
+    elif name.startswith("filter.last."):
+        st.push(gf.filter_last(name.rsplit(".", 1)[1], param))
+    elif name == "filter.bysize":
+        st.push(gf.filter_bysize(min_size=param))
     else:
         raise ValueError(f"unknown filter {name}")
 
@@ -1152,3 +1161,337 @@ def _firsttick(st):
     gf = _as_frame(st.pop())
     row = gf.df.agg(F.min("ts").alias("t")).first()
     st.push(row["t"])
+
+
+# =====================================================================
+# Registry extension — next ~110 most-registered reference names
+# (WarpScriptLib.java:1966-3570 order): math, bitwise, encodings, JSON,
+# digests, sets/maps, calendar arithmetic, SNAPSHOT, scalar-mapper
+# tokens, extra filters, GTS metadata.
+# =====================================================================
+
+import base64 as _b64
+import hashlib as _hashlib
+import json as _json
+import math as _math
+import urllib.parse as _url
+import uuid as _uuid
+
+
+# ---------- math (WarpScriptLib math section) ----------
+
+for _n, _f in {
+    "SIN": _math.sin, "COS": _math.cos, "TAN": _math.tan,
+    "ASIN": _math.asin, "ACOS": _math.acos, "ATAN": _math.atan,
+    "SINH": _math.sinh, "COSH": _math.cosh, "TANH": _math.tanh,
+    "TODEGREES": _math.degrees, "TORADIANS": _math.radians,
+    "EXPM1": _math.expm1, "ULP": lambda x: _math.ulp(float(x)),
+}.items():
+    REGISTRY[_n] = (lambda f: lambda st: st.push(f(st.pop())))(_f)
+
+REGISTRY["E"] = lambda st: st.push(_math.e)
+
+for _n, _f in {
+    "ATAN2": _math.atan2,  # pops y then x per stack order: x y ATAN2
+    "HYPOT": _math.hypot,
+    "COPYSIGN": _math.copysign,
+    "NEXTAFTER": _math.nextafter,
+    "IEEEREMAINDER": _math.remainder,
+}.items():
+    def _bin(f=_f):
+        def inner(st):
+            b = st.pop()
+            a = st.pop()
+            st.push(f(a, b))
+        return inner
+    REGISTRY[_n] = _bin()
+
+
+# ---------- bitwise (on LONGs) ----------
+
+def _bitop(f):
+    def inner(st):
+        b = st.pop()
+        a = st.pop()
+        st.push(f(int(a), int(b)))
+    return inner
+
+REGISTRY[">>"] = _bitop(lambda a, b: a >> b)
+REGISTRY["<<"] = _bitop(lambda a, b: a << b)
+REGISTRY[">>>"] = _bitop(lambda a, b: (a & 0xFFFFFFFFFFFFFFFF) >> b)
+REGISTRY["&"] = _bitop(lambda a, b: a & b)
+REGISTRY["|"] = _bitop(lambda a, b: a | b)
+REGISTRY["^"] = _bitop(lambda a, b: a ^ b)
+REGISTRY["~"] = lambda st: st.push(~int(st.pop()))
+REGISTRY["BITGET"] = _bitop(lambda a, b: (a >> b) & 1)
+REGISTRY["BITCOUNT"] = lambda st: st.push(bin(int(st.pop()) & 0xFFFFFFFFFFFFFFFF).count("1"))
+
+
+# ---------- string encodings / URL / UUID ----------
+
+def _to_bytes(v) -> bytes:
+    return v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
+
+REGISTRY["URLENCODE"] = lambda st: st.push(_url.quote(str(st.pop()), safe=""))
+REGISTRY["URLDECODE"] = lambda st: st.push(_url.unquote(str(st.pop())))
+REGISTRY["->HEX"] = lambda st: st.push(_to_bytes(st.pop()).hex())
+REGISTRY["HEX->"] = lambda st: st.push(bytes.fromhex(str(st.pop())).decode("utf-8", "replace"))
+REGISTRY["->B64"] = lambda st: st.push(_b64.b64encode(_to_bytes(st.pop())).decode("ascii"))
+REGISTRY["B64->"] = lambda st: st.push(_b64.b64decode(str(st.pop())).decode("utf-8", "replace"))
+REGISTRY["->B64URL"] = lambda st: st.push(_b64.urlsafe_b64encode(_to_bytes(st.pop())).decode("ascii").rstrip("="))
+def _b64url_decode(st):
+    s = str(st.pop())
+    st.push(_b64.urlsafe_b64decode(s + "=" * (-len(s) % 4)).decode("utf-8", "replace"))
+
+REGISTRY["B64URL->"] = _b64url_decode
+REGISTRY["->BIN"] = lambda st: st.push("".join(f"{b:08b}" for b in _to_bytes(st.pop())))
+REGISTRY["BIN->"] = lambda st: st.push(
+    bytes(int(s, 2) for s in map("".join, zip(*[iter(str(st.pop()))] * 8))).decode("utf-8", "replace")
+)
+REGISTRY["->BYTES"] = lambda st: st.push(str(st.pop()).encode("utf-8"))
+REGISTRY["BYTES->"] = lambda st: st.push(bytes(st.pop()).decode("utf-8"))
+REGISTRY["UUID"] = lambda st: st.push(str(_uuid.uuid4()))
+
+
+# ---------- JSON ----------
+
+REGISTRY["->JSON"] = lambda st: st.push(_json.dumps(st.pop(), sort_keys=True, separators=(",", ":")))
+REGISTRY["JSON->"] = lambda st: st.push(_json.loads(str(st.pop())))
+
+
+# ---------- digests (DIGEST registrations; byte[] result like the ref) ----------
+
+REGISTRY["MD5"] = lambda st: st.push(_hashlib.md5(_to_bytes(st.pop())).digest())
+REGISTRY["SHA1"] = lambda st: st.push(_hashlib.sha1(_to_bytes(st.pop())).digest())
+REGISTRY["SHA256"] = lambda st: st.push(_hashlib.sha256(_to_bytes(st.pop())).digest())
+
+
+# ---------- sets / maps ----------
+
+REGISTRY["->SET"] = lambda st: st.push(set(st.pop()))
+REGISTRY["SET->"] = lambda st: st.push(sorted(st.pop(), key=repr))
+
+def _setop(f):
+    def inner(st):
+        b = st.pop()
+        a = st.pop()
+        sa = a if isinstance(a, set) else set(a)
+        sb = b if isinstance(b, set) else set(b)
+        st.push(f(sa, sb))
+    return inner
+
+REGISTRY["UNION"] = _setop(lambda a, b: a | b)
+REGISTRY["INTERSECTION"] = _setop(lambda a, b: a & b)
+REGISTRY["DIFFERENCE"] = _setop(lambda a, b: a - b)
+
+
+@register("SUBMAP")
+def _submap(st):
+    keys = st.pop()
+    m = st.pop()
+    st.push({k: m[k] for k in keys if k in m})
+
+
+@register("CLONEREVERSE")
+def _clonereverse(st):
+    v = st.pop()
+    if isinstance(v, str):
+        st.push(v[::-1])
+    else:
+        st.push(list(reversed(v)))
+
+
+# ---------- calendar arithmetic (UTC, platform µs) ----------
+
+REGISTRY["MSTU"] = lambda st: st.push(1_000)      # µs per ms (time unit consts)
+REGISTRY["STU"] = lambda st: st.push(1_000_000)   # µs per s
+
+
+@register("ADDDURATION")
+def _addduration(st):
+    """ts iso8601 ADDDURATION (ADDDURATION.java:35)."""
+    from warp10_platform_spark.functions.timeutil import parse_duration
+
+    iso = st.pop()
+    st.push(st.pop() + parse_duration(iso))
+
+
+def _calendar_add(field: str):
+    import datetime as _dt
+
+    def inner(st):
+        n = st.pop()
+        ts = st.pop()
+        micros = ts % 1_000_000
+        d = _dt.datetime.fromtimestamp(ts // 1_000_000, _dt.timezone.utc)
+        if field == "days":
+            d = d + _dt.timedelta(days=n)
+        elif field == "months":
+            mo = d.month - 1 + n
+            year, mo = d.year + mo // 12, mo % 12 + 1
+            import calendar as _cal
+
+            day = min(d.day, _cal.monthrange(year, mo)[1])
+            d = d.replace(year=year, month=mo, day=day)
+        else:
+            d = d.replace(year=d.year + n)
+        st.push(int(d.timestamp()) * 1_000_000 + micros)
+
+    return inner
+
+REGISTRY["ADDDAYS"] = _calendar_add("days")
+REGISTRY["ADDMONTHS"] = _calendar_add("months")
+REGISTRY["ADDYEARS"] = _calendar_add("years")
+
+
+@register("TSELEMENTS->")
+def _tselements_build(st):
+    """[ Y M D h m s us ] TSELEMENTS-> → µs timestamp (UTC)."""
+    import datetime as _dt
+
+    el = st.pop()
+    y, mo, d = el[0], el[1] if len(el) > 1 else 1, el[2] if len(el) > 2 else 1
+    h = el[3] if len(el) > 3 else 0
+    mi = el[4] if len(el) > 4 else 0
+    s = el[5] if len(el) > 5 else 0
+    us = el[6] if len(el) > 6 else 0
+    dt = _dt.datetime(y, mo, d, h, mi, s, tzinfo=_dt.timezone.utc)
+    st.push(int(dt.timestamp()) * 1_000_000 + us)
+
+
+# ---------- symbols / SNAPSHOT ----------
+
+REGISTRY["CLEARSYMBOLS"] = lambda st: st.symbols.clear()
+
+
+@register("FORGET")
+def _forget(st):
+    st.symbols.pop(st.pop(), None)
+
+
+def _snap_value(v) -> str:
+    """WarpScript literal that rebuilds `v` (SNAPSHOT.java value cases)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("%", "%25").replace("'", "%27") + "'"
+    if isinstance(v, bytes):
+        return "'" + _b64.b64encode(v).decode("ascii") + "' B64->"
+    if isinstance(v, list):
+        return "[ " + " ".join(_snap_value(x) for x in v) + " ]"
+    if isinstance(v, set):
+        return "[ " + " ".join(_snap_value(x) for x in sorted(v, key=repr)) + " ] ->SET"
+    if isinstance(v, dict):
+        return "{ " + " ".join(f"{_snap_value(k)} {_snap_value(x)}" for k, x in v.items()) + " }"
+    raise TypeError(f"SNAPSHOT of {type(v).__name__} not supported (GTS snapshots need WRAP)")
+
+
+@register("SNAPSHOT")
+def _snapshot(st):
+    """SNAPSHOT (SNAPSHOT.java): replace the stack content with a script
+    string that rebuilds it (deepest element first)."""
+    text = " ".join(_snap_value(v) for v in st.stack)
+    st.stack.clear()
+    st.push(text)
+
+
+# ---------- TYPEOF ----------
+
+@register("TYPEOF")
+def _typeof(st):
+    v = st.pop()
+    if v is None:
+        t = "NULL"
+    elif isinstance(v, bool):
+        t = "BOOLEAN"
+    elif isinstance(v, int):
+        t = "LONG"
+    elif isinstance(v, float):
+        t = "DOUBLE"
+    elif isinstance(v, str):
+        t = "STRING"
+    elif isinstance(v, bytes):
+        t = "BYTES"
+    elif isinstance(v, list):
+        t = "LIST"
+    elif isinstance(v, dict):
+        t = "MAP"
+    elif isinstance(v, set):
+        t = "SET"
+    elif isinstance(v, GTSFrame):
+        t = "GTS"
+    else:
+        t = type(v).__name__.upper()
+    st.push(t)
+
+
+# ---------- scalar-mapper tokens (operators/mapper._UNARY/_BINARY) ----------
+
+from warp10_platform_spark.operators.mapper import _BINARY as _SC_BINARY
+from warp10_platform_spark.operators.mapper import _UNARY as _SC_UNARY
+
+for _mn in _SC_UNARY:
+    if _mn not in REGISTRY:
+        REGISTRY[_mn] = (lambda name: lambda st: st.push(name))(_mn)
+for _mn in _SC_BINARY:
+    if _mn not in REGISTRY:
+        # parameterized: pop the scalar NOW (factory style, like filter.*)
+        REGISTRY[_mn] = (lambda name: lambda st: st.push((name, st.pop())))(_mn)
+
+
+# ---------- extra filters ----------
+
+REGISTRY["filter.last.eq"] = _param_filter("filter.last.eq")
+REGISTRY["filter.last.ge"] = _param_filter("filter.last.ge")
+REGISTRY["filter.last.le"] = _param_filter("filter.last.le")
+REGISTRY["filter.last.ne"] = _param_filter("filter.last.ne")
+REGISTRY["filter.bysize"] = _param_filter("filter.bysize")
+
+
+# ---------- GTS metadata ----------
+
+@register("SETATTRIBUTES")
+def _setattributes(st):
+    """gts { attrs } SETATTRIBUTES (SETATTRIBUTES.java) — attributes are
+    mutable metadata outside series identity (sources/write.meta)."""
+    from warp10_platform_spark.sources.write import meta as _meta
+
+    attrs = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(_meta(gf.df, "~.*{}", attrs), gf.bucketspec, gf.value_col))
+
+
+@register("PARSESELECTOR")
+def _parseselector(st):
+    from warp10_platform_spark.core.selector import parse_selector
+
+    sel = parse_selector(st.pop())
+    labels = {k: (("~" + v) if op == "~" else v) for k, op, v in sel.labels}
+    cls = sel.class_exact if sel.class_exact is not None else "~" + (sel.class_regex or ".*")
+    st.push(cls)
+    st.push(labels)
+
+
+@register("TOSELECTOR")
+def _toselector(st):
+    from warp10_platform_spark.core.selector import to_selector
+
+    labels = st.pop()
+    cls = st.pop()
+    st.push(to_selector(cls, labels))
+
+
+@register("CLONE")
+def _clone(st):
+    """CLONE: frames are immutable lazy plans — identity is faithful."""
+    v = st.peek()
+    if isinstance(v, (list, dict, set)):
+        import copy as _copy
+
+        st.push(_copy.deepcopy(v))
+    else:
+        st.push(v)

@@ -1,8 +1,8 @@
 """Single-pass WarpScript tokenizer (MemoryWarpScriptStack.java:642-960).
 
 Mirrors the reference's lexical rules: `//`/`#` line comments, `/* */`
-block comments, single-/double-quoted strings (URL-decoded %xx escapes are
-NOT applied — we keep raw text), `<' '>` multiline strings, long/double/
+block comments, single-/double-quoted strings (%xx URL-escapes
+decoded, like the reference's URLDecoder pass), `<' '>` multiline strings, long/double/
 hex/binary numeric literals, booleans, `$var` load shorthand, `@macro`
 deref shorthand, and `<% %>` macro capture handled by the stack (the
 tokenizer just emits the markers). Everything else is a statement token.
@@ -73,7 +73,13 @@ def tokenize(script: str) -> list[Token]:
                 j += 1
             if j >= n:
                 raise SyntaxError(f"line {lineno}: unterminated string")
-            tokens.append(Token("string", "".join(buf), lineno))
+            # Reference string literals are URL-encoded (exec URL-decodes
+            # them — that's how SNAPSHOT escapes quotes as %27). Python's
+            # unquote is lenient: invalid %-sequences pass through, so
+            # regex selectors with bare % survive.
+            from urllib.parse import unquote
+
+            tokens.append(Token("string", unquote("".join(buf)), lineno))
             i = j + 1
             continue
         # token word: up to whitespace
