@@ -93,12 +93,11 @@ def directory_table(spark, sf_dir: str) -> DataFrame:
     exactly this: series identity + extents, StandaloneDirectoryClient).
     Every FIND/FINDSTATS then scans ~1 row per series and never opens the
     points store — asserted by tests/test_plans.py."""
-    import hashlib
     import os
 
-    from warp10_platform_spark.sources.tables import events_points
+    from warp10_platform_spark.sources.tables import _cache_key, events_points
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    key = _cache_key(sf_dir)
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".cache",

@@ -79,6 +79,22 @@ def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_gts_id(df)
 
 
+def _cache_key(sf_dir: str) -> str:
+    """Cache key for derived layouts: path + size/mtime of the source
+    events.parquet, so an in-place testdata regeneration (it has
+    happened across driver rounds) invalidates stale caches instead of
+    silently serving old data."""
+    import hashlib
+
+    p = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(p)
+        sig = f"{sf_dir}|{st.st_size}|{int(st.st_mtime)}"
+    except OSError:
+        sig = sf_dir
+    return hashlib.md5(sig.encode()).hexdigest()[:10]
+
+
 def canonical_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The points table in its canonical STORAGE layout: µs LONG ts as a
     physical column, partitioned by class — what the 100 TB lake looks
@@ -89,9 +105,7 @@ def canonical_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     Materialized once per sf_dir under the repo's .cache/ and reused;
     FETCH range + class predicates then land in PushedFilters /
     partition pruning for real."""
-    import hashlib
-
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    key = _cache_key(sf_dir)
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".cache", f"points_{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         events_points(spark, sf_dir).write.mode("overwrite").partitionBy("class").parquet(path)
