@@ -190,3 +190,47 @@ def test_wkt_parse_shapes_and_point_in_polygon():
     a = parse_wkt("POLYGON ((0 0, 10 0, 10 1, 0 1, 0 0))")
     b = parse_wkt("POLYGON ((5 -5, 6 -5, 6 5, 5 5, 5 -5))")
     assert geo_intersects(a, b)
+
+
+def test_tricubic3d_reproduces_trilinear_and_bounds():
+    import numpy as np
+
+    from warp10_platform_spark.analytics.interpolate import Tricubic3D
+
+    xs = np.arange(6.0)
+    interp = Tricubic3D(xs, xs, xs, np.einsum("i,j,k->ijk", xs, xs, xs))
+    qx = np.array([1.25, 2.5, 3.75])
+    qy = np.array([2.25, 1.5, 3.25])
+    qz = np.array([3.5, 2.75, 1.25])
+    assert np.array_equal(interp(qx, qy, qz), qx * qy * qz)
+    assert np.isnan(interp(np.array([9.0]), np.array([1.0]), np.array([1.0]))[0])
+    # smooth-surface accuracy
+    ax = np.linspace(0, 2, 9)
+    f = np.einsum("i,j,k->ijk", np.sin(ax), np.cos(ax), np.exp(-ax))
+    it = Tricubic3D(ax, ax, ax, f)
+    rng = np.random.default_rng(5)
+    q = rng.uniform(0.5, 1.5, (3, 100))
+    got = it(q[0], q[1], q[2])
+    want = np.sin(q[0]) * np.cos(q[1]) * np.exp(-q[2])
+    assert np.max(np.abs(got - want)) < 2e-3
+
+
+def test_microsphere_nd_interpolation():
+    import numpy as np
+
+    from warp10_platform_spark.analytics.interpolate import MicrosphereND
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (400, 2))
+    y = 3.0 * x[:, 0] + 2.0 * x[:, 1]
+    it = MicrosphereND(x, y)
+    # exact sample hit returns the sample value (no.interpolation.tolerance)
+    assert it(x[:1])[0] == y[0]
+    # interior accuracy on a linear surface (microsphere is a smoother,
+    # not an exact reproducer — commons-math behaves the same)
+    q = rng.uniform(0.2, 0.8, (50, 2))
+    err = np.abs(it(q) - (3.0 * q[:, 0] + 2.0 * q[:, 1]))
+    assert np.max(err) < 0.15
+    # far outside the cloud every facet is dark -> background NaN
+    far = MicrosphereND(x, y, dark_threshold=1e6)
+    assert np.isnan(far(np.array([[100.0, 100.0]]))[0])

@@ -90,3 +90,37 @@ def test_chained_per_series_ops_share_partitioning(spark, sf_dir):
     out = chained.withColumn("csum", F.sum("v_mapped").over(w))
     r = plan_report(out)
     assert r.exchanges == 1, r.exchanges
+
+
+def test_fetch_gcount_broadcasts_series_budget(spark, sf_dir):
+    """gskip/gcount ranks the directory (series-sized), then the points
+    scan sees ONLY a broadcast semi-join on gts_id — no cartesian, no
+    points-side window."""
+    r = plan_report(E.queries()["fetch_gcount"](spark, sf_dir))
+    assert r.cartesian_products == 0
+    assert r.broadcast_joins >= 1
+    assert r.python_evals == 0
+
+
+def test_geo_wkt_fence_is_pure_columnar(spark, sf_dir):
+    """The WKT ray cast compiles to comparison/arithmetic exprs — no
+    Python eval, no join, no shuffle beyond the scan."""
+    r = plan_report(E.queries()["geo_wkt_fence"](spark, sf_dir))
+    assert r.python_evals == 0
+    assert r.cartesian_products == 0
+    assert r.exchanges == 0, r.exchanges
+
+
+def test_minhash_guard_bands_reps_only(spark, sf_dir):
+    """Band-skew guard: the band self-join runs over signature
+    representatives; the plan has no cartesian products and keeps the
+    signature computation JVM-side (HOF exprs, no Python)."""
+    r = plan_report(E.queries()["doc_minhash_lsh"](spark, sf_dir))
+    assert r.cartesian_products == 0
+    assert r.python_evals == 0
+    import inspect
+
+    from warp10_platform_spark.pipeline import dedup
+
+    src = inspect.getsource(dedup.minhash_lsh_pairs)
+    assert "reps.select" in src and 'F.min("doc_id").over' in src

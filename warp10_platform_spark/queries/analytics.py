@@ -478,3 +478,41 @@ def dtw_daily(spark, sf_dir):
         _user(), "ts", F.col("v_agg").cast("double").alias("v_agg")
     )
     return _fit.dtw_pairs(purchases, value_col="v_agg", window=3, key_col="user")
+
+
+# Same dyadic-exactness argument as INTERP2D, one dimension up: on
+# f = x·y·z with integer axes every tricubic intermediate is a small
+# dyadic rational, so the oracle is literally x*y*z, bitwise.
+INTERP3D_ORACLE = """
+WITH q AS (
+  SELECT event_id,
+         CAST(1 + (event_id % 3) AS DOUBLE) + 0.25::DOUBLE * (1 + (event_id // 5) % 3) AS x,
+         CAST(1 + ((event_id // 3) % 3) AS DOUBLE) + 0.25::DOUBLE * (1 + (event_id // 7) % 3) AS y,
+         CAST(1 + ((event_id // 9) % 3) AS DOUBLE) + 0.25::DOUBLE * (1 + (event_id // 11) % 3) AS z
+  FROM events WHERE event_id % 101 = 0
+)
+SELECT event_id, x, y, z, x * y * z AS v_interp FROM q
+"""
+
+
+@register("interp3d_tricubic", INTERP3D_ORACLE)
+def interp3d_tricubic(spark, sf_dir):
+    """INTERPOLATOR.3D.TRICUBIC (script/interpolation/TricubicInterpolator.java,
+    WarpScriptLib.java:1949-1956): tricubic interpolation over a 6x6x6
+    grid of f = x*y*z, queried at event-derived interior points."""
+    import numpy as np
+
+    from warp10_platform_spark.analytics.interpolate import apply_interpolator_3d
+    from warp10_platform_spark.sources.tables import load_table
+
+    xs = np.arange(6.0)
+    fgrid = np.einsum("i,j,k->ijk", xs, xs, xs)
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 101 == 0)
+    eid = F.col("event_id")
+    q = ev.select(
+        "event_id",
+        ((1 + eid % 3).cast("double") + F.lit(0.25) * (1 + F.expr("event_id DIV 5") % 3)).alias("x"),
+        ((1 + F.expr("event_id DIV 3") % 3).cast("double") + F.lit(0.25) * (1 + F.expr("event_id DIV 7") % 3)).alias("y"),
+        ((1 + F.expr("event_id DIV 9") % 3).cast("double") + F.lit(0.25) * (1 + F.expr("event_id DIV 11") % 3)).alias("z"),
+    )
+    return apply_interpolator_3d(q, xs, xs, xs, fgrid)
