@@ -252,3 +252,24 @@ def ws_string_digest_suite(spark, sf_dir):
         out.append((r["o_orderkey"], st.symbols["h"], st.symbols["b"], st.symbols["n"], st.symbols["u"]))
         st.stack.clear()
     return spark.createDataFrame(out, "k long, md5_hex string, b64 string, len long, up string")
+
+
+@register("ws_exp_smoothing", (
+    f"WITH {PTS}, "
+    'per AS (SELECT class, "user", list(v ORDER BY ts, v) AS vs FROM pts GROUP BY class, "user") '
+    'SELECT class, "user", round(list_reduce(vs, (acc, x) -> acc * 0.7::DOUBLE + x * 0.3::DOUBLE), 6) AS s_last '
+    "FROM per"
+))
+def ws_exp_smoothing(spark, sf_dir):
+    """SINGLEEXPONENTIALSMOOTHING through the script surface — the
+    analytics tier reachable from a pasted WarpScript pipeline."""
+    script = f"""
+    [ '~events\\..*' {{}} 0 {LASTBUCKET + DAY * 366} ] FETCH
+    0.3 SINGLEEXPONENTIALSMOOTHING
+    """
+    out = exec_script(spark, sf_dir, script)
+    return out.select(
+        "class",
+        F.get_json_object("labels_key", "$[0].value").alias("user"),
+        F.round("s_last", 6).alias("s_last"),
+    )

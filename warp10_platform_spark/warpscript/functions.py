@@ -1495,3 +1495,122 @@ def _clone(st):
         st.push(_copy.deepcopy(v))
     else:
         st.push(v)
+
+
+# ---------- analytics / TS-ML GTS functions (§2.10 surface in-script) ----------
+# Each binds the reference script name to the engine operator; results are
+# GTSFrames (lazy plans) or plain DataFrames for terminal shapes, exactly
+# like the rest of the GTS surface.
+
+@register("LTTB")
+def _lttb(st):
+    """gts threshold LTTB (LTTB.java): largest-triangle-three-buckets."""
+    from warp10_platform_spark.operators.sort import lttb as _lttb_op
+
+    threshold = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(_lttb_op(gf.df, threshold, gf.value_col), gf.bucketspec, gf.value_col))
+
+
+@register("LOWESS")
+def _lowess(st):
+    """gts bandwidth LOWESS (LOWESS.java:36): tricube local regression
+    (bandwidth = the smoothing fraction)."""
+    from warp10_platform_spark.analytics.fit import lowess_smooth
+
+    frac = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(lowess_smooth(gf.df, frac=frac, value_col=gf.value_col), gf.bucketspec, "v_smooth"))
+
+
+@register("STL")
+def _stl(st):
+    """gts period STL (STL.java:36): seasonal-trend decomposition; the
+    result frame carries trend/seasonal/resid columns."""
+    from warp10_platform_spark.analytics.fit import stl_decompose
+
+    period = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(stl_decompose(gf.df, period=period, value_col=gf.value_col))
+
+
+@register("GRUBBSTEST")
+def _grubbstest(st):
+    """gts GRUBBSTEST (GTSOutliersHelper.grubbsTest:260)."""
+    from warp10_platform_spark.analytics.stats import grubbs_test
+
+    gf = _as_frame(st.pop())
+    st.push(grubbs_test(gf.df, value_col=gf.value_col))
+
+
+@register("ESDTEST")
+def _esdtest(st):
+    """gts k ESDTEST (GTSOutliersHelper.ESDTest:329)."""
+    from warp10_platform_spark.analytics.stats import esd_test
+
+    k = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(esd_test(gf.df, k=k, value_col=gf.value_col))
+
+
+@register("ZSCORETEST")
+def _zscoretest(st):
+    """gts useMad threshold ZSCORETEST (GTSOutliersHelper.zScoreTest:228)."""
+    from warp10_platform_spark.operators.outliers import zscoretest
+
+    threshold = st.pop()
+    use_mad = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(zscoretest(gf.df, threshold, value_col=gf.value_col, use_mad=bool(use_mad)), gf.bucketspec, gf.value_col))
+
+
+@register("ZSCORE")
+def _zscore(st):
+    """gts useMad ZSCORE: per-series studentized values."""
+    from warp10_platform_spark.operators.outliers import zscore
+
+    use_mad = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(zscore(gf.df, value_col=gf.value_col, use_mad=bool(use_mad)), gf.bucketspec, "zscore"))
+
+
+@register("SINGLEEXPONENTIALSMOOTHING")
+def _ses(st):
+    """gts alpha SINGLEEXPONENTIALSMOOTHING: final smoothed state per
+    series (SingleExponentialSmoothing.java)."""
+    from warp10_platform_spark.analytics.fit import exp_smooth_last
+
+    alpha = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(exp_smooth_last(gf.df, alpha=alpha, value_col=gf.value_col))
+
+
+@register("FDWT")
+def _fdwt(st):
+    """gts levels FDWT (FDWT.java): multi-level Haar forward transform."""
+    from warp10_platform_spark.analytics.fit import haar_dwt
+
+    levels = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(haar_dwt(gf.df, levels=levels, value_col=gf.value_col))
+
+
+@register("PATTERNS")
+def _patterns(st):
+    """gts wordlen alphabet PATTERNS (PATTERNS.java:32): SAX words."""
+    from warp10_platform_spark.analytics.sax import sax_words
+
+    alphabet = st.pop()
+    wordlen = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(sax_words(gf.df, w=wordlen, alphabet=alphabet, value_col=gf.value_col))
+
+
+@register("BUCKETIZE.CALENDAR", "BUCKETIZECALENDAR")
+def _bucketize_calendar(st):
+    """[ gts… bucketizer unit tz ] BUCKETIZE.CALENDAR
+    (BUCKETIZECALENDAR.java): DST-aware calendar buckets."""
+    args = st.pop()
+    gts, bucketizer, unit, tz = args[:-3], args[-3], args[-2], args[-1]
+    gf = _as_frame(gts if len(gts) != 1 else gts[0])
+    st.push(gf.bucketize_calendar(bucketizer, unit, tz))
