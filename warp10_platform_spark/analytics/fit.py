@@ -176,6 +176,44 @@ def lowess_smooth(df: DataFrame, frac: float = 0.3, value_col: str = "v_double")
     return df.groupBy("gts_id").applyInPandas(run, schema=schema)
 
 
+def _loess_fold(xs: list, ys: list, frac: float) -> list:
+    """Fold-exact tricube local-linear smoother shared by the
+    SQL-replayable LOWESS/STL variants: neighbor selection ordered by
+    (|x-x0|, x), five weighted moments as sequential left folds, tricube
+    as explicit products — every operation has a term-for-term DuckDB
+    twin (see queries/analytics.py LOWESS oracle)."""
+    n = len(xs)
+    r = max(2, int(math.ceil(frac * n)))
+    out = []
+    for x0 in xs:
+        cand = sorted(range(n), key=lambda j: (abs(xs[j] - x0), xs[j]))[: min(r, n)]
+        dmax = max(abs(xs[j] - x0) for j in cand)
+        if dmax == 0.0:
+            s = 0.0
+            for j in cand:
+                s += ys[j]
+            out.append(s / len(cand))
+            continue
+        sw = swx = swy = swxy = swxx = 0.0
+        for j in cand:
+            t = abs(xs[j] - x0) / dmax
+            u = 1.0 - t * t * t
+            w = u * u * u
+            sw += w
+            swx += w * xs[j]
+            swy += w * ys[j]
+            swxy += w * xs[j] * ys[j]
+            swxx += w * xs[j] * xs[j]
+        den = sw * swxx - swx * swx
+        if den == 0.0:
+            out.append(swy / sw)
+        else:
+            b = (sw * swxy - swx * swy) / den
+            a = (swy - b * swx) / sw
+            out.append(a + b * x0)
+    return out
+
+
 def lowess_smooth_exact(df: DataFrame, frac: float = 0.3, value_col: str = "v_double") -> DataFrame:
     """LOWESS with SQL-replayable determinism (short/bucketized series):
     neighbors chosen and folded in (|x-x0|, x) order, weighted moments as
@@ -194,40 +232,93 @@ def lowess_smooth_exact(df: DataFrame, frac: float = 0.3, value_col: str = "v_do
         pdf = pdf.sort_values("ts").reset_index(drop=True)
         xs = [float(t) for t in pdf["ts"]]
         ys = [float(v) for v in pdf[value_col]]
-        n = len(xs)
-        r = max(2, int(math.ceil(frac * n)))
-        out = []
-        for x0 in xs:
-            cand = sorted(range(n), key=lambda j: (abs(xs[j] - x0), xs[j]))[: min(r, n)]
-            dmax = max(abs(xs[j] - x0) for j in cand)
-            if dmax == 0.0:
-                s = 0.0
-                for j in cand:
-                    s += ys[j]
-                out.append(s / len(cand))
-                continue
-            sw = swx = swy = swxy = swxx = 0.0
-            for j in cand:
-                t = abs(xs[j] - x0) / dmax
-                u = 1.0 - t * t * t
-                w = u * u * u  # explicit cubes (not pow) — mirrors the SQL oracle exactly
-                sw += w
-                swx += w * xs[j]
-                swy += w * ys[j]
-                swxy += w * xs[j] * ys[j]
-                swxx += w * xs[j] * xs[j]
-            den = sw * swxx - swx * swx
-            if den == 0.0:
-                out.append(swy / sw)
-            else:
-                b = (sw * swxy - swx * swy) / den
-                a = (swy - b * swx) / sw
-                out.append(a + b * x0)
+        out = _loess_fold(xs, ys, frac)
         return pd.DataFrame(
             {"class": pdf["class"], "labels_key": pdf["labels_key"], "ts": pdf["ts"], "v_smooth": out}
         )
 
     return df.groupBy("gts_id").applyInPandas(run, schema=schema)
+
+
+def _ma_reflect_fold(v: list, k: int) -> list:
+    """Same-length moving average with reflect padding, as an explicit
+    ascending fold of v[mirror(i+d)] * (1/k) terms — the order a SQL
+    offset-join replay reproduces exactly. mirror() reflects at both
+    ends (numpy-style 'reflect': ..., v[2], v[1], v[0], v[1], ...)."""
+    if k <= 1:
+        return list(v)
+    n = len(v)
+    lo = k // 2
+    inv = 1.0 / k
+
+    def mirror(j: int) -> int:
+        if j < 0:
+            return -j
+        if j >= n:
+            return 2 * n - 2 - j
+        return j
+
+    out = []
+    for i in range(n):
+        s = 0.0
+        for d in range(-lo, k - lo):
+            s += v[mirror(i + d)] * inv
+        out.append(s)
+    return out
+
+
+def stl_decompose_exact(df: DataFrame, period: int, value_col: str = "v_double", iterations: int = 2) -> DataFrame:
+    """STL with SQL-replayable determinism: the same inner loop as
+    `stl_decompose` but every loess is `_loess_fold` (ordered neighbor
+    folds) and the low-pass MA chain is `_ma_reflect_fold` (ascending
+    offset folds) — pure Python floats end to end, so a DuckDB oracle
+    replays it bit-for-bit. Intended for short (bucketized) series."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        y = [float(v) for v in pdf[value_col]]
+        n = len(y)
+        if n < 2 * period:
+            nan = [float("nan")] * n
+            return pd.DataFrame(
+                {
+                    "class": pdf["class"],
+                    "labels_key": pdf["labels_key"],
+                    "ts": pdf["ts"],
+                    "trend": nan,
+                    "seasonal": nan,
+                    "resid": nan,
+                }
+            )
+        x = [float(i) for i in range(n)]
+        trend = [0.0] * n
+        seasonal = [0.0] * n
+        cyc = [0.0] * n
+        for _ in range(iterations):
+            detr = [y[i] - trend[i] for i in range(n)]
+            for ph in range(period):
+                idx = list(range(ph, n, period))
+                sub = [detr[i] for i in idx]
+                sm = _loess_fold([float(j) for j in range(len(sub))], sub, 0.75)
+                for j, i in enumerate(idx):
+                    cyc[i] = sm[j]
+            low = _ma_reflect_fold(_ma_reflect_fold(_ma_reflect_fold(cyc, period), period), 3)
+            seasonal = [cyc[i] - low[i] for i in range(n)]
+            frac_t = max(0.3, 1.5 * period / n)
+            trend = _loess_fold(x, [y[i] - seasonal[i] for i in range(n)], frac_t)
+        resid = [y[i] - trend[i] - seasonal[i] for i in range(n)]
+        return pd.DataFrame(
+            {
+                "class": pdf["class"],
+                "labels_key": pdf["labels_key"],
+                "ts": pdf["ts"],
+                "trend": trend,
+                "seasonal": seasonal,
+                "resid": resid,
+            }
+        )
+
+    return df.groupBy("gts_id").applyInPandas(run, schema=_DECOMP_SCHEMA)
 
 
 def stl_decompose(df: DataFrame, period: int, value_col: str = "v_double", iterations: int = 2) -> DataFrame:
@@ -588,3 +679,22 @@ def haar_dwt(df: DataFrame, levels: int, value_col: str = "v_agg") -> DataFrame:
         # next level consumes this level's approximations as the series
         cur = c.select("class", "labels_key", (F.col("k")).alias("ts"), F.col("approx").alias("_v"))
     return out
+
+
+def stl_esd_test_exact(
+    df: DataFrame, period: int, k: int = 5, alpha: float = 0.05, value_col: str = "v_double"
+) -> DataFrame:
+    """STLESDTEST with SQL-replayable determinism: fold-exact STL
+    residuals → fold-exact generalized ESD (see stl_decompose_exact /
+    stats.esd_test(exact_moments=True))."""
+    from warp10_platform_spark.analytics.stats import esd_test
+
+    dec = stl_decompose_exact(df, period, value_col)
+    resid = dec.select(
+        "class",
+        "labels_key",
+        F.xxhash64("class", "labels_key").alias("gts_id"),
+        "ts",
+        F.col("resid").alias("v_double"),
+    ).where(F.col("v_double").isNotNull())
+    return esd_test(resid, k=k, alpha=alpha, exact_moments=True)

@@ -101,14 +101,28 @@ def mapper_npdf_band(spark, sf_dir):
     )
 
 
-@register("stl_esd_outliers")  # iterative decomposition + t-quantiles → rows-only
+def _stl_esd_oracle():
+    from warp10_platform_spark.queries.analytics import _esd_round
+    from warp10_platform_spark.queries.stl_oracle import build_stl_esd_oracle
+
+    return build_stl_esd_oracle(_esd_round, k=3)
+
+
+@register("stl_esd_outliers", _stl_esd_oracle())
 def stl_esd_outliers(spark, sf_dir):
-    """STLESDTEST (STLESDTEST.java): seasonal-aware anomalies — ESD on the
-    STL residual of daily-mean series (period 7)."""
+    """STLESDTEST (STLESDTEST.java): seasonal-aware anomalies — ESD (k=3)
+    on the STL residual of daily-count series (period 7). Fold-exact STL
+    + embedded-λ ESD, so the oracle replays decomposition AND all three
+    removal rounds bit-for-bit."""
+    from pyspark.sql import Window
+
     from warp10_platform_spark.queries.gts import _bucketized
 
-    b = _bucketized(spark, sf_dir, "bucketizer.mean")
-    out = _fit.stl_esd_test(b.df, period=7, k=3, value_col="v_agg")
+    b = _bucketized(spark, sf_dir, "bucketizer.count")
+    pts = b.df.withColumn("v_c", F.col("v_agg").cast("double"))
+    wn = Window.partitionBy("gts_id")
+    pts = pts.withColumn("_n", F.count("*").over(wn)).where(F.col("_n") >= 14).drop("_n")
+    out = _fit.stl_esd_test_exact(pts, period=7, k=3, value_col="v_c")
     return out.select("class", F.get_json_object("labels_key", "$[0].value").alias("user"), "ts", "v_outlier")
 
 

@@ -7,14 +7,15 @@ recursive-CTE DP replay (DTW), and row-based argmax (window rank) — DuckDB
 1.0.0's list-subscript-on-lambda-output is nondeterministic, so decisions
 are made row-wise.
 
-Still rows-only, with reasons:
-- stl_decompose / stl_esd_outliers: 2 outer iterations × (7 cycle-subseries
-  loess + 3 moving averages + trend loess), each loess O(n) weighted
-  regressions — a faithful SQL replay is thousands of generated lines with
-  nothing left of the original query shape; unit tests + the oracled
-  LOWESS/ESD building blocks cover the pieces.
-- findstats_hll: approximate by construction; its exact twin
-  (hll_cardinality) IS oracled bit-for-bit.
+stl_decompose / stl_esd_outliers are replayed end-to-end by a generated
+CTE chain (queries/stl_oracle.py): both inner-loop iterations —
+subseries loess, reflect-padded MA low-pass, trend loess — then (for
+STLESDTEST) the three ESD removal rounds, all from the same fold-exact
+building blocks.
+
+The ONLY remaining rows-only query is findstats_hll: approximate by
+construction (Spark HLL++ sketch internals differ from any SQL replay);
+its exact twin (hll_cardinality) IS oracled bit-for-bit.
 """
 
 from __future__ import annotations
@@ -292,13 +293,31 @@ def interp2d_bicubic(spark, sf_dir):
     return apply_interpolator_2d(q, xs, ys, fgrid)
 
 
-@register("stl_decompose")  # iterative loess → rows-only
+def _stl_oracle():
+    from warp10_platform_spark.queries.stl_oracle import build_stl_oracle
+
+    return build_stl_oracle()
+
+
+@register("stl_decompose", _stl_oracle())
 def stl_decompose(spark, sf_dir):
-    """STL (STL.java:36): trend/seasonal/resid of daily-mean series,
-    weekly period (7 buckets)."""
-    b = _bucketized(spark, sf_dir, "bucketizer.mean")
-    out = _fit.stl_decompose(b.df, period=7, value_col="v_agg")
-    return out.select("class", _user(), "ts", "trend", "seasonal", "resid")
+    """STL (STL.java:36): trend/seasonal/resid of each series' daily
+    counts, weekly period. Fold-exact variant → the oracle replays both
+    inner-loop iterations (subseries loess, reflect-padded MA low-pass,
+    trend loess) bit-for-bit; series shorter than 2*period are excluded
+    on both engines (the operator's NaN path is unit-tested instead —
+    NaN hashing is engine-ambiguous)."""
+    b = _bucketized(spark, sf_dir, "bucketizer.count")
+    pts = b.df.withColumn("v_c", F.col("v_agg").cast("double"))
+    wn = Window.partitionBy("gts_id")
+    pts = pts.withColumn("_n", F.count("*").over(wn)).where(F.col("_n") >= 14).drop("_n")
+    out = _fit.stl_decompose_exact(pts, period=7, value_col="v_c")
+    return out.select(
+        "class", _user(), "ts",
+        (F.round("trend", 6) + F.lit(0.0)).alias("trend"),
+        (F.round("seasonal", 6) + F.lit(0.0)).alias("seasonal"),
+        (F.round("resid", 6) + F.lit(0.0)).alias("resid"),
+    )
 
 
 # LOWESS oracle: neighbors on the day-index axis (small exact ints, so
