@@ -340,3 +340,41 @@ def test_registry_extension_names(spark):
     assert run("[ 1 'x' ] ->JSON") == '[1,"x"]'
     # SNAPSHOT → EVAL rebuilds the stack
     assert run("1 'two' [ 3 ] SNAPSHOT EVAL") == [3]
+
+
+def test_registry_second_tranche(spark):
+    """Round-3 tranche 2: &&/||/~=, filler tokens + FILL, kernel-mapper
+    factories, geo mappers, null-policy aliases. 450+ names."""
+    from warp10_platform_spark.warpscript.functions import REGISTRY
+    from warp10_platform_spark.warpscript.stack import WarpScriptStack
+
+    assert len(REGISTRY) >= 445
+    st = WarpScriptStack(spark, "/root/testdata/sf0.001")
+
+    def run(script):
+        st.stack.clear()
+        st.exec(script)
+        return st.pop()
+
+    assert run("true false ||") is True
+    assert run("'abc123' 'abc[0-9]+' ~=") is True
+    assert run("'abc123' 'xyz' ~=") is False
+    assert run("1 'one' SNAPSHOTREADABLE") == "1 'one'"
+    # null-policy aliases resolve to their base reducer token
+    assert run("reducer.sum.forbid-nulls") == "reducer.sum"
+    assert run("op.add.ignore-nulls") == "op.add"
+    # kernel factory pops its bandwidth
+    assert run("3600000000 mapper.kernel.gaussian") == ("mapper.kernel.gaussian", 3600000000)
+    # filler token + FILL over a bucketized frame
+    out = run(f"""
+    [ 'events.purchase' {{}} 1703980800000001 1706659200000000 ] FETCH
+    [ SWAP bucketizer.count 1706659200000000 86400000000 31 ] BUCKETIZE
+    [ SWAP filler.previous ] FILL
+    """)
+    assert out.df.count() > 0
+    # kernel smoother end-to-end through MAP
+    out2 = run(f"""
+    [ 'events.purchase' {{}} 1703980800000001 1706659200000000 ] FETCH
+    [ SWAP 3600000000 mapper.kernel.gaussian 0 0 0 ] MAP
+    """)
+    assert out2.df.where(out2.df.v_mapped.isNotNull()).count() > 0

@@ -322,6 +322,10 @@ def kernel_smoother(df: DataFrame, kernel: str, bandwidth_us: int, value_col: st
         "triweight": lambda x: F.lit(35.0 / 32.0) * F.pow(F.lit(1.0) - u(x) * u(x), 3),
         "tricube": lambda x: F.lit(70.0 / 81.0) * F.pow(F.lit(1.0) - F.pow(F.abs(u(x)), 3), 3),
         "logistic": lambda x: F.lit(1.0) / (F.exp(u(x)) + F.lit(2.0) + F.exp(-u(x))),
+        # Silverman: 0.5·e^(−|u|/√2)·sin(|u|/√2 + π/4)
+        "silverman": lambda x: F.lit(0.5)
+        * F.exp(-F.abs(u(x)) / F.lit(math.sqrt(2.0)))
+        * F.sin(F.abs(u(x)) / F.lit(math.sqrt(2.0)) + F.lit(math.pi / 4.0)),
     }
     if kernel not in kernels:
         raise ValueError(f"unknown kernel: {kernel}")

@@ -392,8 +392,38 @@ def _map(st):
     args = st.pop()
     gts, mapper, pre, post, _occ = args[:-4], args[-4], args[-3], args[-2], args[-1]
     gf = _as_frame(gts if len(gts) != 1 else gts[0])
-    if isinstance(mapper, tuple) and mapper[0] in _SCB:
+    if isinstance(mapper, tuple) and mapper[0].startswith("mapper.kernel."):
+        from warp10_platform_spark.operators.mapper import kernel_smoother
+
+        kname = mapper[0].rsplit(".", 1)[1]
+        st.push(GTSFrame(
+            kernel_smoother(gf.df, kname, mapper[1], value_col=gf.value_col),
+            gf.bucketspec, "v_mapped",
+        ))
+    elif isinstance(mapper, tuple) and mapper[0] in _SCB:
         st.push(gf.map_scalar(mapper[0], mapper[1]))
+    elif isinstance(mapper, str) and mapper in ("mapper.lat", "mapper.lon", "mapper.elev"):
+        col = mapper.rsplit(".", 1)[1]
+        st.push(GTSFrame(
+            gf.df.withColumn("v_mapped", F.col(col).cast("double")), gf.bucketspec, "v_mapped"
+        ))
+    elif isinstance(mapper, str) and mapper.startswith("mapper.") and mapper.split(".", 1)[1] in (
+        "hspeed", "hdist", "truecourse", "vspeed", "vdist"
+    ):
+        from warp10_platform_spark.operators import geo as _geo_ops
+
+        which = mapper.split(".", 1)[1]
+        if which == "hspeed":
+            out = _geo_ops.hspeed(gf.df, out_col="v_mapped")
+        elif which == "hdist":
+            out = _geo_ops.segment_dist(gf.df, out_col="v_mapped")
+        elif which == "truecourse":
+            out = _geo_ops.truecourse(gf.df, out_col="v_mapped")
+        elif which == "vspeed":
+            out = _geo_ops.vspeed(gf.df, out_col="v_mapped")
+        else:  # vdist is a per-series total (the reference mapper emits it at the last tick)
+            out = _geo_ops.vdist(gf.df).withColumnRenamed("vdist", "v_mapped")
+        st.push(GTSFrame(out, gf.bucketspec, "v_mapped"))
     elif isinstance(mapper, str) and mapper in _SCU:
         st.push(gf.map_scalar(mapper))
     elif mapper == "mapper.delta" and pre == 1 and post == 0:
@@ -1614,3 +1644,94 @@ def _bucketize_calendar(st):
     gts, bucketizer, unit, tz = args[:-3], args[-3], args[-2], args[-1]
     gf = _as_frame(gts if len(gts) != 1 else gts[0])
     st.push(gf.bucketize_calendar(bucketizer, unit, tz))
+
+
+# ---------- remaining WarpScriptLib direct registrations ----------
+
+REGISTRY["&&"] = REGISTRY["AND"]
+REGISTRY["||"] = REGISTRY["OR"]
+
+
+@register("~=")
+def _regexmatch(st):
+    """a pattern ~= : regex full-match (the reference's ~= operator)."""
+    import re as _re
+
+    pattern = st.pop()
+    v = st.pop()
+    st.push(bool(_re.fullmatch(pattern, str(v))))
+
+
+@register("SNAPSHOTREADABLE")
+def _snapshotreadable(st):
+    """SNAPSHOT without %-escaping (human-readable form)."""
+    def readable(v):
+        if isinstance(v, str):
+            return "'" + v + "'"
+        return _snap_value(v)
+
+    text = " ".join(readable(v) for v in st.stack)
+    st.stack.clear()
+    st.push(text)
+
+
+# geo / location scalar mappers → MAP dispatch (operators/geo.py)
+for _geo_name in ("mapper.lat", "mapper.lon", "mapper.elev",
+                  "mapper.hspeed", "mapper.hdist", "mapper.truecourse",
+                  "mapper.vspeed", "mapper.vdist"):
+    REGISTRY[_geo_name] = (lambda name: lambda st: st.push(name))(_geo_name)
+
+# kernel smoothers: factory pops the bandwidth (µs) now
+for _kn in ("cosine", "epanechnikov", "gaussian", "logistic", "quartic",
+            "silverman", "triangular", "tricube", "triweight", "uniform"):
+    _full = f"mapper.kernel.{_kn}"
+    REGISTRY[_full] = (lambda name: lambda st: st.push((name, st.pop())))(_full)
+
+# product aggregators (bucketizer.product exists engine-side)
+for _fam in ("bucketizer", "mapper", "reducer"):
+    _pn = f"{_fam}.product"
+    REGISTRY[_pn] = (lambda name: lambda st: st.push(name))(_pn)
+
+REGISTRY["reducer.shannonentropy.1"] = lambda st: st.push("reducer.shannonentropy.1")
+
+# Null-policy reducer/op variants: the points model drops null VALUES at
+# ingest (typed value columns, one non-null per point), so the
+# exclude-nulls / nonnull / forbid-nulls variants reduce to their base
+# aggregator here; registered so reference scripts run unchanged.
+for _var in ("and.exclude-nulls", "min.forbid-nulls", "min.nonnull",
+             "max.forbid-nulls", "max.nonnull", "mean.exclude-nulls",
+             "median.forbid-nulls", "or.exclude-nulls", "sum.forbid-nulls",
+             "sum.nonnull", "count.include-nulls", "count.exclude-nulls",
+             "count.nonnull", "rms.exclude-nulls"):
+    _base = "reducer." + _var.split(".")[0]
+    REGISTRY[f"reducer.{_var}"] = (lambda name: lambda st: st.push(name))(_base)
+for _var in ("add.ignore-nulls", "mul.ignore-nulls", "and.ignore-nulls", "or.ignore-nulls"):
+    _base = "op." + _var.split(".")[0]
+    REGISTRY[f"op.{_var}"] = (lambda name: lambda st: st.push(name))(_base)
+
+# filler tokens + the generic FILL dispatcher
+for _fn in ("next", "previous", "trend", "interpolate", "linear", "akima",
+            "spline", "newton", "lowess", "rlowess"):
+    _full = f"filler.{_fn}"
+    REGISTRY[_full] = (lambda name: lambda st: st.push(name))(_full)
+
+
+@register("FILL")
+def _fill(st):
+    """[ gts filler ] FILL (FILL.java:34): fill missing buckets with the
+    given filler model."""
+    args = st.pop()
+    gf = _as_frame(args[0] if isinstance(args, list) else args)
+    filler = args[-1] if isinstance(args, list) else st.pop()
+    name = filler.replace("filler.", "")
+    if name == "previous":
+        st.push(gf.fillprevious())
+    elif name == "next":
+        st.push(gf.fillnext())
+    elif name in ("interpolate", "linear"):
+        st.push(gf.filllinear())
+    else:
+        from warp10_platform_spark.operators import fill as _fill_mod
+
+        fn = getattr(_fill_mod, f"fill_{name}")
+        st.push(GTSFrame(fn(gf._scaffolded(), value_col=gf.value_col), gf.bucketspec, gf.value_col))
