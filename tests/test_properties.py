@@ -201,3 +201,49 @@ def test_minhash_lsh_guard_preserves_candidates(spark):
     # identical-text pair (same signature -> same bands by construction)
     assert lsh <= exact
     assert {(0, 1), (0, 4), (1, 4)} <= lsh
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st_
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st_.integers(1, 24),
+    h=st_.integers(1, 24),
+    seed=st_.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, seed):
+    import numpy as np
+
+    from warp10_platform_spark.multimodal.media import decode_png, encode_png_gray
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png_gray(img)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st_.integers(5, 10),
+    seed=st_.integers(0, 2**31 - 1),
+)
+def test_wkt_roundtrip_and_raycast_consistency(n, seed):
+    """Random simple (star-shaped) polygons: WKT round-trips exactly, and
+    the driver-side ray cast agrees with point-in-shape for the centroid
+    (inside) and a far point (outside)."""
+    import math
+    import random
+
+    from warp10_platform_spark.operators.wkt import _point_in_rings, parse_wkt, to_wkt
+
+    rnd = random.Random(seed)
+    # star-shaped polygon around the origin: one vertex per angular
+    # stratum (gaps < pi for n >= 5), positive radii -> simple polygon
+    # that contains the origin
+    angles = [2 * math.pi * (i + rnd.uniform(0.0, 0.9)) / n for i in range(n)]
+    pts = [(round(r * math.cos(a), 6), round(r * math.sin(a), 6))
+           for a, r in ((a, rnd.uniform(1.0, 10.0)) for a in angles)]
+    shape = parse_wkt("POLYGON ((" + ", ".join(f"{x} {y}" for x, y in pts + [pts[0]]) + "))")
+    assert parse_wkt(to_wkt(shape)).coords == shape.coords
+    assert _point_in_rings(shape.coords, 0.0, 0.0)
+    assert not _point_in_rings(shape.coords, 1000.0, 1000.0)

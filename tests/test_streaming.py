@@ -121,3 +121,35 @@ def test_streaming_counter_delta_state_across_batches(spark, tmp_path):
     rows = {r["ts"]: r["v_delta"] for r in spark.table(sink).collect()}
     # batch boundaries don't matter: all three deltas present and correct
     assert rows == {2000000: 2.5, 3000000: 7.5, 4000000: -1.0}
+
+
+def test_streaming_exact_dedup_state_across_batches(spark, tmp_path):
+    import json
+    import os
+
+    from warp10_platform_spark.streaming import streaming_exact_dedup
+
+    d = tmp_path / "docs_stream"
+    os.makedirs(d)
+    # batch 1: doc 1 and 2 identical; batch 2: doc 3 repeats that content
+    # (dup across the batch boundary -> needs surviving state), doc 4 new
+    (d / "b1.json").write_text(
+        json.dumps({"doc_id": 1, "text": "alpha beta"}) + "\n" + json.dumps({"doc_id": 2, "text": "alpha beta"})
+    )
+    (d / "b2.json").write_text(
+        json.dumps({"doc_id": 3, "text": "alpha beta"}) + "\n" + json.dumps({"doc_id": 4, "text": "gamma"})
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    out = streaming_exact_dedup(stream)
+    sink = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.format("memory").queryName(sink).outputMode("append").trigger(availableNow=True).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["doc_id"]: (r["keep_id"], r["is_dup"]) for r in spark.table(sink).collect()}
+    assert rows == {1: (1, False), 2: (1, True), 3: (1, True), 4: (4, False)}

@@ -100,17 +100,24 @@ def parse_geojson(obj) -> Shape:
     raise ValueError(f"unsupported GeoJSON type: {typ}")
 
 
+def _num(x: float) -> str:
+    """Full-precision WKT number: integral values render as integers,
+    everything else via repr (shortest round-trip form)."""
+    fx = float(x)
+    return str(int(fx)) if fx.is_integer() else repr(fx)
+
+
 def to_wkt(shape: Shape) -> str:
     """TOWKT round-trip."""
     def ring(r):
         pts = list(r) + [r[0]]
-        return "(" + ", ".join(f"{x:g} {y:g}" for x, y in pts) + ")"
+        return "(" + ", ".join(f"{_num(x)} {_num(y)}" for x, y in pts) + ")"
 
     if shape.kind == "POINT":
         x, y = shape.coords[0]
-        return f"POINT ({x:g} {y:g})"
+        return f"POINT ({_num(x)} {_num(y)})"
     if shape.kind == "LINESTRING":
-        return "LINESTRING " + "(" + ", ".join(f"{x:g} {y:g}" for x, y in shape.coords) + ")"
+        return "LINESTRING " + "(" + ", ".join(f"{_num(x)} {_num(y)}" for x, y in shape.coords) + ")"
     if shape.kind == "POLYGON":
         return "POLYGON (" + ", ".join(ring(r) for r in shape.coords) + ")"
     if shape.kind == "MULTIPOLYGON":

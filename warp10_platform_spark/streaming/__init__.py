@@ -2,6 +2,7 @@ from warp10_platform_spark.streaming.ingest import (  # noqa: F401
     read_gts_text_stream,
     streaming_bucketize,
     streaming_counter_delta,
+    streaming_exact_dedup,
     streaming_last,
     streaming_sessionize,
 )

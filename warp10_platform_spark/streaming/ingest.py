@@ -166,3 +166,50 @@ def streaming_last(points: DataFrame, watermark_delay: str = "1 minute", value_c
         .groupBy("class", "labels_key")
         .agg(F.max_by(value_col, "ts").alias("v_last"), F.max("ts").alias("last_ts"))
     )
+
+
+def streaming_exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Streaming tier of pipeline/dedup.exact_dup_groups: exact dedup over
+    a document STREAM with state that survives micro-batches. Keyed by
+    content hash; state = (keeper id, count so far); every arriving doc is
+    emitted with its group keeper and a dup flag, so a downstream filter
+    `~is_dup` yields the deduplicated stream while keepers stay stable
+    across triggers. State size = one row per distinct content hash —
+    the same footprint the batch hash-groupBy shuffles."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("h", StringType()),
+            StructField("keep_id", LongType()),
+            StructField("is_dup", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("keep_id", LongType()), StructField("n", LongType())])
+
+    def fn(key, pdfs, state: GroupState):
+        keep_id, n = state.get if state.exists else (None, 0)
+        rows = []
+        for pdf in pdfs:
+            for _, r in pdf.sort_values(id_col).iterrows():
+                doc = int(r[id_col])
+                if keep_id is None:
+                    keep_id = doc
+                rows.append((doc, key[0], keep_id, doc != keep_id))
+                n += 1
+        state.update((keep_id, n))
+        yield pd.DataFrame(rows, columns=["doc_id", "h", "keep_id", "is_dup"])
+
+    hashed = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+    return hashed.groupBy("h").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
