@@ -234,3 +234,44 @@ def test_microsphere_nd_interpolation():
     # far outside the cloud every facet is dark -> background NaN
     far = MicrosphereND(x, y, dark_threshold=1e6)
     assert np.isnan(far(np.array([[100.0, 100.0]]))[0])
+
+
+def test_gtscodec_golden_bytes_and_roundtrip():
+    """Hand-derived golden bytes per the GTSEncoder format rules, plus a
+    full wrapper round-trip over every value type / flag path."""
+    import struct
+
+    from warp10_platform_spark.core import gtscodec as G
+
+    # single point ts=1000, v=5L, base=0: delta-base zigzag ts + zigzag long
+    # flags = TS_ZIGZAG_DELTA_BASE(0x40) | TYPE_LONG(0x08) | LONG_ZIGZAG(0x04)
+    blob = G.encode_gts([(1000, 5)])
+    assert blob == bytes([0x4C, 0xD0, 0x0F, 0x0A])
+    assert G.decode_gts(blob) == [(1000, 5, None)]
+
+    # ts beyond 2^48 from base -> raw absolute 8-byte BE
+    big = 1 << 50
+    blob2 = G.encode_gts([(big, True)])
+    assert blob2[0] == G.TS_RAW_ABSOLUTE | G.TYPE_BOOLEAN | G.BOOLEAN_TRUE
+    assert blob2[1:9] == struct.pack(">q", big)
+
+    # all-types wrapper round-trip incl. identical-value flags + elevation
+    pts = [
+        (10, 1.25, None), (20, 1.25, 7), (30, -3, 9), (40, -2, 9),
+        (50, False, None), (60, "s", None), (70, "s", None),
+        (80, b"\xff\x00", None), (90, None, None),
+    ]
+    s = G.wrap_series("m.x", {"a": "1"}, [(t, v) if e is None else (t, v, e) for t, v, e in pts],
+                      attributes={"o": "2"})
+    u = G.unwrap_series(s)
+    assert u["name"] == "m.x" and u["labels"] == {"a": "1"} and u["attributes"] == {"o": "2"}
+    assert u["points"] == pts and u["count"] == len(pts)
+
+    # BigDecimal compact double form decodes (scale byte + zigzag unscaled)
+    buf = bytearray([G.TS_RAW_ABSOLUTE | G.TYPE_DOUBLE])
+    buf += struct.pack(">q", 5) + struct.pack(">b", 1)
+    G.write_svarint(buf, -25)
+    assert G.decode_gts(bytes(buf)) == [(5, -2.5, None)]
+
+    # OPB64 alphabet ordering is preserved (byte order == text order)
+    assert G.opb64_encode(b"\x00") < G.opb64_encode(b"\x01") < G.opb64_encode(b"\xff")

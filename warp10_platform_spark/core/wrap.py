@@ -52,3 +52,67 @@ def unwrap(df: DataFrame, wrapped_col: str = "wrapped", value_col: str = "v_doub
         .select("class", "labels", F.col("pt.t").alias("ts"), F.col("pt.v").alias(value_col))
     )
     return with_gts_id(ex)
+
+
+def wrap_thrift(df: DataFrame, value_col: str = "v_double") -> DataFrame:
+    """WRAP with the reference's actual wire format (core/gtscodec.py:
+    GTSEncoder stream inside a TCompactProtocol GTSWrapper, OPB64 text) —
+    one wrapped string per series, interchangeable with a real Warp 10.
+    Arrow-batched applyInPandas: one group per series, like the
+    functional wrap()."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from warp10_platform_spark.core.gtscodec import wrap_series
+
+    schema = StructType(
+        [
+            StructField("class", StringType()),
+            StructField("labels_key", StringType()),
+            StructField("wrapped", StringType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        labels = {e["key"]: e["value"] for e in json.loads(pdf["labels_key"].iloc[0] or "[]")}
+        pts = [(int(t), float(v)) for t, v in zip(pdf["ts"], pdf[value_col])]
+        return pd.DataFrame(
+            {
+                "class": [pdf["class"].iloc[0]],
+                "labels_key": [pdf["labels_key"].iloc[0]],
+                "wrapped": [wrap_series(pdf["class"].iloc[0], labels, pts)],
+            }
+        )
+
+    return df.groupBy("gts_id").applyInPandas(run, schema=schema)
+
+
+def unwrap_thrift(df: DataFrame, wrapped_col: str = "wrapped") -> DataFrame:
+    """UNWRAP of reference-format blobs → points rows (ts, v_double)."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from warp10_platform_spark.core.gtscodec import unwrap_series
+
+    schema = StructType(
+        [
+            StructField("class", StringType()),
+            StructField("labels_key", StringType()),
+            StructField("ts", LongType()),
+            StructField("v_double", DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                u = unwrap_series(r[wrapped_col])
+                for ts, v, _elev in u["points"]:
+                    rows.append((r["class"], r["labels_key"], int(ts), float(v)))
+            yield pd.DataFrame(rows, columns=["class", "labels_key", "ts", "v_double"])
+
+    return df.select("class", "labels_key", wrapped_col).mapInPandas(run, schema=schema)

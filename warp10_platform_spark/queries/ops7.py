@@ -375,3 +375,22 @@ def _bucketized_input(spark, sf_dir):
 
 def _out_agg(gf):
     return gf.df.select("class", _user(), "ts", "v_agg")
+
+
+@register("wrap_thrift_roundtrip", (
+    f"WITH {PTS} SELECT class, \"user\", ts, v AS v_double FROM pts WHERE class = 'events.view'"
+))
+def wrap_thrift_roundtrip(spark, sf_dir):
+    """WRAP/UNWRAP in the reference WIRE FORMAT (GTSEncoder stream inside
+    a TCompactProtocol GTSWrapper, OrderPreservingBase64 text —
+    core/gtscodec.py; thrift:260-300, GTSEncoder.java:300-700): every
+    point round-trips through real interchange bytes, so the oracle is
+    the identity selection."""
+    from warp10_platform_spark.core.wrap import unwrap_thrift, wrap_thrift
+
+    pts = events_points(spark, sf_dir).where(F.col("class") == "events.view")
+    wrapped = wrap_thrift(pts)
+    back = unwrap_thrift(wrapped)
+    return back.select(
+        "class", _user_from_key(), "ts", "v_double"
+    )
