@@ -378,3 +378,22 @@ def test_registry_second_tranche(spark):
     [ SWAP 3600000000 mapper.kernel.gaussian 0 0 0 ] MAP
     """)
     assert out2.df.where(out2.df.v_mapped.isNotNull()).count() > 0
+
+
+def test_ws_wrap_unwrap_wire_format(spark):
+    """WRAP -> collect the wrapped strings -> UNWRAP from the literals:
+    values survive the reference wire format through the script surface."""
+    from warp10_platform_spark.warpscript.stack import WarpScriptStack
+
+    st = WarpScriptStack(spark, "/root/testdata/sf0.001")
+    st.exec("[ 'events.purchase' {} 0 1706659200000000 ] FETCH DUP 'orig' STORE WRAP")
+    wrapped_df = st.pop()
+    texts = [r["wrapped"] for r in wrapped_df.collect()]
+    assert texts and all(isinstance(t, str) and len(t) > 10 for t in texts)
+    st.push(texts)
+    st.registry["UNWRAP"](st)
+    back = st.pop()
+    orig = st.symbols["orig"]
+    a = {(r["class"], r["ts"], r["v_double"]) for r in back.df.collect()}
+    b = {(r["class"], r["ts"], r["v_double"]) for r in orig.df.select("class", "ts", "v_double").collect()}
+    assert a == b and len(a) > 0

@@ -1735,3 +1735,51 @@ def _fill(st):
 
         fn = getattr(_fill_mod, f"fill_{name}")
         st.push(GTSFrame(fn(gf._scaffolded(), value_col=gf.value_col), gf.bucketspec, gf.value_col))
+
+
+@register("WRAP")
+def _wrap(st):
+    """gts WRAP (WRAP.java): reference wire-format wrapped strings, one
+    row per series (core/gtscodec.py)."""
+    from warp10_platform_spark.core.wrap import wrap_thrift
+
+    gf = _as_frame(st.pop())
+    st.push(wrap_thrift(gf.df, value_col=gf.value_col))
+
+
+@register("UNWRAP")
+def _unwrap(st):
+    """wrapped UNWRAP (UNWRAP.java): accepts a wrapped string, a list of
+    them, or the DataFrame WRAP produced; pushes the points frame."""
+    from pyspark.sql import DataFrame as _DF
+
+    from warp10_platform_spark.core.schema import with_gts_id
+    from warp10_platform_spark.core.wrap import unwrap_thrift
+
+    v = st.pop()
+    if isinstance(v, _DF):
+        st.push(GTSFrame(with_gts_id_from_unwrap(unwrap_thrift(v)), None, "v_double"))
+        return
+    texts = v if isinstance(v, list) else [v]
+    from warp10_platform_spark.core.gtscodec import unwrap_series
+
+    rows = []
+    for t in texts:
+        u = unwrap_series(t)
+        for ts, val, _e in u["points"]:
+            rows.append((u["name"], u["labels"], int(ts), float(val)))
+    df = st.spark.createDataFrame(rows, "class string, labels map<string,string>, ts long, v_double double")
+    st.push(GTSFrame(with_gts_id(df.selectExpr(
+        "class", "labels", "cast(map() as map<string,string>) AS attributes", "ts",
+        "cast(null as double) AS lat", "cast(null as double) AS lon", "cast(null as long) AS elev",
+        "cast(null as long) AS v_long", "v_double", "cast(null as boolean) AS v_bool",
+        "cast(null as string) AS v_string",
+    )), None, "v_double"))
+
+
+def with_gts_id_from_unwrap(df):
+    """unwrap_thrift output (class, labels_key, ts, v_double) → canonical
+    points columns with identity recomputed."""
+    return df.selectExpr(
+        "class", "labels_key", "xxhash64(class, labels_key) AS gts_id", "ts", "v_double"
+    )
