@@ -224,10 +224,60 @@ def holt_smooth(spark, sf_dir):
     )
 
 
-@register("findstats_hll")  # HLL++ sketch (approximate by design) → rows-only
+# Portable HLL (the hll_cardinality construction, ungrouped): md5-derived
+# 60-bit hash → 256 registers (p=8) → integer-exact 2^-M sum → estimate.
+# Identical doubles on both engines, so even the APPROX path is oracled
+# bit-for-bit.
+def _phll_sql(key_sql: str, src: str, alias: str) -> str:
+    return (
+        f"(WITH h_ AS (SELECT ('0x' || substr(md5('hll:' || {key_sql}), 1, 15))::BIGINT AS hv FROM {src}), "
+        "r_ AS (SELECT hv >> 52 AS reg, hv & ((1::BIGINT << 52) - 1) AS w FROM h_), "
+        "m_ AS (SELECT reg, max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mj FROM r_ GROUP BY reg), "
+        "s_ AS (SELECT sum(1::BIGINT << (53 - mj)) AS sum_int, count(*) AS nreg FROM m_), "
+        "e_ AS (SELECT (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0 "
+        "         / CAST(sum_int + (256 - nreg) * (1::BIGINT << 53) AS DOUBLE) AS e_raw, 256 - nreg AS v0 FROM s_) "
+        "SELECT CAST(floor(CASE WHEN e_raw <= 640.0 AND v0 > 0 THEN 256.0 * ln(256.0 / v0) ELSE e_raw END) AS BIGINT) "
+        f"FROM e_) AS {alias}"
+    )
+
+
+def _phll_estimate(df, key_expr_sql: str, alias: str):
+    h = F.expr(f"cast(conv(substr(md5(concat('hll:', {key_expr_sql})), 1, 15), 16, 10) AS bigint)")
+    r = df.select(
+        F.shiftright(h, 52).alias("reg"),
+        h.bitwiseAND(F.expr("shiftleft(CAST(1 AS BIGINT), 52) - 1")).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.expr("bin(w)")))
+    m = r.groupBy("reg").agg(F.max(rho).alias("mj"))
+    s = m.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - mj)")).alias("sum_int"),
+        F.count("*").alias("nreg"),
+    )
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+    total = (F.col("sum_int") + (F.lit(256) - F.col("nreg")) * F.expr("shiftleft(CAST(1 AS BIGINT), 53)")).cast("double")
+    e_raw = F.lit(alpha_m2) / total
+    v0 = F.lit(256) - F.col("nreg")
+    est = F.when((e_raw <= 640.0) & (v0 > 0), F.lit(256.0) * F.log(F.lit(256.0) / v0)).otherwise(e_raw)
+    return s.select(F.floor(est).cast("long").alias(alias))
+
+
+@register("findstats_hll", (
+    f"WITH {PTS}, dirs AS (SELECT DISTINCT class, \"user\" FROM pts) "
+    "SELECT "
+    + _phll_sql("class", "dirs", "n_classes")
+    + ", "
+    + _phll_sql("class || '|' || \"user\"", "dirs", "n_series")
+))
 def findstats_hll(spark, sf_dir):
-    """FINDSTATS approx variant: HLL++ cardinalities
-    (approx_count_distinct ≙ the reference's HyperLogLogPlus) — the
-    directory-scale path where exact distinct is itself too big."""
+    """FINDSTATS approx variant (the reference's HyperLogLogPlus,
+    script/HyperLogLogPlus.java) over the directory, with the PORTABLE
+    HLL so even the sketch estimate is bit-exact cross-engine — the
+    directory-scale path where exact distinct is itself too big. The
+    Spark-native approx_count_distinct path stays available as
+    findstats(d, approx=True)."""
     d = build_directory(events_points(spark, sf_dir))
-    return findstats(d, approx=True)
+    user = F.get_json_object("labels_key", "$[0].value")
+    keys = d.select("class", F.concat("class", F.lit("|"), user).alias("skey"))
+    nc = _phll_estimate(keys, "class", "n_classes")
+    ns = _phll_estimate(keys, "skey", "n_series")
+    return nc.crossJoin(ns)

@@ -13,9 +13,9 @@ subseries loess, reflect-padded MA low-pass, trend loess — then (for
 STLESDTEST) the three ESD removal rounds, all from the same fold-exact
 building blocks.
 
-The ONLY remaining rows-only query is findstats_hll: approximate by
-construction (Spark HLL++ sketch internals differ from any SQL replay);
-its exact twin (hll_cardinality) IS oracled bit-for-bit.
+Even findstats_hll is oracled: its portable-HLL construction (the
+hll_cardinality device) computes identical register sums and estimates
+on both engines — EVERY queries() entry now carries a bit-exact oracle.
 """
 
 from __future__ import annotations
