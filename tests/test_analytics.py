@@ -275,3 +275,62 @@ def test_gtscodec_golden_bytes_and_roundtrip():
 
     # OPB64 alphabet ordering is preserved (byte order == text order)
     assert G.opb64_encode(b"\x00") < G.opb64_encode(b"\x01") < G.opb64_encode(b"\xff")
+
+
+def test_gtscodec_advice_r3_fixes():
+    """Regression tests for the round-3 ADVICE codec findings."""
+    import struct
+
+    from warp10_platform_spark.core import gtscodec as G
+
+    # (1) BigDecimal compact double: correctly-rounded decode, not
+    # float(unscaled) * 10**-scale double-rounding. 999999999999999e-15
+    # must parse to the nearest double of 0.999999999999999 exactly.
+    buf = bytearray([G.TS_RAW_ABSOLUTE | G.TYPE_DOUBLE])
+    buf += struct.pack(">q", 1) + struct.pack(">b", 15)
+    G.write_svarint(buf, 999999999999999)
+    ((_, v, _),) = G.decode_gts(bytes(buf))
+    assert v == float("0.999999999999999")
+    assert v != float(999999999999999) * (10.0 ** -15)  # the old wrong value
+
+    # (2) LONG delta-previous wraps to 64 bits like Java long arithmetic
+    blob = G.encode_gts([(0, (1 << 63) - 1)])
+    tail = bytearray([G.TS_ZIGZAG_DELTA_BASE | G.TYPE_LONG | G.LONG_ZIGZAG | G.LONG_DELTA_PREVIOUS])
+    G.write_svarint(tail, 1)  # ts delta
+    G.write_svarint(tail, 1)  # value delta: MAX_LONG + 1 wraps to MIN_LONG
+    pts = G.decode_gts(blob + bytes(tail))
+    assert pts[1][1] == -(1 << 63)
+
+    # (3) compressionPasses honored on read: a doubly-gzipped wrapper decodes
+    raw = G.encode_gts([(i * 1000, 42) for i in range(50)])
+    w = G.write_wrapper("m", {}, raw, 50, compress=True)
+    parsed = G.read_wrapper(w)
+    assert G.decode_gts(parsed["encoded"]) == [(i * 1000, 42, None) for i in range(50)]
+    # hand-build a 2-pass wrapper and check the loop-gunzip path
+    twice = G._gzip_det(G._gzip_det(raw))
+    out = bytearray()
+    prev = 0
+    prev = G._w_field(out, prev, 1, G._CT_STRUCT)
+    out += G.write_metadata("m", {}, None)
+    prev = G._w_field(out, prev, 7, G._CT_BINARY)
+    G._w_binary(out, twice)
+    prev = G._w_field(out, prev, 8, G._CT_I64)
+    G.write_svarint(out, 50)
+    prev = G._w_field(out, prev, 9, G._CT_TRUE)
+    prev = G._w_field(out, prev, 10, G._CT_I32)
+    G.write_svarint(out, 2)
+    out.append(G._CT_STOP)
+    parsed2 = G.read_wrapper(bytes(out))
+    assert parsed2["compressionPasses"] == 2
+    assert G.decode_gts(parsed2["encoded"])[0] == (0, 42, None)
+
+    # (4) WRAP output is deterministic and compressed by default when it helps
+    s1 = G.wrap_series("m", {}, [(i * 1000, 42) for i in range(200)])
+    s2 = G.wrap_series("m", {}, [(i * 1000, 42) for i in range(200)])
+    assert s1 == s2
+    assert G.read_wrapper(G.opb64_decode(s1))["compressed"] in (True, False)
+    u = G.unwrap_series(s1)
+    assert u["points"] == [(i * 1000, 42, None) for i in range(200)]
+    # gzip header: mtime zeroed and OS byte forced to 0x00 (Java parity)
+    gz = G._gzip_det(b"x" * 100)
+    assert gz[4:8] == b"\x00\x00\x00\x00" and gz[9] == 0x00

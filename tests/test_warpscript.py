@@ -380,6 +380,26 @@ def test_registry_second_tranche(spark):
     assert out2.df.where(out2.df.v_mapped.isNotNull()).count() > 0
 
 
+def test_ws_filter_bysize(spark):
+    """filter.bysize pops TWO longs (min, max) like FilterBySize.Builder and
+    both bounds are applied (r3 ADVICE regression)."""
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.warpscript.stack import WarpScriptStack
+
+    st = WarpScriptStack(spark, "/root/testdata/sf0.001")
+    st.exec("[ [ '~events.*' {} 0 1706659200000000 ] FETCH [ ] 5 200 filter.bysize ] FILTER")
+    out = st.pop()
+    sizes = out.df.groupBy("gts_id").count().agg(
+        F.min("count").alias("mn"), F.max("count").alias("mx")).first()
+    if sizes["mn"] is not None:
+        assert sizes["mn"] >= 5 and sizes["mx"] <= 200
+    # and the max bound actually filters: a tiny max empties the set
+    st.exec("[ [ '~events.*' {} 0 1706659200000000 ] FETCH [ ] 0 1 filter.bysize ] FILTER")
+    tiny = st.pop()
+    assert tiny.df.groupBy("gts_id").count().where("count > 1").count() == 0
+
+
 def test_ws_wrap_unwrap_wire_format(spark):
     """WRAP -> collect the wrapped strings -> UNWRAP from the literals:
     values survive the reference wire format through the script surface."""

@@ -266,10 +266,10 @@ def decode_gts(blob: bytes, base: int = 0):
             ts = base
         elif tmode == TS_ZIGZAG_DELTA_BASE:
             d, pos = read_svarint(blob, pos)
-            ts = base + d
+            ts = _to_signed64(base + d)
         else:
             d, pos = read_svarint(blob, pos)
-            ts = last_ts + d
+            ts = _to_signed64(last_ts + d)
         last_ts = ts
         # location (decoded for completeness, dropped: GeoXP mapping is
         # external — callers get elevation + value fidelity)
@@ -289,7 +289,7 @@ def decode_gts(blob: bytes, base: int = 0):
                 else:
                     e = struct.unpack(">q", blob[pos : pos + 8])[0]
                     pos += 8
-                elev = e + last_elev if (elev_flags & ELEV_DELTA_PREVIOUS) else e
+                elev = _to_signed64(e + last_elev) if (elev_flags & ELEV_DELTA_PREVIOUS) else e
             last_elev = elev
         vtype = flags & MASK_TYPE
         if vtype == TYPE_BOOLEAN:
@@ -311,7 +311,7 @@ def decode_gts(blob: bytes, base: int = 0):
                 else:
                     v = struct.unpack(">q", blob[pos : pos + 8])[0]
                     pos += 8
-                value = v + last_long if flags & LONG_DELTA_PREVIOUS else v
+                value = _to_signed64(v + last_long) if flags & LONG_DELTA_PREVIOUS else v
                 last_long = value
         elif vtype == TYPE_DOUBLE:
             if flags & VALUE_IDENTICAL:
@@ -325,7 +325,9 @@ def decode_gts(blob: bytes, base: int = 0):
                 scale = struct.unpack(">b", blob[pos : pos + 1])[0]
                 pos += 1
                 unscaled, pos = read_svarint(blob, pos)
-                value = float(unscaled) * (10.0 ** -scale)
+                # correctly-rounded: parse the exact decimal string, matching
+                # BigDecimal.valueOf(unscaled, scale).doubleValue()
+                value = float(f"{unscaled}e{-scale}")
                 last_double = value
         else:  # STRING
             if flags & VALUE_IDENTICAL:
@@ -386,6 +388,14 @@ def write_metadata(name: str, labels: dict, attributes: dict | None = None) -> b
     return bytes(out)
 
 
+def _gzip_det(data: bytes) -> bytes:
+    """Deterministic gzip matching java.util.zip.GZIPOutputStream output:
+    mtime=0 and OS header byte (offset 9) forced to 0x00."""
+    buf = bytearray(gzip.compress(data, mtime=0))
+    buf[9] = 0x00
+    return bytes(buf)
+
+
 def write_wrapper(
     name: str,
     labels: dict,
@@ -394,8 +404,23 @@ def write_wrapper(
     base: int = 0,
     attributes: dict | None = None,
     compress: bool = False,
+    compratio: float = 1.0,
 ) -> bytes:
-    """GTSWrapper (thrift:260-300) in TCompactProtocol."""
+    """GTSWrapper (thrift:260-300) in TCompactProtocol.
+
+    Compression follows GTSWrapperHelper.fromGTSEncoderToGTSWrapper: gzip
+    repeatedly while each pass's size ratio exceeds ``compratio``; if no
+    pass shrinks the payload, emit uncompressed. compressionPasses (field
+    10, i32) is written whenever compressed is set, like the reference."""
+    payload, passes = encoded, 0
+    if compress:
+        while True:
+            candidate = _gzip_det(payload)
+            if len(payload) / len(candidate) <= compratio:
+                break
+            payload, passes = candidate, passes + 1
+        if passes == 0:
+            payload = encoded
     out = bytearray()
     prev = 0
     prev = _w_field(out, prev, 1, _CT_STRUCT)
@@ -403,13 +428,14 @@ def write_wrapper(
     if base:
         prev = _w_field(out, prev, 6, _CT_I64)
         write_svarint(out, base)
-    payload = gzip.compress(encoded) if compress else encoded
     prev = _w_field(out, prev, 7, _CT_BINARY)
     _w_binary(out, payload)
     prev = _w_field(out, prev, 8, _CT_I64)
     write_svarint(out, count)
-    if compress:
+    if passes > 0:
         prev = _w_field(out, prev, 9, _CT_TRUE)
+        prev = _w_field(out, prev, 10, _CT_I32)
+        write_svarint(out, passes)
     out.append(_CT_STOP)
     return bytes(out)
 
@@ -508,7 +534,8 @@ def read_metadata(buf: bytes, pos: int) -> tuple[dict, int]:
 
 
 def read_wrapper(buf: bytes) -> dict:
-    w = {"metadata": None, "base": 0, "encoded": b"", "count": 0, "compressed": False}
+    w = {"metadata": None, "base": 0, "encoded": b"", "count": 0, "compressed": False,
+         "compressionPasses": 1}
     pos = 0
     prev = 0
     while pos < len(buf):
@@ -531,10 +558,14 @@ def read_wrapper(buf: bytes) -> dict:
             w["count"], pos = read_svarint(buf, pos)
         elif prev == 9:
             w["compressed"] = ctype == _CT_TRUE
+        elif prev == 10 and ctype in (_CT_I16, _CT_I32, _CT_I64):
+            w["compressionPasses"], pos = read_svarint(buf, pos)
         else:
             pos = _skip(buf, pos, ctype)
     if w["compressed"]:
-        w["encoded"] = gzip.decompress(w["encoded"])
+        # GTSWrapperHelper can gzip multiple times (compressionPasses > 1)
+        for _ in range(max(1, w["compressionPasses"])):
+            w["encoded"] = gzip.decompress(w["encoded"])
     return w
 
 
@@ -572,10 +603,14 @@ def opb64_decode(text: str) -> bytes:
 
 # --- high level: WRAP / UNWRAP strings ---
 
-def wrap_series(name: str, labels: dict, points, base: int = 0, attributes: dict | None = None) -> str:
+def wrap_series(name: str, labels: dict, points, base: int = 0, attributes: dict | None = None,
+                compress: bool = True) -> str:
+    """WRAP defaults compress=true like the reference WRAP function; the
+    deterministic gzip (_gzip_det) keeps output byte-stable across runs."""
     pts = list(points)
     blob = encode_gts(pts, base=base)
-    return opb64_encode(write_wrapper(name, labels, blob, len(pts), base=base, attributes=attributes))
+    return opb64_encode(write_wrapper(name, labels, blob, len(pts), base=base,
+                                      attributes=attributes, compress=compress))
 
 
 def unwrap_series(text: str) -> dict:

@@ -469,7 +469,8 @@ def _filter(st):
     elif name.startswith("filter.last."):
         st.push(gf.filter_last(name.rsplit(".", 1)[1], param))
     elif name == "filter.bysize":
-        st.push(gf.filter_bysize(min_size=param))
+        mn, mx = param
+        st.push(gf.filter_bysize(mn, mx))
     else:
         raise ValueError(f"unknown filter {name}")
 
@@ -1479,7 +1480,15 @@ REGISTRY["filter.last.eq"] = _param_filter("filter.last.eq")
 REGISTRY["filter.last.ge"] = _param_filter("filter.last.ge")
 REGISTRY["filter.last.le"] = _param_filter("filter.last.le")
 REGISTRY["filter.last.ne"] = _param_filter("filter.last.ne")
-REGISTRY["filter.bysize"] = _param_filter("filter.bysize")
+def _filter_bysize_factory(st):
+    """min max filter.bysize (FilterBySize.Builder pops TWO longs: max then
+    min) — pushes a filter spec carrying the (min, max) pair."""
+    mx = st.pop()
+    mn = st.pop()
+    st.push(("filter.bysize", (int(mn), int(mx))))
+
+
+REGISTRY["filter.bysize"] = _filter_bysize_factory
 
 
 # ---------- GTS metadata ----------
