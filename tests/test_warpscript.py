@@ -380,6 +380,35 @@ def test_registry_second_tranche(spark):
     assert out2.df.where(out2.df.v_mapped.isNotNull()).count() > 0
 
 
+def test_column_bindings_match_evaluator(spark):
+    """COLUMN_BINDINGS (the vectorized scalar surface) agree byte-for-byte
+    with the per-row stack evaluator for the same token chain — the r3
+    ADVICE collect-loop replacement keeps exact evaluator parity."""
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.warpscript.functions import COLUMN_BINDINGS as CB
+
+    samples = ["1-URGENT", "hello world", "", "ünïcode-é", "A" * 97]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = df.select(
+        CB["->HEX"](CB["MD5"](F.col("s"))).alias("h"),
+        CB["->B64"](F.col("s")).alias("b"),
+        CB["SIZE"](F.col("s")).alias("n"),
+        CB["TOUPPER"](F.col("s")).alias("u"),
+        CB["SHA256"](F.col("s")).alias("d"),
+    ).collect()
+    st = run("")
+    for s, r in zip(samples, got):
+        st.stack.clear()
+        st.push(s)
+        st.exec("DUP DUP DUP DUP MD5 ->HEX 'h' STORE ->B64 'b' STORE SIZE 'n' STORE TOUPPER 'u' STORE SHA256 'd' STORE")
+        assert r["h"] == st.symbols["h"]
+        assert r["b"] == st.symbols["b"]
+        assert r["n"] == st.symbols["n"]
+        assert r["u"] == st.symbols["u"]
+        assert bytes(r["d"]) == st.symbols["d"]
+
+
 def test_ws_filter_bysize(spark):
     """filter.bysize pops TWO longs (min, max) like FilterBySize.Builder and
     both bounds are applied (r3 ADVICE regression)."""

@@ -233,25 +233,25 @@ def ws_snapshot_eval(spark, sf_dir):
 ))
 def ws_string_digest_suite(spark, sf_dir):
     """Digest + encoding names over real table strings: MD5 → ->HEX,
-    ->B64, SIZE, TOUPPER — driven per row through the evaluator via
-    FOREACH over the collected comment list (bounded by the key filter),
-    proving the script surface composes with table data."""
+    ->B64, SIZE, TOUPPER — driven through the registry's COLUMN_BINDINGS
+    (warpscript/functions.py), the vectorized JVM-side path for scalar
+    names; per-row evaluator parity with these bindings lives in
+    tests/test_warpscript.py (no driver-side collect loop)."""
     from warp10_platform_spark.sources.tables import load_table
-    from warp10_platform_spark.warpscript.stack import WarpScriptStack
+    from warp10_platform_spark.warpscript.functions import COLUMN_BINDINGS as CB
 
-    rows = (
+    c = F.col("o_orderpriority")
+    return (
         load_table(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") % 1001 == 0)
-        .select("o_orderkey", F.col("o_orderpriority").alias("o_comment"))
-        .collect()
+        .select(
+            F.col("o_orderkey").alias("k"),
+            CB["->HEX"](CB["MD5"](c)).alias("md5_hex"),
+            CB["->B64"](c).alias("b64"),
+            CB["SIZE"](c).alias("len"),
+            CB["TOUPPER"](c).alias("up"),
+        )
     )
-    st = WarpScriptStack(spark, sf_dir, max_ops=1_000_000)
-    out = []
-    for r in rows:
-        st.exec(f"'{r['o_comment']}' DUP DUP DUP MD5 ->HEX 'h' STORE ->B64 'b' STORE SIZE 'n' STORE TOUPPER 'u' STORE")
-        out.append((r["o_orderkey"], st.symbols["h"], st.symbols["b"], st.symbols["n"], st.symbols["u"]))
-        st.stack.clear()
-    return spark.createDataFrame(out, "k long, md5_hex string, b64 string, len long, up string")
 
 
 @register("ws_exp_smoothing", (

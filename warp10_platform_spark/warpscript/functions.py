@@ -1297,6 +1297,33 @@ REGISTRY["SHA1"] = lambda st: st.push(_hashlib.sha1(_to_bytes(st.pop())).digest(
 REGISTRY["SHA256"] = lambda st: st.push(_hashlib.sha256(_to_bytes(st.pop())).digest())
 
 
+# ---------- column bindings (vectorized scalar surface) ----------
+# For scalar WS names whose semantics map 1:1 onto a pyspark.sql.functions
+# Column transform, this table is the distributed fast path: queries compose
+# the same token chain columnar-side (JVM codegen) instead of collecting
+# rows through the per-row evaluator. Each binding matches the REGISTRY
+# scalar semantics exactly (unit-tested side by side).
+
+COLUMN_BINDINGS = {
+    "MD5": lambda c: F.unhex(F.md5(c)),            # byte[] digest like the ref
+    "SHA1": lambda c: F.unhex(F.sha1(c)),
+    "SHA256": lambda c: F.unhex(F.sha2(c, 256)),
+    "->HEX": lambda c: F.lower(F.hex(c)),
+    # string→binary cast is UTF-8, mirroring _to_bytes; Spark's base64
+    # MIME-wraps at 76 chars — strip the line breaks for RFC 4648 parity
+    "->B64": lambda c: F.regexp_replace(F.base64(c.cast("binary")), "[\\r\\n]", ""),
+    "SIZE": lambda c: F.length(c).cast("long"),
+    "TOUPPER": F.upper,
+    "TOLOWER": F.lower,
+    "TRIM": F.trim,
+    "REVERSE": F.reverse,
+    "ABS": F.abs,
+    "SQRT": F.sqrt,
+    "EXP": F.exp,
+    "LN": F.log,
+}
+
+
 # ---------- sets / maps ----------
 
 REGISTRY["->SET"] = lambda st: st.push(set(st.pop()))
