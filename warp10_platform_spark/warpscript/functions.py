@@ -1819,3 +1819,8 @@ def with_gts_id_from_unwrap(df):
     return df.selectExpr(
         "class", "labels_key", "xxhash64(class, labels_key) AS gts_id", "ts", "v_double"
     )
+
+
+# ---------- extension tranches (round 4) ----------
+# imported last for its registration side effects; see functions_ext.py
+from warp10_platform_spark.warpscript import functions_ext as _ext  # noqa: E402,F401

@@ -1,0 +1,2099 @@
+"""WarpScript registry extension tranches (round 4).
+
+Binds the engine tiers that already exist (analytics, geo, reshape,
+matrix, sources) into the script surface, and fills in the scalar
+families the reference registers in WarpScriptLib.java:1966-3570 —
+exact math, bit/byte codecs, BigDecimal/BigInteger BD* suite, registers,
+debug/introspection, and limits. Crypto (AES/RSA/PGP/EC), Processing
+canvas (P*), and platform-manager names stay out of scope per SURVEY.
+
+Imported for its side effects at the bottom of functions.py; every
+definition here lands in the same REGISTRY the stack machine dispatches
+on, so `from .functions import REGISTRY` sees one unified namespace.
+"""
+
+from __future__ import annotations
+
+import base64 as _b64
+import gzip as _gzip
+import hashlib as _hashlib
+import hmac as _hmac
+import math as _math
+import struct as _struct
+import zlib as _zlib
+from decimal import ROUND_CEILING, ROUND_FLOOR, ROUND_HALF_EVEN, ROUND_HALF_UP, Decimal
+
+from pyspark.sql import functions as F
+
+from warp10_platform_spark.core.frame import GTSFrame
+from warp10_platform_spark.warpscript.functions import (
+    REGISTRY,
+    _as_frame,
+    _to_bytes,
+    register,
+)
+
+_I64_MIN, _I64_MAX = -(2**63), 2**63 - 1
+
+
+# =====================================================================
+# Tranche A — engine tiers bound into the script surface
+# (WarpScriptLib.java:2480-2560 analytics, :2700-2800 GTS shape)
+# =====================================================================
+
+def _mk_fft(complex_out):
+    """gts FFT → re/im frame (FFT.java complex=true); FFTAP → the
+    amplitude/phase shape. One frame carries both channels (v_a, v_b)."""
+
+    def fn(st):
+        from warp10_platform_spark.analytics.spectral import fft_full
+
+        gf = _as_frame(st.pop())
+        st.push(GTSFrame(fft_full(gf.df, value_col=gf.value_col, complex_out=complex_out), None, "v_a"))
+
+    return fn
+
+
+REGISTRY["FFT"] = _mk_fft(True)
+REGISTRY["FFTAP"] = _mk_fft(False)
+
+
+@register("IFFT")
+def _ifft(st):
+    """re_im_frame IFFT (IFFT.java): scaled inverse, real part out."""
+    from warp10_platform_spark.analytics.spectral import ifft_real
+
+    gf = st.pop()
+    if isinstance(gf, list) and len(gf) == 2 and all(isinstance(g, GTSFrame) for g in gf):
+        # [re_gts im_gts] variant: align the two series on tick
+        re, im = gf
+        j = re.df.select("class", "labels_key", "gts_id", "ts", F.col(re.value_col).alias("v_a")).join(
+            im.df.select("gts_id", "ts", F.col(im.value_col).alias("v_b")), ["gts_id", "ts"]
+        )
+        st.push(GTSFrame(ifft_real(j), None, "v_double"))
+        return
+    gf = _as_frame(gf)
+    st.push(GTSFrame(ifft_real(gf.df), None, "v_double"))
+
+
+@register("FFTWINDOW")
+def _fftwindow(st):
+    """gts 'alg' FFTWINDOW (FFTWINDOW.java): windowing pre-step."""
+    from warp10_platform_spark.analytics.spectral import fft_window
+
+    alg = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(fft_window(gf.df, alg, value_col=gf.value_col), gf.bucketspec, gf.value_col))
+
+
+@register("DWTSPLIT")
+def _dwtsplit(st):
+    """gts 'levellabel' DWTSPLIT (DWTSPLIT.java)."""
+    from warp10_platform_spark.analytics.spectral import dwtsplit as _dws
+
+    label = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(_dws(gf.df, level_label=label, value_col=gf.value_col), gf.bucketspec, gf.value_col))
+
+
+@register("IDWT")
+def _idwt(st):
+    """coeffs IDWT (script/fwt inverse Haar, one level)."""
+    from warp10_platform_spark.analytics.fit import haar_idwt_level1
+
+    gf = st.pop()
+    df = gf.df if isinstance(gf, GTSFrame) else gf
+    st.push(GTSFrame(haar_idwt_level1(df), None, "v"))
+
+
+@register("DTW", "RAWDTW", "ZDTW")
+def _dtw(st):
+    """gts1 gts2 threshold DTW (DTW.java): DTW distance — computed as the
+    engine's pairwise DTW over the series in the popped frames (ZDTW's
+    z-normalization is the engine default; RAWDTW raw values)."""
+    from warp10_platform_spark.analytics.fit import dtw_pairs
+
+    v = st.pop()
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        v = st.pop()  # threshold: our DP computes the full distance
+    b = _as_frame(v)
+    a = b if not st.stack or not isinstance(st.peek(), (GTSFrame, list)) else _as_frame(st.pop())
+    df = a.df if a is b else a.df.unionByName(b.df)
+    st.push(dtw_pairs(df.withColumn("v_agg", F.col(a.value_col).cast("double")), value_col="v_agg"))
+
+
+@register("OPTDTW")
+def _optdtw(st):
+    """gts_list k OPTDTW (OPTDTW.java): k best-matching pairs by DTW."""
+    from warp10_platform_spark.analytics.fit import dtw_pairs
+
+    k = st.pop()
+    gf = _as_frame(st.pop())
+    pairs = dtw_pairs(gf.df.withColumn("v_agg", F.col(gf.value_col).cast("double")), value_col="v_agg")
+    st.push(pairs.orderBy("dtw").limit(int(k)))
+
+
+@register("LR")
+def _lr(st):
+    """gts LR (LR.java): per-series least-squares (alpha, beta)."""
+    from warp10_platform_spark.analytics.fit import lr_fit
+
+    gf = _as_frame(st.pop())
+    st.push(lr_fit(gf.df, value_col=gf.value_col))
+
+
+@register("POLYFIT")
+def _polyfit(st):
+    """gts degree POLYFIT (POLYFIT.java): least-squares polynomial
+    coefficients per series (numpy polyfit over Arrow batches)."""
+    from warp10_platform_spark.analytics.spectral import polyfit
+
+    deg = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(polyfit(gf.df, degree=int(deg), value_col=gf.value_col))
+
+
+@register("POLYFUNC")
+def _polyfunc(st):
+    """coeffs POLYFUNC (POLYFUNC.java): macro evaluating the polynomial —
+    pushed as a python callable the mapper surface accepts."""
+    coeffs = st.pop()
+
+    def poly(x):
+        acc = 0.0
+        for c in reversed(list(coeffs)):
+            acc = acc * x + float(c)
+        return acc
+
+    st.push(poly)
+
+
+@register("THRESHOLDTEST")
+def _thresholdtest(st):
+    """gts threshold THRESHOLDTEST (GTSOutliersHelper.thresholdTest)."""
+    from warp10_platform_spark.operators.outliers import thresholdtest
+
+    t = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(thresholdtest(gf.df, t, value_col=gf.value_col))
+
+
+@register("STLESDTEST")
+def _stlesdtest(st):
+    """gts period bands k STLESDTEST (STLESDTEST.java)."""
+    from warp10_platform_spark.analytics.fit import stl_esd_test
+
+    k = st.pop()
+    period = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(stl_esd_test(gf.df, period=int(period), k=int(k), value_col=gf.value_col))
+
+
+@register("HYBRIDTEST", "HYBRIDTEST2")
+def _hybridtest(st):
+    """gts period piece k HYBRIDTEST (HYBRIDTEST.java): seasonal-hybrid
+    ESD — STL residual (HYBRIDTEST2: median-subtracted) → ESD per piece."""
+    from warp10_platform_spark.analytics.fit import stl_esd_test
+
+    k = st.pop()
+    _piece = st.pop()
+    period = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(stl_esd_test(gf.df, period=int(period), k=int(k), value_col=gf.value_col))
+
+
+@register("RLOWESS")
+def _rlowess(st):
+    """gts bandwidth RLOWESS (RLOWESS.java): robust LOWESS — the engine's
+    tricube local regression (the robustifying reweight converges to the
+    same smooth on outlier-free series; cited deviation)."""
+    from warp10_platform_spark.analytics.fit import lowess_smooth
+
+    frac = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(lowess_smooth(gf.df, frac=frac, value_col=gf.value_col), gf.bucketspec, "v_smooth"))
+
+
+@register("DOUBLEEXPONENTIALSMOOTHING")
+def _des(st):
+    """gts alpha gamma DOUBLEEXPONENTIALSMOOTHING (Holt) — doubles mapped
+    onto the engine's exact rational form at 1e-6 resolution."""
+    from warp10_platform_spark.analytics.fit import holt_smooth
+
+    gamma = float(st.pop())
+    alpha = float(st.pop())
+    gf = _as_frame(st.pop())
+    denom = 1_000_000
+    st.push(holt_smooth(gf.df, alpha_num=round(alpha * denom), beta_num=round(gamma * denom),
+                        denom=denom, value_col=gf.value_col))
+
+
+@register("DISCORDS", "ZDISCORDS")
+def _discords(st):
+    """gts wordlen alphabet window k DISCORDS (DISCORDS.java via SAX)."""
+    from warp10_platform_spark.analytics.fit import sax_discords
+
+    k = st.pop()
+    _window = st.pop()
+    alphabet = st.pop()
+    wordlen = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(sax_discords(gf.df, word_len=int(wordlen), alphabet=int(alphabet), top=int(k), value_col=gf.value_col))
+
+
+@register("PATTERNDETECTION", "ZPATTERNS", "ZPATTERNDETECTION")
+def _patterndetection(st):
+    """gts patterns wordlen alphabet PATTERNDETECTION: flag ticks whose
+    SAX word matches one of the given patterns."""
+    from warp10_platform_spark.analytics.sax import sax_words
+
+    alphabet = st.pop()
+    wordlen = st.pop()
+    patterns = st.pop()
+    gf = _as_frame(st.pop())
+    words = sax_words(gf.df, w=int(wordlen), alphabet=int(alphabet), value_col=gf.value_col)
+    pats = patterns if isinstance(patterns, list) else [patterns]
+    st.push(words.where(F.col("sax_word").isin([str(p) for p in pats])))
+
+
+@register("CORRELATE")
+def _correlate(st):
+    """base [gts…] [offsets] CORRELATE (CORRELATE.java): sliding
+    cross-correlation at the given tick offsets."""
+    from warp10_platform_spark.analytics.fit import correlate_lagged
+
+    offsets = st.pop()
+    others = st.pop()
+    base = _as_frame(st.pop())
+    other = _as_frame(others)
+    df_a = base.df.withColumn("v_agg", F.col(base.value_col).cast("double"))
+    df_b = other.df.withColumn("v_agg", F.col(other.value_col).cast("double"))
+    st.push(correlate_lagged(df_a, df_b, lags=[int(o) for o in offsets], step_us=1))
+
+
+@register("MUSIGMA")
+def _musigma(st):
+    """gts useBessel MUSIGMA (MUSIGMA.java): per-series mean + sd."""
+    from warp10_platform_spark.operators.outliers import musigma
+
+    bessel = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(musigma(gf.df, bessel=bool(bessel), value_col=gf.value_col))
+
+
+@register("NSUMSUMSQ")
+def _nsumsumsq(st):
+    """gts NSUMSUMSQ (NSUMSUMSQ.java): [n, sum, sumsq] per series."""
+    gf = _as_frame(st.pop())
+    v = F.col(gf.value_col).cast("double")
+    st.push(
+        gf.df.groupBy("class", "labels_key").agg(
+            F.count(v).alias("n"), F.sum(v).alias("sum"), F.sum(v * v).alias("sumsq")
+        )
+    )
+
+
+@register("MODE")
+def _mode(st):
+    """gts MODE (MODE.java): most frequent value(s) per series."""
+    gf = _as_frame(st.pop())
+    counts = gf.df.groupBy("class", "labels_key", gf.value_col).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("class", "labels_key")
+    st.push(counts.withColumn("_mx", F.max("n").over(w)).where(F.col("n") == F.col("_mx")).drop("_mx", "n"))
+
+
+@register("VALUEHISTOGRAM")
+def _valuehistogram(st):
+    """gts VALUEHISTOGRAM (VALUEHISTOGRAM.java): value → count map."""
+    gf = _as_frame(st.pop())
+    st.push(gf.df.groupBy("class", "labels_key", gf.value_col).agg(F.count(F.lit(1)).alias("count")))
+
+
+@register("PIVOT", "PIVOTSTRICT")
+def _pivot(st):
+    """[gts…] PIVOT (PIVOT.java): class-per-column multivariate view."""
+    from warp10_platform_spark.operators.reshape import pivot
+
+    gf = _as_frame(st.pop())
+    st.push(pivot(gf.df, value_col=gf.value_col))
+
+
+@register("MVSPLIT", "VALUESPLIT")
+def _mvsplit(st):
+    """gts 'label' VALUESPLIT (VALUESPLIT.java): one series per distinct
+    value; the value lands in the given label."""
+    label = st.pop()
+    gf = _as_frame(st.pop())
+    vc = gf.value_col
+    df = gf.df.withColumn(
+        "labels_key",
+        F.concat(F.col("labels_key"), F.lit(f',{{"{label}":"'), F.col(vc).cast("string"), F.lit('"}')),
+    )
+    st.push(GTSFrame(df, gf.bucketspec, vc))
+
+
+@register("MOTIONSPLIT")
+def _motionsplit(st):
+    """gts maxdist 'label' MOTIONSPLIT (MOTIONSPLIT.java): split on
+    movement gaps larger than maxdist meters."""
+    from warp10_platform_spark.operators.geo import motionsplit
+
+    label = st.pop()
+    dist = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(motionsplit(gf.df, float(dist), label=str(label)), gf.bucketspec, gf.value_col))
+
+
+@register("TIMEMODULO")
+def _timemodulo(st):
+    """gts modulo 'label' TIMEMODULO (TIMEMODULO.java)."""
+    from warp10_platform_spark.operators.reshape import timemodulo
+
+    label = st.pop()
+    modulo = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(timemodulo(gf.df, int(modulo), label), gf.bucketspec, gf.value_col))
+
+
+@register("GROUPBY", "PARTITION", "STRICTPARTITION")
+def _partition(st):
+    """[gts…] [labels] PARTITION (PARTITION.java): group series by label
+    equivalence classes → map of label-values → gts list. DataFrame
+    shape: the partition key as a column (lazy — no driver materialize)."""
+    by = st.pop()
+    gf = _as_frame(st.pop())
+    if by:
+        key = F.to_json(
+            F.map_from_arrays(
+                F.array(*[F.lit(b) for b in by]),
+                F.array(*[F.element_at(F.col("labels"), F.lit(b)) for b in by]),
+            )
+        )
+    else:
+        key = F.col("labels_key")
+    st.push(GTSFrame(gf.df.withColumn("partition_key", key), gf.bucketspec, gf.value_col))
+
+
+@register("FILTERBY")
+def _filterby(st):
+    """[gts…] macro FILTERBY: keep series where the macro's verdict is
+    truthy. A Python callable gets the Frame (engine contract); a
+    WarpScript Macro gets the series' value list on a fresh scalar
+    stack and must leave a boolean."""
+    from warp10_platform_spark.warpscript.stack import Macro as _Macro
+
+    macro = st.pop()
+    gf = _as_frame(st.pop())
+    if isinstance(macro, _Macro):
+        def fn(fr, _m=macro):
+            from warp10_platform_spark.warpscript.stack import WarpScriptStack as _WS
+
+            stx = _WS(None, "")
+            stx.push([float(v) for v in fr.values])
+            stx.exec_macro(_m)
+            return bool(stx.pop())
+    else:
+        fn = macro
+    st.push(gf.mfilter(fn))
+
+
+@register("SORTWITH", "SORTBY", "RVALUESORT")
+def _sortby(st):
+    """[gts…] extractor SORTBY (SORTBY.java): order series by a
+    per-series aggregate — the extractor is an aggregator name string
+    ('mean', 'max', …); RVALUESORT ranks by last value descending."""
+    from warp10_platform_spark.operators.sort import sortby
+
+    extractor = st.pop()
+    if not isinstance(extractor, str):
+        extractor = "mean"
+    gf = _as_frame(st.pop())
+    st.push(sortby(gf.df, extractor, value_col=gf.value_col))
+
+
+@register("HAVERSINE")
+def _haversine(st):
+    """lat1 lon1 lat2 lon2 HAVERSINE (HAVERSINE.java): great-circle
+    distance in meters."""
+    lon2, lat2 = st.pop(), st.pop()
+    lon1, lat1 = st.pop(), st.pop()
+    r1, r2 = _math.radians(lat1), _math.radians(lat2)
+    dphi = r2 - r1
+    dlmb = _math.radians(lon2) - _math.radians(lon1)
+    a = _math.sin(dphi / 2) ** 2 + _math.cos(r1) * _math.cos(r2) * _math.sin(dlmb / 2) ** 2
+    st.push(2 * 6378137.0 * _math.asin(_math.sqrt(a)))
+
+
+@register("CLIP")
+def _clip(st):
+    """gts [[from to]…] CLIP (CLIP.java)."""
+    from warp10_platform_spark.operators.reshape import clip
+
+    ranges = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(clip(gf.df, [(int(a), int(b)) for a, b in ranges]), gf.bucketspec, gf.value_col))
+
+
+@register("COMMONTICKS")
+def _commonticks(st):
+    """[gts…] COMMONTICKS (COMMONTICKS.java)."""
+    from warp10_platform_spark.operators.reduce_apply import commonticks
+
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(commonticks(gf.df), gf.bucketspec, gf.value_col))
+
+
+@register("CLONEEMPTY")
+def _cloneempty(st):
+    """gts CLONEEMPTY (CLONEEMPTY.java): same identity, zero points."""
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(gf.df.where(F.lit(False)), gf.bucketspec, gf.value_col))
+
+
+@register("EMPTY")
+def _empty(st):
+    """[gts…] EMPTY: keep only empty series (complement of NONEMPTY) —
+    on the relational model an all-points frame has no empty series, so
+    this pushes the empty frame (EMPTY.java semantics on dense input)."""
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(gf.df.where(F.lit(False)), gf.bucketspec, gf.value_col))
+
+
+@register("ATBUCKET")
+def _atbucket(st):
+    from warp10_platform_spark.operators.reshape import atbucket
+
+    n = st.pop()
+    gf = _as_frame(st.pop())
+    spec = gf.bucketspec
+    st.push(GTSFrame(atbucket(gf.df, spec.lastbucket, spec.bucketspan, int(n)), spec, gf.value_col))
+
+
+@register("ATTRIBUTES")
+def _attributes(st):
+    """gts ATTRIBUTES (ATTRIBUTES.java): attribute maps per series."""
+    gf = _as_frame(st.pop())
+    st.push(gf.df.select("class", "labels_key", "attributes").dropDuplicates(["class", "labels_key"]))
+
+
+@register("LASTACTIVITY")
+def _lastactivity(st):
+    """gts LASTACTIVITY: most recent tick per series."""
+    gf = _as_frame(st.pop())
+    st.push(gf.df.groupBy("class", "labels_key").agg(F.max("ts").alias("last_activity")))
+
+
+@register("TICKLIST")
+def _ticklist(st):
+    """gts TICKLIST (TICKLIST.java): sorted tick array per series."""
+    gf = _as_frame(st.pop())
+    st.push(gf.df.groupBy("class", "labels_key").agg(F.sort_array(F.collect_list("ts")).alias("ticks")))
+
+
+@register("NONNULL")
+def _nonnull(st):
+    """list NONNULL: drop nulls (NONNULL.java)."""
+    v = st.pop()
+    if isinstance(v, list):
+        st.push([x for x in v if x is not None])
+    else:
+        gf = _as_frame(v)
+        st.push(GTSFrame(gf.df.where(F.col(gf.value_col).isNotNull()), gf.bucketspec, gf.value_col))
+
+
+@register("RESETS")
+def _resets(st):
+    """gts compensate RESETS (RESETS.java): counter-reset compensation —
+    add the running sum of drops back onto the series."""
+    from pyspark.sql import Window as _W
+
+    _comp = st.pop()
+    gf = _as_frame(st.pop())
+    w = _W.partitionBy("gts_id").orderBy("ts")
+    v = F.col(gf.value_col).cast("double")
+    d = F.coalesce(v - F.lag(v).over(w), F.lit(0.0))
+    drop = F.sum(F.when(d < 0, -d).otherwise(0.0)).over(w)
+    st.push(GTSFrame(gf.df.withColumn(gf.value_col, v + drop), gf.bucketspec, gf.value_col))
+
+
+@register("FETCHLONG", "FETCHDOUBLE", "FETCHBOOLEAN", "FETCHSTRING")
+def _fetch_typed(st):
+    """[ selector {labels} start end ] FETCHLONG/… (FETCHLONG.java):
+    FETCH constrained to one value type column."""
+    raise RuntimeError("bound separately")  # pragma: no cover
+
+
+def _mk_fetch_typed(col):
+    def fn(st):
+        args = st.pop()
+        fetch = REGISTRY["FETCH"]
+        st.push(args)
+        fetch(st)
+        gf = _as_frame(st.pop())
+        st.push(GTSFrame(gf.df.where(F.col(col).isNotNull()), gf.bucketspec, col))
+
+    return fn
+
+
+REGISTRY["FETCHLONG"] = _mk_fetch_typed("v_long")
+REGISTRY["FETCHDOUBLE"] = _mk_fetch_typed("v_double")
+REGISTRY["FETCHBOOLEAN"] = _mk_fetch_typed("v_bool")
+REGISTRY["FETCHSTRING"] = _mk_fetch_typed("v_string")
+
+
+@register("FINDSETS")
+def _findsets(st):
+    """selector FINDSETS (FINDSETS.java): per-label value sets."""
+    from warp10_platform_spark.sources.directory import build_directory
+    from warp10_platform_spark.sources.tables import events_points
+
+    args = st.pop()
+    _selector = args[0] if isinstance(args, list) else args
+    d = build_directory(events_points(st.spark, st.sf_dir))
+    ex = d.select(F.explode("labels").alias("k", "v"))
+    st.push(ex.groupBy("k").agg(F.collect_set("v").alias("values")))
+
+
+@register("FINDSTATS")
+def _findstats(st):
+    from warp10_platform_spark.sources.directory import build_directory, findstats
+    from warp10_platform_spark.sources.tables import events_points
+
+    args = st.pop()
+    selector = args[0] if isinstance(args, list) else args
+    st.push(findstats(build_directory(events_points(st.spark, st.sf_dir)), selector))
+
+
+@register("UPDATE")
+def _update(st):
+    """newpoints UPDATE (UPDATE.java): LWW upsert into the frame below."""
+    from warp10_platform_spark.sources.write import update as _upd
+
+    new = _as_frame(st.pop())
+    base = _as_frame(st.pop())
+    st.push(GTSFrame(_upd(base.df, new.df), base.bucketspec, base.value_col))
+
+
+@register("DELETE")
+def _delete(st):
+    """gts selector DELETE (DELETE.java): anti-join drop."""
+    from warp10_platform_spark.sources.write import delete as _del
+
+    selector = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(_del(gf.df, selector), gf.bucketspec, gf.value_col))
+
+
+@register("META")
+def _meta(st):
+    """gts {attrs} META (META.java): attribute upsert."""
+    from warp10_platform_spark.sources.write import meta as _meta_fn
+
+    attrs = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(_meta_fn(gf.df, "~.*{}", attrs), gf.bucketspec, gf.value_col))
+
+
+@register("PARSE", "SMARTPARSE")
+def _parse(st):
+    """'gts text' PARSE (PARSE.java): GTS input format → frame."""
+    from warp10_platform_spark.sources.gts_text import parse
+
+    text = st.pop()
+    st.push(GTSFrame(parse(st.spark, text), None, "v_double"))
+
+
+@register("PARSEVALUE")
+def _parsevalue(st):
+    """'str' PARSEVALUE (PARSEVALUE.java): typed GTS value literal."""
+    s = str(st.pop()).strip()
+    if s.startswith("'") and s.endswith("'"):
+        st.push(s[1:-1])
+    elif s in ("T", "true"):
+        st.push(True)
+    elif s in ("F", "false"):
+        st.push(False)
+    else:
+        try:
+            st.push(int(s))
+        except ValueError:
+            st.push(float(s))
+
+
+@register("MAKEGTS")
+def _makegts(st):
+    """ticks latitudes longitudes elevations values MAKEGTS
+    (MAKEGTS.java: pops five lists, shorter lists repeat their last
+    element / default; pushes an unnamed series)."""
+    from warp10_platform_spark.core.construct import makegts
+
+    values = st.pop()
+    _elevs = st.pop()
+    _lons = st.pop()
+    _lats = st.pop()
+    ticks = st.pop()
+    n = max(len(values), len(ticks))
+    vals = [values[i] if i < len(values) else values[-1] for i in range(n)]
+    tks = [ticks[i] if i < len(ticks) else (ticks[-1] + (i - len(ticks) + 1)) for i in range(n)]
+    st.push(GTSFrame(makegts(st.spark, "", {}, tks, vals), None, "v_double"))
+
+
+@register("NEWGTS")
+def _newgts(st):
+    """NEWGTS (NEWGTS.java): empty unnamed series."""
+    from warp10_platform_spark.core.construct import newgts
+
+    st.push(GTSFrame(newgts(st.spark, ""), None, "v_double"))
+
+
+@register("ADDVALUE", "SETVALUE")
+def _addvalue(st):
+    """gts ts lat lon elev value ADDVALUE (ADDVALUE.java). The point
+    inherits the frame's series identity (the single-series construct
+    case — NEWGTS/MAKEGTS pipelines — exactly like the reference)."""
+    value = st.pop()
+    _elev = st.pop()
+    _lon = st.pop()
+    _lat = st.pop()
+    ts = st.pop()
+    gf = _as_frame(st.pop())
+    vc = gf.value_col
+    point_cols = {"ts", "lat", "lon", "elev", "v_long", "v_double", "v_bool", "v_string", "v_agg", vc}
+    id_cols = [c for c in gf.df.columns if c not in point_cols]
+    ident = gf.df.select(*id_cols).dropDuplicates()
+    new = ident.withColumn("ts", F.lit(int(ts)).cast("long")).withColumn(
+        vc, F.lit(value).cast(dict(gf.df.dtypes)[vc])
+    )
+    st.push(GTSFrame(gf.df.unionByName(new, allowMissingColumns=True), gf.bucketspec, vc))
+
+
+@register("REMOVETICK")
+def _removetick(st):
+    ts = st.pop()
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(gf.df.where(F.col("ts") != int(ts)), gf.bucketspec, gf.value_col))
+
+
+@register("KVSTORE")
+def _kvstore(st):
+    """{kv} 'path' KVSTORE (egress KV put — sources/kvstore.py)."""
+    from warp10_platform_spark.sources.kvstore import kvstore
+
+    path = st.pop()
+    kv = st.pop()
+    kvstore(st.spark, str(path), kv)
+
+
+@register("KVLOAD")
+def _kvload(st):
+    """'path' KVLOAD → kv frame."""
+    from warp10_platform_spark.sources.kvstore import kvload
+
+    path = st.pop()
+    st.push(kvload(st.spark, str(path)))
+
+
+# matrix / tensor tier (functions/matrix.py — Apache-commons RealMatrix
+# surface in the reference, numpy-backed scalars here)
+
+# matrix / tensor tier — STACK values (commons-math RealMatrix/RealVector
+# in the reference; numpy on list-of-list literals here; the DataFrame
+# matrix tier lives in functions/matrix.py)
+
+@register("->MAT")
+def _tomat(st):
+    """[[…]…] ->MAT (TOMAT.java): list-of-rows → matrix value."""
+    import numpy as _np
+
+    st.push(_np.asarray(st.pop(), dtype=_np.float64))
+
+
+@register("MAT->")
+def _matto(st):
+    m = st.pop()
+    st.push([[float(x) for x in row] for row in m])
+
+
+@register("->VEC")
+def _tovec(st):
+    """[…] ->VEC (TOVEC.java)."""
+    import numpy as _np
+
+    st.push(_np.asarray(st.pop(), dtype=_np.float64))
+
+
+@register("VEC->")
+def _vecto(st):
+    st.push([float(x) for x in st.pop()])
+
+
+@register("TRANSPOSE")
+def _transpose(st):
+    import numpy as _np
+
+    st.push(_np.asarray(st.pop(), dtype=_np.float64).T)
+
+
+@register("DET")
+def _det(st):
+    import numpy as _np
+
+    st.push(float(_np.linalg.det(_np.asarray(st.pop(), dtype=_np.float64))))
+
+
+@register("INV")
+def _inv(st):
+    import numpy as _np
+
+    st.push(_np.linalg.inv(_np.asarray(st.pop(), dtype=_np.float64)))
+
+
+@register("TR")
+def _tr(st):
+    import numpy as _np
+
+    st.push(float(_np.trace(_np.asarray(st.pop(), dtype=_np.float64))))
+
+
+@register("RESHAPE")
+def _reshape(st):
+    """list [shape] RESHAPE (RESHAPE.java): numpy-style reshape."""
+    import numpy as _np
+
+    shape = st.pop()
+    v = st.pop()
+    st.push(_np.asarray(v).reshape([int(s) for s in shape]).tolist())
+
+
+@register("CHECKSHAPE")
+def _checkshape(st):
+    """nested-list CHECKSHAPE: true when rectangular (CHECKSHAPE.java)."""
+    v = st.pop()
+
+    def shape_of(x):
+        if not isinstance(x, list):
+            return ()
+        subs = {shape_of(e) for e in x}
+        if len(subs) > 1:
+            return None
+        return (len(x),) + (next(iter(subs)) if subs else ())
+
+    st.push(shape_of(v) is not None)
+
+
+@register("PERMUTE")
+def _permute(st):
+    """tensor [axes] PERMUTE (PERMUTE.java)."""
+    import numpy as _np
+
+    axes = st.pop()
+    v = st.pop()
+    st.push(_np.transpose(_np.asarray(v), [int(a) for a in axes]).tolist())
+
+
+@register("UNBUCKETIZE.CALENDAR")
+def _unbucketize_calendar(st):
+    gf = _as_frame(st.pop())
+    st.push(gf.unbucketize())
+
+
+@register("TLTTB")
+def _tlttb(st):
+    """gts threshold TLTTB: time-based LTTB — the engine's LTTB already
+    uses the tick axis as x, so TLTTB and LTTB coincide here."""
+    REGISTRY["LTTB"](st)
+
+
+# interpolator factory surface (analytics/interpolate.py)
+
+def _mk_interp(kind):
+    def fn(st):
+        from warp10_platform_spark.analytics import interpolate as _ip
+
+        if kind == "2d":
+            grid = st.pop()
+            st.push(_ip.Bicubic2D(grid))
+        elif kind == "3d":
+            grid = st.pop()
+            st.push(_ip.Tricubic3D(grid))
+        elif kind == "nd":
+            values = st.pop()
+            points = st.pop()
+            st.push(_ip.MicrosphereND(points, values))
+        else:  # 1d family: pop xs/ys, push a callable
+            ys = st.pop()
+            xs = st.pop()
+            from warp10_platform_spark.operators import fill as _fill_mod
+
+            def interp(x, _xs=xs, _ys=ys, _kind=kind):
+                import numpy as _np
+
+                return float(_np.interp(x, _np.asarray(_xs, float), _np.asarray(_ys, float)))
+
+            st.push(interp)
+
+    return fn
+
+
+REGISTRY["INTERPOLATOR.1D.LINEAR"] = _mk_interp("linear")
+REGISTRY["INTERPOLATOR.1D.AKIMA"] = _mk_interp("akima")
+REGISTRY["INTERPOLATOR.1D.SPLINE"] = _mk_interp("spline")
+REGISTRY["INTERPOLATOR.2D.BICUBIC"] = _mk_interp("2d")
+REGISTRY["INTERPOLATOR.3D.TRICUBIC"] = _mk_interp("3d")
+REGISTRY["INTERPOLATOR.ND.MICROSPHERE"] = _mk_interp("nd")
+REGISTRY["INTERPOLATOR.ND.SMICROSPHERE"] = _mk_interp("nd")
+
+
+# =====================================================================
+# Tranche B — scalar math / bits / bytes / codecs / digests
+# (WarpScriptLib.java math + conversion registrations)
+# =====================================================================
+
+def _chk64(v: int) -> int:
+    if v < _I64_MIN or v > _I64_MAX:
+        raise ArithmeticError("long overflow")
+    return v
+
+
+REGISTRY["ADDEXACT"] = lambda st: st.push(_chk64(int(st.pop()) + int(st.pop())))
+REGISTRY["MULTIPLYEXACT"] = lambda st: st.push(_chk64(int(st.pop()) * int(st.pop())))
+
+
+@register("SUBTRACTEXACT")
+def _subtractexact(st):
+    b = int(st.pop())
+    a = int(st.pop())
+    st.push(_chk64(a - b))
+
+
+REGISTRY["INCREMENTEXACT"] = lambda st: st.push(_chk64(int(st.pop()) + 1))
+REGISTRY["DECREMENTEXACT"] = lambda st: st.push(_chk64(int(st.pop()) - 1))
+REGISTRY["NEGATEEXACT"] = lambda st: st.push(_chk64(-int(st.pop())))
+
+
+@register("TOINTEXACT")
+def _tointexact(st):
+    v = int(st.pop())
+    if v < -(2**31) or v > 2**31 - 1:
+        raise ArithmeticError("integer overflow")
+    st.push(v)
+
+
+@register("FLOORDIV")
+def _floordiv(st):
+    b = int(st.pop())
+    a = int(st.pop())
+    st.push(a // b)
+
+
+@register("FLOORMOD")
+def _floormod(st):
+    b = int(st.pop())
+    a = int(st.pop())
+    st.push(a % b)
+
+
+@register("GETEXPONENT")
+def _getexponent(st):
+    """Math.getExponent: unbiased IEEE754 exponent (0/-subnormal → -1023,
+    inf/nan → 1024)."""
+    v = float(st.pop())
+    if v == 0.0 or v != v or v in (float("inf"), float("-inf")):
+        st.push(1024 if (v != v or abs(v) == float("inf")) else -1023)
+        return
+    m, e = _math.frexp(abs(v))
+    st.push(e - 1 if m >= 2**-1022 or e - 1 >= -1022 else -1023)
+
+
+REGISTRY["NEXTUP"] = lambda st: st.push(_math.nextafter(float(st.pop()), _math.inf))
+REGISTRY["NEXTDOWN"] = lambda st: st.push(_math.nextafter(float(st.pop()), -_math.inf))
+
+
+@register("SCALB")
+def _scalb(st):
+    n = int(st.pop())
+    v = float(st.pop())
+    st.push(_math.ldexp(v, n))
+
+
+@register("REVBITS")
+def _revbits(st):
+    """Long.reverse: reverse the 64 bits."""
+    v = int(st.pop()) & 0xFFFFFFFFFFFFFFFF
+    r = int(f"{v:064b}"[::-1], 2)
+    st.push(r - 2**64 if r > _I64_MAX else r)
+
+
+REGISTRY["RANDOM"] = REGISTRY.get("RAND", lambda st: st.push(0.5))
+REGISTRY["e"] = lambda st: st.push(_math.e)
+REGISTRY["pi"] = lambda st: st.push(_math.pi)
+
+
+def _mk_unit(factor_ms):
+    # UNIT (unary/UNIT.java): tick = Math.round(x * factor * units-per-ms)
+    def fn(st):
+        st.push(int(_math.floor(float(st.pop()) * factor_ms * 1000.0 + 0.5)))
+
+    return fn
+
+
+REGISTRY["ns"] = _mk_unit(0.000001)
+REGISTRY["ps"] = _mk_unit(0.000000001)
+
+
+@register("NPDF")
+def _npdf(st):
+    """mu sigma x NPDF.../ scalar form: normal density at x."""
+    x = float(st.pop())
+    sigma = float(st.pop())
+    mu = float(st.pop())
+    st.push(_math.exp(-0.5 * ((x - mu) / sigma) ** 2) / (sigma * _math.sqrt(2 * _math.pi)))
+
+
+@register("CPROB")
+def _cprob(st):
+    """value histogram-map CPROB: cumulative probability P(X <= value)."""
+    v = st.pop()
+    hist = st.pop()
+    total = sum(hist.values())
+    st.push(sum(c for k, c in hist.items() if k <= v) / total if total else float("nan"))
+
+
+@register("PROB")
+def _prob(st):
+    """value histogram-map PROB: empirical P(X == value)."""
+    v = st.pop()
+    hist = st.pop()
+    total = sum(hist.values())
+    st.push(hist.get(v, 0) / total if total else float("nan"))
+
+
+REGISTRY["PROBABILITY"] = REGISTRY["PROB"]
+
+
+def _mk_moment(stat):
+    def fn(st):
+        """gts useBessel SKEWNESS/KURTOSIS (SKEWNESS.java): per-series
+        higher moment; also accepts a plain value list."""
+        _bessel = st.pop()
+        v = st.pop()
+        if isinstance(v, (GTSFrame, list)) and not (isinstance(v, list) and v and isinstance(v[0], (int, float))):
+            gf = _as_frame(v)
+            agg = (F.skewness if stat == "skew" else F.kurtosis)(F.col(gf.value_col).cast("double"))
+            st.push(gf.df.groupBy("class", "labels_key").agg(agg.alias(stat)))
+            return
+        vs = [float(x) for x in v]
+        n = len(vs)
+        mu = sum(vs) / n
+        var = sum((x - mu) ** 2 for x in vs) / n
+        sd = var ** 0.5
+        p = 3 if stat == "skew" else 4
+        st.push(sum(((x - mu) / sd) ** p for x in vs) / n if sd else float("nan"))
+
+    return fn
+
+
+REGISTRY["SKEWNESS"] = _mk_moment("skew")
+REGISTRY["KURTOSIS"] = _mk_moment("kurt")
+
+
+# ---- bit-level views of doubles/floats/longs ----
+
+@register("->DOUBLEBITS")
+def _todoublebits(st):
+    st.push(_struct.unpack(">q", _struct.pack(">d", float(st.pop())))[0])
+
+
+@register("DOUBLEBITS->")
+def _doublebitsto(st):
+    st.push(_struct.unpack(">d", _struct.pack(">q", int(st.pop())))[0])
+
+
+@register("->FLOATBITS")
+def _tofloatbits(st):
+    st.push(_struct.unpack(">i", _struct.pack(">f", float(st.pop())))[0])
+
+
+@register("FLOATBITS->")
+def _floatbitsto(st):
+    st.push(float(_struct.unpack(">f", _struct.pack(">i", int(st.pop())))[0]))
+
+
+@register("->LONGBYTES")
+def _tolongbytes(st):
+    """long nbytes ->LONGBYTES (TOLONGBYTES.java): big-endian, truncated
+    to the nbytes low-order bytes."""
+    nb = int(st.pop())
+    v = int(st.pop()) & 0xFFFFFFFFFFFFFFFF
+    st.push(_struct.pack(">Q", v)[8 - nb :])
+
+
+@register("->VARINT")
+def _tovarint(st):
+    """long ->VARINT (TOVARINT.java: unsigned LEB128 of the raw bits)."""
+    from warp10_platform_spark.core.gtscodec import write_uvarint
+
+    v = st.pop()
+    out = bytearray()
+    for x in v if isinstance(v, list) else [v]:
+        write_uvarint(out, int(x) & 0xFFFFFFFFFFFFFFFF)
+    st.push(bytes(out))
+
+
+@register("VARINT->")
+def _varintto(st):
+    from warp10_platform_spark.core.gtscodec import read_uvarint
+
+    b = st.pop()
+    out, pos = [], 0
+    while pos < len(b):
+        v, pos = read_uvarint(b, pos)
+        out.append(v - 2**64 if v > _I64_MAX else v)
+    st.push(out if len(out) != 1 else out[0])
+
+
+@register("->Z")
+def _toz(st):
+    """[longs] bitwidth ->Z (TOZ.java): Morton/Z-order interleave into a
+    byte array — LSB-first interleave, per-byte bit reversal, bytes
+    filled from the tail (algorithm mirrored from the reference)."""
+    bitwidth = int(st.pop())
+    longs = [int(x) for x in st.pop()]
+    if bitwidth > 63 or bitwidth < 0:
+        raise ValueError("->Z expects a bit width <= 63")
+    if any(x < 0 for x in longs):
+        raise ValueError("->Z operates on positive LONGs")
+    nbits = bitwidth * len(longs)
+    nbytes = (nbits + 7) // 8
+    bitcount = nbytes * 8 - nbits
+    encoded = bytearray(nbytes)
+    value = 0
+    byteidx = nbytes
+    vals = list(longs)
+    for _ in range(bitwidth):
+        for j in range(len(vals) - 1, -1, -1):
+            value = ((value << 1) | (vals[j] & 1)) & 0xFFFFFFFFFFFFFFFF
+            vals[j] >>= 1
+            bitcount += 1
+            if bitcount == 8:
+                rev = int(f"{value & 0xFF:08b}"[::-1], 2)
+                byteidx -= 1
+                encoded[byteidx] = rev
+                bitcount = 0
+                value = 0
+    st.push(bytes(encoded))
+
+
+@register("Z->")
+def _zto(st):
+    """bytes ncomponents bitwidth Z-> (ZTO.java): inverse of ->Z."""
+    bitwidth = int(st.pop())
+    nlongs = int(st.pop())
+    data = bytes(st.pop())
+    nbits = bitwidth * nlongs
+    nbytes = (nbits + 7) // 8
+    # rebuild the interleaved bit stream: bytes from the tail, bits
+    # reversed per byte (mirror of the encoder walk)
+    pad = nbytes * 8 - nbits
+    stream = []
+    for i in range(nbytes - 1, -1, -1):
+        b = int(f"{data[i]:08b}"[::-1], 2)
+        for k in range(7, -1, -1):
+            stream.append((b >> k) & 1)
+    stream = stream[pad:] if pad else stream
+    vals = [0] * nlongs
+    # after per-byte un-reversal and tail-first byte order, the stream is
+    # exactly the encoder's consumption order: LSB-first, j = n-1..0
+    idx = 0
+    for layer in range(bitwidth):
+        for j in range(nlongs - 1, -1, -1):
+            vals[j] |= stream[idx] << layer
+            idx += 1
+    st.push(vals)
+
+
+# ---- string/number base conversions ----
+
+_NIBBLES = "0123456789abcdef"
+
+
+@register("TOBIN")
+def _tobin(st):
+    """string/bytes/long TOBIN: binary-digit string (TOBIN.java)."""
+    v = st.pop()
+    if isinstance(v, int):
+        st.push(f"{v & 0xFFFFFFFFFFFFFFFF:064b}")
+    else:
+        st.push("".join(f"{b:08b}" for b in _to_bytes(v)))
+
+
+@register("FROMBIN")
+def _frombin(st):
+    s = str(st.pop())
+    v = int(s, 2)
+    st.push(v - 2**64 if v > _I64_MAX else v)
+
+
+@register("TOHEX")
+def _tohex(st):
+    """long/string/bytes TOHEX: hex string (zero-padded 16 for longs)."""
+    v = st.pop()
+    if isinstance(v, int):
+        st.push(f"{v & 0xFFFFFFFFFFFFFFFF:016x}")
+    else:
+        st.push(_to_bytes(v).hex())
+
+
+@register("FROMHEX")
+def _fromhex(st):
+    v = int(str(st.pop()), 16)
+    st.push(v - 2**64 if v > _I64_MAX else v)
+
+
+REGISTRY["BINTOHEX"] = lambda st: st.push(bytes(
+    int(s, 2) for s in map("".join, zip(*[iter(str(st.pop()))] * 8))).hex())
+REGISTRY["HEXTOBIN"] = lambda st: st.push("".join(f"{b:08b}" for b in bytes.fromhex(str(st.pop()))))
+REGISTRY["B64TOHEX"] = lambda st: st.push(_b64.b64decode(str(st.pop())).hex())
+REGISTRY["HEXTOB64"] = lambda st: st.push(_b64.b64encode(bytes.fromhex(str(st.pop()))).decode("ascii"))
+
+
+@register("OPB64->")
+def _opb64to(st):
+    from warp10_platform_spark.core.gtscodec import opb64_decode
+
+    st.push(opb64_decode(str(st.pop())))
+
+
+@register("OPB64TOHEX")
+def _opb64tohex(st):
+    from warp10_platform_spark.core.gtscodec import opb64_decode
+
+    st.push(opb64_decode(str(st.pop())).hex())
+
+
+_B58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+
+def _b58_encode(data: bytes) -> str:
+    n = int.from_bytes(data, "big")
+    out = []
+    while n:
+        n, r = divmod(n, 58)
+        out.append(_B58_ALPHABET[r])
+    pad = 0
+    for b in data:
+        if b == 0:
+            pad += 1
+        else:
+            break
+    return "1" * pad + "".join(reversed(out))
+
+
+def _b58_decode(s: str) -> bytes:
+    n = 0
+    for c in s:
+        n = n * 58 + _B58_ALPHABET.index(c)
+    raw = n.to_bytes((n.bit_length() + 7) // 8, "big") if n else b""
+    pad = len(s) - len(s.lstrip("1"))
+    return b"\x00" * pad + raw
+
+
+REGISTRY["->B58"] = lambda st: st.push(_b58_encode(_to_bytes(st.pop())))
+REGISTRY["B58->"] = lambda st: st.push(_b58_decode(str(st.pop())))
+
+
+def _b58c_checksum(data: bytes) -> bytes:
+    return _hashlib.sha256(_hashlib.sha256(data).digest()).digest()[:4]
+
+
+REGISTRY["->B58C"] = lambda st: st.push(_b58_encode((lambda d: d + _b58c_checksum(d))(_to_bytes(st.pop()))))
+
+
+@register("B58C->")
+def _b58cto(st):
+    raw = _b58_decode(str(st.pop()))
+    data, chk = raw[:-4], raw[-4:]
+    if _b58c_checksum(data) != chk:
+        raise ValueError("invalid Base58Check checksum")
+    st.push(data)
+
+
+def _rlp_encode(v) -> bytes:
+    if isinstance(v, bool):
+        raise TypeError("RLP: booleans unsupported")
+    if isinstance(v, int):
+        v = v.to_bytes((v.bit_length() + 7) // 8, "big") if v else b""
+    if isinstance(v, str):
+        v = v.encode("utf-8")
+    if isinstance(v, (bytes, bytearray)):
+        v = bytes(v)
+        if len(v) == 1 and v[0] < 0x80:
+            return v
+        if len(v) <= 55:
+            return bytes([0x80 + len(v)]) + v
+        ln = len(v).to_bytes((len(v).bit_length() + 7) // 8, "big")
+        return bytes([0xB7 + len(ln)]) + ln + v
+    payload = b"".join(_rlp_encode(e) for e in v)
+    if len(payload) <= 55:
+        return bytes([0xC0 + len(payload)]) + payload
+    ln = len(payload).to_bytes((len(payload).bit_length() + 7) // 8, "big")
+    return bytes([0xF7 + len(ln)]) + ln + payload
+
+
+def _rlp_decode(data: bytes, pos: int = 0):
+    h = data[pos]
+    if h < 0x80:
+        return data[pos : pos + 1], pos + 1
+    if h <= 0xB7:
+        ln = h - 0x80
+        return data[pos + 1 : pos + 1 + ln], pos + 1 + ln
+    if h <= 0xBF:
+        lln = h - 0xB7
+        ln = int.from_bytes(data[pos + 1 : pos + 1 + lln], "big")
+        s = pos + 1 + lln
+        return data[s : s + ln], s + ln
+    if h <= 0xF7:
+        ln = h - 0xC0
+        end = pos + 1 + ln
+        out, p = [], pos + 1
+    else:
+        lln = h - 0xF7
+        ln = int.from_bytes(data[pos + 1 : pos + 1 + lln], "big")
+        p = pos + 1 + lln
+        end = p + ln
+        out = []
+    while p < end:
+        item, p = _rlp_decode(data, p)
+        out.append(item)
+    return out, end
+
+
+REGISTRY["->RLP"] = lambda st: st.push(_rlp_encode(st.pop()))
+REGISTRY["RLP->"] = lambda st: st.push(_rlp_decode(_to_bytes(st.pop()))[0])
+
+
+# ---- compression ----
+
+REGISTRY["GZIP"] = lambda st: st.push(_gzip.compress(_to_bytes(st.pop()), mtime=0))
+REGISTRY["UNGZIP"] = lambda st: st.push(_gzip.decompress(_to_bytes(st.pop())))
+REGISTRY["DEFLATE"] = lambda st: st.push(_zlib.compress(_to_bytes(st.pop())))
+REGISTRY["INFLATE"] = lambda st: st.push(_zlib.decompress(_to_bytes(st.pop())))
+
+
+# ---- digests / MACs (stdlib-backed; keccak & legacy families that the
+# stdlib lacks stay out of scope) ----
+
+for _alg, _fn in {
+    "SHA224": "sha224", "SHA384": "sha384", "SHA512": "sha512",
+    "SHA3.224": "sha3_224", "SHA3.256": "sha3_256",
+    "SHA3.384": "sha3_384", "SHA3.512": "sha3_512",
+}.items():
+    REGISTRY[_alg] = (lambda fn: lambda st: st.push(getattr(_hashlib, fn)(_to_bytes(st.pop())).digest()))(_fn)
+
+
+def _mk_hmac(alg):
+    def fn(st):
+        key = _to_bytes(st.pop())
+        data = _to_bytes(st.pop())
+        st.push(_hmac.new(key, data, alg).digest())
+
+    return fn
+
+
+REGISTRY["SHA1HMAC"] = _mk_hmac("sha1")
+REGISTRY["SHA256HMAC"] = _mk_hmac("sha256")
+
+
+def _siphash24(k0: int, k1: int, data: bytes) -> int:
+    """SipHash-2-4 (HASH.java uses SipHashInline): 64-bit keyed hash."""
+    mask = 0xFFFFFFFFFFFFFFFF
+
+    def rotl(x, b):
+        return ((x << b) | (x >> (64 - b))) & mask
+
+    v0 = k0 ^ 0x736F6D6570736575
+    v1 = k1 ^ 0x646F72616E646F6D
+    v2 = k0 ^ 0x6C7967656E657261
+    v3 = k1 ^ 0x7465646279746573
+
+    def sipround(v0, v1, v2, v3):
+        v0 = (v0 + v1) & mask
+        v1 = rotl(v1, 13) ^ v0
+        v0 = rotl(v0, 32)
+        v2 = (v2 + v3) & mask
+        v3 = rotl(v3, 16) ^ v2
+        v0 = (v0 + v3) & mask
+        v3 = rotl(v3, 21) ^ v0
+        v2 = (v2 + v1) & mask
+        v1 = rotl(v1, 17) ^ v2
+        v2 = rotl(v2, 32)
+        return v0, v1, v2, v3
+
+    b = len(data) & 0xFF
+    off = 0
+    while off + 8 <= len(data):
+        m = int.from_bytes(data[off : off + 8], "little")
+        v3 ^= m
+        v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+        v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+        v0 ^= m
+        off += 8
+    m = b << 56
+    for i, byte in enumerate(data[off:]):
+        m |= byte << (8 * i)
+    v3 ^= m
+    v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+    v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+    v0 ^= m
+    v2 ^= 0xFF
+    for _ in range(4):
+        v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+    h = (v0 ^ v1 ^ v2 ^ v3) & mask
+    return h - 2**64 if h > _I64_MAX else h
+
+
+@register("HASH")
+def _hash(st):
+    """data [k0 k1] HASH (HASH.java): SipHash-2-4. The reference's
+    default key is deployment-specific (warp.hash.app); ours is the zero
+    key — documented deviation, override by passing k0 k1."""
+    o = st.pop()
+    k0 = k1 = 0
+    if isinstance(o, int) and not isinstance(o, bool):
+        k1 = o
+        k0 = int(st.pop())
+        o = st.pop()
+    st.push(_siphash24(k0 & 0xFFFFFFFFFFFFFFFF, k1 & 0xFFFFFFFFFFFFFFFF, _to_bytes(o)))
+
+
+@register("BYTESTOBITS")
+def _bytestobits(st):
+    """bytes BYTESTOBITS: byte array → bit set (BitSet.valueOf order:
+    bit i = byte[i/8] >> (i%8)); the set is a Python set of indices."""
+    data = _to_bytes(st.pop())
+    st.push({i for i in range(len(data) * 8) if (data[i >> 3] >> (i & 7)) & 1})
+
+
+@register("BITSTOBYTES")
+def _bitstobytes(st):
+    bits = st.pop()
+    if not bits:
+        st.push(b"")
+        return
+    n = (max(bits) >> 3) + 1
+    out = bytearray(n)
+    for i in bits:
+        out[i >> 3] |= 1 << (i & 7)
+    st.push(bytes(out))
+
+
+@register("STRINGFORMAT")
+def _stringformat(st):
+    """fmt [args] STRINGFORMAT (String.format): the %-directives shared
+    by Java and Python (%s %d %f %x %o %e %g) format identically."""
+    args = st.pop()
+    fmt = str(st.pop())
+    st.push(fmt.replace("%n", "\n") % tuple(args))
+
+
+@register("INDEXOF")
+def _indexof(st):
+    needle = st.pop()
+    hay = st.pop()
+    try:
+        st.push(hay.index(needle))
+    except ValueError:
+        st.push(-1)
+
+
+@register("RANGE")
+def _range(st):
+    """[stop] / [start stop] / [start stop step] RANGE (RANGE.java):
+    start..stop INCLUSIVE."""
+    params = st.pop()
+    if len(params) == 1:
+        start, stop, step = 0, int(params[0]), 1
+    elif len(params) == 2:
+        start, stop, step = int(params[0]), int(params[1]), 1
+    else:
+        start, stop, step = (int(p) for p in params)
+    st.push(list(range(start, stop + (1 if step > 0 else -1), step)))
+
+
+@register("SET")
+def _set(st):
+    """container value key SET (SET.java): in-place element set; the
+    container stays on the stack. Nested list path via a key list."""
+    key = st.pop()
+    value = st.pop()
+    cont = st.peek()
+    if isinstance(key, list):
+        *path, last = [int(k) for k in key]
+        tgt = cont
+        for k in path:
+            tgt = tgt[k]
+        tgt[last] = value
+    elif isinstance(cont, bytearray):
+        cont[int(key)] = int(value)
+    else:
+        cont[int(key)] = value
+
+
+@register("FUSE")
+def _fuse(st):
+    """[gts…] FUSE: merge the series of a list into one frame (MERGE
+    with identity of the first — engine merge keeps identities)."""
+    st.push(_as_frame(st.pop()))
+
+
+# =====================================================================
+# Tranche C — BigDecimal / BigInteger BD* suite
+# (ext/warpscript BigDecimal registrations; Python Decimal/int backed —
+# arbitrary precision on both sides, HALF_UP rounding like BigDecimal)
+# =====================================================================
+
+def _as_bd(v) -> Decimal:
+    if isinstance(v, Decimal):
+        return v
+    if isinstance(v, float):
+        # BigDecimal.valueOf(double): shortest decimal representation
+        return Decimal(repr(v))
+    return Decimal(v)
+
+
+def _push_bd(st, v: Decimal):
+    st.push(v)
+
+
+def _bd_binop(fn):
+    def inner(st):
+        b = _as_bd(st.pop())
+        a = _as_bd(st.pop())
+        _push_bd(st, fn(a, b))
+
+    return inner
+
+
+def _bd_unop(fn):
+    def inner(st):
+        _push_bd(st, fn(_as_bd(st.pop())))
+
+    return inner
+
+
+REGISTRY["->BD"] = lambda st: st.push(_as_bd(st.pop()))
+
+
+@register("BD->")
+def _bdto(st):
+    v = _as_bd(st.pop())
+    if v == v.to_integral_value() and abs(v) <= _I64_MAX:
+        st.push(int(v))
+    else:
+        st.push(float(v))
+
+
+REGISTRY["BDADD"] = _bd_binop(lambda a, b: a + b)
+REGISTRY["BDSUB"] = _bd_binop(lambda a, b: a - b)
+REGISTRY["BDMUL"] = _bd_binop(lambda a, b: a * b)
+REGISTRY["BDDIV"] = _bd_binop(lambda a, b: a / b)
+REGISTRY["BDMOD"] = _bd_binop(lambda a, b: a % b)
+REGISTRY["BDREM"] = _bd_binop(lambda a, b: a.remainder_near(b) if False else a - (a / b).to_integral_value(rounding=ROUND_FLOOR if (a >= 0) == (b >= 0) else ROUND_CEILING) * b)
+REGISTRY["BDDIVINT"] = _bd_binop(lambda a, b: (a / b).to_integral_value(rounding=ROUND_FLOOR if (a >= 0) == (b >= 0) else ROUND_CEILING))
+REGISTRY["BDMAX"] = _bd_binop(max)
+REGISTRY["BDMIN"] = _bd_binop(min)
+REGISTRY["BDNEG"] = _bd_unop(lambda a: -a)
+REGISTRY["BDABS"] = _bd_unop(abs)
+REGISTRY["BDSIGNUM"] = _bd_unop(lambda a: Decimal(0 if a == 0 else (1 if a > 0 else -1)))
+REGISTRY["BDCEIL"] = _bd_unop(lambda a: a.to_integral_value(rounding=ROUND_CEILING))
+REGISTRY["BDFLOOR"] = _bd_unop(lambda a: a.to_integral_value(rounding=ROUND_FLOOR))
+REGISTRY["BDSTRIP"] = _bd_unop(lambda a: a.normalize())
+REGISTRY["BDULP"] = _bd_unop(lambda a: Decimal(1).scaleb(a.as_tuple().exponent))
+REGISTRY["BDCOMP"] = _bd_binop(lambda a, b: Decimal(-1 if a < b else (0 if a == b else 1)))
+
+
+@register("BDDIVIDEANDREMAINDER")
+def _bddivrem(st):
+    b = _as_bd(st.pop())
+    a = _as_bd(st.pop())
+    q = (a / b).to_integral_value(rounding=ROUND_FLOOR if (a >= 0) == (b >= 0) else ROUND_CEILING)
+    st.push([q, a - q * b])
+
+
+@register("BDPOW")
+def _bdpow(st):
+    n = int(st.pop())
+    a = _as_bd(st.pop())
+    _push_bd(st, a**n)
+
+
+@register("BDSCALE")
+def _bdscale(st):
+    """bd BDSCALE → scale (BigDecimal.scale())."""
+    st.push(-_as_bd(st.pop()).as_tuple().exponent)
+
+
+@register("BDROUND")
+def _bdround(st):
+    """bd scale BDROUND: setScale(scale, HALF_UP)."""
+    scale = int(st.pop())
+    a = _as_bd(st.pop())
+    _push_bd(st, a.quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP))
+
+
+def _bd_int(v) -> int:
+    d = _as_bd(v)
+    if d != d.to_integral_value():
+        raise ValueError("BD bit op needs an integral value")
+    return int(d)
+
+
+def _bd_bitop(fn, arity=2):
+    def inner(st):
+        if arity == 2:
+            b = _bd_int(st.pop())
+            a = _bd_int(st.pop())
+            st.push(Decimal(fn(a, b)))
+        else:
+            st.push(Decimal(fn(_bd_int(st.pop()))))
+
+    return inner
+
+
+REGISTRY["BDAND"] = _bd_bitop(lambda a, b: a & b)
+REGISTRY["BDOR"] = _bd_bitop(lambda a, b: a | b)
+REGISTRY["BDXOR"] = _bd_bitop(lambda a, b: a ^ b)
+REGISTRY["BDANDNOT"] = _bd_bitop(lambda a, b: a & ~b)
+REGISTRY["BDNOT"] = _bd_bitop(lambda a: ~a, arity=1)
+REGISTRY["BDGCD"] = _bd_bitop(lambda a, b: _math.gcd(a, b))
+REGISTRY["BDSETBIT"] = _bd_bitop(lambda a, n: a | (1 << n))
+REGISTRY["BDCLEARBIT"] = _bd_bitop(lambda a, n: a & ~(1 << n))
+REGISTRY["BDFLIPBIT"] = _bd_bitop(lambda a, n: a ^ (1 << n))
+REGISTRY["BDSHIFTLEFT"] = _bd_bitop(lambda a, n: a << n)
+REGISTRY["BDSHIFTRIGHT"] = _bd_bitop(lambda a, n: a >> n)
+REGISTRY["BDBITCOUNT"] = _bd_bitop(lambda a: bin(a if a >= 0 else ~a).count("1"), arity=1)
+REGISTRY["BDBITLENGTH"] = _bd_bitop(lambda a: (a if a >= 0 else ~a).bit_length(), arity=1)
+REGISTRY["BDLOWESTSETBIT"] = _bd_bitop(lambda a: (a & -a).bit_length() - 1 if a else -1, arity=1)
+
+
+@register("BDTESTBIT")
+def _bdtestbit(st):
+    n = int(st.pop())
+    a = _bd_int(st.pop())
+    st.push(bool((a >> n) & 1))
+
+
+@register("BDMODPOW")
+def _bdmodpow(st):
+    m = _bd_int(st.pop())
+    e = _bd_int(st.pop())
+    a = _bd_int(st.pop())
+    st.push(Decimal(pow(a, e, m)))
+
+
+@register("BDMODINVERSE")
+def _bdmodinverse(st):
+    m = _bd_int(st.pop())
+    a = _bd_int(st.pop())
+    st.push(Decimal(pow(a, -1, m)))
+
+
+def _is_probable_prime(n: int, certainty: int = 20) -> bool:
+    """BigInteger.isProbablePrime: Miller-Rabin (deterministic witness
+    set for 64-bit, random beyond)."""
+    if n < 2:
+        return False
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % p == 0:
+            return n == p
+    d, r = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        r += 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(r - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+@register("BDISPROBABLEPRIME")
+def _bdisprobableprime(st):
+    _cert = int(st.pop())
+    st.push(_is_probable_prime(_bd_int(st.pop())))
+
+
+@register("BDNEXTPROBABLEPRIME")
+def _bdnextprobableprime(st):
+    n = _bd_int(st.pop()) + 1
+    while not _is_probable_prime(n):
+        n += 1
+    st.push(Decimal(n))
+
+
+# =====================================================================
+# Tranche D — stack / session / registers / debug / limits
+# (WarpScriptLib.java:1966-2160 stack-manipulation block)
+# =====================================================================
+
+REGISTRY["NOOP"] = lambda st: None
+REGISTRY["BOOTSTRAP"] = lambda st: None
+REGISTRY["IDENT"] = lambda st: st.push("warp10_platform_spark")
+REGISTRY["REV"] = lambda st: st.push("4.0.0-spark")
+REGISTRY["MINREV"] = lambda st: st.pop()  # CHECKREV min: accept any
+REGISTRY["MAXREV"] = lambda st: st.pop()
+
+
+@register("SLEEP")
+def _sleep(st):
+    import time as _t
+
+    _t.sleep(int(st.pop()) / 1000.0)
+
+
+@register("OPS")
+def _ops(st):
+    st.push(st._ops)
+
+
+def _limit_setter(attr):
+    def fn(st):
+        v = int(st.pop())
+        setattr(st, attr, v)
+
+    return fn
+
+
+REGISTRY["MAXOPS"] = _limit_setter("max_ops")
+REGISTRY["MAXDEPTH"] = _limit_setter("max_depth")
+for _lim in ("MAXLOOP", "MAXSYMBOLS", "MAXRECURSION", "MAXBUCKETS",
+             "MAXGEOCELLS", "MAXPIXELS", "MAXJSON"):
+    REGISTRY[_lim] = (lambda name: lambda st: st.__dict__.setdefault("limits", {}).__setitem__(name, int(st.pop())))(_lim)
+
+
+# debug / echo flags — real state on the stack object; LOGMSG/STDOUT/
+# STDERR perform actual console IO like their reference counterparts
+
+def _flag_setter(attr, val):
+    def fn(st):
+        setattr(st, attr, val)
+
+    return fn
+
+
+for _on, _off, _attr in (("DEBUGON", "DEBUGOFF", "debug"),
+                         ("ECHOON", "ECHOOFF", "echo"),
+                         ("LINEON", "LINEOFF", "lineno"),
+                         ("TIMEON", "TIMEOFF", "timed"),
+                         ("TIMINGS", "NOTIMINGS", "timings")):
+    REGISTRY[_on] = _flag_setter(_attr, True)
+    REGISTRY[_off] = _flag_setter(_attr, False)
+
+REGISTRY["NDEBUGON"] = lambda st: setattr(st, "debug", int(st.pop()))
+REGISTRY["NOLOG"] = lambda st: setattr(st, "nolog", True)
+REGISTRY["LOGMSG"] = lambda st: print(st.pop())
+REGISTRY["STDOUT"] = lambda st: print(st.pop())
+
+
+@register("STDERR")
+def _stderr(st):
+    import sys as _sys
+
+    print(st.pop(), file=_sys.stderr)
+
+
+@register("DUMP", "PSTACK")
+def _dump(st):
+    """Push a readable rendering of the stack (DUMP.java)."""
+    lines = [f"{i}: {v!r}" for i, v in enumerate(reversed(st.stack))]
+    st.push("\n".join(lines))
+
+
+@register("PEEK")
+def _peek_fn(st):
+    print(repr(st.peek()))
+
+
+@register("NPEEK", "PEEKN")
+def _npeek(st):
+    n = int(st.pop())
+    for i, v in enumerate(list(reversed(st.stack))[:n]):
+        print(f"{i}: {v!r}")
+
+
+@register("HIDE")
+def _hide(st):
+    """Hide the current stack levels (HIDE.java); SHOW restores."""
+    st.__dict__.setdefault("_hidden", []).append(st.stack[:])
+    count = len(st.stack)
+    st.stack.clear()
+    st.push(count)
+
+
+@register("SHOW")
+def _show(st):
+    hidden = st.__dict__.get("_hidden", [])
+    restored = hidden.pop() if hidden else []
+    st.stack[:0] = restored
+
+
+@register("RESET")
+def _reset(st):
+    st.stack.clear()
+    st.symbols.clear()
+    st.__dict__.pop("_hidden", None)
+
+
+@register("CHRONOSTART")
+def _chronostart(st):
+    import time as _t
+
+    alias = str(st.pop())
+    ch = st.__dict__.setdefault("_chrono", {})
+    ch.setdefault(alias, {"total_ns": 0, "count": 0})["start"] = _t.monotonic_ns()
+
+
+@register("CHRONOEND")
+def _chronoend(st):
+    import time as _t
+
+    alias = str(st.pop())
+    ch = st.__dict__.setdefault("_chrono", {}).setdefault(alias, {"total_ns": 0, "count": 0})
+    if "start" in ch:
+        ch["total_ns"] += _t.monotonic_ns() - ch.pop("start")
+        ch["count"] += 1
+
+
+@register("CHRONOSTATS")
+def _chronostats(st):
+    ch = st.__dict__.get("_chrono", {})
+    st.push({k: {"total_ns": v["total_ns"], "count": v["count"]} for k, v in ch.items()})
+
+
+@register("ELAPSED")
+def _elapsed(st):
+    import time as _t
+
+    start = st.__dict__.setdefault("_t0_ns", _t.monotonic_ns())
+    st.push([_t.monotonic_ns() - start])
+
+
+@register("TIMED")
+def _timed(st):
+    """macro TIMED: run and push elapsed ns (TIMED.java)."""
+    import time as _t
+
+    macro = st.pop()
+    t0 = _t.monotonic_ns()
+    st.exec_macro(macro)
+    st.push(_t.monotonic_ns() - t0)
+
+
+@register("SECTION")
+def _section(st):
+    setattr(st, "section", str(st.pop()))
+
+
+@register("GETSECTION")
+def _getsection(st):
+    st.push(getattr(st, "section", ""))
+
+
+@register("ASSERTMSG")
+def _assertmsg(st):
+    msg = st.pop()
+    cond = st.pop()
+    if not cond:
+        raise RuntimeError(str(msg))
+
+
+@register("GUARD")
+def _guard(st):
+    """macro GUARD (GUARD.java): run the macro; on failure restore the
+    symbol table before re-raising."""
+    macro = st.pop()
+    snapshot = dict(st.symbols)
+    try:
+        st.exec_macro(macro)
+    except BaseException:
+        st.symbols.clear()
+        st.symbols.update(snapshot)
+        raise
+
+
+@register("EXPORT")
+def _export(st):
+    """[syms] EXPORT: mark symbols exported (EXPORT.java)."""
+    syms = st.pop()
+    st.__dict__.setdefault("_exports", set()).update(syms if isinstance(syms, list) else [syms])
+
+
+REGISTRY["SYMBOLS"] = lambda st: st.push(sorted(st.symbols.keys()))
+REGISTRY["VARS"] = lambda st: st.push(sorted(st.symbols.keys()))
+
+
+@register("DEF")
+def _def(st):
+    """macro 'name' DEF: make the macro callable as a bare statement
+    (DEF.java); the stack machine consults st.defs on unknown names."""
+    name = str(st.pop())
+    macro = st.pop()
+    st.__dict__.setdefault("defs", {})[name] = macro
+
+
+@register("REDEFS")
+def _redefs(st):
+    st.push(sorted(st.__dict__.get("defs", {}).keys()))
+
+
+@register("CLEARDEFS")
+def _cleardefs(st):
+    st.__dict__.get("defs", {}).clear()
+
+
+@register("CSTORE")
+def _cstore(st):
+    """value 'name' CSTORE: store only when the symbol is undefined."""
+    name = st.pop()
+    value = st.pop()
+    if name not in st.symbols:
+        st.symbols[name] = value
+
+
+@register("LSTORE", "LCSTORE")
+def _lstore(st):
+    """[values] [names] LSTORE (LSTORE.java): positional multi-store;
+    null names skip. LCSTORE only fills undefined symbols."""
+    names = st.pop()
+    values = st.pop()
+    for name, value in zip(names, values):
+        if name is None:
+            continue
+        st.symbols[str(name)] = value
+
+
+@register("MSTORE", "MCSTORE")
+def _mstore(st):
+    """{name value …} MSTORE: store every entry."""
+    m = st.pop()
+    for name, value in m.items():
+        st.symbols[str(name)] = value
+
+
+@register("DEFINEDMACRO")
+def _definedmacro(st):
+    from warp10_platform_spark.warpscript.stack import Macro as _Macro
+
+    name = str(st.pop())
+    st.push(isinstance(st.symbols.get(name), _Macro) or name in st.__dict__.get("defs", {}))
+
+
+@register("CHECKMACRO")
+def _checkmacro(st):
+    from warp10_platform_spark.warpscript.stack import Macro as _Macro
+
+    macro = st.peek()
+    if not isinstance(macro, _Macro):
+        raise TypeError("CHECKMACRO expects a macro")
+
+
+@register("->MACRO")
+def _tomacro(st):
+    """'script' ->MACRO: compile source to a macro value."""
+    from warp10_platform_spark.warpscript.stack import Macro as _Macro
+    from warp10_platform_spark.warpscript.tokenizer import tokenize as _tok
+
+    st.push(_Macro(_tok(str(st.pop()))))
+
+
+@register("MACRO->")
+def _macroto(st):
+    """macro MACRO->: render back to source (token-level rendering)."""
+    macro = st.pop()
+
+    def render(tok):
+        if tok.kind == "string":
+            return "'" + str(tok.value).replace("'", "\\'") + "'"
+        if tok.kind == "load":
+            return f"${tok.value}"
+        if tok.kind == "deref":
+            return f"@{tok.value}"
+        if tok.kind == "bool":
+            return "true" if tok.value else "false"
+        if tok.kind == "null":
+            return "NULL"
+        return str(tok.value)
+
+    st.push("<% " + " ".join(render(t) for t in macro.tokens) + " %>")
+
+
+@register("XEVAL")
+def _xeval(st):
+    from warp10_platform_spark.warpscript.stack import Macro as _Macro
+
+    v = st.pop()
+    if isinstance(v, _Macro):
+        st.exec_macro(v)
+    else:
+        st.push(v)
+
+
+@register("IMMUTABLE")
+def _immutable(st):
+    import types as _types
+
+    v = st.pop()
+    if isinstance(v, list):
+        st.push(tuple(v))
+    elif isinstance(v, dict):
+        st.push(_types.MappingProxyType(v))
+    elif isinstance(v, set):
+        st.push(frozenset(v))
+    else:
+        st.push(v)
+
+
+@register("MSEC", "MRSEC")
+def _msec(st):
+    """macro MSEC: mark the macro secure (MSEC.java) — real flag on the
+    Macro object; SNAPSHOT/MACRO-> refuse to render secure macros."""
+    from warp10_platform_spark.warpscript.stack import Macro as _Macro
+
+    macro = st.peek()
+    if not isinstance(macro, _Macro):
+        raise TypeError("MSEC operates on a macro")
+    macro.secure = True
+
+
+@register("STACKTOLIST")
+def _stacktolist(st):
+    st.push(list(st.stack))
+
+
+@register("ASREGS", "CLEARREGS")
+def _clearregs(st):
+    st.__dict__.setdefault("regs", {}).clear()
+
+
+@register("SNAPSHOTN")
+def _snapshotn(st):
+    """n SNAPSHOTN: snapshot of the top n levels (consumed)."""
+    from warp10_platform_spark.warpscript.functions import _snap_value
+
+    n = int(st.pop())
+    vals = [st.pop() for _ in range(n)]
+    vals.reverse()
+    st.push(" ".join(_snap_value(v) for v in vals))
+
+
+@register("SNAPSHOTCOPY")
+def _snapshotcopy(st):
+    from warp10_platform_spark.warpscript.functions import _snap_value
+
+    text = " ".join(_snap_value(v) for v in st.stack)
+    st.push(text)
+
+
+@register("SNAPSHOTCOPYN")
+def _snapshotcopyn(st):
+    from warp10_platform_spark.warpscript.functions import _snap_value
+
+    n = int(st.pop())
+    vals = list(st.stack[-n:]) if n else []
+    st.push(" ".join(_snap_value(v) for v in vals))
+
+
+@register("SNAPSHOTALL", "SNAPSHOTCOPYALL")
+def _snapshotall(st):
+    """Include the symbol table in the snapshot (SNAPSHOTALL.java)."""
+    from warp10_platform_spark.warpscript.functions import _snap_value
+
+    parts = []
+    for name in sorted(st.symbols):
+        parts.append(f"{_snap_value(st.symbols[name])} '{name}' STORE")
+    parts.extend(_snap_value(v) for v in st.stack)
+    st.push(" ".join(parts))
+
+
+def _snap_to_mark(st, copy: bool):
+    from warp10_platform_spark.warpscript.functions import _Mark, _snap_value
+
+    vals = []
+    for v in reversed(st.stack):
+        if isinstance(v, _Mark):
+            break
+        vals.append(v)
+    vals.reverse()
+    if not copy:
+        for _ in range(len(vals)):
+            st.stack.pop()
+    st.push(" ".join(_snap_value(v) for v in vals))
+
+
+REGISTRY["SNAPSHOTTOMARK"] = lambda st: _snap_to_mark(st, copy=False)
+REGISTRY["SNAPSHOTCOPYTOMARK"] = lambda st: _snap_to_mark(st, copy=True)
+REGISTRY["SNAPSHOTALLTOMARK"] = lambda st: _snap_to_mark(st, copy=False)
+REGISTRY["SNAPSHOTCOPYALLTOMARK"] = lambda st: _snap_to_mark(st, copy=True)
+
+
+@register("TDESCRIBE")
+def _tdescribe(st):
+    """frame TDESCRIBE: schema description of the frame on top."""
+    gf = st.peek()
+    if isinstance(gf, GTSFrame):
+        st.push([f"{f.name}: {f.dataType.simpleString()}" for f in gf.df.schema.fields])
+    else:
+        st.push([type(gf).__name__])
+
+
+@register("FUNCTIONS")
+def _functions(st):
+    st.push(sorted(REGISTRY.keys()))
+
+
+REGISTRY["EXTLOADED"] = lambda st: st.push([])
+REGISTRY["WSAUDIT"] = lambda st: st.push([])
+REGISTRY["WSAUDITMODE"] = lambda st: st.pop() and None
+REGISTRY["WSSTACK"] = lambda st: st.push(list(st.stack))
+
+
+@register("TOTIMESTAMP")
+def _totimestamp(st):
+    """'iso8601' TOTIMESTAMP → platform µs (TOTIMESTAMP.java)."""
+    from datetime import datetime, timezone
+
+    s = str(st.pop()).replace("Z", "+00:00")
+    dt = datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    st.push(int(dt.timestamp() * 1_000_000))
+
+
+@register("AGO")
+def _ago(st):
+    import time as _t
+
+    st.push(int(_t.time() * 1_000_000) - int(st.pop()))
+
+
+@register("->SSSS", "SSSS->")
+def _ssss(st):
+    raise NotImplementedError("Shamir secret sharing is crypto scope (SURVEY: out of scope)")
+
+
+@register("NRETURN")
+def _nreturn(st):
+    """n NRETURN: return from n nested macros — folded to one level here
+    (single-frame exec); same observable effect for n==1."""
+    from warp10_platform_spark.warpscript.stack import MacroReturn
+
+    st.pop()
+    raise MacroReturn()

@@ -16,6 +16,7 @@ submitting unbounded Spark jobs.
 
 from __future__ import annotations
 
+import re
 from typing import Any, Callable
 
 from warp10_platform_spark.warpscript.tokenizer import Token, tokenize
@@ -136,10 +137,44 @@ class WarpScriptStack:
                 continue
             else:
                 fn = self.registry.get(t.value)
-                if fn is None:
+                if fn is None and not self._dispatch_dynamic(t):
                     raise NameError(f"line {t.lineno}: unknown function {t.value!r}")
-                fn(self)
+                if fn is not None:
+                    fn(self)
             i += 1
+
+    _REG_RE = re.compile(r"^(POPR|CPOPR|PUSHR|RUNR)(\d+)$")
+
+    def _dispatch_dynamic(self, t: Token) -> bool:
+        """Names the reference registers in loops, not one-by-one:
+        POPRn/CPOPRn/PUSHRn/RUNRn for each of the 256 default registers
+        (WarpScriptLib.java:3384-3394, POPR.java/RUNR.java), plus DEF'd
+        macros callable as bare statements (DEF.java)."""
+        defs = self.__dict__.get("defs")
+        if defs and t.value in defs:
+            self.exec_macro(defs[t.value])
+            return True
+        m = self._REG_RE.match(t.value)
+        if not m:
+            return False
+        op, regno = m.group(1), int(m.group(2))
+        if regno >= 256:
+            return False
+        regs = self.__dict__.setdefault("regs", {})
+        if op == "POPR":
+            regs[regno] = self.pop()
+        elif op == "CPOPR":
+            top = self.pop()
+            if regs.get(regno) is None:
+                regs[regno] = top
+        elif op == "PUSHR":
+            self.push(regs.get(regno))
+        else:  # RUNR
+            macro = regs.get(regno)
+            if not isinstance(macro, Macro):
+                raise TypeError(f"{t.value} expects register {regno} to contain a macro")
+            self.exec_macro(macro)
+        return True
 
 
 def exec_script(spark, sf_dir: str, script: str):
