@@ -48,7 +48,9 @@ def timemodulo(df: DataFrame, period: int, label: str = "quotient") -> DataFrame
     """TIMEMODULO (TIMEMODULO.java:39): split each series by ts % period —
     the quotient becomes a new label (new sub-series identity); ticks
     become the remainder."""
-    quot = (F.col("ts") / F.lit(period)).cast("long").cast("string")
+    # integer division (ts DIV period): float division + cast can round up
+    # across an integer boundary for µs-scale ticks, `div` cannot.
+    quot = F.expr(f"ts div {int(period)}").cast("string")
     return (
         df.withColumn("labels", F.map_concat(F.col("labels"), F.create_map(F.lit(label), quot)))
         .withColumn("ts", F.col("ts") % F.lit(period))

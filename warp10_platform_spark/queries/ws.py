@@ -273,3 +273,182 @@ def ws_exp_smoothing(spark, sf_dir):
         F.get_json_object("labels_key", "$[0].value").alias("user"),
         F.round("s_last", 6).alias("s_last"),
     )
+
+
+# ---------------------------------------------------------------------
+# Round 4: the analytics/reshape registry tranches exercised end-to-end
+# from pasted scripts (VERDICT r3 item 1 — the names existed in the
+# engine but were unreachable from /exec until the 747-name registry).
+# ---------------------------------------------------------------------
+
+_END_ALL = LASTBUCKET + DAY * 366  # "everything" fetch window
+
+
+def _lr_oracle():
+    from warp10_platform_spark.queries.analytics import LR_ORACLE
+
+    return LR_ORACLE
+
+
+@register("ws_lr", _lr_oracle())
+def ws_lr(spark, sf_dir):
+    """FETCH → LR via script (LR.java registration WarpScriptLib.java):
+    per-series least-squares line, same exact-moment engine path as
+    lr_slope — proves the analytics tier is script-reachable."""
+    script = f"""
+    [ '~events\\..*' {{}} 0 {_END_ALL} ] FETCH
+    LR
+    """
+    out = exec_script(spark, sf_dir, script)
+    return out.select(
+        "class",
+        F.get_json_object("labels_key", "$[0].value").alias("user"),
+        (F.round("slope", 6) + F.lit(0.0)).alias("slope"),
+        (F.round("intercept", 6) + F.lit(0.0)).alias("intercept"),
+    )
+
+
+# Full-window DTW oracle: the script-form DTW (threshold form, DTW.java)
+# runs the unbanded DP (w = max(n, m)), so the recursive-CTE replay uses
+# that same band — otherwise identical to queries/analytics.DTW_ORACLE.
+WS_DTW_ORACLE = f"""
+WITH RECURSIVE {PTS}, {DAILY},
+cd AS (SELECT "user", ts, CAST(count(*) AS DOUBLE) AS v FROM daily
+       WHERE class = 'events.purchase' GROUP BY "user", ts),
+arr AS (SELECT "user", list(v ORDER BY ts) AS a FROM cd GROUP BY "user"),
+pairs AS (SELECT x."user" AS key_a, y."user" AS key_b, x.a AS va, y.a AS vb,
+                 len(x.a) AS n, len(y.a) AS m,
+                 greatest(len(x.a), len(y.a)) AS w
+          FROM arr x JOIN arr y ON x."user" < y."user"),
+dp AS (
+  SELECT key_a, key_b, va, vb, n, m, w, 0 AS i,
+         list_concat([0.0], list_transform(range(1, m + 1), j -> 'infinity'::DOUBLE)) AS row
+  FROM pairs
+  UNION ALL
+  SELECT key_a, key_b, va, vb, n, m, w, i + 1,
+         list_reduce(
+           list_concat([['infinity'::DOUBLE]], list_transform(range(1, m + 1), j -> [CAST(j AS DOUBLE)])),
+           (acc, e) -> list_append(acc,
+               CASE WHEN CAST(e[1] AS BIGINT) BETWEEN greatest(1, i + 1 - w) AND least(m, i + 1 + w)
+                    THEN abs(va[i + 1] - vb[CAST(e[1] AS BIGINT)])
+                         + least(row[CAST(e[1] AS BIGINT) + 1], row[CAST(e[1] AS BIGINT)], acc[-1])
+                    ELSE 'infinity'::DOUBLE END)
+         ) AS row
+  FROM dp WHERE i < n
+)
+SELECT key_a, key_b, row[m + 1] AS dtw FROM dp WHERE i = n
+"""
+
+
+@register("ws_dtw", WS_DTW_ORACLE)
+def ws_dtw(spark, sf_dir):
+    """FETCH → BUCKETIZE → DTW via script (DTW.java threshold form):
+    pairwise warped distance between users' daily purchase profiles."""
+    script = f"""
+    [ 'events.purchase' {{}} {_START} {LASTBUCKET} ] FETCH
+    [ SWAP bucketizer.count {LASTBUCKET} {DAY} {NDAYS} ] BUCKETIZE
+    0 DTW
+    """
+    out = exec_script(spark, sf_dir, script)
+    ku = F.get_json_object("key_a", "$[0].value")
+    kv = F.get_json_object("key_b", "$[0].value")
+    return out.select(ku.alias("key_a"), kv.alias("key_b"), "dtw")
+
+
+def _ws_stl_esd_oracle():
+    from warp10_platform_spark.queries.advanced import _stl_esd_oracle
+
+    return _stl_esd_oracle()
+
+
+@register("ws_stlesd", _ws_stl_esd_oracle())
+def ws_stlesd(spark, sf_dir):
+    """FETCH → BUCKETIZE → FILTER (filter.bysize, the ADVICE-fixed
+    two-long factory) → STLESDTEST via script (STLESDTEST.java) —
+    seasonal ESD anomalies, fold-exact engine path, same oracle as
+    stl_esd_outliers."""
+    script = f"""
+    [ '~events\\..*' {{}} {_START} {LASTBUCKET} ] FETCH
+    [ SWAP bucketizer.count {LASTBUCKET} {DAY} {NDAYS} ] BUCKETIZE
+    [ SWAP [ ] 14 1000000 filter.bysize ] FILTER
+    7 3 STLESDTEST
+    """
+    out = exec_script(spark, sf_dir, script)
+    return out.select(
+        "class", F.get_json_object("labels_key", "$[0].value").alias("user"), "ts", "v_outlier"
+    )
+
+
+@register("ws_fft_ifft", (
+    f"WITH {PTS}, {DAILY}, "
+    'b AS (SELECT class, "user", ts, CAST(count(v) AS DOUBLE) AS v FROM daily GROUP BY class, "user", ts) '
+    'SELECT class, "user", '
+    '       CAST(row_number() OVER (PARTITION BY class, "user" ORDER BY ts) - 1 AS BIGINT) AS ts, '
+    "       round(v, 6) AS v_ifft "
+    "FROM b"
+))
+def ws_fft_ifft(spark, sf_dir):
+    """FETCH → BUCKETIZE → FFT → IFFT via script (FFT.java complexForward
+    then IFFT.java scaled complexInverse): the roundtrip reproduces the
+    daily counts on bin-index ticks — integer-valued at 1e-6 resolution,
+    so the oracle is the counts themselves."""
+    script = f"""
+    [ '~events\\..*' {{}} {_START} {LASTBUCKET} ] FETCH
+    [ SWAP bucketizer.count {LASTBUCKET} {DAY} {NDAYS} ] BUCKETIZE
+    FFT
+    IFFT
+    """
+    gf = exec_script(spark, sf_dir, script)
+    return gf.df.select(
+        "class",
+        F.get_json_object("labels_key", "$[0].value").alias("user"),
+        "ts",
+        F.round("v_double", 6).alias("v_ifft"),
+    )
+
+
+@register("ws_pivot", (
+    f"WITH {PTS} "
+    "SELECT '[{\"key\":\"user\",\"value\":\"' || \"user\" || '\"}]' AS labels_key, ts, "
+    "  max(v) FILTER (WHERE class = 'events.click') AS click, "
+    "  max(v) FILTER (WHERE class = 'events.purchase') AS purchase, "
+    "  max(v) FILTER (WHERE class = 'events.view') AS \"view\" "
+    "FROM pts GROUP BY 1, 2"
+))
+def ws_pivot(spark, sf_dir):
+    """FETCH → PIVOT via script (PIVOT registration): class-per-column
+    multivariate view, same shape as pivot_classes."""
+    script = f"""
+    [ '~events\\..*' {{}} 0 {_END_ALL} ] FETCH
+    PIVOT
+    """
+    out = exec_script(spark, sf_dir, script)
+    return out.select(
+        "labels_key", "ts",
+        F.col("`events.click`").alias("click"),
+        F.col("`events.purchase`").alias("purchase"),
+        F.col("`events.view`").alias("view"),
+    )
+
+
+@register("ws_timemodulo", (
+    f"WITH {PTS} "
+    f'SELECT class, "user", CAST(ts // {DAY} AS VARCHAR) AS q, '
+    f"       ts % {DAY} AS ts, round(v, 6) AS v FROM pts"
+))
+def ws_timemodulo(spark, sf_dir):
+    """FETCH → TIMEMODULO via script (TIMEMODULO.java:39): fold every
+    series onto one day — quotient becomes label 'q' (exact integer DIV,
+    not float division), tick becomes the remainder."""
+    script = f"""
+    [ '~events\\..*' {{}} 0 {_END_ALL} ] FETCH
+    {DAY} 'q' TIMEMODULO
+    """
+    gf = exec_script(spark, sf_dir, script)
+    return gf.df.select(
+        "class",
+        F.element_at("labels", F.lit("user")).alias("user"),
+        F.element_at("labels", F.lit("q")).alias("q"),
+        "ts",
+        F.round("v_double", 6).alias("v"),
+    )

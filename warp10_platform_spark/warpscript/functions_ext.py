@@ -180,13 +180,17 @@ def _thresholdtest(st):
 
 @register("STLESDTEST")
 def _stlesdtest(st):
-    """gts period bands k STLESDTEST (STLESDTEST.java)."""
-    from warp10_platform_spark.analytics.fit import stl_esd_test
+    """gts period bands k STLESDTEST (STLESDTEST.java). Uses the
+    fold-exact STL+ESD (stl_esd_test_exact) so script results match the
+    oracled query path bit-for-bit; values cast to double up front like
+    GTSOutliersHelper's doubleValues()."""
+    from warp10_platform_spark.analytics.fit import stl_esd_test_exact
 
     k = st.pop()
     period = st.pop()
     gf = _as_frame(st.pop())
-    st.push(stl_esd_test(gf.df, period=int(period), k=int(k), value_col=gf.value_col))
+    df = gf.df.withColumn("v_c", F.col(gf.value_col).cast("double"))
+    st.push(stl_esd_test_exact(df, period=int(period), k=int(k), value_col="v_c"))
 
 
 @register("HYBRIDTEST", "HYBRIDTEST2")
