@@ -102,9 +102,10 @@ def _to_signed64(v: int) -> int:
 # --- per-point stream codec (GTSEncoder.addValue / GTSDecoder.next) ---
 
 def encode_gts(points, base: int = 0) -> bytes:
-    """points: iterable of (ts, value) or (ts, value, elevation); value in
-    {int, float, bool, str, bytes, None(delete)}. Returns the encoded
-    stream (GTSWrapper field 7)."""
+    """points: iterable of (ts, value), (ts, value, elevation) or
+    (ts, value, elevation, location); value in {int, float, bool, str,
+    bytes, None(delete)}; location a signed-64 GeoXPPoint (core/geoxp.py).
+    Returns the encoded stream (GTSWrapper field 7)."""
     out = bytearray()
     last_ts = 0
     last_long = 0
@@ -112,9 +113,11 @@ def encode_gts(points, base: int = 0) -> bytes:
     last_double = None
     last_string = None
     last_elev = None
+    last_loc = None
     for p in points:
         ts, value = p[0], p[1]
         elev = p[2] if len(p) > 2 and p[2] is not None else None
+        loc = p[3] if len(p) > 3 and p[3] is not None else None
         flags = 0
         # timestamp mode (encoder preference order)
         ts_payload = None  # (kind, number)
@@ -180,8 +183,29 @@ def encode_gts(points, base: int = 0) -> bytes:
             last_string = key
         else:
             raise TypeError(f"unsupported value type {type(value).__name__}")
-        # elevation
+        # location (GTSEncoder.java:452-481): raw GeoXPPoint, zigzag
+        # wrapped delta-to-previous, or identical
         elev_flags = 0
+        loc_payload = None
+        if loc is not None and value is not None:
+            flags |= FLAGS_CONTINUATION
+            elev_flags |= LOC_LOCATION
+            if last_loc is not None:
+                if loc == last_loc:
+                    elev_flags |= LOC_IDENTICAL
+                else:
+                    d = _to_signed64(loc - last_loc)
+                    if abs(d) < _LIM48:
+                        elev_flags |= LOC_ZIGZAG_DELTA
+                        loc_payload = ("z", d)
+                    else:
+                        loc_payload = ("r", loc)
+            else:
+                loc_payload = ("r", loc)
+            last_loc = loc
+        else:
+            last_loc = None
+        # elevation
         if elev is not None and value is not None:
             flags |= FLAGS_CONTINUATION
             elev_flags |= ELEV_PRESENT
@@ -219,6 +243,13 @@ def encode_gts(points, base: int = 0) -> bytes:
             else:
                 write_svarint(out, num)
         last_ts = ts
+        # location payload precedes elevation (GTSEncoder.java:583-612)
+        if loc_payload is not None:
+            kind, num = loc_payload
+            if kind == "z":
+                write_svarint(out, num)
+            else:
+                out += struct.pack(">q", num)
         if elev is not None and value is not None and not (elev_flags & ELEV_IDENTICAL):
             kind, num = elev_payload
             if kind == "z":
@@ -239,8 +270,9 @@ def encode_gts(points, base: int = 0) -> bytes:
     return bytes(out)
 
 
-def decode_gts(blob: bytes, base: int = 0):
-    """Decode a GTSEncoder stream → list of (ts, value, elevation|None).
+def decode_gts(blob: bytes, base: int = 0, with_location: bool = False):
+    """Decode a GTSEncoder stream → list of (ts, value, elevation|None),
+    or (ts, value, elevation|None, location|None) when with_location.
     Handles every non-encrypted flag combination, including the
     BigDecimal compact double form."""
     pos = 0
@@ -250,6 +282,7 @@ def decode_gts(blob: bytes, base: int = 0):
     last_double = None
     last_string = None
     last_elev = None
+    last_loc = None
     out = []
     while pos < n:
         flags = blob[pos]
@@ -271,14 +304,20 @@ def decode_gts(blob: bytes, base: int = 0):
             d, pos = read_svarint(blob, pos)
             ts = _to_signed64(last_ts + d)
         last_ts = ts
-        # location (decoded for completeness, dropped: GeoXP mapping is
-        # external — callers get elevation + value fidelity)
+        # location (GeoXPPoint long — lat/lon via core/geoxp.from_geoxp)
+        loc = None
         if elev_flags & LOC_LOCATION:
-            if not elev_flags & LOC_IDENTICAL:
-                if elev_flags & LOC_ZIGZAG_DELTA:
-                    _, pos = read_svarint(blob, pos)
-                else:
-                    pos += 8
+            if elev_flags & LOC_IDENTICAL:
+                loc = last_loc
+            elif elev_flags & LOC_ZIGZAG_DELTA:
+                d, pos = read_svarint(blob, pos)
+                loc = _to_signed64((last_loc or 0) + d)
+            else:
+                loc = struct.unpack(">q", blob[pos : pos + 8])[0]
+                pos += 8
+            last_loc = loc
+        else:
+            last_loc = None
         elev = None
         if elev_flags & ELEV_PRESENT:
             if elev_flags & ELEV_IDENTICAL:
@@ -338,7 +377,7 @@ def decode_gts(blob: bytes, base: int = 0):
                 pos += ln
                 value = bytes(raw) if flags & STRING_BINARY else raw.decode("utf-8")
                 last_string = value
-        out.append((ts, value, elev))
+        out.append((ts, value, elev, loc) if with_location else (ts, value, elev))
     return out
 
 
@@ -533,7 +572,9 @@ def read_metadata(buf: bytes, pos: int) -> tuple[dict, int]:
             pos = _skip(buf, pos, ctype)
 
 
-def read_wrapper(buf: bytes) -> dict:
+def read_wrapper(buf: bytes, inflate: bool = True) -> dict:
+    """Parse a GTSWrapper struct. inflate=False skips the gzip pass —
+    cheap metadata-only reads (UNWRAPSIZE pulls just the count)."""
     w = {"metadata": None, "base": 0, "encoded": b"", "count": 0, "compressed": False,
          "compressionPasses": 1}
     pos = 0
@@ -562,7 +603,7 @@ def read_wrapper(buf: bytes) -> dict:
             w["compressionPasses"], pos = read_svarint(buf, pos)
         else:
             pos = _skip(buf, pos, ctype)
-    if w["compressed"]:
+    if w["compressed"] and inflate:
         # GTSWrapperHelper can gzip multiple times (compressionPasses > 1)
         for _ in range(max(1, w["compressionPasses"])):
             w["encoded"] = gzip.decompress(w["encoded"])
@@ -613,12 +654,12 @@ def wrap_series(name: str, labels: dict, points, base: int = 0, attributes: dict
                                       attributes=attributes, compress=compress))
 
 
-def unwrap_series(text: str) -> dict:
+def unwrap_series(text: str, with_location: bool = False) -> dict:
     w = read_wrapper(opb64_decode(text))
     return {
         "name": w["metadata"]["name"] if w["metadata"] else "",
         "labels": w["metadata"]["labels"] if w["metadata"] else {},
         "attributes": w["metadata"]["attributes"] if w["metadata"] else {},
-        "points": decode_gts(w["encoded"], base=w["base"]),
+        "points": decode_gts(w["encoded"], base=w["base"], with_location=with_location),
         "count": w["count"],
     }

@@ -65,6 +65,7 @@ def wrap_thrift(df: DataFrame, value_col: str = "v_double") -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import StringType, StructField, StructType
 
+    from warp10_platform_spark.core.geoxp import to_geoxp_col
     from warp10_platform_spark.core.gtscodec import wrap_series
 
     schema = StructType(
@@ -75,10 +76,34 @@ def wrap_thrift(df: DataFrame, value_col: str = "v_double") -> DataFrame:
         ]
     )
 
+    # location/elevation ride along when present: GeoXPPoint computed
+    # JVM-side (geoxp column form) so the Python stage only serializes
+    has_elev = "elev" in df.columns
+    if "lat" in df.columns and "lon" in df.columns:
+        df = df.withColumn(
+            "_loc",
+            F.when(
+                F.col("lat").isNotNull() & F.col("lon").isNotNull(),
+                to_geoxp_col(F.col("lat"), F.col("lon")),
+            ),
+        )
+    else:
+        df = df.withColumn("_loc", F.lit(None).cast("long"))
+    if not has_elev:
+        df = df.withColumn("elev", F.lit(None).cast("long"))
+
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ts")
         labels = {e["key"]: e["value"] for e in json.loads(pdf["labels_key"].iloc[0] or "[]")}
-        pts = [(int(t), float(v)) for t, v in zip(pdf["ts"], pdf[value_col])]
+        pts = [
+            (
+                int(t),
+                float(v),
+                int(e) if pd.notna(e) else None,
+                int(g) if pd.notna(g) else None,
+            )
+            for t, v, e, g in zip(pdf["ts"], pdf[value_col], pdf["elev"], pdf["_loc"])
+        ]
         return pd.DataFrame(
             {
                 "class": [pdf["class"].iloc[0]],
@@ -91,10 +116,12 @@ def wrap_thrift(df: DataFrame, value_col: str = "v_double") -> DataFrame:
 
 
 def unwrap_thrift(df: DataFrame, wrapped_col: str = "wrapped") -> DataFrame:
-    """UNWRAP of reference-format blobs → points rows (ts, v_double)."""
+    """UNWRAP of reference-format blobs → points rows (ts, v_double,
+    elev, lat, lon — location decoded from the GeoXPPoint)."""
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
+    from warp10_platform_spark.core.geoxp import from_geoxp
     from warp10_platform_spark.core.gtscodec import unwrap_series
 
     schema = StructType(
@@ -103,6 +130,9 @@ def unwrap_thrift(df: DataFrame, wrapped_col: str = "wrapped") -> DataFrame:
             StructField("labels_key", StringType()),
             StructField("ts", LongType()),
             StructField("v_double", DoubleType()),
+            StructField("elev", LongType()),
+            StructField("lat", DoubleType()),
+            StructField("lon", DoubleType()),
         ]
     )
 
@@ -110,9 +140,12 @@ def unwrap_thrift(df: DataFrame, wrapped_col: str = "wrapped") -> DataFrame:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                u = unwrap_series(r[wrapped_col])
-                for ts, v, _elev in u["points"]:
-                    rows.append((r["class"], r["labels_key"], int(ts), float(v)))
-            yield pd.DataFrame(rows, columns=["class", "labels_key", "ts", "v_double"])
+                u = unwrap_series(r[wrapped_col], with_location=True)
+                for ts, v, elev, loc in u["points"]:
+                    lat, lon = from_geoxp(loc) if loc is not None else (None, None)
+                    rows.append((r["class"], r["labels_key"], int(ts), float(v), elev, lat, lon))
+            yield pd.DataFrame(
+                rows, columns=["class", "labels_key", "ts", "v_double", "elev", "lat", "lon"]
+            )
 
     return df.select("class", "labels_key", wrapped_col).mapInPandas(run, schema=schema)

@@ -231,3 +231,75 @@ def geo_wkt_relations(spark, sf_dir):
         ("pentagon~far", geo_intersects(fence, far), rt),
     ]
     return spark.createDataFrame(rows, "pair string, intersects boolean, roundtrip string")
+
+
+# --- GeoXP cell mapping (round 4): the reference's actual location
+# encoding (com.geoxp GeoXPLib / HHCodeHelper — core/geoxp.py), oracled
+# by replaying the 32-bit unit scaling + Morton interleave in SQL. ---
+
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+_LATQ = "least(CAST(floor((lat + 90.0) * 23860929.422222222) AS BIGINT), 4294967295)"
+_LONQ = "least(CAST(floor((lon + 180.0) * 11930464.711111111) AS BIGINT), 4294967295)"
+# 2^32/180 = 23860929.422222222..., 2^32/360 = 11930464.711111111...
+
+
+def _interleave_sql(hi: str, lo: str, bits: int) -> str:
+    """hi in odd positions, lo in even — the HHCode bit layout."""
+    return "(" + " + ".join(
+        f"((({hi} >> {i}) & 1) << {2 * i + 1}) + ((({lo} >> {i}) & 1) << {2 * i})"
+        for i in range(bits)
+    ) + ")"
+
+
+def _geohash6_sql() -> str:
+    # 6 geohash chars = 30 bits = lon/lat bits 31..17, LON first
+    gh30 = _interleave_sql("lo15", "la15", 15)
+    chars = ", ".join(
+        f"substr('{_GH_ALPHABET}', CAST(((gh30 >> {25 - 5 * j}) & 31) AS INT) + 1, 1)"
+        for j in range(6)
+    )
+    return (
+        f"g AS (SELECT ({_LATQ} >> 17) AS la15, ({_LONQ} >> 17) AS lo15 FROM c), "
+        f"h AS (SELECT {gh30} AS gh30 FROM g), "
+        f"k AS (SELECT concat({chars}) AS gh FROM h)"
+    )
+
+
+@register("geo_geoxp_geohash", (
+    f"WITH {PTS}, "
+    f'c AS (SELECT {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM pts), '
+    + _geohash6_sql()
+    + " SELECT gh, count(*) AS n FROM k GROUP BY gh"
+))
+def geo_geoxp_geohash(spark, sf_dir):
+    """->GEOHASH over the true GeoXP mapping (GeoHashHelper.fromHHCode):
+    6-char geohash per point via the full 64-bit GeoXPPoint, counts per
+    cell. Pure shift/mask codegen — the spatial bucketing key that
+    co-locates geo joins at 100 TB."""
+    from warp10_platform_spark.core.geoxp import geohash_col, to_geoxp_col
+
+    c = _with_coords(spark, sf_dir)
+    hh = to_geoxp_col(F.col("lat"), F.col("lon"))
+    return c.select(geohash_col(hh, 6).alias("gh")).groupBy("gh").agg(F.count("*").alias("n"))
+
+
+@register("geo_geoxp_cells16", (
+    f"WITH {PTS}, "
+    f'c AS (SELECT {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM pts), '
+    f"g AS (SELECT ({_LATQ} >> 16) AS la16, ({_LONQ} >> 16) AS lo16 FROM c), "
+    f"h AS (SELECT {_interleave_sql('la16', 'lo16', 16)} AS cell FROM g) "
+    "SELECT cell, count(*) AS n FROM h GROUP BY cell"
+))
+def geo_geoxp_cells16(spark, sf_dir):
+    """GeoXP cells at resolution 16 (top 32 bits of the GeoXPPoint,
+    HHCodeHelper layout — lat odd bits): point count per cell."""
+    from warp10_platform_spark.core.geoxp import to_geoxp_col
+
+    c = _with_coords(spark, sf_dir)
+    hh = to_geoxp_col(F.col("lat"), F.col("lon"))
+    return (
+        c.select(F.shiftrightunsigned(hh, 32).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )

@@ -662,7 +662,14 @@ def _addvalue(st):
     _lon = st.pop()
     _lat = st.pop()
     ts = st.pop()
-    gf = _as_frame(st.pop())
+    target = st.pop()
+    from warp10_platform_spark.core.encoders import Encoder as _Encoder
+
+    if isinstance(target, _Encoder):
+        e = None if _elev is None or (isinstance(_elev, float) and _elev != _elev) else int(_elev)
+        st.push(target.add_latlon(int(ts), float(_lat), float(_lon), e, value))
+        return
+    gf = _as_frame(target)
     vc = gf.value_col
     point_cols = {"ts", "lat", "lon", "elev", "v_long", "v_double", "v_bool", "v_string", "v_agg", vc}
     id_cols = [c for c in gf.df.columns if c not in point_cols]
@@ -2101,3 +2108,297 @@ def _nreturn(st):
 
     st.pop()
     raise MacroReturn()
+
+
+# =====================================================================
+# Tranche F — GeoXP / HHCode / GeoHash scalar surface
+# (WarpScriptLib.java:1837-1891; TOHHCODE.java, HHCODETO.java,
+#  HHCODEFUNC.java, TOGEOHASH.java, GEOHASHTO.java; mapping in
+#  core/geoxp.py — the public geoxplib HHCodeHelper algorithm)
+# =====================================================================
+
+def _hh_and_res(v):
+    """HHCODEFUNC.hhAndRes: long → (hh, 32); hex string (MSB prefix) →
+    (left-aligned hh, 2·len)."""
+    from warp10_platform_spark.core import geoxp as _gx
+
+    if isinstance(v, str):
+        hh = int(v, 16) << (64 - 4 * len(v))
+        return _gx._to_signed64(hh), 2 * len(v), True
+    return int(v), 32, False
+
+
+def _hh_format(hh, res, as_string):
+    if as_string:
+        nchars = res // 2
+        return f"{hh & ((1 << 64) - 1):016x}"[:nchars]
+    return hh
+
+
+@register("->HHCODE")
+def _tohhcode_str(st):
+    """lat lon ->HHCODE (TOHHCODE.java tostring=true): hex GeoXPPoint."""
+    from warp10_platform_spark.core import geoxp as _gx
+
+    lon = float(st.pop()); lat = float(st.pop())
+    st.push(f"{_gx.to_geoxp(lat, lon) & ((1 << 64) - 1):016x}")
+
+
+@register("->HHCODELONG")
+def _tohhcode_long(st):
+    """lat lon ->HHCODELONG (TOHHCODE.java tostring=false)."""
+    from warp10_platform_spark.core import geoxp as _gx
+
+    lon = float(st.pop()); lat = float(st.pop())
+    st.push(_gx.to_geoxp(lat, lon))
+
+
+@register("HHCODE->")
+def _hhcodeto(st):
+    """hhcode HHCODE-> (HHCODETO.java): SW corner lat, lon."""
+    from warp10_platform_spark.core import geoxp as _gx
+
+    hh, _res, _s = _hh_and_res(st.pop())
+    lat, lon = _gx.from_geoxp(hh)
+    st.push(lat); st.push(lon)
+
+
+@register("->GEOHASH")
+def _togeohash(st):
+    """hhcode|lat lon ->GEOHASH (TOGEOHASH.java): long → 12-char
+    geohash; a double on top means a lat/lon pair."""
+    from warp10_platform_spark.core import geoxp as _gx
+
+    top = st.pop()
+    if isinstance(top, float):
+        lat = float(st.pop())
+        st.push(_gx.hh_to_geohash(_gx.to_geoxp(lat, top)))
+    else:
+        st.push(_gx.hh_to_geohash(int(top)))
+
+
+@register("GEOHASH->")
+def _geohashto(st):
+    """geohash GEOHASH-> (GEOHASHTO.java): SW-corner lat, lon (optional
+    boolean under a string → push the hhcode instead, string/long)."""
+    from warp10_platform_spark.core import geoxp as _gx
+
+    top = st.pop()
+    as_hh = None
+    if isinstance(top, bool):
+        as_hh = top
+        top = st.pop()
+    hh = _gx.geohash_to_hh(str(top))
+    if as_hh is None:
+        lat, lon = _gx.from_geoxp(hh)
+        st.push(lat); st.push(lon)
+    elif as_hh:
+        st.push(f"{hh & ((1 << 64) - 1):016x}")
+    else:
+        st.push(hh)
+
+
+def _mk_hh_nav(dlat, dlon):
+    def fn(st):
+        from warp10_platform_spark.core import geoxp as _gx
+
+        top = st.pop()
+        res_override = None
+        if isinstance(top, int) and not isinstance(top, bool) and -1 < top <= 32 and st.depth():
+            # resolution override form: hhcode res HHCODE.NORTH
+            res_override, top = top, st.pop()
+        hh, res, as_str = _hh_and_res(top)
+        if res_override is not None:
+            res = res_override
+        st.push(_hh_format(_gx.neighbor(hh, res, dlat, dlon), res, as_str))
+
+    return fn
+
+
+for _name, _d in {
+    "HHCODE.NORTH": (1, 0), "HHCODE.SOUTH": (-1, 0),
+    "HHCODE.EAST": (0, 1), "HHCODE.WEST": (0, -1),
+    "HHCODE.NORTH.EAST": (1, 1), "HHCODE.NORTH.WEST": (1, -1),
+    "HHCODE.SOUTH.EAST": (-1, 1), "HHCODE.SOUTH.WEST": (-1, -1),
+}.items():
+    REGISTRY[_name] = _mk_hh_nav(*_d)
+
+
+@register("HHCODE.CENTER")
+def _hh_center(st):
+    from warp10_platform_spark.core import geoxp as _gx
+
+    top = st.pop()
+    res_override = None
+    if isinstance(top, int) and not isinstance(top, bool) and -1 < top <= 32 and st.depth():
+        res_override, top = top, st.pop()
+    hh, res, _s = _hh_and_res(top)
+    lat, lon = _gx.center(hh, res_override if res_override is not None else res)
+    st.push(lat); st.push(lon)
+
+
+@register("HHCODE.BBOX")
+def _hh_bbox(st):
+    from warp10_platform_spark.core import geoxp as _gx
+
+    top = st.pop()
+    res_override = None
+    if isinstance(top, int) and not isinstance(top, bool) and -1 < top <= 32 and st.depth():
+        res_override, top = top, st.pop()
+    hh, res, _s = _hh_and_res(top)
+    for v in _gx.bbox(hh, res_override if res_override is not None else res):
+        st.push(v)
+
+
+# =====================================================================
+# Tranche G — encoder as a stack value
+# (GTSEncoder.java:28; NEWENCODER/TOENCODER/ENCODERTO/ASENCODERS/
+#  UNWRAPENCODER/UNWRAPSIZE, WarpScriptLib.java:2435-2440,2603;
+#  engine forms in core/encoders.py)
+# =====================================================================
+
+def _enc():
+    from warp10_platform_spark.core import encoders as E
+
+    return E
+
+
+@register("NEWENCODER")
+def _newencoder(st):
+    """NEWENCODER (NEWENCODER.java): empty encoder, empty name."""
+    st.push(_enc().Encoder(""))
+
+
+@register("->ENCODER")
+def _toencoder(st):
+    """[ [ts lat lon elev value] … | wrapped | encoder … ] ->ENCODER
+    (TOENCODER.java): merge every element into ONE encoder."""
+    E = _enc()
+    elements = st.pop()
+    if not isinstance(elements, list):
+        raise TypeError("->ENCODER expects a list")
+    enc = E.Encoder("")
+    for el in elements:
+        if isinstance(el, str):
+            enc.merge(E.Encoder.from_wrapped(el))
+        elif isinstance(el, E.Encoder):
+            enc.merge(el)
+        elif isinstance(el, list) and len(el) == 5:
+            ts, lat, lon, elev, value = el
+            e = None if (isinstance(elev, float) and elev != elev) or elev is None else int(elev)
+            enc.add_latlon(int(ts), float(lat), float(lon), e, value)
+        else:
+            raise TypeError(
+                "->ENCODER merges [ts lat lon elev value] lists, wrapped strings or "
+                "encoders; for a fetch result use ASENCODERS (stays distributed)"
+            )
+    st.push(enc)
+
+
+@register("->ENCODERS")
+def _toencoders(st):
+    """[ wrapped|encoder … ] ->ENCODERS (TOENCODERS.java): one encoder
+    per element."""
+    E = _enc()
+    elements = st.pop()
+    out = []
+    for el in elements if isinstance(elements, list) else [elements]:
+        out.append(E.Encoder.from_wrapped(el) if isinstance(el, str) else el)
+    st.push(out)
+
+
+@register("ENCODER->")
+def _encoderto(st):
+    """encoder|wrapped ENCODER-> (ENCODERTO.java): list of
+    [ts lat lon elev value]; NaN lat/lon when no location."""
+    E = _enc()
+    v = st.pop()
+    if isinstance(v, E.EncoderFrame):
+        st.push(E.encoder_frame_to_gts(v).df)
+        return
+    if isinstance(v, str):
+        v = E.Encoder.from_wrapped(v)
+    st.push(v.to_rows())
+
+
+@register("ASENCODERS")
+def _asencoders(st):
+    """gtsframe|[wrapped…]|wrapped ASENCODERS (ASENCODERS.java): convert
+    to encoders — a fetch result becomes a DISTRIBUTED EncoderFrame
+    (per-series Arrow encode, lazy); scalars stay driver-side."""
+    from pyspark.sql import DataFrame as _DF
+
+    E = _enc()
+    v = st.pop()
+    if isinstance(v, GTSFrame):
+        st.push(E.gts_to_encoder_frame(v))
+    elif isinstance(v, _DF):
+        st.push(E.EncoderFrame(v))
+    elif isinstance(v, list):
+        st.push([E.Encoder.from_wrapped(x) if isinstance(x, str) else x for x in v])
+    elif isinstance(v, str):
+        st.push(E.Encoder.from_wrapped(v))
+    else:
+        st.push(v)
+
+
+@register("UNWRAPENCODER")
+def _unwrapencoder(st):
+    """wrapped UNWRAPENCODER (UNWRAPENCODER.java): wrapped blob(s) →
+    encoder(s); a DataFrame of wrapped rows → EncoderFrame (lazy)."""
+    from pyspark.sql import DataFrame as _DF
+
+    E = _enc()
+    v = st.pop()
+    if isinstance(v, _DF):
+        st.push(E.EncoderFrame(v))
+    elif isinstance(v, list):
+        st.push([E.Encoder.from_wrapped(x) for x in v])
+    else:
+        st.push(E.Encoder.from_wrapped(v))
+
+
+@register("UNWRAPSIZE")
+def _unwrapsize(st):
+    """wrapped UNWRAPSIZE (UNWRAPSIZE.java): GTSWrapper count field —
+    no point decode, no gzip inflate. DataFrame form → count per row."""
+    from pyspark.sql import DataFrame as _DF
+
+    E = _enc()
+    v = st.pop()
+    if isinstance(v, E.EncoderFrame):
+        st.push(E.unwrap_size_col(v.df))
+    elif isinstance(v, _DF):
+        st.push(E.unwrap_size_col(v))
+    elif isinstance(v, list):
+        st.push([E.unwrap_size(x) for x in v])
+    else:
+        st.push(E.unwrap_size(v))
+
+
+@register("TOGTS", "ENCODERTOGTS")
+def _togts(st):
+    """encoder|EncoderFrame TOGTS (TOGTS.java:49): back to a GTS frame."""
+    E = _enc()
+    v = st.pop()
+    if isinstance(v, E.EncoderFrame):
+        st.push(E.encoder_frame_to_gts(v))
+        return
+    if isinstance(v, str):
+        v = E.Encoder.from_wrapped(v)
+    from warp10_platform_spark.core.geoxp import from_geoxp
+    from warp10_platform_spark.core.schema import with_gts_id
+
+    rows = []
+    for ts, value, elev, loc in v.points:
+        lat, lon = from_geoxp(loc) if loc is not None else (None, None)
+        rows.append((v.name, v.labels, int(ts), lat, lon, elev, float(value)))
+    df = st.spark.createDataFrame(
+        rows, "class string, labels map<string,string>, ts long, lat double, lon double, elev long, v_double double"
+    )
+    st.push(GTSFrame(with_gts_id(df.selectExpr(
+        "class", "labels", "cast(map() as map<string,string>) AS attributes", "ts",
+        "lat", "lon", "elev",
+        "cast(null as long) AS v_long", "v_double", "cast(null as boolean) AS v_bool",
+        "cast(null as string) AS v_string",
+    )), None, "v_double"))
