@@ -452,3 +452,27 @@ def ws_timemodulo(spark, sf_dir):
         "ts",
         F.round("v_double", 6).alias("v"),
     )
+
+
+@register("ws_encoder_roundtrip", (
+    f"WITH {PTS}, {DAILY} "
+    'SELECT class, "user", ts, count(v) AS v_agg FROM daily GROUP BY class, "user", ts'
+))
+def ws_encoder_roundtrip(spark, sf_dir):
+    """FETCH → ASENCODERS (distributed EncoderFrame, per-series wire
+    blobs) → TOGTS → BUCKETIZE via script (ASENCODERS.java,
+    TOGTS.java:49): every point crosses the reference GTSWrapper wire
+    format and the daily counts still match the direct oracle."""
+    script = f"""
+    [ '~events\\..*' {{}} {_START} {LASTBUCKET} ] FETCH
+    ASENCODERS
+    TOGTS
+    [ SWAP bucketizer.count {LASTBUCKET} {DAY} {NDAYS} ] BUCKETIZE
+    """
+    gf = exec_script(spark, sf_dir, script)
+    return gf.df.select(
+        F.col("class"),
+        F.get_json_object("labels_key", "$[0].value").alias("user"),
+        F.col("ts"),
+        F.col("v_agg"),
+    )

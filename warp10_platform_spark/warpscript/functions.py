@@ -1775,11 +1775,20 @@ def _fill(st):
 
 @register("WRAP")
 def _wrap(st):
-    """gts WRAP (WRAP.java): reference wire-format wrapped strings, one
-    row per series (core/gtscodec.py)."""
+    """gts|encoder WRAP (WRAP.java): reference wire-format wrapped
+    strings — one row per series for frames, one string for a
+    driver-side encoder (core/gtscodec.py)."""
+    from warp10_platform_spark.core.encoders import Encoder, EncoderFrame
     from warp10_platform_spark.core.wrap import wrap_thrift
 
-    gf = _as_frame(st.pop())
+    v = st.pop()
+    if isinstance(v, Encoder):
+        st.push(v.wrap())
+        return
+    if isinstance(v, EncoderFrame):
+        st.push(v.df)
+        return
+    gf = _as_frame(v)
     st.push(wrap_thrift(gf.df, value_col=gf.value_col))
 
 
