@@ -125,23 +125,39 @@ def geohash_to_hh(gh: str) -> int:
 
 
 # --------------------------------------------------------------------
-# Column forms — JVM-side (shift/mask codegen), no Python in the plan.
+# Column forms — JVM-side codegen, no Python in the plan. Spread/compact
+# use 256-entry byte lookup tables instead of the 5-step magic-number
+# chain: Column trees substitute subexpressions by COPY, so the chained
+# form duplicates the input expr 32× and a two-resolution coverage
+# filter blows the 64KB JVM codegen method limit (observed). The table
+# form references the input 4×/8× with tiny per-byte arithmetic.
 # --------------------------------------------------------------------
 
+_SPREAD_B = [_spread32(i) for i in range(256)]  # byte → 16 even-spread bits
+_COMPACT_B = [_compact32(i) for i in range(256)]  # byte → 4 gathered bits
+
+
+def _byte_lut(table: list[int], byte: Column) -> Column:
+    # explicit long literals: the values fit in 32 bits, so a bare array
+    # literal resolves to array<int> and downstream shiftleft wraps at 32
+    arr = F.array(*[F.lit(v).cast("long") for v in table])
+    return F.element_at(arr, (byte + 1).cast("int"))
+
+
 def _spread32_col(x: Column) -> Column:
-    for s, m in _M:
-        x = x.bitwiseOR(F.shiftleft(x, s)).bitwiseAND(F.lit(m))
-    return x
+    out = _byte_lut(_SPREAD_B, x.bitwiseAND(F.lit(255)))
+    for i in (1, 2, 3):
+        b = F.shiftrightunsigned(x, 8 * i).bitwiseAND(F.lit(255))
+        out = out.bitwiseOR(F.shiftleft(_byte_lut(_SPREAD_B, b), 16 * i))
+    return out
 
 
 def _compact32_col(x: Column) -> Column:
-    x = x.bitwiseAND(F.lit(0x5555555555555555))
-    x = x.bitwiseOR(F.shiftrightunsigned(x, 1)).bitwiseAND(F.lit(0x3333333333333333))
-    x = x.bitwiseOR(F.shiftrightunsigned(x, 2)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
-    x = x.bitwiseOR(F.shiftrightunsigned(x, 4)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
-    x = x.bitwiseOR(F.shiftrightunsigned(x, 8)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
-    x = x.bitwiseOR(F.shiftrightunsigned(x, 16)).bitwiseAND(F.lit(0x00000000FFFFFFFF))
-    return x
+    out = _byte_lut(_COMPACT_B, x.bitwiseAND(F.lit(255)))
+    for i in range(1, 8):
+        b = F.shiftrightunsigned(x, 8 * i).bitwiseAND(F.lit(255))
+        out = out.bitwiseOR(F.shiftleft(_byte_lut(_COMPACT_B, b), 4 * i))
+    return out
 
 
 def lat_units_col(lat: Column) -> Column:

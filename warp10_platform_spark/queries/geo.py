@@ -303,3 +303,40 @@ def geo_geoxp_cells16(spark, sf_dir):
         .groupBy("cell")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --- constructive geometry fence (round 4): union of two WKT covers
+# minus a third, as a pure prefix-IN predicate on both engines. ---
+
+def _fence_cover():
+    from warp10_platform_spark.operators import geocells as GC
+    from warp10_platform_spark.operators.wkt import parse_wkt
+
+    a = GC.cover_shape(parse_wkt("POLYGON((-30 -20, 20 -20, 20 25, -30 25, -30 -20))"), 8)
+    b = GC.cover_shape(parse_wkt("POLYGON((0 10, 60 10, 60 50, 0 50, 0 10))"), 8)
+    hole = GC.cover_shape(parse_wkt("POLYGON((-10 -5, 10 -5, 10 15, -10 15, -10 -5))"), 10)
+    return a.union(b).subtraction(hole)
+
+
+_FENCE = _fence_cover()
+
+
+@register("geo_fence_cover", (
+    f"WITH {PTS}, "
+    f'c AS (SELECT class, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM pts) '
+    "SELECT class, count(*) AS n FROM c WHERE "
+    + _FENCE.contains_sql("lat", "lon")
+    + " GROUP BY class"
+))
+def geo_fence_cover(spark, sf_dir):
+    """GEO.UNION + GEO.DIFFERENCE fence (GeoUnion.java:58,
+    GeoSubtraction.java): two WKT polygon covers united, a finer-grained
+    hole subtracted (splitting coarse cells down), then the coverage
+    compiled to a per-resolution prefix-IN Column predicate — in-fence
+    event counts per class. The predicate is pure codegen and ships with
+    the plan: the 100 TB geofencing shape."""
+    from warp10_platform_spark.core.geoxp import to_geoxp_col
+
+    c = _with_coords(spark, sf_dir).withColumn("_hh", to_geoxp_col(F.col("lat"), F.col("lon")))
+    pred = _FENCE.contains_hh_expr(F.col("_hh"))
+    return c.where(pred).groupBy("class").agg(F.count("*").alias("n"))

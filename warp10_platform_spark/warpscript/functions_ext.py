@@ -2402,3 +2402,234 @@ def _togts(st):
         "cast(null as long) AS v_long", "v_double", "cast(null as boolean) AS v_bool",
         "cast(null as string) AS v_string",
     )), None, "v_double"))
+
+
+# =====================================================================
+# Tranche H — constructive geometry on GeoXP coverages
+# (GeoWKT/GeoJSON → GeoXPShape; GeoUnion/GeoIntersection/GeoSubtraction
+#  GEOBUFFER/GEOCOVER/GEOSPLIT/GEOPACK/GEOUNPACK/GEOCELLTO,
+#  WarpScriptLib.java:2846-2870; engine in operators/geocells.py)
+# =====================================================================
+
+def _gc():
+    from warp10_platform_spark.operators import geocells as GC
+
+    return GC
+
+
+def _pct_to_res(shape, pct: float) -> int:
+    """pcterror → even cover resolution: cell edge ≈ pct × the shape's
+    larger bbox edge (GeoXPLib.toGeoXPShape's error knob, coarsely)."""
+    import math as _m
+
+    xs = []
+    ys = []
+    polys = shape.coords if shape.kind == "MULTIPOLYGON" else [shape.coords]
+    for rings in polys:
+        for x, y in rings[0]:
+            xs.append(x); ys.append(y)
+    span = max(max(xs) - min(xs), max(ys) - min(ys), 1e-9)
+    target_deg = max(pct, 1e-6) * span
+    res = 2
+    while res < 20 and 360.0 / (1 << res) > target_deg:
+        res += 2
+    return res
+
+
+def _to_coverage(v, pct_or_res, inside):
+    from warp10_platform_spark.operators.wkt import Shape
+
+    GC = _gc()
+    if isinstance(pct_or_res, int) and not isinstance(pct_or_res, bool):
+        res = int(pct_or_res)
+    else:
+        res = _pct_to_res(v, float(pct_or_res))
+    cov = GC.cover_shape(v, res)
+    del inside  # inside-only covers need sub-cell tests; cover is the uniform form
+    return cov
+
+
+@register("GEO.WKT", "GEO.WKT.UNIFORM")
+def _geo_wkt(st):
+    """'wkt' pcterror|res inside GEO.WKT (GeoWKT.java via GeoImporter:
+    50-108): WKT → GeoXP cell coverage. A LONG second arg is an explicit
+    even resolution like the reference; a DOUBLE is the pcterror knob."""
+    from warp10_platform_spark.operators.wkt import parse_wkt
+
+    inside = st.pop()
+    pct = st.pop()
+    wkt = st.pop()
+    st.push(_to_coverage(parse_wkt(str(wkt)), pct, inside))
+
+
+@register("GEO.JSON", "GEO.JSON.UNIFORM")
+def _geo_json(st):
+    """'geojson' pcterror|res inside GEO.JSON (GeoJSON.java)."""
+    import json as _json
+
+    from warp10_platform_spark.operators.wkt import parse_geojson
+
+    inside = st.pop()
+    pct = st.pop()
+    gj = st.pop()
+    obj = _json.loads(gj) if isinstance(gj, str) else gj
+    st.push(_to_coverage(parse_geojson(obj), pct, inside))
+
+
+def _two_or_list(st):
+    GC = _gc()
+    top = st.pop()
+    if isinstance(top, list):
+        return list(top)
+    other = st.pop()
+    return [other, top]
+
+
+@register("GEO.UNION")
+def _geo_union(st):
+    """shape shape|[shapes] GEO.UNION (GeoUnion.java:58)."""
+    shapes = _two_or_list(st)
+    acc = shapes[0]
+    for s in shapes[1:]:
+        acc = acc.union(s)
+    st.push(acc)
+
+
+@register("GEO.INTERSECTION")
+def _geo_intersection(st):
+    """shape shape|[shapes] GEO.INTERSECTION (GeoIntersection.java:59)."""
+    shapes = _two_or_list(st)
+    acc = shapes[0]
+    for s in shapes[1:]:
+        acc = acc.intersection(s)
+    st.push(acc)
+
+
+@register("GEO.DIFFERENCE")
+def _geo_difference(st):
+    """a b GEO.DIFFERENCE (GeoSubtraction.java): cells of a not in b,
+    coarse cells split down against finer b-cells."""
+    b = st.pop()
+    a = st.pop()
+    st.push(a.subtraction(b))
+
+
+@register("GEO.BUFFER")
+def _geo_buffer(st):
+    """shape {params}|rings GEO.BUFFER (GEOBUFFER.java:40): expand the
+    coverage. Map form honours 'dist' (central-angle degrees, converted
+    to cell rings at each cell's resolution); a LONG is a ring count.
+    Deviation (documented): the reference buffers the JTS geometry
+    before covering; this buffers in cover space."""
+    GC = _gc()
+    spec = st.pop()
+    cov = st.pop()
+    if isinstance(spec, dict):
+        dist = float(spec.get("dist", spec.get("mdist", 0.0)) or 0.0)
+        res = max((GC.cell_res(c) for c in cov.cells), default=2)
+        cell_deg = 360.0 / (1 << res)
+        rings = max(1, int(dist / cell_deg + 0.999999)) if dist > 0 else 1
+    else:
+        rings = max(1, int(spec))
+    st.push(cov.buffer(rings))
+
+
+@register("GEOCOVER", "GEOCOVER.RL")
+def _geocover(st):
+    """gts res GEOCOVER (GEOCOVER.java:48-107): the set of geocells the
+    series' locations visit, at even resolution res — computed as a
+    distributed distinct of the cell expr (no driver loop), collected as
+    the coverage value."""
+    GC = _gc()
+    from warp10_platform_spark.core.geoxp import to_geoxp_col
+
+    res = int(st.pop())
+    v = st.pop()
+    if isinstance(v, GTSFrame):
+        hh = to_geoxp_col(F.col("lat"), F.col("lon"))
+        shift = 64 - 2 * res
+        cells = (
+            v.df.where(F.col("lat").isNotNull())
+            .select((F.shiftrightunsigned(hh, shift)).alias("p"))
+            .distinct()
+            .collect()
+        )
+        st.push(GC.GeoCells(
+            ((res // 2) << 60) | ((r["p"] & ((1 << (2 * res)) - 1)) << (60 - 2 * res))
+            for r in cells
+        ))
+    else:
+        st.push(GC.cover_shape(v, res))
+
+
+@register("GEOSPLIT")
+def _geosplit(st):
+    """shape GEOSPLIT (GEOSPLIT.java): list of single-cell shapes."""
+    GC = _gc()
+    cov = st.pop()
+    st.push([GC.GeoCells([c]) for c in GC.geosplit(cov)])
+
+
+@register("GEOCELLS")
+def _geocells(st):
+    """shape GEOCELLS: the raw geocell longs (GEOSPLIT's scalar twin)."""
+    GC = _gc()
+    st.push(GC.geosplit(st.pop()))
+
+
+@register("GEOPACK")
+def _geopack(st):
+    """shape GEOPACK (GEOPACK.java): packed text form (varint-delta +
+    zlib + b64 — OUR deterministic format, not reference-interchange)."""
+    GC = _gc()
+    st.push(GC.geopack(st.pop()))
+
+
+@register("GEOUNPACK")
+def _geounpack(st):
+    GC = _gc()
+    st.push(GC.geounpack(str(st.pop())))
+
+
+@register("GEOCELL->")
+def _geocellto(st):
+    """geocell GEOCELL-> (GEOCELLTO.java:57): HHCode prefix string,
+    length = resolution/2 hex chars."""
+    cell = int(st.pop()) & ((1 << 64) - 1)
+    st.push(f"{cell:016x}"[1 : int(cell >> 60) + 1])
+
+
+@register("GEOWITHIN")
+def _geowithin(st):
+    """gts shape GEOWITHIN (GEOWITHIN.java:44-62): keep only points
+    whose location falls inside the coverage — a pure Column prefix
+    predicate, pushdown-friendly."""
+    shape = st.pop()
+    gf = _as_frame(st.pop())
+    GC = _gc()
+    if isinstance(shape, GC.GeoCells):
+        from warp10_platform_spark.core.geoxp import to_geoxp_col
+
+        df = gf.df.withColumn("_hh", to_geoxp_col(F.col("lat"), F.col("lon")))
+        out = df.where(F.col("lat").isNotNull() & shape.contains_hh_expr(F.col("_hh"))).drop("_hh")
+        st.push(GTSFrame(out, gf.bucketspec, gf.value_col))
+        return
+    from warp10_platform_spark.operators.wkt import shape_contains_expr
+
+    pred = shape_contains_expr(shape, F.col("lat"), F.col("lon"))
+    st.push(GTSFrame(gf.df.where(F.col("lat").isNotNull() & pred), gf.bucketspec, gf.value_col))
+
+
+@register("GEOINTERSECTS")
+def _geointersects(st):
+    """a b GEOINTERSECTS (GEOINTERSECTS.java:45): TRUE when coverages
+    share area (cell-overlap test)."""
+    GC = _gc()
+    b = st.pop()
+    a = st.pop()
+    if isinstance(a, GC.GeoCells) and isinstance(b, GC.GeoCells):
+        st.push(len(a.intersection(b)) > 0)
+    else:
+        from warp10_platform_spark.operators.wkt import geo_intersects
+
+        st.push(geo_intersects(a, b))
