@@ -102,3 +102,63 @@ def test_png_roundtrip_and_filters():
     got = decode_gray_raw(png_rgb)
     want = ((299 * rgb[:, :, 0].astype(np.int64) + 587 * rgb[:, :, 1].astype(np.int64) + 114 * rgb[:, :, 2].astype(np.int64)) // 1000).astype(np.uint8)
     assert np.array_equal(got, want)
+
+
+# --- real RIFF/WAVE codec (round 4) ---
+
+def test_wav_roundtrip_and_container_parse():
+    import numpy as np
+
+    from warp10_platform_spark.multimodal.media import decode_wav, encode_wav_pcm16
+
+    s = np.array([0, 300, -300, 32767, -32768, 7, -1], dtype=np.int64)
+    blob = encode_wav_pcm16(s, 44100)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    sig, rate, ch = decode_wav(blob)
+    assert rate == 44100 and ch == 1 and (sig == s).all()
+
+
+def test_wav_8bit_and_stereo():
+    import struct
+
+    import numpy as np
+
+    from warp10_platform_spark.multimodal.media import decode_wav
+
+    # hand-built 8-bit stereo container
+    data = bytes([128, 130, 126, 128, 255, 0])  # 3 frames x 2 ch
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 16000, 2, 8)
+           + b"data" + struct.pack("<I", len(data)))
+    sig, rate, ch = decode_wav(hdr + data)
+    assert ch == 2 and rate == 8000
+    assert (sig == np.array([1, -1, 0])).all()  # mean of (0,2),(-2,0),(127,-128): -0.5 truncates to 0
+
+
+def test_wav_unsupported_format_is_explicit():
+    import struct
+
+    import pytest
+
+    from warp10_platform_spark.multimodal.media import decode_wav
+
+    hdr = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)  # IEEE float
+           + b"data" + struct.pack("<I", 0))
+    with pytest.raises(NotImplementedError):
+        decode_wav(hdr)
+    with pytest.raises(ValueError):
+        decode_wav(b"nonsense bytes")
+
+
+def test_attach_wav_audio_is_real_wav(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.multimodal.media import attach_wav_audio, decode_wav
+    from warp10_platform_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(3)
+    rows = attach_wav_audio(docs).collect()
+    for r in rows:
+        sig, rate, ch = decode_wav(bytes(r.content))
+        assert rate == 8000 and ch == 1 and len(sig) == 64

@@ -325,3 +325,114 @@ def frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------
+# Real RIFF/WAVE PCM codec (round 4) — stdlib struct only, replacing the
+# NotImplementedError for audio: parses the actual container (RIFF size,
+# fmt chunk: PCM format tag, channels, rate, bit depth; data chunk) and
+# decodes 8/16-bit PCM to numpy. Multi-channel collapses to the mean.
+# ---------------------------------------------------------------------
+
+_RIFF = b"RIFF"
+
+
+def encode_wav_pcm16(samples, rate: int = 8000) -> bytes:
+    """Mono 16-bit little-endian PCM WAV writer."""
+    import numpy as _np
+
+    s = _np.asarray(samples, dtype="<i2").tobytes()
+    hdr = (
+        _RIFF + struct.pack("<I", 36 + len(s)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(s))
+    )
+    return hdr + s
+
+
+def decode_wav(content: bytes):
+    """RIFF/WAVE → (samples int64 ndarray [mono-collapsed], rate,
+    channels). PCM (format tag 1) at 8 or 16 bits; anything else raises
+    NotImplementedError with the format named."""
+    if content[:4] != _RIFF or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (clen,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, channels, rate, _byterate, _block, bits = fmt
+    if tag != 1 or bits not in (8, 16):
+        raise NotImplementedError(f"WAV format tag {tag} / {bits}-bit not supported (PCM 8/16 only)")
+    if bits == 16:
+        sig = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    else:
+        sig = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    if channels > 1:
+        sig = sig[: len(sig) - len(sig) % channels].reshape(-1, channels).mean(axis=1).astype(np.int64)
+    return sig, rate, channels
+
+
+def attach_wav_audio(docs: DataFrame, id_col: str = "doc_id", rate: int = 8000,
+                     n_hashes: int = 8) -> DataFrame:
+    """documents → media rows carrying REAL WAV bytes: 16-bit mono PCM
+    whose 2·16·n_hashes payload bytes are an md5 chain of the text —
+    built entirely with JVM exprs (constant header literal + unhex(md5)
+    concat), so a SQL oracle can regenerate the identical container."""
+    nbytes = 16 * n_hashes
+    hdr = (
+        _RIFF + struct.pack("<I", 36 + nbytes) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", nbytes)
+    )
+    payload = F.concat(*[F.unhex(F.md5(F.concat(F.col("text"), F.lit(str(i))))) for i in range(n_hashes)])
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("audio/wav").alias("media_type"),
+        F.lit(rate).alias("sample_rate"),
+        F.concat(F.lit(hdr).cast("binary"), payload).alias("content"),
+    )
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """Real-codec audio features: decode the WAV container, then RMS
+    (exact integer moments, double assembly) and sign zero-crossings of
+    the signed samples."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("sample_rate", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("rms", DoubleType()),
+            StructField("zero_crossings", LongType()),
+        ]
+    )
+
+    def run(batches):
+        import math
+
+        for pdf in batches:
+            out = {"media_id": [], "sample_rate": [], "n_samples": [], "rms": [], "zero_crossings": []}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                sig, rate, _ch = decode_wav(bytes(content))
+                n = len(sig)
+                s1 = int(sig.sum())
+                s2 = int((sig * sig).sum())
+                out["media_id"].append(media_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["rms"].append(math.sqrt((s2 - s1 * s1 / n) / n))
+                neg = sig < 0
+                out["zero_crossings"].append(int((neg[:-1] != neg[1:]).sum()))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(run, schema=schema)

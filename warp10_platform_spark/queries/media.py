@@ -135,3 +135,50 @@ def media_png_dhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = attach_png_images(docs)
     return dhash_images(media)
+
+
+# --- real WAV/PCM codec path (round 4) ---
+# Payload: 16 little-endian int16 samples per md5 link, 8 links = 64
+# samples. The oracle re-derives each sample from the md5 hex directly:
+# s = (hi<<8 | lo) - (s >= 2^15 ? 2^16 : 0), lo = byte 2k, hi = byte 2k+1.
+
+_N_LINKS = 8
+
+
+def _wav_sample(link: str, k: int) -> str:
+    lo = f"('0x' || substr(md5(text || '{link}'), {4 * k + 1}, 2))::BIGINT"
+    hi = f"('0x' || substr(md5(text || '{link}'), {4 * k + 3}, 2))::BIGINT"
+    return f"(CASE WHEN ({hi}) >= 128 THEN (({hi}) << 8) + ({lo}) - 65536 ELSE (({hi}) << 8) + ({lo}) END)"
+
+
+def _wav_oracle() -> str:
+    samples = ", ".join(_wav_sample(str(i), k) for i in range(_N_LINKS) for k in range(8))
+    return f"""
+WITH s AS (SELECT doc_id, [{samples}] AS sig FROM documents),
+m AS (
+  SELECT doc_id, len(sig) AS n,
+         list_sum(sig) AS s1,
+         list_sum(list_transform(sig, x -> x * x)) AS s2,
+         list_sum(list_transform(range(1, len(sig)),
+                  i -> CASE WHEN (sig[i] < 0) != (sig[i + 1] < 0) THEN 1 ELSE 0 END)) AS zc
+  FROM s
+)
+SELECT doc_id AS media_id, 8000 AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+       sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / n) AS rms,
+       CAST(zc AS BIGINT) AS zero_crossings
+FROM m
+"""
+
+
+@register("media_wav_features", _wav_oracle())
+def media_wav_features(spark, sf_dir):
+    """REAL RIFF/WAVE codec path: build actual WAV containers (16-bit
+    mono PCM, md5-chain payload, JVM-side byte assembly), parse the
+    container for real (fmt/data chunks, stdlib struct), and compute
+    RMS + sign zero-crossings — the librosa-shaped feature step with no
+    codec library and a bit-exact SQL oracle."""
+    from warp10_platform_spark.multimodal.media import attach_wav_audio, wav_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_wav_audio(docs, rate=8000, n_hashes=_N_LINKS)
+    return wav_features(media)
