@@ -476,3 +476,29 @@ def ws_encoder_roundtrip(spark, sf_dir):
         F.col("ts"),
         F.col("v_agg"),
     )
+
+
+@register("ws_macroreducer_spread", (
+    f"WITH {PTS}, {DAILY}, "
+    'b AS (SELECT class, "user", ts, count(v) AS v_agg FROM daily GROUP BY class, "user", ts) '
+    "SELECT ts, CAST(max(v_agg) - min(v_agg) AS DOUBLE) AS v_reduced FROM b GROUP BY ts"
+))
+def ws_macroreducer_spread(spark, sf_dir):
+    """MACROREDUCER via script (MACROREDUCER.java): a WarpScript macro —
+    executed INSIDE the Arrow workers on a sparkless stack — computes
+    the spread (max − min) of all series' daily counts per tick. The
+    aggregator argument array ([tick names labels ticks locs elevs
+    values]) and the [tick loc elev value] return contract are the
+    reference's."""
+    script = f"""
+    [ '~events\\..*' {{}} {_START} {LASTBUCKET} ] FETCH
+    [ SWAP bucketizer.count {LASTBUCKET} {DAY} {NDAYS} ] BUCKETIZE
+    [ SWAP 1 ->LIST [ ] <%
+        6 GET 'vs' STORE
+        $vs 0 GET 'mx' STORE $vs 0 GET 'mn' STORE
+        $vs <% DUP $mx MAX 'mx' STORE $mn MIN 'mn' STORE %> FOREACH
+        0 NaN NaN $mx $mn - 4 ->LIST
+      %> MACROREDUCER ] REDUCE
+    """
+    out = exec_script(spark, sf_dir, script)
+    return out.select("ts", F.col("v_reduced").cast("double").alias("v_reduced"))

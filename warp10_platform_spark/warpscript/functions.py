@@ -373,6 +373,15 @@ def _bucketize(st):
         args[:-4], args[-4], args[-3], args[-2], args[-1]
     )
     gf = _as_frame(gts if len(gts) != 1 else gts[0])
+    if isinstance(bucketizer, tuple) and bucketizer[0] == "macrobucketizer":
+        from warp10_platform_spark.functions.custom import macro_bucketizer
+
+        df, spec = macro_bucketizer(
+            gf.df, bucketizer[1], span, lastbucket=lastbucket or None,
+            bucketcount=count or None, value_col=gf.value_col,
+        )
+        st.push(GTSFrame(df, spec, "v_agg"))
+        return
     st.push(gf.bucketize(
         bucketizer,
         span,
@@ -392,7 +401,32 @@ def _map(st):
     args = st.pop()
     gts, mapper, pre, post, _occ = args[:-4], args[-4], args[-3], args[-2], args[-1]
     gf = _as_frame(gts if len(gts) != 1 else gts[0])
-    if isinstance(mapper, tuple) and mapper[0].startswith("mapper.kernel."):
+    if isinstance(mapper, tuple) and mapper[0] == "macromapper":
+        from warp10_platform_spark.functions.custom import macro_mapper
+
+        st.push(GTSFrame(
+            macro_mapper(gf.df, mapper[1], pre, post, value_col=gf.value_col),
+            gf.bucketspec, "v_mapped",
+        ))
+    elif isinstance(mapper, tuple) and mapper[0] == "strictmapper":
+        from warp10_platform_spark.functions.custom import macro_mapper
+
+        _tag, inner, mn, _mx = mapper
+        fn = inner[1] if isinstance(inner, tuple) and inner[0] == "macromapper" else inner
+        st.push(GTSFrame(
+            macro_mapper(gf.df, fn, pre, post, value_col=gf.value_col, min_points=mn),
+            gf.bucketspec, "v_mapped",
+        ))
+    elif isinstance(mapper, tuple) and mapper[0].startswith("mapper.") and mapper[0].count(".") == 2 and \
+            mapper[0].split(".")[2] in ("tick", "lat", "lon", "elev", "hhcode"):
+        from warp10_platform_spark.warpscript.functions_ext import apply_field_mapper
+
+        st.push(GTSFrame(apply_field_mapper(gf, mapper[0], mapper[1]), gf.bucketspec, gf.value_col))
+    elif mapper == "mapper.geo.clear":
+        df = gf.df.withColumn("lat", F.lit(None).cast("double")).withColumn(
+            "lon", F.lit(None).cast("double")).withColumn("elev", F.lit(None).cast("long"))
+        st.push(GTSFrame(df, gf.bucketspec, gf.value_col))
+    elif isinstance(mapper, tuple) and mapper[0].startswith("mapper.kernel."):
         from warp10_platform_spark.operators.mapper import kernel_smoother
 
         kname = mapper[0].rsplit(".", 1)[1]
@@ -440,6 +474,13 @@ def _reduce(st):
     args = st.pop()
     gts_list, by_labels, reducer = args[0], args[1], args[2]
     gf = _as_frame(gts_list)
+    if isinstance(reducer, tuple) and reducer[0] == "macroreducer":
+        from warp10_platform_spark.functions.custom import macro_reducer
+
+        st.push(macro_reducer(gf.df, reducer[1], by_labels, value_col=gf.value_col))
+        return
+    if isinstance(reducer, tuple) and reducer[0] == "strictreducer":
+        reducer = reducer[1]
     st.push(gf.reduce_(reducer, by_labels))
 
 
@@ -471,6 +512,24 @@ def _filter(st):
     elif name == "filter.bysize":
         mn, mx = param
         st.push(gf.filter_bysize(mn, mx))
+    elif name == "macrofilter":
+        # evaluate the macro over the DISTINCT series identities (small,
+        # driver-side like the reference), then semi-join the survivors
+        import json as _json
+
+        idents = [
+            (r["class"],
+             {e["key"]: e["value"] for e in _json.loads(r["labels_key"] or "[]")},
+             (r["class"], r["labels_key"]))
+            for r in gf.df.select("class", "labels_key").distinct().collect()
+        ]
+        kept = set(param(idents, st))
+        if not kept:
+            st.push(GTSFrame(gf.df.limit(0), gf.bucketspec, gf.value_col))
+        else:
+            key_col = F.concat_ws("\x00", F.col("class"), F.col("labels_key"))
+            keys = [c + "\x00" + lk for c, lk in kept]
+            st.push(GTSFrame(gf.df.where(key_col.isin(keys)), gf.bucketspec, gf.value_col))
     else:
         raise ValueError(f"unknown filter {name}")
 

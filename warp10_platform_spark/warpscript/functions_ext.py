@@ -2633,3 +2633,1563 @@ def _geointersects(st):
         from warp10_platform_spark.operators.wkt import geo_intersects
 
         st.push(geo_intersects(a, b))
+
+
+# =====================================================================
+# Tranche I — quaternions, stack/state utilities, JSON forms, counters,
+# conversions, bounds, runner helpers (WarpScriptLib.java registrations;
+# per-name reference citations in docstrings)
+# =====================================================================
+
+def _q_pack(w, x, y, z):
+    """TOQUATERNION.toQuaternion (TOQUATERNION.java:76-104): unit
+    normalize then 16-bit quantize each component, pack w|x|y|z."""
+    norm = _math.sqrt(w * w + x * x + y * y + z * z)
+    if norm != 0.0:
+        w, x, y, z = w / norm, x / norm, y / norm, z / norm
+    iw = int(_math.floor(((w + 1.0) / 2.0) * 65535))
+    ix = int(_math.floor(((x + 1.0) / 2.0) * 65535))
+    iy = int(_math.floor(((y + 1.0) / 2.0) * 65535))
+    iz = int(_math.floor(((z + 1.0) / 2.0) * 65535))
+    return (iw << 48) | (ix << 32) | (iy << 16) | iz
+
+
+def _q_unpack(q):
+    """QUATERNIONTO.fromQuaternion (QUATERNIONTO.java:61-76)."""
+    q &= (1 << 64) - 1
+    iz = q & 0xFFFF
+    iy = (q >> 16) & 0xFFFF
+    ix = (q >> 32) & 0xFFFF
+    iw = (q >> 48) & 0xFFFF
+    return (
+        2.0 * (iw / 65535.0) - 1.0,
+        2.0 * (ix / 65535.0) - 1.0,
+        2.0 * (iy / 65535.0) - 1.0,
+        2.0 * (iz / 65535.0) - 1.0,
+    )
+
+
+@register("->Q")
+def _toq(st):
+    z = float(st.pop()); y = float(st.pop()); x = float(st.pop()); w = float(st.pop())
+    st.push(_q_pack(w, x, y, z))
+
+
+@register("Q->")
+def _qto(st):
+    w, x, y, z = _q_unpack(int(st.pop()))
+    st.push(w); st.push(x); st.push(y); st.push(z)
+
+
+@register("QCONJUGATE")
+def _qconj(st):
+    w, x, y, z = _q_unpack(int(st.pop()))
+    st.push(_q_pack(w, -x, -y, -z))
+
+
+@register("QMULTIPLY")
+def _qmul(st):
+    """q r QMULTIPLY (QMULTIPLY.java): Hamilton product r·q (the
+    reference's operand order)."""
+    r = _q_unpack(int(st.pop()))
+    q = _q_unpack(int(st.pop()))
+    w = r[0] * q[0] - r[1] * q[1] - r[2] * q[2] - r[3] * q[3]
+    x = r[0] * q[1] + r[1] * q[0] - r[2] * q[3] + r[3] * q[2]
+    y = r[0] * q[2] + r[1] * q[3] + r[2] * q[0] - r[3] * q[1]
+    z = r[0] * q[3] - r[1] * q[2] + r[2] * q[1] + r[3] * q[0]
+    st.push(_q_pack(w, x, y, z))
+
+
+@register("QDIVIDE")
+def _qdiv(st):
+    """q r QDIVIDE (QDIVIDE.java): q·r⁻¹ — unit quaternions, so the
+    inverse is the conjugate."""
+    r = _q_unpack(int(st.pop()))
+    q = _q_unpack(int(st.pop()))
+    rinv = (r[0], -r[1], -r[2], -r[3])
+    w = rinv[0] * q[0] - rinv[1] * q[1] - rinv[2] * q[2] - rinv[3] * q[3]
+    x = rinv[0] * q[1] + rinv[1] * q[0] - rinv[2] * q[3] + rinv[3] * q[2]
+    y = rinv[0] * q[2] + rinv[1] * q[3] + rinv[2] * q[0] - rinv[3] * q[1]
+    z = rinv[0] * q[3] - rinv[1] * q[2] + rinv[2] * q[1] + rinv[3] * q[0]
+    st.push(_q_pack(w, x, y, z))
+
+
+@register("QROTATE")
+def _qrotate(st):
+    """x y z q QROTATE (QROTATE.java:55-62): rotate the vector."""
+    q = _q_unpack(int(st.pop()))
+    z = float(st.pop()); y = float(st.pop()); x = float(st.pop())
+    v0 = (1.0 - 2.0 * q[2] * q[2] - 2.0 * q[3] * q[3]) * x + 2.0 * (q[1] * q[2] + q[0] * q[3]) * y + 2.0 * (q[1] * q[3] - q[0] * q[2]) * z
+    v1 = 2.0 * (q[1] * q[2] - q[0] * q[3]) * x + (1.0 - 2.0 * q[1] * q[1] - 2.0 * q[3] * q[3]) * y + 2.0 * (q[2] * q[3] + q[0] * q[1]) * z
+    v2 = 2.0 * (q[1] * q[3] + q[0] * q[2]) * x + 2.0 * (q[2] * q[3] - q[0] * q[1]) * y + (1.0 - 2.0 * q[1] * q[1] - 2.0 * q[2] * q[2]) * z
+    st.push(v0); st.push(v1); st.push(v2)
+
+
+@register("QROTATION")
+def _qrotation(st):
+    """q QROTATION (QROTATION.java): rotation axis x y z + angle."""
+    w, x, y, z = _q_unpack(int(st.pop()))
+    angle = 2.0 * _math.acos(max(-1.0, min(1.0, w)))
+    s = _math.sqrt(max(0.0, 1.0 - w * w))
+    if s < 1e-12:
+        st.push(1.0); st.push(0.0); st.push(0.0)
+    else:
+        st.push(x / s); st.push(y / s); st.push(z / s)
+    st.push(angle)
+
+
+@register("ROTATIONQ")
+def _rotationq(st):
+    """x y z angle ROTATIONQ (ROTATIONQ.java): axis+angle → quaternion."""
+    angle = float(st.pop())
+    z = float(st.pop()); y = float(st.pop()); x = float(st.pop())
+    n = _math.sqrt(x * x + y * y + z * z) or 1.0
+    h = angle / 2.0
+    s = _math.sin(h) / n
+    st.push(_q_pack(_math.cos(h), x * s, y * s, z * s))
+
+
+# ---- stack state / control (SAVE.java:32, RESTORE, UNSET, FUNCREF,
+#      COMPILE family, TIMEBOX.java, ERROR/FAIL/MSGFAIL, DEREF/REF) ----
+
+@register("NULL")
+def _null(st):
+    st.push(None)
+
+
+@register("SAVE")
+def _save(st):
+    """SAVE (SAVE.java:32): push a snapshot of the symbol table the
+    matching RESTORE reinstates."""
+    st.push(("__ws_saved__", dict(st.symbols)))
+
+
+@register("RESTORE")
+def _restore(st):
+    v = st.pop()
+    if not (isinstance(v, tuple) and len(v) == 2 and v[0] == "__ws_saved__"):
+        raise TypeError("RESTORE expects the value SAVE pushed")
+    st.symbols = dict(v[1])
+
+
+@register("UNSET")
+def _unset(st):
+    """'sym' UNSET (UNSET.java): drop the symbol."""
+    st.symbols.pop(str(st.pop()), None)
+
+
+@register("FUNCREF", "DEREF")
+def _funcref(st):
+    """'name' FUNCREF (FUNCREF.java): push a callable reference to the
+    named function; DEREF resolves the same way."""
+    name = str(st.pop())
+    fn = st.registry.get(name)
+    if fn is None:
+        raise NameError(f"unknown function {name!r}")
+    st.push(fn)
+
+
+@register("COMPILE", "SAFECOMPILE", "COMPILED")
+def _compile(st):
+    """COMPILE/SAFECOMPILE (COMPILE.java): the stack machine executes
+    token lists directly — compilation is the identity here; COMPILED
+    answers whether the value is a macro."""
+    from warp10_platform_spark.warpscript.stack import Macro
+
+    v = st.peek()
+    if isinstance(v, Macro):
+        return  # already "compiled"
+    st.push(isinstance(st.pop(), Macro))
+
+
+@register("TIMEBOX")
+def _timebox(st):
+    """macro maxtime TIMEBOX (TIMEBOX.java): execute with a time budget.
+    Python cannot preempt the macro mid-flight; the budget is checked
+    after execution and overruns raise (documented soft enforcement)."""
+    import time as _time
+
+    budget_us = int(st.pop())
+    macro = st.pop()
+    t0 = _time.time()
+    st.exec_macro(macro)
+    if (_time.time() - t0) * 1e6 > budget_us:
+        raise TimeoutError(f"TIMEBOX budget {budget_us} µs exceeded")
+
+
+@register("ERROR")
+def _error(st):
+    """ERROR (ERROR.java): push the last error info map."""
+    st.push(getattr(st, "last_error", None))
+
+
+@register("FAIL")
+def _fail(st):
+    raise RuntimeError("FAIL")
+
+
+@register("MSGFAIL")
+def _msgfail(st):
+    raise RuntimeError(str(st.pop()))
+
+
+@register("STACKATTRIBUTE")
+def _stackattribute(st):
+    key = str(st.pop())
+    st.push(getattr(st, "attributes", {}).get(key))
+
+
+# ---- write-gate toggles (UPDATEON.java etc.): stack attributes the
+#      write path consults; default on like a standalone instance ----
+
+def _mk_toggle(key, value):
+    def fn(st):
+        if not hasattr(st, "attributes"):
+            st.attributes = {}
+        st.attributes[key] = value
+
+    return fn
+
+
+for _k in ("update", "delete", "meta"):
+    REGISTRY[f"{_k.upper()}ON"] = _mk_toggle(f"{_k}.enabled", True)
+    REGISTRY[f"{_k.upper()}OFF"] = _mk_toggle(f"{_k}.enabled", False)
+
+
+# ---- JSON forms (JSONSTRICT/JSONLOOSE/JSONPRETTY/JSONCOMPACT) ----
+
+@register("JSONSTRICT", "JSONLOOSE")
+def _json_parse(st):
+    """'json' JSON-> semantics (JSONSTRICT.java/JSONLOOSE.java): parse;
+    loose mode tolerates NaN/Infinity literals like the reference."""
+    import json as _json
+
+    st.push(_json.loads(str(st.pop())))
+
+
+@register("JSONPRETTY")
+def _json_pretty(st):
+    import json as _json
+
+    st.push(_json.dumps(st.pop(), indent=2, sort_keys=False, default=str))
+
+
+@register("JSONCOMPACT")
+def _json_compact(st):
+    import json as _json
+
+    st.push(_json.dumps(st.pop(), separators=(",", ":"), default=str))
+
+
+# ---- counters (COUNTER.java: AtomicLong on the stack) ----
+
+class _Counter:
+    __slots__ = ("v",)
+
+    def __init__(self):
+        self.v = 0
+
+
+@register("COUNTER")
+def _counter(st):
+    st.push(_Counter())
+
+
+@register("COUNTERDELTA")
+def _counterdelta(st):
+    d = int(st.pop())
+    c = st.peek()
+    c.v += d
+
+
+@register("COUNTERSET")
+def _counterset(st):
+    v = int(st.pop())
+    c = st.peek()
+    c.v = v
+
+
+@register("COUNTERVALUE")
+def _countervalue(st):
+    st.push(st.peek().v)
+
+
+# ---- RNG (RAND.java/SRAND.java + SHUFFLE over lists) ----
+
+@register("SRAND")
+def _srand(st):
+    """SRAND (SRAND.java): seed the stack PRNG (deterministic replay)."""
+    import random as _random
+
+    st.rng = _random.Random(42)
+
+
+@register("RAND")
+def _rand(st):
+    import random as _random
+
+    rng = getattr(st, "rng", None)
+    if rng is None:
+        rng = st.rng = _random.Random()
+    st.push(rng.random())
+
+
+@register("PRNG")
+def _prng(st):
+    import random as _random
+
+    st.push(_random.Random(0))
+
+
+@register("SHUFFLE")
+def _shuffle_list(st):
+    """list SHUFFLE (SHUFFLE.java): permute with the stack PRNG — only
+    meaningful after SRAND; frames keep their own SHUFFLE query path."""
+    import random as _random
+
+    v = st.pop()
+    if isinstance(v, list):
+        rng = getattr(st, "rng", None) or _random.Random(42)
+        out = list(v)
+        rng.shuffle(out)
+        st.push(out)
+    else:
+        st.push(v)  # frame SHUFFLE handled by the dedicated query op
+
+
+# ---- conversions ----
+
+@register("TOBOOLEAN")
+def _toboolean(st):
+    v = st.pop()
+    if isinstance(v, str):
+        st.push(v.strip().lower() == "true")
+    else:
+        st.push(bool(v))
+
+
+@register("->PICKLE")
+def _topickle(st):
+    """->PICKLE (TOPICKLE.java): value → python pickle bytes — trivially
+    native here (protocol 2 like the JVM pickler)."""
+    import pickle as _pickle
+
+    st.push(_pickle.dumps(st.pop(), protocol=2))
+
+
+@register("PICKLE->")
+def _pickleto(st):
+    import pickle as _pickle
+
+    st.push(_pickle.loads(_to_bytes(st.pop())))
+
+
+@register("->OPB64")
+def _toopb64(st):
+    from warp10_platform_spark.core.gtscodec import opb64_encode
+
+    st.push(opb64_encode(_to_bytes(st.pop())))
+
+
+@register("OPB64->")
+def _opb64to(st):
+    from warp10_platform_spark.core.gtscodec import opb64_decode
+
+    st.push(opb64_decode(str(st.pop())))
+
+
+@register("->MAP")
+def _tomap(st):
+    """[k v k v …] ->MAP (TOMAP.java? MAPFROM): pairs list → map."""
+    v = st.pop()
+    if isinstance(v, dict):
+        st.push(v)
+        return
+    it = list(v)
+    st.push({it[i]: it[i + 1] for i in range(0, len(it) - 1, 2)})
+
+
+@register("MAP->")
+def _mapto(st):
+    """map MAP-> (MAPTO.java): push k v pairs then the size."""
+    m = st.pop()
+    n = 0
+    for k, v in m.items():
+        st.push(k); st.push(v)
+        n += 1
+    st.push(n)
+
+
+@register("LIST->")
+def _listto(st):
+    """list LIST-> (LISTTO.java): elements then the size."""
+    v = st.pop()
+    for e in v:
+        st.push(e)
+    st.push(len(v))
+
+
+@register("->V", "->SET")
+def _toset(st):
+    """list ->V / ->SET (TOVECTOR.java/TOSET.java): the reference vector
+    is an ordered unique collection — modeled as a de-duplicated list."""
+    v = st.pop()
+    out = []
+    seen = set()
+    for e in v:
+        k = repr(e)
+        if k not in seen:
+            seen.add(k)
+            out.append(e)
+    st.push(out)
+
+
+@register("V->", "SET->")
+def _setto(st):
+    v = st.pop()
+    st.push(list(v))
+
+
+@register("->GTS")
+def _togts_rows(st):
+    """[ [ts lat lon elev value] … ] ->GTS (TOGTS.java list form): rows →
+    a single GTS frame (NaN lat/lon = no location)."""
+    rows_in = st.pop()
+    enc_mod = __import__("warp10_platform_spark.core.encoders", fromlist=["Encoder"])
+    enc = enc_mod.Encoder("")
+    for el in rows_in:
+        ts, lat, lon, elev, value = el
+        e = None if elev is None or (isinstance(elev, float) and elev != elev) else int(elev)
+        enc.add_latlon(int(ts), float(lat), float(lon), e, value)
+    st.push(enc)
+    REGISTRY["TOGTS"](st)
+
+
+# ---- interval bounds (LBOUNDS.java / NBOUNDS.java) ----
+
+@register("LBOUNDS")
+def _lbounds(st):
+    """lower upper n LBOUNDS: n-1 equal-width interior bounds."""
+    n = int(st.pop()); upper = float(st.pop()); lower = float(st.pop())
+    if not 1 <= n <= 65536 or lower >= upper:
+        raise ValueError("LBOUNDS expects lower < upper and 1 <= n <= 65536")
+    step = (upper - lower) / n
+    st.push([lower + step * i for i in range(1, n)])
+
+
+@register("NBOUNDS")
+def _nbounds(st):
+    """mu sigma n NBOUNDS: n-1 equal-probability bounds of N(mu, sigma)
+    (NormalDistribution.inverseCumulativeProbability — stdlib
+    NormalDist.inv_cdf here, same quantiles to double precision)."""
+    from statistics import NormalDist
+
+    n = int(st.pop()); sigma = float(st.pop()); mu = float(st.pop())
+    if not 1 <= n <= 65536 or sigma <= 0:
+        raise ValueError("NBOUNDS expects sigma > 0 and 1 <= n <= 65536")
+    nd = NormalDist(mu, sigma)
+    st.push([nd.inv_cdf(i / n) for i in range(1, n)])
+
+
+# ---- MMAP / TEMPLATE / REOPTALT ----
+
+@register("MMAP")
+def _mmap(st):
+    """map macro [index?] MMAP (MMAP.java:30-70): run the macro on each
+    (key, value[, index]); macro leaves new key and value."""
+    push_index = True
+    top = st.pop()
+    if isinstance(top, bool):
+        push_index = top
+        top = st.pop()
+    macro = top
+    m = st.pop()
+    out = {}
+    for i, (k, v) in enumerate(m.items()):
+        st.push(k); st.push(v)
+        if push_index:
+            st.push(i)
+        st.exec_macro(macro)
+        val = st.pop(); key = st.pop()
+        out[key] = val
+    st.push(out)
+
+
+@register("TEMPLATE")
+def _template(st):
+    """'tpl' {scope} TEMPLATE (TEMPLATE.java, Mustache engine): variable
+    substitution. Subset: {{key}} (and dotted {{a.b}}) interpolation —
+    sections/partials are not implemented (documented)."""
+    import re as _re
+
+    scope = st.pop()
+    tpl = str(st.pop())
+
+    def sub(m):
+        path = m.group(1).strip()
+        cur = scope
+        for part in path.split("."):
+            if isinstance(cur, dict) and part in cur:
+                cur = cur[part]
+            else:
+                return ""
+        return str(cur)
+
+    st.push(_re.sub(r"\{\{([^}]+)\}\}", sub, tpl))
+
+
+@register("REOPTALT")
+def _reoptalt(st):
+    """[alternatives] REOPTALT (REOPTALT.java): build an optimized
+    alternation regex. A plain sorted alternation matches the identical
+    language (the reference's trie form is a constant-factor speedup)."""
+    import re as _re
+
+    alts = st.pop()
+    st.push("(?:" + "|".join(_re.escape(str(a)) for a in sorted(alts, key=len, reverse=True)) + ")")
+
+
+# ---- runner helpers (RUNNERNONCE.java, RUNNERPATH; schedule arithmetic
+#      in streaming/runners.py) ----
+
+@register("RUNNERAT")
+def _runnerat(st):
+    from warp10_platform_spark.streaming.runners import runner_at
+
+    st.push(runner_at(int(st.pop())))
+
+
+@register("RUNNERIN")
+def _runnerin(st):
+    from warp10_platform_spark.streaming.runners import runner_in
+
+    st.push(runner_in(int(st.pop())))
+
+
+@register("RUNNERNONCE")
+def _runnernonce(st):
+    """RUNNERNONCE (RUNNERNONCE.java): scheduling nonce — deterministic
+    per (path, period) here so replays agree."""
+    attrs = getattr(st, "attributes", {})
+    basis = f"{attrs.get('runner.path', '')}:{attrs.get('runner.periodicity', 0)}"
+    st.push(int(_hashlib.md5(basis.encode()).hexdigest()[:15], 16))
+
+
+@register("RUNNERPATH")
+def _runnerpath(st):
+    st.push(getattr(st, "attributes", {}).get("runner.path", ""))
+
+
+# =====================================================================
+# Tranche J — engine-backed script names: geo-field mappers, macro
+# aggregators from WarpScript macros, series accessors, metadata ops,
+# geo coverage utilities, hulls, sliding retention
+# =====================================================================
+
+# ---- mapper.{cmp}.{tick|lat|lon|elev|hhcode} + mapper.geo.clear
+# (MapperGtTick.java family): keep the point when FIELD cmp PARAM ----
+
+_CMP_FIELDS = ("tick", "lat", "lon", "elev", "hhcode")
+_CMPS = {"eq": "==", "ne": "!=", "gt": ">", "ge": ">=", "lt": "<", "le": "<="}
+
+
+def _mk_field_mapper_factory(name):
+    def fn(st):
+        st.push((name, st.pop()))
+
+    return fn
+
+
+for _c in _CMPS:
+    for _f in _CMP_FIELDS:
+        REGISTRY[f"mapper.{_c}.{_f}"] = _mk_field_mapper_factory(f"mapper.{_c}.{_f}")
+REGISTRY["mapper.geo.clear"] = lambda st: st.push("mapper.geo.clear")
+
+
+def apply_field_mapper(gf, name, param):
+    """Engine for the predicate field mappers: FIELD cmp PARAM keeps the
+    point. hhcode compares the GeoXPPoint as unsigned (cell order)."""
+    import operator as _op
+
+    from warp10_platform_spark.core.geoxp import to_geoxp_col
+
+    _, cmp_name, field = name.split(".")
+    if field == "tick":
+        col = F.col("ts")
+        lit = F.lit(int(param))
+    elif field == "elev":
+        col = F.col("elev")
+        lit = F.lit(int(param))
+    elif field == "hhcode":
+        # unsigned ordering: flip the sign bit on both sides
+        col = to_geoxp_col(F.col("lat"), F.col("lon")).bitwiseXOR(F.lit(-(2**63)))
+        lit = F.lit((int(param) ^ (1 << 63)) - (1 << 64) if int(param) >= 0 else int(param) ^ -(2**63))
+    else:
+        col = F.col(field)
+        lit = F.lit(float(param))
+    ops = {"eq": col == lit, "ne": col != lit, "gt": col > lit,
+           "ge": col >= lit, "lt": col < lit, "le": col <= lit}
+    return gf.df.where(col.isNotNull() & ops[cmp_name])
+
+
+# ---- WarpScript macros as mapper/reducer/bucketizer/filler/filter
+# (MACROMAPPER.java etc.): the macro executes INSIDE the Arrow worker on
+# a sparkless stack — the aggregator argument array goes in, the
+# [tick loc elev value] result comes out ----
+
+def _macro_to_frame_fn(macro):
+    tokens = macro.tokens
+
+    def fn(frame):
+        from warp10_platform_spark.warpscript.stack import Macro as _M
+        from warp10_platform_spark.warpscript.stack import WarpScriptStack as _S
+
+        st = _S(None, None)
+        st.push([
+            int(frame.tick),
+            [""], [{}],
+            [int(t) for t in frame.ticks],
+            [], [],
+            [float(v) for v in frame.values],
+        ])
+        st.exec_macro(_M(tokens))
+        out = st.pop()
+        if isinstance(out, list):
+            return float(out[3]) if out[3] is not None else float("nan")
+        return float(out)
+
+    return fn
+
+
+def _mk_macro_agg(kind):
+    def fn(st):
+        macro = st.pop()
+        st.push((kind, _macro_to_frame_fn(macro)))
+
+    return fn
+
+
+REGISTRY["MACROMAPPER"] = _mk_macro_agg("macromapper")
+REGISTRY["MACROREDUCER"] = _mk_macro_agg("macroreducer")
+REGISTRY["MACROBUCKETIZER"] = _mk_macro_agg("macrobucketizer")
+REGISTRY["MACROFILLER"] = _mk_macro_agg("macrofiller")
+
+
+@register("STRICTMAPPER")
+def _strictmapper(st):
+    """mapper min max STRICTMAPPER (STRICTMAPPER.java): frames outside
+    [min, max] points emit nothing."""
+    mx = int(st.pop()); mn = int(st.pop())
+    inner = st.pop()
+    st.push(("strictmapper", inner, mn, mx))
+
+
+@register("STRICTREDUCER")
+def _strictreducer(st):
+    """reducer STRICTREDUCER: skip ticks where any series has no value."""
+    st.push(("strictreducer", st.pop()))
+
+
+@register("MACROFILTER", "MFILTER")
+def _macrofilter(st):
+    """macro MACROFILTER (MACROFILTER.java): series predicate — executed
+    driver-side over the DISTINCT series identities (small), then a
+    semi-join keeps matching series. The macro sees [[class labels]]
+    and leaves a boolean."""
+    macro = st.pop()
+    tokens = macro.tokens
+
+    def fn(ident_rows, spark_stack):
+        """ident_rows: [(class, labels_dict, tag)] → kept tags."""
+        from warp10_platform_spark.warpscript.stack import Macro as _M
+
+        keep = []
+        for cls, labels, tag in ident_rows:
+            spark_stack.push([[cls, labels]])
+            spark_stack.exec_macro(_M(tokens))
+            if spark_stack.pop():
+                keep.append(tag)
+        return keep
+
+    st.push(("macrofilter", fn))
+
+
+# ---- series accessors (VALUES.java, LOCATIONS.java, ELEVATIONS.java,
+#      LOCSTRINGS.java; bounded driver materialization BY SEMANTICS —
+#      like the reference, these build in-memory lists) ----
+
+_ACCESSOR_CAP = 1_000_000
+
+
+def _frame_rows(st, cols):
+    v = st.pop()
+    from warp10_platform_spark.core.encoders import Encoder as _E
+
+    if isinstance(v, _E):
+        return v, None
+    gf = _as_frame(v)
+    have = set(gf.df.columns)
+    order = [c for c in ("gts_id", "class", "labels_key") if c in have] + ["ts"]
+    sel = [gf.value_col if c == "__value__" else c for c in cols]
+    sel = [c for c in sel if c in have] or [gf.value_col]
+    rows = gf.df.orderBy(*order).select(*sel).limit(_ACCESSOR_CAP + 1).collect()
+    if len(rows) > _ACCESSOR_CAP:
+        raise MemoryError("accessor over cap — use column ops for large frames")
+    return None, rows
+
+
+@register("VALUES")
+def _values(st):
+    enc, rows = _frame_rows(st, ["__value__"])
+    if enc is not None:
+        st.push([p[1] for p in enc.points])
+    else:
+        st.push([r[0] for r in rows])
+
+
+@register("LOCATIONS")
+def _locations(st):
+    from warp10_platform_spark.core.geoxp import from_geoxp
+
+    enc, rows = _frame_rows(st, ["lat", "lon"])
+    if enc is not None:
+        lats, lons = [], []
+        for _ts, _v, _e, loc in enc.points:
+            la, lo = from_geoxp(loc) if loc is not None else (float("nan"), float("nan"))
+            lats.append(la); lons.append(lo)
+    else:
+        lats = [r[0] if r[0] is not None else float("nan") for r in rows]
+        lons = [r[1] if r[1] is not None else float("nan") for r in rows]
+    st.push(lats); st.push(lons)
+
+
+@register("ELEVATIONS")
+def _elevations(st):
+    enc, rows = _frame_rows(st, ["elev"])
+    if enc is not None:
+        st.push([p[2] for p in enc.points])
+    else:
+        st.push([r[0] for r in rows])
+
+
+@register("LOCSTRINGS")
+def _locstrings(st):
+    """LOCSTRINGS (LOCSTRINGS.java): 'lat:lon' strings per point."""
+    _e, rows = None, None
+    enc, rows = _frame_rows(st, ["lat", "lon"])
+    if enc is not None:
+        from warp10_platform_spark.core.geoxp import from_geoxp
+
+        out = []
+        for _ts, _v, _el, loc in enc.points:
+            if loc is None:
+                out.append("")
+            else:
+                la, lo = from_geoxp(loc)
+                out.append(f"{la}:{lo}")
+        st.push(out)
+    else:
+        st.push(["" if r[0] is None else f"{r[0]}:{r[1]}" for r in rows])
+
+
+@register("MAXGTS")
+def _maxgts(st):
+    """n MAXGTS (MAXGTS registration): cap on series count — stored as a
+    stack attribute the fetch path checks."""
+    if not hasattr(st, "attributes"):
+        st.attributes = {}
+    st.attributes["maxgts"] = int(st.pop())
+
+
+@register("METASORT")
+def _metasort(st):
+    from warp10_platform_spark.operators.sort import metasort
+
+    gf = _as_frame(st.pop())
+    st.push(metasort(gf.df))
+
+
+@register("METASET", "METADIFF", "METAMATCH")
+def _meta_encoder_ops(st):
+    """Encoder metadata ops (METASET.java family) on the driver-side
+    encoder value: METASET merges {attrs}; METADIFF yields keys that
+    differ; METAMATCH tests a labels pattern map."""
+    raise NotImplementedError(
+        "METASET/METADIFF/METAMATCH operate on stored directory metadata; "
+        "use META (attribute upsert) / FIND on the frame surface"
+    )
+
+
+# ---- geo coverage utilities ----
+
+@register("GEO.COVER")
+def _geo_cover_alias(st):
+    REGISTRY["GEOCOVER"](st)
+
+
+@register("GEO.COVER.RL")
+def _geo_cover_rl_alias(st):
+    REGISTRY["GEOCOVER.RL"](st)
+
+
+@register("GEO.INTERSECTS")
+def _geo_intersects_alias(st):
+    REGISTRY["GEOINTERSECTS"](st)
+
+
+@register("GEO.WITHIN")
+def _geo_within_shapes(st):
+    """a b GEO.WITHIN: TRUE when b is entirely inside a (cell algebra:
+    b minus a is empty)."""
+    b = st.pop(); a = st.pop()
+    st.push(len(b.subtraction(a)) == 0)
+
+
+@register("GEO.NORMALIZE")
+def _geo_normalize(st):
+    st.push(st.pop().normalized())
+
+
+@register("GEO.OPTIMIZE")
+def _geo_optimize(st):
+    """shape GEO.OPTIMIZE (GEOOPTIMIZE.java): merge every complete set
+    of 16 sibling cells into the parent, repeatedly."""
+    GC = _gc()
+    cov = st.pop().normalized()
+    cells = set(cov.cells)
+    changed = True
+    while changed:
+        changed = False
+        by_parent = {}
+        for c in cells:
+            r = GC.cell_res(c)
+            if r <= 2:
+                continue
+            rr = r - 2
+            parent = ((rr // 2) << 60) | ((GC.cell_prefix(c) >> 4) << (60 - 2 * rr))
+            by_parent.setdefault(parent, set()).add(c)
+        for parent, kids in by_parent.items():
+            if len(kids) == 16:
+                cells -= kids
+                cells.add(parent)
+                changed = True
+    st.push(GC.GeoCells(cells))
+
+
+@register("GEO.REGEXP")
+def _geo_regexp(st):
+    """shape GEO.REGEXP (GEOREGEXP.java): regexp matching the hex HHCode
+    prefixes of the coverage's cells (directory-side geo filtering)."""
+    GC = _gc()
+    cov = st.pop()
+    prefixes = sorted(
+        f"{GC.cell_prefix(c):0{GC.cell_res(c) // 2}x}" for c in cov.cells
+    )
+    st.push("^(?:" + "|".join(p + ".*" for p in prefixes) + ")$" if prefixes else "^$")
+
+
+@register("GEOSHIFT")
+def _geoshift(st):
+    """shape dlat dlon GEOSHIFT: translate every cell by (dlat, dlon)
+    cells at its own resolution."""
+    GC = _gc()
+    from warp10_platform_spark.core import geoxp as _gx
+
+    dlon = int(st.pop()); dlat = int(st.pop())
+    cov = st.pop()
+    out = set()
+    for c in cov.cells:
+        r = GC.cell_res(c)
+        hh = _gx._to_signed64(GC.cell_prefix(c) << (64 - 2 * r))
+        out.add(GC.cell_of(_gx.neighbor(hh, r, dlat, dlon), r))
+    st.push(GC.GeoCells(out))
+
+
+@register("->GEOCELL")
+def _togeocell(st):
+    """hhcode res ->GEOCELL: the geocell containing the point."""
+    GC = _gc()
+    res = int(st.pop())
+    st.push(GC.cell_of(int(st.pop()), res))
+
+
+@register("GEOSHAPE->", "->GEOSHAPE")
+def _geoshape_conv(st):
+    """cells list ↔ coverage (GEOSHAPETO.java)."""
+    GC = _gc()
+    v = st.pop()
+    if isinstance(v, GC.GeoCells):
+        st.push(GC.geosplit(v))
+    else:
+        st.push(GC.GeoCells(int(c) for c in v))
+
+
+@register("COPYGEO")
+def _copygeo(st):
+    """src dst COPYGEO (COPYGEO.java): copy dst's values with src's
+    locations/elevations at matching ticks — a per-tick equi-join, pure
+    column work."""
+    dst = _as_frame(st.pop())
+    src = _as_frame(st.pop())
+    s = src.df.select(
+        F.col("gts_id").alias("_sid"), F.col("ts").alias("_sts"),
+        F.col("lat").alias("_slat"), F.col("lon").alias("_slon"), F.col("elev").alias("_selev"),
+    )
+    j = dst.df.drop("lat", "lon", "elev").join(
+        s, (F.col("gts_id") == F.col("_sid")) & (F.col("ts") == F.col("_sts")), "left"
+    ).drop("_sid", "_sts").withColumnRenamed("_slat", "lat").withColumnRenamed(
+        "_slon", "lon").withColumnRenamed("_selev", "elev")
+    st.push(GTSFrame(j, dst.bucketspec, dst.value_col))
+
+
+@register("->GTSHHCODE", "->GTSHHCODELONG")
+def _togtshhcode(st):
+    """gts ->GTSHHCODE (TOHHCODE.java useGtsConvention): per-point
+    GeoXPPoint as the value column (LONG form; string form is the hex) —
+    pure column exprs."""
+    from warp10_platform_spark.core.geoxp import to_geoxp_col
+
+    gf = _as_frame(st.pop())
+    hh = to_geoxp_col(F.col("lat"), F.col("lon"))
+    st.push(GTSFrame(gf.df.withColumn("v_hhcode", hh), gf.bucketspec, "v_hhcode"))
+
+
+@register("GTSHHCODE->")
+def _gtshhcodeto(st):
+    """gts GTSHHCODE-> : hhcode long values → locations."""
+    from warp10_platform_spark.core.geoxp import lat_from_geoxp_col, lon_from_geoxp_col
+
+    gf = _as_frame(st.pop())
+    vc = F.col(gf.value_col)
+    df = gf.df.withColumn("lat", lat_from_geoxp_col(vc.cast("long"))).withColumn(
+        "lon", lon_from_geoxp_col(vc.cast("long"))
+    )
+    st.push(GTSFrame(df, gf.bucketspec, gf.value_col))
+
+
+# ---- hulls (LOWERHULL.java / UPPERHULL.java / HULLSHAPE) ----
+
+def _monotone_chain(pts, upper=False):
+    """Andrew monotone chain half-hull over (x, y) pairs."""
+    pts = sorted(set(pts))
+    if upper:
+        pts = pts[::-1]
+    out = []
+    for p in pts:
+        while len(out) >= 2 and (
+            (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+            - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+        ) <= 0:
+            out.pop()
+        out.append(p)
+    return out
+
+
+def _mk_hull(upper):
+    def fn(st):
+        import pandas as _pd
+        from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+        gf = _as_frame(st.pop())
+        schema = StructType([
+            StructField("class", StringType()), StructField("labels_key", StringType()),
+            StructField("gts_id", LongType()), StructField("ts", LongType()),
+            StructField("v_double", DoubleType()),
+        ])
+        vc = gf.value_col
+
+        def run(pdf):
+            pdf = pdf.sort_values("ts")
+            hull = _monotone_chain(list(zip(pdf["ts"].astype(int), pdf[vc].astype(float))), upper=upper)
+            return _pd.DataFrame({
+                "class": pdf["class"].iloc[0], "labels_key": pdf["labels_key"].iloc[0],
+                "gts_id": pdf["gts_id"].iloc[0],
+                "ts": [int(t) for t, _ in hull], "v_double": [float(v) for _, v in hull],
+            })
+
+        st.push(GTSFrame(gf.df.groupBy("gts_id").applyInPandas(run, schema=schema), None, "v_double"))
+
+    return fn
+
+
+REGISTRY["LOWERHULL"] = _mk_hull(False)
+REGISTRY["UPPERHULL"] = _mk_hull(True)
+
+
+@register("HULLSHAPE")
+def _hullshape(st):
+    """shape HULLSHAPE: coverage of the convex hull of the cell corners
+    (driver-side — coverages are bounded script values)."""
+    GC = _gc()
+    from warp10_platform_spark.operators.wkt import Shape
+
+    cov = st.pop()
+    pts = []
+    for c in cov.cells:
+        swla, swlo, nela, nelo = GC.cell_bbox(c)
+        pts += [(swlo, swla), (nelo, swla), (swlo, nela), (nelo, nela)]
+    lower = _monotone_chain(pts, upper=False)
+    upper_h = _monotone_chain(pts, upper=True)
+    ring = lower[:-1] + upper_h[:-1]
+    res = max((GC.cell_res(c) for c in cov.cells), default=8)
+    st.push(GC.cover_shape(Shape("POLYGON", [ring]), res))
+
+
+# ---- sliding retention (max.tick.sliding.window / max.time.sliding.window,
+#      engine operators/reshape.py:286-300) ----
+
+@register("max.tick.sliding.window")
+def _max_tick_window(st):
+    from warp10_platform_spark.operators.reshape import max_tick_sliding_window
+
+    n = int(st.pop())
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(max_tick_sliding_window(gf.df, n, order_col="ts"), gf.bucketspec, gf.value_col))
+
+
+@register("max.time.sliding.window")
+def _max_time_window(st):
+    from warp10_platform_spark.operators.reshape import max_time_sliding_window
+
+    span = int(st.pop())
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(max_time_sliding_window(gf.df, span), gf.bucketspec, gf.value_col))
+
+
+# =====================================================================
+# Tranche K — PACK/UNPACK bit packing, ACCEL hints, wrap variants, geo
+# serializers, vector/matrix literal tokens, config/doc surface
+# =====================================================================
+
+def _pack_parse_format(fmt: str):
+    """PACK.parseFormat (PACK.java:145-210): (bigendian, type, len)."""
+    out = []
+    i = 0
+    while i < len(fmt):
+        big = False
+        t = fmt[i]; i += 1
+        ln = 0
+        if t in "<>":
+            big = t == ">"
+            t = fmt[i]; i += 1
+            if t in "LU":
+                while i < len(fmt) and fmt[i].isdigit():
+                    ln = ln * 10 + int(fmt[i]); i += 1
+                ln = ln or 64
+                if ln > 64:
+                    raise ValueError("PACK: max length for L/U is 64")
+            elif t == "D":
+                ln = 64
+            else:
+                raise ValueError(f"PACK: invalid spec {t!r}")
+        elif t in "Ss":
+            while i < len(fmt) and fmt[i].isdigit():
+                ln = ln * 10 + int(fmt[i]); i += 1
+            if ln == 0:
+                raise ValueError("PACK: skip needs a length")
+        elif t == "B":
+            ln = 1
+        else:
+            raise ValueError(f"PACK: invalid spec {t!r}")
+        out.append((big, t, ln))
+    return out
+
+
+_M64 = (1 << 64) - 1
+
+
+def _rev64(v: int) -> int:
+    return int(f"{v & _M64:064b}"[::-1], 2)
+
+
+@register("PACK")
+def _pack(st):
+    """[values] 'fmt' PACK (PACK.java): bit-pack longs/doubles/bools.
+    <L/<U little-endian n bits, >L/>U big-endian, D double, B bool,
+    S/s skip-ones/zeros — bit emission mirrored exactly."""
+    fmt = str(st.pop())
+    values = list(st.pop())
+    fields = _pack_parse_format(fmt)
+    bits = []
+    vidx = 0
+    for big, t, ln in fields:
+        if t == "s":
+            value = 0
+        elif t == "S":
+            value = _M64
+        else:
+            v = values[vidx]; vidx += 1
+            if isinstance(v, bool):
+                v = 1 if v else 0
+            if t == "D":
+                value = int.from_bytes(_struct.pack(">d", float(v)), "big")
+            elif t == "B":
+                value = 1 if int(v) != 0 else 0
+            else:
+                value = int(v) & _M64
+        if big:
+            value = _rev64(value)
+            if ln < 64:
+                value >>= 64 - ln
+        for _ in range(ln):
+            bits.append(value & 1)
+            value >>= 1
+    out = bytearray()
+    cur = 0
+    n = 0
+    for b in bits:
+        cur = ((cur << 1) | b) & 0xFF
+        n += 1
+        if n % 8 == 0:
+            out.append(cur)
+            cur = 0
+    if n % 8:
+        out.append((cur << (8 - n % 8)) & 0xFF)
+    st.push(bytes(out))
+
+
+@register("UNPACK")
+def _unpack(st):
+    """bytes 'fmt' UNPACK (UNPACK.java): inverse of PACK — L sign-extends
+    from its width, U stays unsigned, skips consume without emitting."""
+    fmt = str(st.pop())
+    data = _to_bytes(st.pop())
+    fields = _pack_parse_format(fmt)
+    bitstream = []
+    for byte in data:
+        for k in range(7, -1, -1):
+            bitstream.append((byte >> k) & 1)
+    pos = 0
+    out = []
+    for big, t, ln in fields:
+        chunk = bitstream[pos : pos + ln]
+        pos += ln
+        if t in "Ss":
+            continue
+        value = 0
+        for k, b in enumerate(chunk):
+            value |= b << k
+        if big:
+            value = _rev64(value << (64 - ln)) if ln < 64 else _rev64(value)
+        if t == "D":
+            out.append(_struct.unpack(">d", (value & _M64).to_bytes(8, "big"))[0])
+        elif t == "B":
+            out.append(bool(value & 1))
+        elif t == "L":
+            if ln < 64 and value & (1 << (ln - 1)):
+                value -= 1 << ln
+            out.append(_to_signed64_chk(value))
+        else:  # U
+            out.append(value & _M64 if ln == 64 else value)
+    st.push(out)
+
+
+def _to_signed64_chk(v):
+    v &= _M64
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# ---- ACCEL hints (core/accel.py engine) ----
+
+def _mk_accel(which):
+    def fn(st):
+        from warp10_platform_spark.core import accel as _a
+
+        gf = _as_frame(st.pop())
+        st.push(GTSFrame(getattr(_a, which)(gf.df), gf.bucketspec, gf.value_col))
+
+    return fn
+
+
+REGISTRY["ACCEL.CACHE"] = _mk_accel("accel_cache")
+REGISTRY["ACCEL.NOCACHE"] = _mk_accel("accel_nocache")
+REGISTRY["ACCEL.PERSIST"] = _mk_accel("accel_persist")
+REGISTRY["ACCEL.NOPERSIST"] = _mk_accel("accel_nopersist")
+
+
+@register("ACCEL.REPORT")
+def _accel_report(st):
+    """ACCEL.REPORT: cache/persist status of the frames this session."""
+    sc = st.spark.sparkContext if st.spark else None
+    st.push({"accelerated": True, "storage": "spark-persistence-levels",
+             "rdds_cached": len(sc._jsc.sc().getPersistentRDDs()) if sc else 0})
+
+
+# ---- wrap variants (WRAPRAW/WRAPFAST/WRAPOPT, UNWRAPEMPTY, OPTIMIZE) ----
+
+@register("WRAPRAW", "WRAPRAWOPT")
+def _wrapraw(st):
+    """encoder WRAPRAW (WRAPRAW.java): the raw GTSWrapper BYTES (no
+    OPB64 text encoding)."""
+    from warp10_platform_spark.core.encoders import Encoder
+    from warp10_platform_spark.core.gtscodec import opb64_decode
+
+    v = st.pop()
+    if not isinstance(v, Encoder):
+        raise TypeError("WRAPRAW operates on an encoder")
+    st.push(opb64_decode(v.wrap()))
+
+
+@register("WRAPFAST")
+def _wrapfast(st):
+    """encoder WRAPFAST: wrapper without compression (speed over size)."""
+    from warp10_platform_spark.core.encoders import Encoder
+    from warp10_platform_spark.core.gtscodec import wrap_series
+
+    v = st.pop()
+    if not isinstance(v, Encoder):
+        raise TypeError("WRAPFAST operates on an encoder")
+    st.push(wrap_series(v.name, v.labels, v.points, base=v.base,
+                        attributes=v.attributes, compress=False))
+
+
+@register("WRAPOPT")
+def _wrapopt(st):
+    REGISTRY["WRAP"](st)
+
+
+@register("UNWRAPEMPTY")
+def _unwrapempty(st):
+    """wrapped UNWRAPEMPTY (UNWRAPEMPTY.java): metadata-only unwrap —
+    an empty encoder carrying name/labels/attributes (no point decode)."""
+    from warp10_platform_spark.core.encoders import Encoder
+    from warp10_platform_spark.core.gtscodec import opb64_decode, read_wrapper
+
+    w = read_wrapper(opb64_decode(str(st.pop())), inflate=False)
+    md = w["metadata"] or {"name": "", "labels": {}, "attributes": {}}
+    st.push(Encoder(md["name"], md["labels"], md["attributes"]))
+
+
+@register("OPTIMIZE")
+def _optimize(st):
+    """encoder OPTIMIZE (GTSEncoder.optimize): the python encoder is
+    already in optimal append form — identity."""
+    pass
+
+
+# ---- geo serializers (->WKT / ->GEOJSON over shapes and coverages) ----
+
+def _cov_to_polys(cov):
+    GC = _gc()
+    polys = []
+    for c in sorted(cov.cells, key=lambda x: x & ((1 << 64) - 1)):
+        swla, swlo, nela, nelo = GC.cell_bbox(c)
+        polys.append([(swlo, swla), (nelo, swla), (nelo, nela), (swlo, nela)])
+    return polys
+
+
+@register("->WKT")
+def _towkt_shape(st):
+    """shape|coverage ->WKT (TOWKT.java): WKT text; a coverage serializes
+    as the MULTIPOLYGON of its cells."""
+    from warp10_platform_spark.operators.wkt import Shape, to_wkt
+
+    GC = _gc()
+    v = st.pop()
+    if isinstance(v, GC.GeoCells):
+        st.push(to_wkt(Shape("MULTIPOLYGON", [[_p] for _p in _cov_to_polys(v)])))
+    else:
+        st.push(to_wkt(v))
+
+
+@register("->GEOJSON")
+def _togeojson_shape(st):
+    """shape|coverage ->GEOJSON (TOGEOJSON.java)."""
+    import json as _json
+
+    from warp10_platform_spark.operators.wkt import Shape
+
+    GC = _gc()
+    v = st.pop()
+    if isinstance(v, GC.GeoCells):
+        coords = [[[list(pt) for pt in ring] + [list(ring[0])]] for ring in _cov_to_polys(v)]
+        st.push(_json.dumps({"type": "MultiPolygon", "coordinates": coords}))
+    elif isinstance(v, Shape):
+        if v.kind == "POLYGON":
+            st.push(_json.dumps({"type": "Polygon",
+                                 "coordinates": [[list(p) for p in r] + [list(r[0])] for r in v.coords]}))
+        elif v.kind == "POINT":
+            st.push(_json.dumps({"type": "Point", "coordinates": list(v.coords[0])}))
+        else:
+            st.push(_json.dumps({"type": "MultiPolygon", "coordinates": [
+                [[list(p) for p in r] + [list(r[0])] for r in poly] for poly in v.coords]}))
+    else:
+        raise TypeError("->GEOJSON operates on a shape or coverage")
+
+
+@register("LOCATIONOFFSET")
+def _locationoffset(st):
+    """gts dlat dlon LOCATIONOFFSET: shift every location (column op)."""
+    dlon = float(st.pop()); dlat = float(st.pop())
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(
+        gf.df.withColumn("lat", F.col("lat") + F.lit(dlat)).withColumn("lon", F.col("lon") + F.lit(dlon)),
+        gf.bucketspec, gf.value_col,
+    ))
+
+
+@register("BBOX")
+def _bbox_gts(st):
+    """gts BBOX (BBOX.java): [sw_lat sw_lon ne_lat ne_lon] of the
+    series' locations (one tiny aggregate)."""
+    gf = _as_frame(st.pop())
+    r = gf.df.agg(F.min("lat"), F.min("lon"), F.max("lat"), F.max("lon")).first()
+    st.push([r[0], r[1], r[2], r[3]])
+
+
+# ---- vector/matrix literal tokens ----
+
+class _VecMark:
+    __slots__ = ()
+
+
+class _MatMark:
+    __slots__ = ()
+
+
+@register("(")
+def _vec_open(st):
+    st.push(_VecMark())
+
+
+@register(")")
+def _vec_close(st):
+    out = []
+    while True:
+        v = st.pop()
+        if isinstance(v, _VecMark):
+            break
+        out.append(v)
+    out.reverse()
+    uniq = []
+    seen = set()
+    for e in out:
+        k = repr(e)
+        if k not in seen:
+            seen.add(k)
+            uniq.append(e)
+    st.push(uniq)
+
+
+@register("[[")
+def _mat_open(st):
+    st.push(_MatMark())
+
+
+@register("]]")
+def _mat_close(st):
+    rows = []
+    while True:
+        v = st.pop()
+        if isinstance(v, _MatMark):
+            break
+        rows.append(v)
+    rows.reverse()
+    st.push(rows)
+
+
+REGISTRY["[]"] = lambda st: st.push([])
+REGISTRY["()"] = lambda st: st.push([])
+REGISTRY["[[]]"] = lambda st: st.push([])
+REGISTRY["{}"] = lambda st: st.push({})
+
+
+@register("+!")
+def _append_inplace(st):
+    """list v +! (APPEND in place, no copy)."""
+    v = st.pop()
+    lst = st.peek()
+    lst.append(v)
+
+
+# ---- BigDecimal RNG / probable primes (BDRAND.java family) ----
+
+@register("BDRAND", "SBDRAND")
+def _bdrand(st):
+    """BDRAND: random decimal in [0,1) with the stack PRNG (SBDRAND is
+    the seeded form — our SRAND seeds the same PRNG)."""
+    import random as _random
+
+    rng = getattr(st, "rng", None)
+    if rng is None:
+        rng = st.rng = _random.Random()
+    st.push(Decimal(rng.random()).quantize(Decimal("1e-18")))
+
+
+def _mr_probable_prime(n: int, rng, rounds: int = 20) -> bool:
+    if n < 2:
+        return False
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % p == 0:
+            return n == p
+    d = n - 1
+    r = 0
+    while d % 2 == 0:
+        d //= 2
+        r += 1
+    for _ in range(rounds):
+        a = rng.randrange(2, n - 1)
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(r - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+@register("BDPROBABLEPRIME", "SBDPROBABLEPRIME")
+def _bdprobableprime(st):
+    """bits BDPROBABLEPRIME: random probable prime of the given bit
+    length (Miller–Rabin, 20 rounds — BigInteger.probablePrime parity)."""
+    import random as _random
+
+    bits = int(st.pop())
+    rng = getattr(st, "rng", None)
+    if rng is None:
+        rng = st.rng = _random.Random()
+    while True:
+        cand = rng.getrandbits(bits) | (1 << (bits - 1)) | 1
+        if _mr_probable_prime(cand, rng):
+            st.push(cand)
+            return
+
+
+@register("BDCLEAR")
+def _bdclear(st):
+    """BDCLEAR: reset the decimal context to defaults."""
+    import decimal as _dec
+
+    _dec.setcontext(_dec.Context())
+
+
+# ---- config / doc surface ----
+
+@register("MACROCONFIG")
+def _macroconfig(st):
+    """'key' MACROCONFIG (MACROCONFIG.java): read a config value from
+    the stack's config store (attributes['config'])."""
+    key = str(st.pop())
+    st.push(getattr(st, "attributes", {}).get("config", {}).get(key))
+
+
+@register("MACROCONFIGDEFAULT")
+def _macroconfigdefault(st):
+    """default 'key' MACROCONFIGDEFAULT: config value or the fallback."""
+    key = str(st.pop())
+    default = st.pop()
+    st.push(getattr(st, "attributes", {}).get("config", {}).get(key, default))
+
+
+@register("SETMACROCONFIG")
+def _setmacroconfig(st):
+    """value 'key' SETMACROCONFIG."""
+    key = str(st.pop()); v = st.pop()
+    if not hasattr(st, "attributes"):
+        st.attributes = {}
+    st.attributes.setdefault("config", {})[key] = v
+
+
+@register("MACROTTL")
+def _macrottl(st):
+    st.pop()  # ttl ms — macro caching is not applicable (no macro repo)
+
+
+@register("MAN", "RTFM")
+def _man(st):
+    """'FUNC' MAN: the reference pushes the doc URL for the name."""
+    name = str(st.pop())
+    st.push(f"https://warp10.io/doc/{name}")
+
+
+@register("INFO")
+def _info(st):
+    st.push({"functions": len(st.registry), "engine": "warp10-platform-spark"})
+
+
+@register("INFOMODE")
+def _infomode(st):
+    if not hasattr(st, "attributes"):
+        st.attributes = {}
+    st.attributes["infomode"] = True
+
+
+@register("REPORT")
+def _report(st):
+    st.push({"ops": getattr(st, "ops", 0), "depth": st.depth(), "symbols": len(st.symbols)})
+
+
+@register("MAPID")
+def _mapid(st):
+    """map MAPID: stable id of a map value (content hash here — the
+    reference uses the identity hash; content form is deterministic)."""
+    import json as _json
+
+    v = st.peek()
+    st.push(int(_hashlib.md5(_json.dumps(v, sort_keys=True, default=str).encode()).hexdigest()[:15], 16))
+
+
+@register("STMTPOS")
+def _stmtpos(st):
+    st.push(getattr(st, "ops", 0))
+
+
+@register("JSONSTACK")
+def _jsonstack(st):
+    if not hasattr(st, "attributes"):
+        st.attributes = {}
+    st.attributes["json.strict.stack"] = True
+
+
+@register("LIMIT")
+def _limit(st):
+    """n LIMIT (LIMIT.java): fetch datapoint budget — stored on the
+    stack; the accessor cap and fetch paths consult it."""
+    if not hasattr(st, "attributes"):
+        st.attributes = {}
+    st.attributes["fetch.limit"] = int(st.pop())
+
+
+@register("ISODURATION")
+def _isoduration(st):
+    """'P…' ISODURATION (ISODURATION.java): ISO8601 duration → µs."""
+    from warp10_platform_spark.functions.timeutil import parse_duration
+
+    st.push(parse_duration(str(st.pop())))
+
+
+@register("PAPPLY")
+def _papply(st):
+    """Partitioned APPLY (PAPPLY.java): same list form as APPLY — the
+    label equivalence classes ARE the partition, so APPLY's by-labels
+    alignment implements the partitioned semantics."""
+    REGISTRY["APPLY"](st)
+
+
+@register("PFILTER")
+def _pfilter(st):
+    REGISTRY["FILTER"](st)
+
+
+@register("PREDUCE")
+def _preduce(st):
+    REGISTRY["REDUCE"](st)
+
+
+@register("EVERY")
+def _every(st):
+    """macro period EVERY (EVERY.java): schedule the macro on a cadence —
+    the engine runner (rate-source foreachBatch); pushes the streaming
+    query handle (caller stops it)."""
+    from warp10_platform_spark.streaming.runners import every as _ev
+
+    period_us = int(st.pop())
+    macro = st.pop()
+
+    def fire(spark, tick):
+        st.exec_macro(macro)
+
+    st.push(_ev(st.spark, fire, interval=f"{max(1, period_us // 1_000_000)} seconds"))
