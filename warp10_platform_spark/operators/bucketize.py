@@ -77,6 +77,10 @@ def bucketizer_expr(name: str, v: Column, ts: Column, *, p: float | None = None,
         )
     if n == "join":
         return F.concat_ws(sep, F.sort_array(F.collect_list(v.cast("string"))))
+    if n == "join.urlencoded":
+        # reducer.join.urlencoded (Join.java urlencode=true): percent-
+        # encode each stringified value before joining.
+        return F.concat_ws(sep, F.sort_array(F.collect_list(F.url_encode(v.cast("string")))))
     if n == "and":
         return F.min(v.cast("boolean"))
     if n == "or":

@@ -502,3 +502,66 @@ def ws_macroreducer_spread(spark, sf_dir):
     """
     out = exec_script(spark, sf_dir, script)
     return out.select("ts", F.col("v_reduced").cast("double").alias("v_reduced"))
+
+
+@register("ws_filter_any_all", (
+    f"WITH {PTS}, {DAILY}, "
+    'b AS (SELECT class, "user", ts, count(v) AS v_agg FROM daily GROUP BY class, "user", ts), '
+    'k AS (SELECT class, "user" FROM b GROUP BY class, "user" HAVING max(v_agg) > 2 AND max(v_agg) <= 50) '
+    'SELECT b.class, b."user", b.ts, b.v_agg FROM b JOIN k USING (class, "user")'
+))
+def ws_filter_any_all(spark, sf_dir):
+    """filter.any.gt + filter.all.le chained through FILTER
+    (FilterAny.java; WarpScriptLib.java:2789-2803 — `all` is the
+    complemented `any` builder): keep series with at least one busy day
+    but no day beyond the cap."""
+    script = f"""
+    [ '~events\\..*' {{}} {_START} {LASTBUCKET} ] FETCH
+    [ SWAP bucketizer.count {LASTBUCKET} {DAY} {NDAYS} ] BUCKETIZE
+    [ SWAP [] 2.0 filter.any.gt ] FILTER
+    [ SWAP [] 50.0 filter.all.le ] FILTER
+    """
+    gf = exec_script(spark, sf_dir, script)
+    return _out(gf.df, "v_agg", "v_agg")
+
+
+@register("ws_dotproduct_smooth", (
+    f"WITH {PTS}, {DAILY}, "
+    'b AS (SELECT class, "user", ts, count(v) AS v_agg FROM daily GROUP BY class, "user", ts), '
+    'w AS (SELECT class, "user", ts, '
+    '      0.25 * lag(v_agg) OVER win + 0.5 * v_agg + 0.25 * lead(v_agg) OVER win AS sm, '
+    '      lag(v_agg) OVER win AS pv, lead(v_agg) OVER win AS nv '
+    '      FROM b WINDOW win AS (PARTITION BY class, "user" ORDER BY ts)) '
+    'SELECT class, "user", ts, sm AS v_mapped FROM w WHERE pv IS NOT NULL AND nv IS NOT NULL'
+))
+def ws_dotproduct_smooth(spark, sf_dir):
+    """mapper.dotproduct through the script surface
+    (MapperDotProduct.java:34): 3-tap [0.25 0.5 0.25] smoothing of daily
+    counts. Exact oracle: power-of-two weights times integer counts make
+    every product and partial sum IEEE-exact."""
+    script = f"""
+    [ '~events\\..*' {{}} {_START} {LASTBUCKET} ] FETCH
+    [ SWAP bucketizer.count {LASTBUCKET} {DAY} {NDAYS} ] BUCKETIZE
+    [ SWAP [ 0.25 0.5 0.25 ] mapper.dotproduct 1 1 0 ] MAP
+    """
+    gf = exec_script(spark, sf_dir, script)
+    return _out(gf.df.where(F.col("v_mapped").isNotNull()), "v_mapped", "v_mapped")
+
+
+@register("ws_npdf_script", (
+    f"WITH {PTS}, {DAILY}, "
+    'b AS (SELECT class, "user", ts, count(v) AS v_agg FROM daily GROUP BY class, "user", ts) '
+    'SELECT class, "user", ts, '
+    "round(1.0 / (2.0 * sqrt(2 * pi())) * exp(-0.5 * ((v_agg - 3.0) / 2.0) ^ 2), 6) AS npdf "
+    "FROM b"
+))
+def ws_npdf_script(spark, sf_dir):
+    """mu sigma mapper.npdf through the script surface (MapperNPDF.
+    Builder pops sigma then mu): N(3, 2) density of daily counts."""
+    script = f"""
+    [ '~events\\..*' {{}} {_START} {LASTBUCKET} ] FETCH
+    [ SWAP bucketizer.count {LASTBUCKET} {DAY} {NDAYS} ] BUCKETIZE
+    [ SWAP 3.0 2.0 mapper.npdf 0 0 0 ] MAP
+    """
+    gf = exec_script(spark, sf_dir, script)
+    return _out(gf.df, "v_mapped", "npdf", ndigits=6)

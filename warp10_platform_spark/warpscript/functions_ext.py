@@ -646,10 +646,14 @@ def _makegts(st):
 
 @register("NEWGTS")
 def _newgts(st):
-    """NEWGTS (NEWGTS.java): empty unnamed series."""
+    """NEWGTS (NEWGTS.java): empty unnamed series. The identity is also
+    tracked driver-side (`ident`) so ADDVALUE can materialize points on
+    a zero-row frame (an empty df carries identity only in lineage)."""
     from warp10_platform_spark.core.construct import newgts
 
-    st.push(GTSFrame(newgts(st.spark, ""), None, "v_double"))
+    f = GTSFrame(newgts(st.spark, ""), None, "v_double")
+    f.ident = ("", {})
+    st.push(f)
 
 
 @register("ADDVALUE", "SETVALUE")
@@ -671,12 +675,50 @@ def _addvalue(st):
         return
     gf = _as_frame(target)
     vc = gf.value_col
+
+    def _is_nan(x):
+        return x is None or (isinstance(x, float) and x != x)
+
+    ident = getattr(gf, "ident", None)
+    if ident is not None:
+        # construct pipeline (NEWGTS/MAKEGTS [+ RENAME/RELABEL]): build
+        # the point driver-side from the tracked identity — a zero-row
+        # frame has no identity row to project from.
+        cls_, labels_ = ident
+        from warp10_platform_spark.core.construct import makegts
+
+        if isinstance(value, (int, float)) and not isinstance(value, bool):
+            new = makegts(st.spark, cls_, labels_, [int(ts)], [float(value)])
+        else:
+            from warp10_platform_spark.core.schema import with_gts_id as _wid
+
+            v_bool = value if isinstance(value, bool) else None
+            v_string = None if isinstance(value, bool) else str(value)
+            new = _wid(st.spark.createDataFrame(
+                [(cls_, labels_, int(ts), v_bool, v_string)],
+                "class string, labels map<string,string>, ts long, v_bool boolean, v_string string",
+            ))
+        if not _is_nan(_lat) and not _is_nan(_lon):
+            new = new.withColumn("lat", F.lit(float(_lat))).withColumn("lon", F.lit(float(_lon)))
+        if not _is_nan(_elev):
+            new = new.withColumn("elev", F.lit(int(_elev)).cast("long"))
+        out = GTSFrame(gf.df.unionByName(new, allowMissingColumns=True), gf.bucketspec, vc)
+        out.ident = ident
+        st.push(out)
+        return
+
     point_cols = {"ts", "lat", "lon", "elev", "v_long", "v_double", "v_bool", "v_string", "v_agg", vc}
     id_cols = [c for c in gf.df.columns if c not in point_cols]
-    ident = gf.df.select(*id_cols).dropDuplicates()
-    new = ident.withColumn("ts", F.lit(int(ts)).cast("long")).withColumn(
+    # fetched-frame case: one identity row projected from the data
+    ident_row = gf.df.select(*id_cols).limit(1)
+    new = ident_row.withColumn("ts", F.lit(int(ts)).cast("long")).withColumn(
         vc, F.lit(value).cast(dict(gf.df.dtypes)[vc])
     )
+    # ADDVALUE.java: NaN lat/lon/elev mean "no location/elevation"
+    if not _is_nan(_lat) and not _is_nan(_lon) and "lat" in gf.df.columns:
+        new = new.withColumn("lat", F.lit(float(_lat))).withColumn("lon", F.lit(float(_lon)))
+    if not _is_nan(_elev) and "elev" in gf.df.columns:
+        new = new.withColumn("elev", F.lit(int(_elev)).cast("long"))
     st.push(GTSFrame(gf.df.unionByName(new, allowMissingColumns=True), gf.bucketspec, vc))
 
 
@@ -4193,3 +4235,7 @@ def _every(st):
         st.exec_macro(macro)
 
     st.push(_ev(st.spark, fire, interval=f"{max(1, period_us // 1_000_000)} seconds"))
+
+
+# ---------- round-5 tranche (registration side effects) ----------
+from warp10_platform_spark.warpscript import functions_r5 as _r5  # noqa: E402,F401
