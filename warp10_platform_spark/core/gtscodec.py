@@ -444,13 +444,17 @@ def write_wrapper(
     attributes: dict | None = None,
     compress: bool = False,
     compratio: float = 1.0,
+    mv: bool = False,
 ) -> bytes:
     """GTSWrapper (thrift:260-300) in TCompactProtocol.
 
     Compression follows GTSWrapperHelper.fromGTSEncoderToGTSWrapper: gzip
     repeatedly while each pass's size ratio exceeds ``compratio``; if no
     pass shrinks the payload, emit uncompressed. compressionPasses (field
-    10, i32) is written whenever compressed is set, like the reference."""
+    10, i32) is written whenever compressed is set, like the reference.
+
+    mv=True is the WRAPMV form (WRAP.java:92-96): metadata and count are
+    unset so the blob can serve as a multivalue element."""
     payload, passes = encoded, 0
     if compress:
         while True:
@@ -462,15 +466,17 @@ def write_wrapper(
             payload = encoded
     out = bytearray()
     prev = 0
-    prev = _w_field(out, prev, 1, _CT_STRUCT)
-    out += write_metadata(name, labels, attributes)
+    if not mv:
+        prev = _w_field(out, prev, 1, _CT_STRUCT)
+        out += write_metadata(name, labels, attributes)
     if base:
         prev = _w_field(out, prev, 6, _CT_I64)
         write_svarint(out, base)
     prev = _w_field(out, prev, 7, _CT_BINARY)
     _w_binary(out, payload)
-    prev = _w_field(out, prev, 8, _CT_I64)
-    write_svarint(out, count)
+    if not mv:
+        prev = _w_field(out, prev, 8, _CT_I64)
+        write_svarint(out, count)
     if passes > 0:
         prev = _w_field(out, prev, 9, _CT_TRUE)
         prev = _w_field(out, prev, 10, _CT_I32)
@@ -645,13 +651,14 @@ def opb64_decode(text: str) -> bytes:
 # --- high level: WRAP / UNWRAP strings ---
 
 def wrap_series(name: str, labels: dict, points, base: int = 0, attributes: dict | None = None,
-                compress: bool = True) -> str:
+                compress: bool = True, mv: bool = False) -> str:
     """WRAP defaults compress=true like the reference WRAP function; the
-    deterministic gzip (_gzip_det) keeps output byte-stable across runs."""
+    deterministic gzip (_gzip_det) keeps output byte-stable across runs.
+    mv=True is WRAPMV (no metadata/count in the wrapper)."""
     pts = list(points)
     blob = encode_gts(pts, base=base)
     return opb64_encode(write_wrapper(name, labels, blob, len(pts), base=base,
-                                      attributes=attributes, compress=compress))
+                                      attributes=attributes, compress=compress, mv=mv))
 
 
 def unwrap_series(text: str, with_location: bool = False) -> dict:

@@ -565,3 +565,30 @@ def ws_npdf_script(spark, sf_dir):
     """
     gf = exec_script(spark, sf_dir, script)
     return _out(gf.df, "v_mapped", "npdf", ndigits=6)
+
+
+@register("ws_multivalue_split", (
+    "SELECT * FROM (VALUES "
+    "(':0', 1000, 11.0), (':0', 2000, 21.0), (':0', 3000, 31.0), "
+    "(':1', 1000, 12.0), (':1', 2000, 22.0), (':1', 3000, 32.0), "
+    "(':2', 1000, 13.0), (':2', 2000, 23.0), (':2', 3000, 33.0)"
+    ") AS t(class, ts, v_double)"
+))
+def ws_multivalue_split(spark, sf_dir):
+    """Multivalue pipeline through the script surface (WRAPMV!/
+    MVINDEXSPLIT, WRAP.java:92-96 + MVSPLIT.java): inner encoders wrapped
+    metadata-less as point values, split back per index, decoded to GTS."""
+    parts = ["NEWENCODER 'outer' STORE"]
+    for t, base in ((1000, 11), (2000, 21), (3000, 31)):
+        parts.append(
+            "NEWENCODER "
+            + " ".join(f"{j} NaN NaN NaN {float(base + j)}" + " ADDVALUE" for j in range(3))
+            + " WRAPMV! 'w' STORE "
+            + f"$outer {t} NaN NaN NaN $w ADDVALUE 'outer' STORE"
+        )
+    parts.append("$outer MVINDEXSPLIT <% TOGTS %> FOREACH 3 ->LIST")
+    gf_or_list = exec_script(spark, sf_dir, "\n".join(parts))
+    from warp10_platform_spark.warpscript.functions import _as_frame
+
+    gf = _as_frame(gf_or_list)
+    return gf.df.select("class", F.col("ts").cast("int").alias("ts"), "v_double")

@@ -550,3 +550,91 @@ def _relabel_r5(st):
             else:
                 labels[k] = str(v)
         out.ident = (si[0], labels)
+
+
+# ---------------------------------------------------------------------
+# Multivalue tier — WRAPMV/WRAPMV!, MVVALUES/MVTICKS/MVLOCATIONS/
+# MVELEVATIONS/MVHHCODES, MVTICKSPLIT/MVINDEXSPLIT, ->MVSTRING
+# (registrations WarpScriptLib.java:2605-2615; core/multivalue.py)
+# ---------------------------------------------------------------------
+
+def _element_or_list(fn):
+    """ElementOrListStackFunction.apply: map over a list operand, apply
+    directly otherwise."""
+
+    def run(st):
+        v = st.pop()
+        if isinstance(v, list):
+            st.push([fn(e) for e in v])
+        else:
+            st.push(fn(v))
+
+    return run
+
+
+def _mv_wrap_fn(compress):
+    from warp10_platform_spark.core.encoders import Encoder
+    from warp10_platform_spark.core.multivalue import mv_wrap
+
+    def one(e):
+        if isinstance(e, Encoder):
+            return mv_wrap(e, compress=compress)
+        raise TypeError("WRAPMV operates on ENCODER values (use ASENCODERS on a GTS set)")
+
+    return one
+
+
+REGISTRY["WRAPMV"] = _element_or_list(_mv_wrap_fn(True))
+REGISTRY["WRAPMV!"] = _element_or_list(_mv_wrap_fn(False))
+
+
+def _mvextract_fn(element):
+    from warp10_platform_spark.core.encoders import Encoder
+    from warp10_platform_spark.core.multivalue import mvextract
+
+    def one(e):
+        if not isinstance(e, Encoder):
+            raise TypeError("MV extraction operates on ENCODER values")
+        return mvextract(e, element)
+
+    return one
+
+
+for _nm, _el in (("MVVALUES", "VALUE"), ("MVTICKS", "TICK"), ("MVLOCATIONS", "LATLON"),
+                 ("MVELEVATIONS", "ELEVATION"), ("MVHHCODES", "LOCATION")):
+    REGISTRY[_nm] = _element_or_list(_mvextract_fn(_el))
+
+
+def _mvsplit_factory(bytick):
+    def run(st):
+        from warp10_platform_spark.core.encoders import Encoder
+        from warp10_platform_spark.core.multivalue import mvsplit
+
+        renaming = None
+        selection = None
+        top = st.pop()
+        if isinstance(top, dict):
+            renaming = top
+            top = st.pop()
+        if isinstance(top, list) and top and not isinstance(top[0], Encoder):
+            selection = top
+            top = st.pop()
+        if isinstance(top, Encoder):
+            st.push(mvsplit(top, bytick, selection, renaming))
+        elif isinstance(top, list):
+            st.push([mvsplit(e, bytick, selection, renaming) for e in top])
+        else:
+            raise TypeError("MVSPLIT operates on ENCODER values or a list thereof")
+
+    return run
+
+
+REGISTRY["MVTICKSPLIT"] = _mvsplit_factory(True)
+REGISTRY["MVINDEXSPLIT"] = _mvsplit_factory(False)
+
+
+@register("->MVSTRING")
+def _to_mvstring(st):
+    from warp10_platform_spark.core.multivalue import to_mvstring
+
+    st.push(to_mvstring(st.pop()))
