@@ -340,3 +340,60 @@ def geo_fence_cover(spark, sf_dir):
     c = _with_coords(spark, sf_dir).withColumn("_hh", to_geoxp_col(F.col("lat"), F.col("lon")))
     pred = _FENCE.contains_hh_expr(F.col("_hh"))
     return c.where(pred).groupBy("class").agg(F.count("*").alias("n"))
+
+
+# --- geometry interchange formats (round 4): the same fence assembled
+# through the KML and WKB codecs IN SCRIPT, oracled via the coverage's
+# prefix predicate replayed in SQL. ---
+
+_FMT_RECT_A = "POLYGON ((-30 -20, 20 -20, 20 25, -30 25, -30 -20))"
+_FMT_RECT_B = "POLYGON ((0 10, 60 10, 60 50, 0 50, 0 10))"
+
+
+def _fmt_fence_script():
+    """Rect A travels as KML text (GEO.KML), rect B as WKB bytes minted
+    by ->WKB itself (GEO.WKB); the union is the fence."""
+    from warp10_platform_spark.operators.geoformats import to_kml
+    from warp10_platform_spark.operators.wkt import parse_wkt
+
+    kml_a = to_kml(parse_wkt(_FMT_RECT_A))
+    return (
+        f"'{kml_a}' 8 true GEO.KML "
+        f"'{_FMT_RECT_B}' ->WKB 8 true GEO.WKB "
+        "GEO.UNION"
+    )
+
+
+def _fmt_fence_oracle():
+    from warp10_platform_spark.operators import geocells as GC
+    from warp10_platform_spark.operators.wkt import parse_wkt
+
+    cov = GC.cover_shape(parse_wkt(_FMT_RECT_A), 8).union(
+        GC.cover_shape(parse_wkt(_FMT_RECT_B), 8)
+    )
+    return (
+        f"WITH {PTS}, "
+        f'c AS (SELECT class, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM pts) '
+        "SELECT class, count(*) AS n FROM c WHERE "
+        + cov.contains_sql("lat", "lon")
+        + " GROUP BY class"
+    )
+
+
+@register("ws_geo_formats", _fmt_fence_oracle())
+def ws_geo_formats(spark, sf_dir):
+    """GEO.KML + ->WKB + GEO.WKB + GEO.UNION through the script surface
+    (GeoKML.java, TOWKB.java, GeoWKB.java, GeoUnion.java; registrations
+    WarpScriptLib.java:1011-1026): one rectangle arrives as KML text, the
+    other as WKB bytes serialized by ->WKB in the same script; the united
+    coverage fences the located points as a codegen prefix predicate."""
+    from warp10_platform_spark.core.geoxp import to_geoxp_col
+    from warp10_platform_spark.warpscript.stack import WarpScriptStack
+
+    st = WarpScriptStack(spark, sf_dir)
+    st.exec(_fmt_fence_script())
+    cov = st.pop()
+    c = _with_coords(spark, sf_dir).withColumn("_hh", to_geoxp_col(F.col("lat"), F.col("lon")))
+    return c.where(cov.contains_hh_expr(F.col("_hh"))).groupBy("class").agg(
+        F.count("*").alias("n")
+    )
