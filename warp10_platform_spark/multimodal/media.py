@@ -80,12 +80,12 @@ def decode_png(content: bytes) -> np.ndarray:
             idat += data
         elif ctype == b"IEND":
             break
-    if bitdepth != 8 or colortype not in (0, 2) or interlace != 0:
+    if bitdepth != 8 or colortype not in (0, 2, 4, 6) or interlace != 0:
         raise NotImplementedError(
             f"PNG variant unsupported (bitdepth={bitdepth}, colortype={colortype}, interlace={interlace}); "
-            "supported: 8-bit non-interlaced grayscale/RGB"
+            "supported: 8-bit non-interlaced grayscale/RGB (+alpha)"
         )
-    bpp = 1 if colortype == 0 else 3
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[colortype]
     raw = zlib.decompress(idat)
     stride = w * bpp
     out = bytearray(h * stride)
@@ -116,7 +116,7 @@ def decode_png(content: bytes) -> np.ndarray:
     arr = np.frombuffer(bytes(out), dtype=np.uint8)
     if colortype == 0:
         return arr.reshape(h, w)
-    return arr.reshape(h, w, 3)
+    return arr.reshape(h, w, bpp)
 
 
 def encode_png_gray(img: np.ndarray) -> bytes:

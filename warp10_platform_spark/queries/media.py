@@ -182,3 +182,123 @@ def media_wav_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = attach_wav_audio(docs, rate=8000, n_hashes=_N_LINKS)
     return wav_features(media)
+
+
+# --- Distributed canvas rendering (round 4): per-series sparklines via
+# applyInPandas, oracled by a DuckDB replay of the stroke-coverage
+# arithmetic (distance-to-segment ≤ weight/2 over pixel centers). ---
+
+_SPARK_W, _SPARK_H = 64, 32
+
+
+def _sparkline_oracle():
+    from warp10_platform_spark.queries.gts import DAY, LASTBUCKET, NDAYS, PTS
+
+    return f"""
+WITH {PTS},
+b AS (
+  SELECT class, "user",
+         {LASTBUCKET} - (({LASTBUCKET} - ts) // {DAY}) * {DAY} AS ts,
+         count(*) AS v
+  FROM pts
+  WHERE ts <= {LASTBUCKET} AND ts > {LASTBUCKET - DAY * NDAYS}
+  GROUP BY 1, 2, 3
+),
+s AS (
+  SELECT class, "user", ts, v,
+         min(ts) OVER w AS tmin, max(ts) OVER w AS tmax,
+         min(v) OVER w AS vmin, max(v) OVER w AS vmax,
+         count(*) OVER w AS np
+  FROM b WINDOW w AS (PARTITION BY class, "user")
+),
+p AS (
+  SELECT class, "user", ts, np,
+         2.0 + (ts - tmin) * 60.0 / greatest(tmax - tmin, 1) AS x,
+         30.0 - (v - vmin) * 28.0 / greatest(vmax - vmin, 1) AS y
+  FROM s
+),
+seg0 AS (
+  SELECT class, "user", np, x AS px, y AS py,
+         lead(x) OVER (PARTITION BY class, "user" ORDER BY ts) AS qx,
+         lead(y) OVER (PARTITION BY class, "user" ORDER BY ts) AS qy
+  FROM p
+),
+seg AS (
+  SELECT class, "user", px, py, qx, qy FROM seg0 WHERE qx IS NOT NULL
+  UNION ALL
+  SELECT class, "user", px, py, px, py FROM seg0 WHERE np = 1
+),
+px AS (
+  SELECT gx.x - 0.5 AS cx, gy.y - 0.5 AS cy
+  FROM generate_series(1, {_SPARK_W}) gx(x), generate_series(1, {_SPARK_H}) gy(y)
+),
+cov AS (
+  SELECT DISTINCT class, "user", cx, cy
+  FROM seg, px
+  WHERE power(cx - (px + least(greatest(CASE
+          WHEN (qx - px) * (qx - px) + (qy - py) * (qy - py) = 0 THEN 0.0
+          ELSE ((cx - px) * (qx - px) + (cy - py) * (qy - py))
+               / ((qx - px) * (qx - px) + (qy - py) * (qy - py)) END, 0.0), 1.0) * (qx - px)), 2)
+      + power(cy - (py + least(greatest(CASE
+          WHEN (qx - px) * (qx - px) + (qy - py) * (qy - py) = 0 THEN 0.0
+          ELSE ((cx - px) * (qx - px) + (cy - py) * (qy - py))
+               / ((qx - px) * (qx - px) + (qy - py) * (qy - py)) END, 0.0), 1.0) * (qy - py)), 2)
+      <= 0.25
+)
+SELECT class, "user", count(*) AS lit FROM cov GROUP BY class, "user"
+"""
+
+
+@register("media_sparkline_render", _sparkline_oracle())
+def media_sparkline_render(spark, sf_dir):
+    """DISTRIBUTED canvas rendering: one 64x32 sparkline per series,
+    rendered inside applyInPandas with the exact-coverage rasterizer
+    (canvas/core.py — the P* tier engine), returning lit-pixel counts.
+    The oracle replays the identical float64 stroke-distance arithmetic
+    per pixel center in SQL, so the render is bit-verified. This is the
+    100 TB shape for chart generation: rendering runs where the series
+    lives (one Arrow batch per series), nothing but (key, count) comes
+    back."""
+    import pandas as pd
+
+    from warp10_platform_spark.queries.gts import DAY, LASTBUCKET, NDAYS
+    from warp10_platform_spark.sources.tables import events_points
+
+    pts = events_points(spark, sf_dir)
+    daily = (
+        pts.where(
+            (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)
+        )
+        .withColumn(
+            "bts",
+            F.lit(LASTBUCKET)
+            - ((F.lit(LASTBUCKET) - F.col("ts")) / F.lit(DAY)).cast("long") * F.lit(DAY),
+        )
+        .groupBy("class", F.element_at("labels", F.lit("user")).alias("user"), "bts")
+        .agg(F.count("*").alias("v"))
+    )
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from warp10_platform_spark.canvas.core import PCanvas
+
+        pdf = pdf.sort_values("bts")
+        ts = pdf["bts"].to_numpy(dtype=np.int64)
+        v = pdf["v"].to_numpy(dtype=np.int64)
+        tden = max(int(ts.max() - ts.min()), 1)
+        vden = max(int(v.max() - v.min()), 1)
+        xs = 2.0 + (ts - ts.min()) * 60.0 / tden
+        ys = 30.0 - (v - v.min()) * 28.0 / vden
+        c = PCanvas(_SPARK_W, _SPARK_H)
+        c.style.stroke_weight = 1.0
+        dev = np.stack([xs, ys], axis=1)
+        c._stroke_polyline_device(dev, 0xFF000000, closed=False)
+        lit = int((c.pix != 0).sum())
+        return pd.DataFrame(
+            {"class": [pdf["class"].iloc[0]], "user": [pdf["user"].iloc[0]], "lit": [lit]}
+        )
+
+    return daily.groupBy("class", "user").applyInPandas(
+        render, "class string, user string, lit long"
+    )

@@ -592,3 +592,51 @@ def ws_multivalue_split(spark, sf_dir):
 
     gf = _as_frame(gf_or_list)
     return gf.df.select("class", F.col("ts").cast("int").alias("ts"), "v_double")
+
+
+# --- Processing canvas tier (round 4): data-driven render, oracled by a
+# DuckDB pixel-grid replay of the exact coverage arithmetic. ---
+
+_CANVAS_W, _CANVAS_H = 96, 64
+
+
+@register("ws_canvas_raster", (
+    f"WITH {PTS}, "
+    "n AS (SELECT 10 + count(*) % 30 AS w FROM pts WHERE class = 'events.click'), "
+    f"px AS (SELECT gx.x - 0.5 AS cx, gy.y - 0.5 AS cy "
+    f"       FROM generate_series(1, {_CANVAS_W}) gx(x), generate_series(1, {_CANVAS_H}) gy(y)), "
+    "cls AS (SELECT CASE "
+    "  WHEN ((cx - 64.0) / 18.0) * ((cx - 64.0) / 18.0) + ((cy - 40.0) / 12.0) * ((cy - 40.0) / 12.0) <= 1.0 THEN 'blue' "
+    "  WHEN cx >= 8 AND cx < 8 + w AND cy >= 8 AND cy < 28 THEN 'red' "
+    "  ELSE 'bg' END AS color FROM px, n) "
+    "SELECT color, count(*) AS n FROM cls GROUP BY color"
+))
+def ws_canvas_raster(spark, sf_dir):
+    """Processing tier end-to-end (PGraphics/Pbackground/Pfill/Prect/
+    Pellipse/Ppixels — io.warp10.script.processing.*, registrations
+    WarpScriptLib.java:3187-3340): a canvas whose rectangle width is
+    driven by the data (click-event count), rasterized with the exact
+    pixel-center coverage rule, then pixel-classified. The DuckDB oracle
+    replays the SAME membership arithmetic over a generate_series pixel
+    grid — float64-identical, so counts match bit-exactly."""
+    import numpy as np
+
+    from warp10_platform_spark.sources.tables import events_points
+    from warp10_platform_spark.warpscript.stack import WarpScriptStack
+
+    n_clicks = events_points(spark, sf_dir).where(F.col("class") == "events.click").count()
+    w = 10 + n_clicks % 30
+    st = WarpScriptStack(spark, sf_dir)
+    st.exec(
+        f"{_CANVAS_W} {_CANVAS_H} '2D' PGraphics 240 Pbackground PnoStroke "
+        f"255 0 0 Pfill 8 8 {w} 20 Prect "
+        "0 0 255 Pfill 64 40 36 24 Pellipse"
+    )
+    pg = st.pop()
+    rgb = pg.pix & 0xFFFFFF
+    counts = [
+        ("bg", int((rgb == 0xF0F0F0).sum())),
+        ("blue", int((rgb == 0x0000FF).sum())),
+        ("red", int((rgb == 0xFF0000).sum())),
+    ]
+    return spark.createDataFrame(counts, "color string, n long")

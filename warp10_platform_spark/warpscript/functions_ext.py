@@ -4240,3 +4240,4 @@ def _every(st):
 # ---------- round-5 tranche (registration side effects) ----------
 from warp10_platform_spark.warpscript import functions_r5 as _r5  # noqa: E402,F401
 from warp10_platform_spark.warpscript import functions_r6 as _r6  # noqa: E402,F401
+from warp10_platform_spark.warpscript import functions_canvas as _cv  # noqa: E402,F401
