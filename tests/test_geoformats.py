@@ -160,3 +160,51 @@ def test_script_serializer_accepts_coverage(stack):
     assert kml.startswith("<MultiGeometry><Polygon>") or kml.startswith("<Polygon>")
     # and the KML parses back into a shape covering the same area class
     assert parse_kml(kml).kind in ("POLYGON", "MULTIPOLYGON")
+
+
+# --------------------------------------------------- final r4 tranche
+
+def test_shape_tensor(stack):
+    st = stack
+    st.exec("[ [ 1 2 3 ] [ 4 5 6 ] ] SHAPE")
+    assert st.pop() == [2, 3]
+    st.exec("[ [ 1 2 ] [ 3 ] ] true SHAPE")  # fast skips validation
+    assert st.pop() == [2, 2]
+    with pytest.raises(Exception):
+        st.exec("[ [ 1 2 ] [ 3 ] ] SHAPE")
+
+
+def test_attr_toggles_and_header(stack):
+    st = stack
+    st.exec("true ATTRDELTA NULL ATTRDELTA")
+    assert st.pop() is True
+    st.exec("NULL ATTRSKIP")
+    assert st.pop() is False
+    st.exec("'X-Warp10-Custom' 'v1' HEADER")
+    assert st.attributes["headers"]["X-Warp10-Custom"] == "v1"
+    st.exec("'X-Warp10-Custom' NULL HEADER")
+    assert "X-Warp10-Custom" not in st.attributes["headers"]
+    with pytest.raises(Exception):
+        st.exec("'Bad-Name' 'v' HEADER")
+
+
+def test_notbefore_notafter(stack):
+    st = stack
+    st.exec("0 NOTBEFORE")  # epoch is long past: ok
+    st.exec("4102444800000000 NOTAFTER")  # year 2100: ok
+    with pytest.raises(Exception):
+        st.exec("4102444800000000 NOTBEFORE")
+    with pytest.raises(Exception):
+        st.exec("0 NOTAFTER")
+
+
+def test_import_alias(stack):
+    st = stack
+    # alias 'm' for the root namespace name MAX via a dotted rewrite
+    st.exec("<% MAX %> 'ns.max' DEF")
+    st.exec("'ns' 'm' IMPORT")
+    st.exec("3 7 m.max")
+    assert st.pop() == 7
+    st.exec("NULL 'm' IMPORT")
+    with pytest.raises(Exception):
+        st.exec("1 2 m.max")

@@ -115,3 +115,134 @@ def _widen_serializer(name):
 
 _widen_serializer("->WKT")
 _widen_serializer("->GEOJSON")
+
+
+# ---------------------------------------------------------------------
+# Final script-surface names outside the geo/canvas tiers. The remaining
+# unbound reference names after this tranche are crypto (AES/RSA/EC/PGP/
+# exotic digests) and the platform/token manager (CALL/EVALSECURE/
+# SECURE/CAP*/MSIG*/WF.*/TOKENINFO/GETHOOK/LOGINIT/PIGSCHEMA) — both out
+# of scope per SURVEY §2.9/§2.12.
+# ---------------------------------------------------------------------
+
+@register("SHAPE")
+def _shape(st):
+    """[fast] nested-list SHAPE (functions/shape/SHAPE.java): the tensor
+    shape as a list of longs; validates rectangularity unless fast."""
+    top = st.pop()
+    fast = False
+    if isinstance(top, bool):
+        fast = top
+        top = st.pop()
+    if not isinstance(top, list):
+        raise TypeError("SHAPE expects a LIST")
+    shape = []
+    first = top
+    while isinstance(first, list):
+        shape.append(len(first))
+        first = first[0] if first else None
+
+    def valid(x, dims):
+        if not dims:
+            return not isinstance(x, list)
+        return (
+            isinstance(x, list) and len(x) == dims[0]
+            and all(valid(e, dims[1:]) for e in x)
+        )
+
+    if not fast and not valid(top, shape):
+        raise ValueError("SHAPE expects coherent nested list sizes (a tensor)")
+    st.push(shape)
+
+
+def _attr_toggle(attr_name):
+    """ATTRDELTA / ATTRSKIP (functions/ATTRDELTA.java): BOOLEAN sets the
+    stack attribute, NULL pushes its current value."""
+
+    def run(st):
+        top = st.pop()
+        attrs = st.__dict__.setdefault("attributes", {})
+        if isinstance(top, bool):
+            attrs[attr_name] = top
+        elif top is None:
+            st.push(bool(attrs.get(attr_name, False)))
+        else:
+            raise TypeError("expected a BOOLEAN or NULL")
+
+    return run
+
+
+REGISTRY["ATTRDELTA"] = _attr_toggle("attributes.delta")
+REGISTRY["ATTRSKIP"] = _attr_toggle("attributes.skip")
+
+
+def _instant_of(st, top) -> int:
+    if isinstance(top, str):
+        # reuse the registered ISO8601 parser (TOTIMESTAMP surface)
+        st.push(top)
+        REGISTRY["TOTIMESTAMP"](st)
+        return int(st.pop())
+    if isinstance(top, int) and not isinstance(top, bool):
+        return top
+    raise TypeError("expects a timestamp or ISO8601 datetime string")
+
+
+@register("NOTBEFORE")
+def _notbefore(st):
+    """instant NOTBEFORE (functions/NOTBEFORE.java): fail the script when
+    current time (µs) is before the instant."""
+    import time
+
+    top = st.pop()
+    instant = _instant_of(st, top)
+    if int(time.time() * 1_000_000) < instant:
+        raise RuntimeError(f"Current time is before '{top}'")
+
+
+@register("NOTAFTER")
+def _notafter(st):
+    """instant NOTAFTER (functions/NOTAFTER.java): fail when current
+    time is after the instant."""
+    import time
+
+    top = st.pop()
+    instant = _instant_of(st, top)
+    if int(time.time() * 1_000_000) > instant:
+        raise RuntimeError(f"NOTAFTER failed because the current time is after '{top}'")
+
+
+@register("HEADER")
+def _header(st):
+    """name value HEADER (functions/HEADER.java): set (or, with NULL,
+    clear) an X-* response header in the stack's headers attribute —
+    surfaced to the transport layer exactly like the reference's
+    ATTRIBUTE_HEADERS."""
+    value = st.pop()
+    name = st.pop()
+    if not isinstance(name, str):
+        raise TypeError("HEADER expects a header name (a string) below the value")
+    headers = st.__dict__.setdefault("attributes", {}).setdefault("headers", {})
+    if value is None:
+        headers.pop(name, None)
+    else:
+        if not name.upper().startswith("X-"):
+            raise ValueError("HEADER: only headers beginning with 'X-' can be set")
+        headers[name] = str(value)
+
+
+@register("IMPORT")
+def _import(st):
+    """namespace alias IMPORT (functions/IMPORT.java): register an alias
+    rewrite rule (longest-alias-first), applied at name-resolution time
+    by the stack dispatcher; NULL namespace removes the alias."""
+    alias = st.pop()
+    imported = st.pop()
+    if not isinstance(alias, str):
+        raise TypeError("IMPORT expects an alias string on top of the stack")
+    if imported is not None and not isinstance(imported, str):
+        raise TypeError("IMPORT expects a namespace string or NULL below the alias")
+    rules = st.__dict__.setdefault("attributes", {}).setdefault("import.rules", {})
+    if imported is None:
+        rules.pop(alias, None)
+    else:
+        rules[alias] = imported

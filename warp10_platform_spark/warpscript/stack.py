@@ -154,6 +154,19 @@ class WarpScriptStack:
         if defs and t.value in defs:
             self.exec_macro(defs[t.value])
             return True
+        # IMPORT alias rewrite (IMPORT.java rules, longest alias first)
+        rules = self.__dict__.get("attributes", {}).get("import.rules")
+        if rules:
+            for alias in sorted(rules, key=len, reverse=True):
+                if t.value == alias or t.value.startswith(alias + "."):
+                    full = rules[alias] + t.value[len(alias):]
+                    fn = self.registry.get(full)
+                    if fn is not None:
+                        fn(self)
+                        return True
+                    if defs and full in defs:
+                        self.exec_macro(defs[full])
+                        return True
         m = self._REG_RE.match(t.value)
         if not m:
             return False
