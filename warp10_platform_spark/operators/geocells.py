@@ -85,18 +85,33 @@ class GeoCells:
     def __init__(self, cells=()):
         self.cells = frozenset(cells)
 
+    def _prefix_index(self):
+        """res → {prefix} for O(1) ancestor/descendant tests (replaces
+        the O(|a|·|b|) cell_contains scans — 60s → ms on real covers)."""
+        idx: dict[int, set[int]] = {}
+        for c in self.cells:
+            idx.setdefault(cell_res(c), set()).add(cell_prefix(c))
+        return idx
+
+    @staticmethod
+    def _covered(idx, r: int, p: int) -> bool:
+        """True when cell (r, p) lies inside some cell of idx at res ≤ r."""
+        for rb, prefixes in idx.items():
+            if rb <= r and (p >> (2 * (r - rb))) in prefixes:
+                return True
+        return False
+
     def normalized(self) -> "GeoCells":
         """Drop cells contained in a coarser cell of the set."""
-        by_res: dict[int, set[int]] = {}
-        for c in self.cells:
-            by_res.setdefault(cell_res(c), set()).add(c)
+        idx = self._prefix_index()
         keep = set()
-        coarser: set[int] = set()
-        for r in sorted(by_res):
-            for c in by_res[r]:
-                if not any(cell_contains(p, c) for p in coarser):
-                    keep.add(c)
-            coarser |= by_res[r]
+        for c in self.cells:
+            r, p = cell_res(c), cell_prefix(c)
+            if not any(
+                rb < r and (p >> (2 * (r - rb))) in prefixes
+                for rb, prefixes in idx.items()
+            ):
+                keep.add(c)
         return GeoCells(keep)
 
     # --- set algebra (GeoUnion/GeoIntersection/GeoSubtraction) ---
@@ -105,25 +120,40 @@ class GeoCells:
         return GeoCells(self.cells | other.cells).normalized()
 
     def intersection(self, other: "GeoCells") -> "GeoCells":
+        a_idx = self._prefix_index()
+        b_idx = other._prefix_index()
         out = set()
-        for a in self.cells:
-            for b in other.cells:
-                if cell_contains(a, b):
-                    out.add(b)
-                elif cell_contains(b, a):
-                    out.add(a)
+        for c in self.cells:
+            if self._covered(b_idx, cell_res(c), cell_prefix(c)):
+                out.add(c)
+        for c in other.cells:
+            if self._covered(a_idx, cell_res(c), cell_prefix(c)):
+                out.add(c)
         return GeoCells(out).normalized()
 
     def subtraction(self, other: "GeoCells") -> "GeoCells":
         """self minus other: coarse cells partially covered by finer
         other-cells split into 16 children and recurse (GeoXP model)."""
+        b_idx = other._prefix_index()
+        # per finer res, the ancestor prefixes at each coarser res — so
+        # "does this cell contain any other-cell?" is a set lookup
+        anc: dict[int, dict[int, set[int]]] = {}
+        for rb, prefixes in b_idx.items():
+            anc[rb] = {
+                r: {p >> (2 * (rb - r)) for p in prefixes}
+                for r in range(2, rb, 2)
+            }
         out = set()
 
         def sub(cell: int):
-            if any(cell_contains(b, cell) for b in other.cells):
+            r, p = cell_res(cell), cell_prefix(cell)
+            if self._covered(b_idx, r, p):
                 return  # fully removed
-            finer = [b for b in other.cells if cell_contains(cell, b) and b != cell]
-            if not finer:
+            splits = any(
+                rb > r and p in anc[rb].get(r, ())
+                for rb in b_idx
+            )
+            if not splits:
                 out.add(cell)
                 return
             for ch in cell_children(cell):
