@@ -30,6 +30,21 @@ _XX64 = "xxhash64({x})"
 _MD5_64 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) AS bigint)"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan per-row heavy work (shingling, hashing) across the cluster
+    when the scan arrived as too few splits — a small corpus lands in
+    ONE parquet split and serializes the whole map side onto one core
+    (measured: the entire minhash/simhash pipeline on 1 of 32 cores at
+    sf0.1). The repartition shuffles only the raw rows (cheap at small
+    scale); at 100 TB the scan already yields thousands of splits and
+    this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical documents: md5(text) → (hash, n, keeper)."""
     return (
@@ -58,7 +73,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3, id_
     counts) → join per-doc sizes → filter. The equi-join shuffles on the
     shingle value so co-shingled docs co-locate; no cartesian product.
     """
-    sh = _shingles(docs, n, id_col)
+    sh = _shingles(_spread(docs), n, id_col)
     e = sh.select("doc_id", F.explode("sh").alias("s"))
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
     a, b = e.alias("a"), e.alias("b")
@@ -132,7 +147,7 @@ def minhash_lsh_pairs(
     # 2.29 s vs 1.31 s for the per-row HOF — the three extra shuffles
     # outweigh the duplicate-hash savings at this scale. Revisit only for
     # corpora with extreme cross-doc shingle repetition.
-    sh = _shingles(docs, n, id_col).persist()
+    sh = _shingles(_spread(docs), n, id_col).persist()
     # sig feeds only the keyed frame below (which IS persisted), so
     # persisting it too just added a materialization pass (measured
     # ~-0.3 s median at sf0.1 after removal).
@@ -248,7 +263,7 @@ def simhash_pairs(docs: DataFrame, radius: int = 3, id_col: str = "doc_id", port
     The fingerprint frame is persisted: it feeds both sides of the
     self-join, and the per-token fold dominates the operator if computed
     twice (measured 3× total speedup at sf0.1)."""
-    s = simhash(docs, id_col, portable=portable).persist()
+    s = simhash(_spread(docs), id_col, portable=portable).persist()
     segs = s.select(
         "doc_id",
         "simhash",
