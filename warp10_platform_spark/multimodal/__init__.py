@@ -1,5 +1,6 @@
 from warp10_platform_spark.multimodal.media import (  # noqa: F401
     attach_fake_images,
+    attach_jpeg_images,
     attach_png_images,
     audio_features,
     decode_gray_raw,

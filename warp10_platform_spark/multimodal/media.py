@@ -9,12 +9,12 @@ path, so this is engine-native surface):
 - decode / resize / hash / frame-sample run as Arrow-batched pandas
   functions over mapInPandas: bytes cross to Python once per batch, all
   pixel math is numpy.
-- PNG (8-bit non-interlaced grayscale/RGB, all five scanline filters) is
-  decoded FOR REAL via stdlib zlib — no codec library needed — and the
-  engine's own GRAY8 RAW format (`b"GR8\\0" + width + height + pixels`)
-  via header parse + numpy frombuffer. Other formats (JPEG, WAV, other
-  PNG variants) delegate to PIL when importable, else raise a clearly
-  labeled NotImplementedError.
+- PNG (8-bit non-interlaced gray/RGB/+alpha, all five scanline filters)
+  is decoded FOR REAL via stdlib zlib; JPEG (baseline sequential, gray +
+  YCbCr 4:4:4/4:2:0) via the own codec in multimodal/jpeg.py; WAV/PCM
+  via the RIFF parser below; plus the engine's GRAY8 RAW format
+  (`b"GR8\\0" + width + height + pixels`). Remaining formats delegate to
+  PIL when importable, else raise a clearly labeled NotImplementedError.
 - Test content is generated deterministically from md5(text) so a SQL
   oracle can recompute pixel-derived features without any Python.
 """
@@ -156,6 +156,18 @@ def decode_gray_raw(content: bytes) -> np.ndarray:
         return np.frombuffer(content[8 : 8 + w * h], dtype=np.uint8).reshape(h, w)
     if content[:8] == _PNG_SIG:
         img = decode_png(content)
+        if img.ndim == 3:
+            lum = (
+                299 * img[:, :, 0].astype(np.int64)
+                + 587 * img[:, :, 1].astype(np.int64)
+                + 114 * img[:, :, 2].astype(np.int64)
+            ) // 1000
+            return lum.astype(np.uint8)
+        return img
+    if content[:2] == b"\xff\xd8":  # JPEG SOI — own baseline codec
+        from warp10_platform_spark.multimodal.jpeg import decode_jpeg
+
+        img = decode_jpeg(content)
         if img.ndim == 3:
             lum = (
                 299 * img[:, :, 0].astype(np.int64)
@@ -436,3 +448,43 @@ def wav_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("media_id", "content").mapInPandas(run, schema=schema)
+
+
+def attach_jpeg_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """documents → media rows carrying REAL JPEG bytes from the baseline
+    codec (multimodal/jpeg.py): each doc's 4x4 md5-pixel image expands
+    to a 32x32 block-constant gray image whose levels are quantized to
+    multiples of 16 — the DC quantizer of the Annex-K table — so the
+    lossy codec round-trips EXACTLY and the SQL oracle can replay pixel
+    math with no codec (see jpeg.py determinism note)."""
+    from warp10_platform_spark.multimodal.jpeg import encode_jpeg_gray
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    src = docs.select(F.col(id_col).alias("media_id"), F.unhex(F.md5("text")).alias("px"))
+
+    def run(batches):
+        for pdf in batches:
+            content = []
+            for px in pdf["px"]:
+                base = (np.frombuffer(bytes(px), dtype=np.uint8).reshape(4, 4) // 16) * 16
+                img = np.repeat(np.repeat(base, 8, 0), 8, 1)
+                content.append(encode_jpeg_gray(img))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": "image/jpeg",
+                    "width": pd.array([32] * len(pdf), dtype="int64"),
+                    "height": pd.array([32] * len(pdf), dtype="int64"),
+                    "content": content,
+                }
+            )
+
+    return src.mapInPandas(run, schema=schema)

@@ -302,3 +302,36 @@ def media_sparkline_render(spark, sf_dir):
     return daily.groupBy("class", "user").applyInPandas(
         render, "class string, user string, lit long"
     )
+
+
+def _jpeg_dhash_sql(src: str = "text") -> str:
+    """DuckDB twin of the JPEG path: pixels are the md5 bytes quantized
+    to multiples of 16 (the Annex-K DC quantizer step — the exactness
+    construction in multimodal/jpeg.py), then the same dhash."""
+    terms = []
+    for r in range(4):
+        for c in range(3):
+            bit = r * 3 + c
+            a = f"(({_byte(src, r * 4 + c)} // 16) * 16)"
+            b = f"(({_byte(src, r * 4 + c + 1)} // 16) * 16)"
+            terms.append(f"(CASE WHEN {a} < {b} THEN {1 << bit} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register("media_jpeg_dhash", (
+    f"SELECT doc_id AS media_id, CAST({_jpeg_dhash_sql()} AS BIGINT) AS dhash FROM documents"
+))
+def media_jpeg_dhash(spark, sf_dir):
+    """REAL JPEG bytes end-to-end through the OWN baseline codec
+    (multimodal/jpeg.py — Annex-K tables, Huffman entropy coding, DCT):
+    encode each doc's quantized md5-pixel image as a 32x32 block-constant
+    JPEG, decode through the full marker/Huffman/IDCT path, downsample
+    block corners back to 4x4, difference-hash. Block-constant levels on
+    the DC quantizer grid round-trip exactly, so the oracle replays the
+    pixel math from md5 hex with no codec — any decode bug breaks the
+    hash."""
+    from warp10_platform_spark.multimodal import attach_jpeg_images, dhash_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_jpeg_images(docs)
+    return dhash_images(media, resize_to=(4, 4))

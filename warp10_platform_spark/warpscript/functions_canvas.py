@@ -131,7 +131,9 @@ def _norm_chunks(chunks):
 
 @register("Pdecode")
 def _pdecode(st):
-    """data-URI string | bytes Pdecode (image/Pdecode.java) → PImage."""
+    """data-URI string | bytes Pdecode (image/Pdecode.java) → PImage.
+    PNG via the deterministic decoder; JPEG via the own baseline codec
+    (multimodal/jpeg.py)."""
     top = st.pop()
     if isinstance(top, str) and top.startswith("data:image/"):
         data = _b64.b64decode(top[top.index(",") + 1 :])
@@ -139,6 +141,22 @@ def _pdecode(st):
         data = bytes(top)
     else:
         raise TypeError("Pdecode expects a base64 data URI or a byte array")
+    if data[:2] == b"\xff\xd8":
+        from warp10_platform_spark.multimodal.jpeg import decode_jpeg
+
+        arr = decode_jpeg(data)
+        if arr.ndim == 2:
+            g = arr.astype(np.uint32)
+            pix = (np.uint32(0xFF) << 24) | (g << 16) | (g << 8) | g
+        else:
+            pix = (
+                (np.uint32(0xFF) << 24)
+                | (arr[:, :, 0].astype(np.uint32) << 16)
+                | (arr[:, :, 1].astype(np.uint32) << 8)
+                | arr[:, :, 2].astype(np.uint32)
+            )
+        st.push(PImage(pix.shape[1], pix.shape[0], pix))
+        return
     st.push(decode_png_image(data))
 
 
