@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from warp10_platform_spark.pipeline.util import spread as _spread
+
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
 
 
@@ -30,7 +32,7 @@ def cosine_topk(queries: DataFrame, candidates: DataFrame, k: int = 3) -> DataFr
     round(sim, 6) with id tie-break so cross-engine float ulps cannot
     reorder."""
     q = with_norm(queries).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn"))
-    c = with_norm(candidates).select(F.col("vec_id").alias("nid"), F.col("v").alias("cv"), F.col("norm").alias("cn"))
+    c = with_norm(_spread(candidates)).select(F.col("vec_id").alias("nid"), F.col("v").alias("cv"), F.col("norm").alias("cn"))
     dot = F.expr(_DOT.format(a="qv", b="cv"))
     sims = (
         c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
@@ -88,7 +90,7 @@ def ivf_topk(
     q = with_norm(ivf_assign(queries, centroids)).select(
         F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn"), "ivf_cell"
     )
-    c = with_norm(ivf_assign(candidates, centroids)).select(
+    c = with_norm(ivf_assign(_spread(candidates), centroids)).select(
         F.col(id_col).alias("nid"), F.col("v").alias("cv"), F.col("norm").alias("cn"), "ivf_cell"
     )
     dot = F.expr(_DOT.format(a="qv", b="cv"))
@@ -106,7 +108,7 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95, id_col: str = "vec_
     dedup ladder): exact all-pairs baseline — id_a < id_b, cos ≥ t.
     Quadratic by design (correctness baseline); the scale path blocks by
     LSH/IVF cell first and verifies only in-cell pairs."""
-    n = with_norm(df).select(F.col(id_col).alias("id"), F.col("v"), F.col("norm"))
+    n = with_norm(_spread(df)).select(F.col(id_col).alias("id"), F.col("v"), F.col("norm"))
     a = n.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
     b = n.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
     dot = F.expr(_DOT.format(a="va", b="vb"))
@@ -131,7 +133,7 @@ def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int = 3, num_planes: 
     q = with_norm(queries).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn"), _bucket_expr(planes)
     )
-    c = with_norm(candidates).select(
+    c = with_norm(_spread(candidates)).select(
         F.col("vec_id").alias("nid"), F.col("v").alias("cv"), F.col("norm").alias("cn"), _bucket_expr(planes)
     )
     dot = F.expr(_DOT.format(a="qv", b="cv"))
