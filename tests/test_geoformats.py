@@ -208,3 +208,30 @@ def test_import_alias(stack):
     st.exec("NULL 'm' IMPORT")
     with pytest.raises(Exception):
         st.exec("1 2 m.max")
+
+
+def test_ceval_sync(stack):
+    st = stack
+    # 4 macros: each computes idx*10, one uses SYNC for the touch
+    st.exec("[ <% 10 * %> <% 10 * %> <% 10 * %> <% <% 10 * %> SYNC %> ] 2 CEVAL")
+    out = st.pop()
+    assert sorted(r[0] for r in out) == [10, 20, 30, 40]
+    with pytest.raises(Exception):
+        st.exec("[ <% FAIL %> ] 1 CEVAL")
+
+
+def test_mutex_shm(stack):
+    st = stack
+    st.exec("<% 42 'answer' SHMSTORE %> 'm1' MUTEX")
+    st.exec("'answer' SHMDEFINED 'answer' SHMLOAD")
+    v = st.pop(); d = st.pop()
+    assert d is True and v == 42
+    # store outside a mutex section fails
+    with pytest.raises(Exception):
+        st.exec("7 'x' SHMSTORE")
+    # symbol owned by m1 cannot be written under m2
+    with pytest.raises(Exception):
+        st.exec("<% 1 'answer' SHMSTORE %> 'm2' MUTEX")
+    # clear under the owner
+    st.exec("<% NULL 'answer' SHMSTORE %> 'm1' MUTEX 'answer' SHMDEFINED")
+    assert st.pop() is False

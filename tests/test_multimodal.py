@@ -24,8 +24,12 @@ def test_decode_roundtrip():
 
 
 def test_decode_unknown_format_stubbed():
-    # JPEG magic — no codec in this container → explicit NotImplementedError
+    # unknown magic — no codec for it → explicit NotImplementedError
     with pytest.raises(NotImplementedError):
+        decode_gray_raw(b"BM" + b"\x00" * 32)  # BMP: intentionally unhandled
+    # JPEG now decodes through the own baseline codec; a truncated
+    # stream is a loud error, not a stub
+    with pytest.raises(ValueError):
         decode_gray_raw(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
 
 

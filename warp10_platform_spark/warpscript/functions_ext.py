@@ -4241,3 +4241,4 @@ def _every(st):
 from warp10_platform_spark.warpscript import functions_r5 as _r5  # noqa: E402,F401
 from warp10_platform_spark.warpscript import functions_r6 as _r6  # noqa: E402,F401
 from warp10_platform_spark.warpscript import functions_canvas as _cv  # noqa: E402,F401
+from warp10_platform_spark.warpscript import functions_concurrent as _cc  # noqa: E402,F401
