@@ -235,3 +235,23 @@ def test_mutex_shm(stack):
     # clear under the owner
     st.exec("<% NULL 'answer' SHMSTORE %> 'm1' MUTEX 'answer' SHMDEFINED")
     assert st.pop() is False
+
+
+def test_stackps(stack, spark, sf_dir):
+    from warp10_platform_spark.warpscript.stack import WarpScriptStack
+
+    st = stack
+    st.exec("'ps-test' WSNAME 'sess-9' WSSESSION WSPS")
+    ps = st.pop()
+    mine = [p for p in ps if p.get("name") == "ps-test"]
+    assert len(mine) == 1 and mine[0]["session"] == "sess-9"
+    victim = WarpScriptStack(spark, sf_dir)
+    victim.exec("'victim' WSNAME")
+    st.push(victim.uuid)
+    st.exec("WSINFO")
+    assert st.pop()["name"] == "victim"
+    st.push(victim.uuid)
+    st.exec("WSKILL")
+    assert st.pop() is True
+    with pytest.raises(RuntimeError):
+        victim.exec("1 2 +")

@@ -192,3 +192,9 @@ def _shmdefined(st):
     """'symbol' SHMDEFINED: TRUE when the shared symbol exists."""
     symbol = st.pop()
     st.push(str(symbol) in _SHM)
+
+
+# ---- stackps extension (ext/stackps) --------------------------------
+from warp10_platform_spark.warpscript import stackps as _stackps  # noqa: E402
+
+_stackps.install(register)

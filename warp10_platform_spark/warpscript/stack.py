@@ -58,6 +58,8 @@ class MapMark(Mark):
 
 class WarpScriptStack:
     def __init__(self, spark, sf_dir: str, max_ops: int = 100_000, max_depth: int = 1000):
+        import uuid as _uuid
+
         from warp10_platform_spark.warpscript.functions import REGISTRY
 
         self.spark = spark
@@ -68,6 +70,14 @@ class WarpScriptStack:
         self.max_ops = max_ops
         self.max_depth = max_depth
         self._ops = 0
+        # stackps surface (ext/stackps): process-wide visibility + signal
+        self.uuid = str(_uuid.uuid4())
+        self.name: str | None = None
+        self.session: str | None = None
+        self.aborted: str | None = None  # set to the signal name by WSKILL/WSSTOP
+        from warp10_platform_spark.warpscript import stackps as _sp
+
+        _sp.register_stack(self)
 
     # -- stack primitives -------------------------------------------------
     def push(self, v: Any) -> None:
@@ -109,6 +119,8 @@ class WarpScriptStack:
             self._ops += 1
             if self._ops > self.max_ops:
                 raise RuntimeError("ops limit exceeded")
+            if self.aborted is not None:
+                raise RuntimeError(f"stack {self.uuid} signaled: {self.aborted}")
             if t.kind in ("number", "string", "bool", "null"):
                 self.push(t.value)
             elif t.kind == "load":
