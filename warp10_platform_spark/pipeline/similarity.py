@@ -120,15 +120,16 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95, id_col: str = "vec_
     )
 
 
-def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int = 3, num_planes: int = 8, dim: int | None = None) -> DataFrame:
+def lsh_topk(queries: DataFrame, candidates: DataFrame, *, dim: int, k: int = 3, num_planes: int = 8) -> DataFrame:
     """ANN top-k: equi-join on the hyperplane-sign bucket, rank within
     bucket. Recall < 1 by construction (approximate); candidates shuffle
     on bucket id — O(N), no broadcast of the corpus.
 
-    Pass `dim` explicitly in production plans — the fallback sniffs it
-    with a driver-side .first(), which triggers a job."""
-    if dim is None:
-        dim = len(candidates.select("embedding").first()[0])
+    `dim` is a REQUIRED keyword parameter: the hyperplanes are plan
+    literals derived from it. (A default-argument `.first()` sniff used
+    to trigger a silent driver job here — removed.)"""
+    if not isinstance(dim, int) or dim < 1:
+        raise ValueError("lsh_topk requires the embedding dimension `dim` explicitly")
     planes = lsh_planes(dim, num_planes)
     q = with_norm(queries).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn"), _bucket_expr(planes)

@@ -296,6 +296,9 @@ _pg_fn("PstrokeWeight", (1,),
        lambda pg, w: setattr(pg.style, "stroke_weight", _f(w)))
 _pg_fn("PstrokeCap", (1,),
        lambda pg, m: setattr(pg.style, "stroke_cap", str(m).upper()))
+# joins render ROUND under the coverage rule regardless of the mode —
+# the disc at each shared vertex IS the join; the setting is tracked for
+# pushStyle/popStyle fidelity (documented deviation from MITER/BEVEL)
 _pg_fn("PstrokeJoin", (1,),
        lambda pg, m: setattr(pg.style, "stroke_join", str(m).upper()))
 
