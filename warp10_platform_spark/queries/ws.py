@@ -640,3 +640,29 @@ def ws_canvas_raster(spark, sf_dir):
         ("red", int((rgb == 0xFF0000).sum())),
     ]
     return spark.createDataFrame(counts, "color string, n long")
+
+
+@register("ws_ceval_fetch", (
+    f"WITH {PTS} "
+    "SELECT class, count(*) AS n FROM pts "
+    "WHERE class IN ('events.click', 'events.view', 'events.error', 'events.purchase') "
+    "GROUP BY class"
+))
+def ws_ceval_fetch(spark, sf_dir):
+    """CEVAL (ext/concurrent/CEVAL.java): four FETCH+SIZE macros run
+    CONCURRENTLY on sub-stacks sharing one SparkSession (Spark job
+    submission is thread-safe; each sub-stack seeds from the parent's
+    symbols). Each macro drops its injected index, fetches one class,
+    and leaves its point count — results collected in macro order."""
+    from warp10_platform_spark.warpscript.stack import WarpScriptStack
+
+    classes = ["events.click", "events.view", "events.error", "events.purchase"]
+    hi = LASTBUCKET + DAY * 366
+    macros = " ".join(
+        f"<% DROP [ '{c}' {{}} 0 {hi} ] FETCH SIZE %>" for c in classes
+    )
+    st = WarpScriptStack(spark, sf_dir)
+    st.exec(f"[ {macros} ] 4 CEVAL")
+    results = st.pop()
+    rows = [(c, int(res[0])) for c, res in zip(classes, results)]
+    return spark.createDataFrame(rows, "class string, n long")
