@@ -1,0 +1,274 @@
+"""Digest + AES + secure-script tier tests.
+
+Validation strategy (no external crypto libs available):
+- MD2/MD4: RFC 1319/1320 appendix test vectors.
+- RIPEMD-160: cross-validated bit-for-bit against OpenSSL (hashlib
+  'ripemd160') across block-boundary sizes — this exercises every entry
+  of the four 80-long message-order/shift tables shared by ALL RIPEMD
+  variants, so 128/256/320 only additionally need their published
+  empty/'abc' vectors.
+- Keccak: the sponge run with SHA-3 padding must equal hashlib.sha3_*
+  (same permutation); KECCAK.* then only differs in the pad byte, pinned
+  by the well-known Keccak-256/512 empty-string vectors.
+- AES: FIPS-197 appendix-C known-answer vectors for all three key sizes;
+  RFC 3394 §4.1 key-wrap vector; envelope round-trip properties.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+
+from warp10_platform_spark.functions import aes
+from warp10_platform_spark.functions import digests as dg
+from warp10_platform_spark.warpscript import functions_secure as fs
+from warp10_platform_spark.warpscript.functions import REGISTRY
+
+
+class _Stack:
+    """Minimal stack double for scalar stack-function tests."""
+
+    def __init__(self):
+        self.stack = []
+        self.attributes = {}
+        self.executed = None
+
+    def push(self, v):
+        self.stack.append(v)
+
+    def pop(self):
+        return self.stack.pop()
+
+    def exec(self, s):
+        self.executed = s
+
+
+# ---------------------------------------------------------------------------
+# digests
+# ---------------------------------------------------------------------------
+
+MD2_VECTORS = {
+    b"": "8350e5a3e24c153df2275c9f80692773",
+    b"a": "32ec01ec4a6dac72c0ab96fb34c0b5d1",
+    b"abc": "da853b0d3f88d99b30283a69e6ded6bb",
+    b"message digest": "ab4f496bfb2a530b219ff33031fe06b0",
+}
+
+MD4_VECTORS = {
+    b"": "31d6cfe0d16ae931b73c59d7e0c089c0",
+    b"a": "bde52cb31de33e46245e05fbdbd6fb24",
+    b"abc": "a448017aaf21d8525fc10ae87aa6729d",
+    b"message digest": "d9130a8164549fe818874806e1c7014b",
+}
+
+
+def test_md2_rfc_vectors():
+    for msg, want in MD2_VECTORS.items():
+        assert dg.md2(msg).hex() == want
+
+
+def test_md4_rfc_vectors():
+    for msg, want in MD4_VECTORS.items():
+        assert dg.md4(msg).hex() == want
+
+
+def test_ripemd160_matches_openssl():
+    for n in (0, 1, 3, 55, 56, 57, 63, 64, 65, 127, 128, 129, 1000):
+        data = os.urandom(n)
+        assert dg.ripemd160_pure(data) == hashlib.new("ripemd160", data).digest()
+
+
+def test_ripemd_variant_vectors():
+    assert dg.ripemd128(b"").hex() == "cdf26213a150dc3ecb610f18f6b38b46"
+    assert dg.ripemd128(b"abc").hex() == "c14a12199c66e4ba84636b0f69144c77"
+    assert dg.ripemd256(b"").hex() == (
+        "02ba4c4e5f8ecd1877fc52d64d30e37a2d9774fb1e5d026380ae0168e3c5522d"
+    )
+    assert dg.ripemd320(b"").hex() == (
+        "22d65d5661536cdc75c1fdf5c6de7b41b9f27325ebc61e8557177d705a0ec880"
+        "151c3a32a00899b8"
+    )
+
+
+def test_keccak_sponge_matches_hashlib_sha3():
+    for n in (0, 1, 135, 136, 137, 500):
+        data = os.urandom(n)
+        for bits, ref in (
+            (224, hashlib.sha3_224),
+            (256, hashlib.sha3_256),
+            (384, hashlib.sha3_384),
+            (512, hashlib.sha3_512),
+        ):
+            assert dg.sha3(data, bits) == ref(data).digest()
+
+
+def test_keccak_known_vectors():
+    assert dg.keccak(b"", 256).hex() == (
+        "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+    )
+    assert dg.keccak(b"", 512).hex() == (
+        "0eab42de4c3ceb9235fc91acffe746b29c29a8c366b7c60e4e67c466f36a4304"
+        "c00fa9caf9d87976ba469bcbe06713b435f091ef2769fb160cdab33d3670680e"
+    )
+    # every registered size produces bits/8 bytes and is deterministic
+    for bits in (128, 224, 256, 288, 384, 512):
+        d = dg.keccak(b"warp", bits)
+        assert len(d) == bits // 8
+        assert d == dg.keccak(b"warp", bits)
+
+
+def test_digest_registry_bindings():
+    st = _Stack()
+    for name, fn in [
+        ("MD2", dg.md2),
+        ("MD4", dg.md4),
+        ("RIPEMD128", dg.ripemd128),
+        ("RIPEMD160", dg.ripemd160),
+        ("RIPEMD256", dg.ripemd256),
+        ("RIPEMD320", dg.ripemd320),
+    ]:
+        st.push(b"payload")
+        REGISTRY[name](st)
+        assert st.pop() == fn(b"payload")
+    for bits in (128, 224, 256, 288, 384, 512):
+        st.push(b"payload")
+        REGISTRY["KECCAK.%d" % bits](st)
+        assert st.pop() == dg.keccak(b"payload", bits)
+
+
+# ---------------------------------------------------------------------------
+# AES / RFC 3394
+# ---------------------------------------------------------------------------
+
+def test_aes_fips197_vectors():
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    cases = {
+        16: "69c4e0d86a7b0430d8cdb78070b4c55a",
+        24: "dda97ca4864cdfe06eaf70a0ec0d7191",
+        32: "8ea2b7ca516745bfeafc49904b496089",
+    }
+    for klen, want in cases.items():
+        key = bytes(range(klen))
+        ct = aes.encrypt_block(key, pt)
+        assert ct.hex() == want
+        assert aes.decrypt_block(key, ct) == pt
+
+
+def test_rfc3394_wrap_vector():
+    kek = bytes.fromhex("000102030405060708090A0B0C0D0E0F")
+    kd = bytes.fromhex("00112233445566778899AABBCCDDEEFF")
+    wrapped = aes.kw_wrap(kek, kd)
+    assert wrapped.hex().upper() == (
+        "1FA68B0A8112B447AEF34BD8FB5A7B829D3E862371D2CFE5"
+    )
+    assert aes.kw_unwrap(kek, wrapped) == kd
+
+
+def test_rfc3394_integrity_check():
+    kek = bytes(16)
+    wrapped = bytearray(aes.kw_wrap(kek, bytes(16)))
+    wrapped[0] ^= 1
+    with pytest.raises(ValueError):
+        aes.kw_unwrap(kek, bytes(wrapped))
+
+
+def test_envelope_roundtrip_all_paddings():
+    for klen in (16, 24, 32):
+        key = bytes(range(klen))
+        for n in range(0, 25):
+            data = os.urandom(n)
+            assert aes.unwrap(key, aes.wrap(key, data)) == data
+
+
+# ---------------------------------------------------------------------------
+# secure-script stack surface
+# ---------------------------------------------------------------------------
+
+def test_secure_unsecure_evalsecure_roundtrip():
+    st = _Stack()
+    st.push("s3cret")
+    REGISTRY["SECUREKEY"](st)
+    script = "1 2 + 3 *"
+    st.push(script)
+    REGISTRY["SECURE"](st)
+    blob = st.stack[-1]
+    assert script not in blob  # opaque
+    REGISTRY["UNSECURE"](st)
+    assert st.pop() == script
+    st.push(blob)
+    REGISTRY["EVALSECURE"](st)
+    assert st.executed == script
+
+
+def test_unsecure_rejects_wrong_key():
+    st = _Stack()
+    st.push("right")
+    REGISTRY["SECUREKEY"](st)
+    st.push("NOW")
+    REGISTRY["SECURE"](st)
+    blob = st.pop()
+    st.push("wrong")
+    REGISTRY["SECUREKEY"](st)
+    st.push(blob)
+    with pytest.raises(RuntimeError, match="Invalid secure key"):
+        REGISTRY["UNSECURE"](st)
+
+
+def test_secure_requires_key():
+    st = _Stack()
+    st.push("script")
+    with pytest.raises(RuntimeError, match="secure key"):
+        REGISTRY["SECURE"](st)
+
+
+def test_secure_compresses_large_scripts():
+    # a large compressible script must round-trip through the gzip branch
+    st = _Stack()
+    st.push("k")
+    REGISTRY["SECUREKEY"](st)
+    script = "NOW ISO8601 " * 500
+    st.push(script)
+    REGISTRY["SECURE"](st)
+    blob = st.stack[-1]
+    assert len(blob) < len(script)  # compression engaged
+    REGISTRY["UNSECURE"](st)
+    assert st.pop() == script
+
+
+def test_secure_envelope_structure():
+    # the envelope is thrift SecureScript + RFC3394 + OPB64; decode by hand
+    blob = fs.secure(bytes(range(32)), "k", "NOW", timestamp_ms=1234)
+    s = fs.unsecure(bytes(range(32)), blob)
+    assert s == {"timestamp": 1234, "key": "k", "script": "NOW"}
+
+
+def test_aeswrap_aesunwrap_stack_roundtrip():
+    st = _Stack()
+    key = bytes(range(24))
+    st.push(b"some payload")
+    st.push(key)
+    REGISTRY["AESWRAP"](st)
+    wrapped = st.pop()
+    assert len(wrapped) % 8 == 0 and len(wrapped) >= 24
+    st.push(wrapped)
+    st.push(key)
+    REGISTRY["AESUNWRAP"](st)
+    assert st.pop() == b"some payload"
+
+
+def test_aeswrap_accepts_string_rejects_bad_key():
+    st = _Stack()
+    st.push("text payload")
+    st.push(bytes(range(16)))
+    REGISTRY["AESWRAP"](st)
+    wrapped = st.pop()
+    st.push(wrapped)
+    st.push(bytes(range(16)))
+    REGISTRY["AESUNWRAP"](st)
+    assert st.pop() == b"text payload"
+    st.push(b"x")
+    st.push(b"shortkey")
+    with pytest.raises(TypeError):
+        REGISTRY["AESWRAP"](st)

@@ -124,3 +124,21 @@ def test_minhash_guard_bands_reps_only(spark, sf_dir):
 
     src = inspect.getsource(dedup.minhash_lsh_pairs)
     assert "reps.select" in src and 'F.min("doc_id").over' in src
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    # the eval/benchmark n-gram set must be broadcast (KB-scale at any
+    # corpus size); the train corpus must never be on the build side
+    r = plan_report(E.queries()["doc_contamination"](spark, sf_dir))
+    assert r.broadcast_joins >= 1
+    assert r.cartesian_products == 0
+    assert r.python_evals == 0
+
+
+def test_pii_and_repetition_are_scan_side(spark, sf_dir):
+    # pure projections: no shuffle, no python, no join
+    for name in ["doc_pii_scrub", "doc_intra_repetition"]:
+        r = plan_report(E.queries()[name](spark, sf_dir))
+        assert r.python_evals == 0, name
+        assert r.exchanges == 0, name
+        assert r.cartesian_products == 0, name

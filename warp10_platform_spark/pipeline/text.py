@@ -59,3 +59,90 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     return docs.withColumn(
         "fingerprint", F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(TOKS()))))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing / repetition / decontamination — the remaining standard
+# stages of a pretraining-data pipeline.  All JVM column expressions.
+# ---------------------------------------------------------------------------
+
+# ASCII-only patterns chosen to behave identically under Java regex
+# (Spark) and RE2 (DuckDB): no lookaround, no unicode classes.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and redact PII spans (emails, IPv4 addresses).
+
+    Redaction order matters (emails contain dots that the IP pattern
+    could partially match), so emails are replaced first.  At 100 TB
+    both regexes run scan-side inside codegen — no shuffle at all; the
+    output is a projection."""
+    c = F.col(text_col)
+    return (
+        docs.withColumn("n_emails", F.regexp_count(c, F.lit(PII_EMAIL)))
+        .withColumn("n_ips", F.regexp_count(c, F.lit(PII_IPV4)))
+        .withColumn(
+            "clean_text",
+            F.regexp_replace(
+                F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+            ),
+        )
+    )
+
+
+def intra_repetition(docs: DataFrame) -> DataFrame:
+    """Within-document repetition: fraction of duplicated token bigrams
+    (1 - distinct/total).  High values flag boilerplate/spam docs for a
+    pretraining filter.  Pure per-row HOF arithmetic — scan-side, no
+    shuffle, survives any scale."""
+    d = docs.withColumn("_toks", TOKS())
+    d = d.withColumn(
+        "_bi",
+        F.expr(
+            "transform(slice(_toks, 1, size(_toks) - 1),"
+            " (x, i) -> concat(x, ' ', _toks[i + 1]))"
+        ),
+    )
+    return (
+        d.withColumn("n_bigrams", F.size("_bi"))
+        .withColumn(
+            "repetition_ratio",
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(F.col("_bi"))) / F.col("n_bigrams"), 6
+            ),
+        )
+        .drop("_toks", "_bi")
+    )
+
+
+def _ngrams(col_toks: str, n: int):
+    parts = " , ' ', ".join(f"_t[i + {j}]" for j in range(n)).replace("_t", col_toks)
+    return F.expr(
+        f"transform(slice({col_toks}, 1, size({col_toks}) - {n - 1}),"
+        f" (x, i) -> concat({parts}))"
+    )
+
+
+def contamination(train: DataFrame, eval_df: DataFrame, n: int = 3) -> DataFrame:
+    """Benchmark decontamination: for every training document, count how
+    many distinct token n-grams it shares with ANY document of the
+    (small) eval/benchmark set.
+
+    Scale shape: the eval side is tiny by construction (benchmarks are
+    KBs, corpora are TBs) — its distinct n-gram set is broadcast, so the
+    100 TB train side is a scan → explode → broadcast-hash-join →
+    partial-agg groupBy on doc_id, with no all-to-all shuffle of the
+    corpus text."""
+    t = train.withColumn("_toks", TOKS()).where(F.size("_toks") >= n)
+    e = eval_df.withColumn("_toks", TOKS()).where(F.size("_toks") >= n)
+    t_grams = t.select(
+        "doc_id", F.explode(F.array_distinct(_ngrams("_toks", n))).alias("g")
+    )
+    e_grams = e.select(F.explode(F.array_distinct(_ngrams("_toks", n))).alias("g")).distinct()
+    return (
+        t_grams.join(F.broadcast(e_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_ngrams"))
+    )

@@ -215,3 +215,83 @@ def doc_dup_clusters(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = _dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3)
     return dup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# round 4 late tranche: PII scrubbing, intra-doc repetition, benchmark
+# decontamination — the remaining standard pretraining-pipeline stages.
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus carries no natural PII, so the query injects a
+# deterministic email + IPv4 per document ON BOTH SIDES before scrubbing
+# — the regexes are genuinely exercised and the oracle stays bit-exact.
+_PII_INJECT_SQL = (
+    "SELECT doc_id, text || ' contact user' || doc_id || '@example.com from 10.0.' "
+    "|| (doc_id % 256) || '.7' AS text FROM documents"
+)
+
+
+@register("doc_pii_scrub", (
+    "WITH t AS (" + _PII_INJECT_SQL + ") "
+    "SELECT doc_id, "
+    "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails, "
+    "len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips, "
+    "md5(regexp_replace(regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')) AS clean_hash "
+    "FROM t"
+))
+def doc_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (emails, IPv4) — codegen regexes, zero
+    shuffle; the redacted text is fingerprinted for the compare."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ),
+    )
+    return _text.pii_scrub(docs).select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        F.md5("clean_text").alias("clean_hash"),
+    )
+
+
+@register("doc_intra_repetition", (
+    "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents), "
+    "b AS (SELECT doc_id, [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bi FROM t) "
+    "SELECT doc_id, len(bi) AS n_bigrams, "
+    "round(1.0 - len(list_distinct(bi)) / len(bi), 6) AS repetition_ratio FROM b"
+))
+def doc_intra_repetition(spark, sf_dir):
+    """Within-document repetition ratio over token bigrams — the
+    boilerplate/spam signal of a pretraining quality filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.intra_repetition(docs).select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "repetition_ratio",
+    )
+
+
+@register("doc_contamination", (
+    "WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents), "
+    "g AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] "
+    "  for i in range(1, len(toks) - 1)]) AS gs FROM toks WHERE len(toks) >= 3), "
+    "tr AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 97 <> 0), "
+    "ev AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 97 = 0) "
+    "SELECT tr.doc_id, count(*) AS n_shared_ngrams "
+    "FROM tr JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id"
+))
+def doc_contamination(spark, sf_dir):
+    """Benchmark decontamination: trigram overlap of every train doc
+    against the (broadcast) eval split doc_id % 97 == 0. The eval
+    n-gram set is KB-scale at any corpus size, so the plan is scan →
+    broadcast-hash-join → partial agg: no corpus shuffle at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    return _text.contamination(train, ev, n=3)

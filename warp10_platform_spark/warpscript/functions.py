@@ -1355,6 +1355,21 @@ REGISTRY["MD5"] = lambda st: st.push(_hashlib.md5(_to_bytes(st.pop())).digest())
 REGISTRY["SHA1"] = lambda st: st.push(_hashlib.sha1(_to_bytes(st.pop())).digest())
 REGISTRY["SHA256"] = lambda st: st.push(_hashlib.sha256(_to_bytes(st.pop())).digest())
 
+# Remaining DIGEST registrations (WarpScriptLib.java:2283-2305): pure-Python
+# cores in functions/digests.py, vector/cross-validated in tests.
+from ..functions import digests as _digests
+
+REGISTRY["MD2"] = lambda st: st.push(_digests.md2(_to_bytes(st.pop())))
+REGISTRY["MD4"] = lambda st: st.push(_digests.md4(_to_bytes(st.pop())))
+REGISTRY["RIPEMD128"] = lambda st: st.push(_digests.ripemd128(_to_bytes(st.pop())))
+REGISTRY["RIPEMD160"] = lambda st: st.push(_digests.ripemd160(_to_bytes(st.pop())))
+REGISTRY["RIPEMD256"] = lambda st: st.push(_digests.ripemd256(_to_bytes(st.pop())))
+REGISTRY["RIPEMD320"] = lambda st: st.push(_digests.ripemd320(_to_bytes(st.pop())))
+for _bits in (128, 224, 256, 288, 384, 512):
+    REGISTRY["KECCAK.%d" % _bits] = (
+        lambda st, _b=_bits: st.push(_digests.keccak(_to_bytes(st.pop()), _b))
+    )
+
 
 # ---------- column bindings (vectorized scalar surface) ----------
 # For scalar WS names whose semantics map 1:1 onto a pyspark.sql.functions

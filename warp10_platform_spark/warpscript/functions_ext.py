@@ -4242,3 +4242,4 @@ from warp10_platform_spark.warpscript import functions_r5 as _r5  # noqa: E402,F
 from warp10_platform_spark.warpscript import functions_r6 as _r6  # noqa: E402,F401
 from warp10_platform_spark.warpscript import functions_canvas as _cv  # noqa: E402,F401
 from warp10_platform_spark.warpscript import functions_concurrent as _cc  # noqa: E402,F401
+from warp10_platform_spark.warpscript import functions_secure as _sec  # noqa: E402,F401

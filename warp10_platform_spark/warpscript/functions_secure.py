@@ -1,0 +1,187 @@
+"""Secure-script tier: SECUREKEY / SECURE / UNSECURE / EVALSECURE,
+plus the raw AESWRAP / AESUNWRAP primitives.
+
+Reference semantics (script/functions/SECURE.java, UNSECURE.java,
+EVALSECURE.java, SECUREKEY.java, AESWRAP.java, crypto/CryptoUtils.java):
+
+- SECUREKEY pops a string and stores it as the stack's secure key
+  attribute.
+- SECURE pops a *script string*, builds a thrift SecureScript
+  {1: i64 timestamp, 2: string key, 3: binary script, 4: bool compressed}
+  (io_warp10_script_thrift_data.thrift:65-84), gzips the script when that
+  shrinks it, TCompact-serializes, AES-keywraps (RFC 3394 over a
+  PKCS7-to-8 padded payload) with the *instance* key, and pushes the
+  OrderPreservingBase64 encoding.
+- UNSECURE reverses it, refusing when the embedded key differs from the
+  stack's secure key.  EVALSECURE executes the recovered script without
+  ever pushing its source.
+- `data key AESWRAP` prepends an 8-byte random nonce then
+  CryptoUtils.wrap's; AESUNWRAP strips the nonce (AESWRAP.java:44-75).
+
+The instance key is a deployment secret in the reference (keystore entry
+AES_SECURESCRIPTS), so secured blobs were never portable across
+instances; here it defaults to a fixed development key and can be
+overridden via the stack attribute ``secure.master.key`` (byte[16/24/32])
+— the wire ENVELOPE (thrift struct + RFC 3394 + OPB64) is byte-faithful,
+so a deployment that loads the same master key interoperates with
+reference blobs.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from warp10_platform_spark.core import gtscodec as gc
+from warp10_platform_spark.functions import aes
+from warp10_platform_spark.warpscript.functions import REGISTRY, register
+
+_SECURE_KEY_ATTR = "secure.key"
+_MASTER_KEY_ATTR = "secure.master.key"
+# development default for the instance master key (reference: keystore
+# entry warp.aes.securescripts); override via the stack attribute above
+_DEFAULT_MASTER = bytes(range(32))
+
+_CT_STOP = 0
+_CT_TRUE = 1
+_CT_FALSE = 2
+_CT_I64 = 6
+_CT_BINARY = 8
+
+
+def _master(st) -> bytes:
+    k = getattr(st, "attributes", {}).get(_MASTER_KEY_ATTR)
+    return k if isinstance(k, (bytes, bytearray)) else _DEFAULT_MASTER
+
+
+def _secure_key(st) -> str:
+    k = getattr(st, "attributes", {}).get(_SECURE_KEY_ATTR)
+    if k is None:
+        raise RuntimeError("You need to set the secure key first.")
+    return str(k)
+
+
+def _serialize_secure(timestamp_ms: int, key: str, script: str) -> bytes:
+    raw = script.encode("utf-8")
+    gz = gc._gzip_det(raw)
+    compressed = len(gz) < len(raw)
+    body = gz if compressed else raw
+    out = bytearray()
+    prev = 0
+    prev = gc._w_field(out, prev, 1, _CT_I64)
+    gc.write_svarint(out, timestamp_ms)
+    prev = gc._w_field(out, prev, 2, _CT_BINARY)
+    gc._w_binary(out, key.encode("utf-8"))
+    prev = gc._w_field(out, prev, 3, _CT_BINARY)
+    gc._w_binary(out, body)
+    prev = gc._w_field(out, prev, 4, _CT_TRUE if compressed else _CT_FALSE)
+    out.append(_CT_STOP)
+    return bytes(out)
+
+
+def _deserialize_secure(buf: bytes) -> dict:
+    pos = 0
+    prev = 0
+    fields: dict[int, object] = {}
+    while pos < len(buf):
+        hdr = buf[pos]
+        pos += 1
+        if hdr == _CT_STOP:
+            break
+        ctype = hdr & 0x0F
+        delta = hdr >> 4
+        if delta:
+            fid = prev + delta
+        else:
+            fid, pos = gc.read_svarint(buf, pos)
+        prev = fid
+        if ctype in (_CT_TRUE, _CT_FALSE):
+            fields[fid] = ctype == _CT_TRUE
+        elif ctype == _CT_I64:
+            fields[fid], pos = gc.read_svarint(buf, pos)
+        elif ctype == _CT_BINARY:
+            fields[fid], pos = gc._r_binary(buf, pos)
+        else:
+            pos = gc._skip(buf, pos, ctype)
+    script = fields.get(3, b"")
+    if fields.get(4, False):
+        script = gzip.decompress(script)
+    return {
+        "timestamp": fields.get(1, 0),
+        "key": (fields.get(2, b"") or b"").decode("utf-8"),
+        "script": script.decode("utf-8"),
+    }
+
+
+def secure(master: bytes, key: str, script: str, timestamp_ms: int = 0) -> str:
+    serialized = _serialize_secure(timestamp_ms, key, script)
+    return gc.opb64_encode(aes.wrap(master, serialized))
+
+
+def unsecure(master: bytes, blob: str) -> dict:
+    return _deserialize_secure(aes.unwrap(master, gc.opb64_decode(blob)))
+
+
+@register("SECUREKEY")
+def _securekey(st):
+    """SECUREKEY (SECUREKEY.java:42): store the secure key attribute."""
+    if not hasattr(st, "attributes"):
+        st.attributes = {}
+    st.attributes[_SECURE_KEY_ATTR] = str(st.pop())
+
+
+@register("SECURE")
+def _secure(st):
+    """SECURE (SECURE.java:49-133): script string → opaque secured blob."""
+    import time
+
+    o = st.pop()
+    if not isinstance(o, str):
+        raise TypeError("SECURE operates on a string.")
+    st.push(secure(_master(st), _secure_key(st), o, int(time.time() * 1000)))
+
+
+@register("UNSECURE")
+def _unsecure(st):
+    """UNSECURE (UNSECURE.java, checkkey=true): secured blob → script,
+    refusing when the embedded key differs from the stack's."""
+    blob = str(st.pop())
+    s = unsecure(_master(st), blob)
+    if s["key"] != _secure_key(st):
+        raise RuntimeError("Invalid secure key.")
+    st.push(s["script"])
+
+
+@register("EVALSECURE")
+def _evalsecure(st):
+    """EVALSECURE (EVALSECURE.java:76-78): execute a secured script
+    without exposing its source (no key check, like the reference's
+    UNSECURE(checkkey=false) path)."""
+    blob = str(st.pop())
+    st.exec(unsecure(_master(st), blob)["script"])
+
+
+@register("AESWRAP")
+def _aeswrap(st):
+    """data key AESWRAP (AESWRAP.java:44-75): nonce-prefixed keywrap."""
+    key = st.pop()
+    if not isinstance(key, (bytes, bytearray)) or len(key) not in (16, 24, 32):
+        raise TypeError("AESWRAP expects a 128/192/256-bit AES key byte array")
+    data = st.pop()
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    if not isinstance(data, (bytes, bytearray)):
+        raise TypeError("AESWRAP operates on a byte array or a String.")
+    st.push(aes.wrap(bytes(key), os.urandom(8) + bytes(data)))
+
+
+@register("AESUNWRAP")
+def _aesunwrap(st):
+    """data key AESUNWRAP (AESUNWRAP.java:40-76): unwrap, strip nonce."""
+    key = st.pop()
+    if not isinstance(key, (bytes, bytearray)) or len(key) not in (16, 24, 32):
+        raise TypeError("AESUNWRAP expects a 128/192/256-bit AES key byte array")
+    data = st.pop()
+    if not isinstance(data, (bytes, bytearray)):
+        raise TypeError("AESUNWRAP operates on a byte array.")
+    st.push(aes.unwrap(bytes(key), bytes(data))[8:])
