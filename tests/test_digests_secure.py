@@ -272,3 +272,48 @@ def test_aeswrap_accepts_string_rejects_bad_key():
     st.push(b"shortkey")
     with pytest.raises(TypeError):
         REGISTRY["AESWRAP"](st)
+
+
+# ---------------------------------------------------------------------------
+# encrypted GTS stream sections (GTSEncoder.java:785-824 / GTSDecoder:214)
+# ---------------------------------------------------------------------------
+
+def test_encrypted_gts_stream_roundtrip():
+    from warp10_platform_spark.core.gtscodec import (
+        decode_gts,
+        encode_gts,
+        encrypt_gts,
+    )
+
+    key = bytes(32)
+    now = 1_700_000_000_000_000
+    pts = [(now, 1), (now + 1_000_000, 2)]
+    enc = encrypt_gts(encode_gts(pts, base=0), key)
+    # GTSEncoderTest.testEncrypt: flag byte 0x00 and 26 total bytes for
+    # this exact two-point long series
+    assert enc[0] == 0x00
+    assert len(enc) == 26
+    assert [(t, v) for t, v, _ in decode_gts(enc, base=0, key=key)] == pts
+    # no key → encrypted data silently skipped (the reference contract)
+    assert decode_gts(enc, base=0) == []
+    # wrong key → integrity failure surfaces
+    with pytest.raises(ValueError):
+        decode_gts(enc, base=0, key=bytes(range(32)))
+
+
+def test_encrypted_and_plain_sections_mix():
+    from warp10_platform_spark.core.gtscodec import (
+        decode_gts,
+        encode_gts,
+        encrypt_gts,
+    )
+
+    key = bytes(range(16))
+    now = 1_700_000_000_000_000
+    enc = encrypt_gts(encode_gts([(now, 1.5), (now + 1, 2.5)], base=0), key)
+    plain_tail = encode_gts([(now + 2, 3.5)], base=0)
+    got = decode_gts(enc + plain_tail, base=0, key=key)
+    assert [(t, v) for t, v, _ in got] == [(now, 1.5), (now + 1, 2.5), (now + 2, 3.5)]
+    # without the key only the plain tail survives
+    got2 = decode_gts(enc + plain_tail, base=0)
+    assert [(t, v) for t, v, _ in got2] == [(now + 2, 3.5)]

@@ -103,3 +103,57 @@ def test_asencoders_distributed_roundtrip(spark, sf_dir):
     a = {(r.labels_key, r.ts, r.v_double) for r in back.df.collect()}
     b = {(r.labels_key, r.ts, r.v_double) for r in pts.select("labels_key", "ts", "v_double").collect()}
     assert a == b
+
+
+def test_goldwrap_canonical_bytes():
+    # GOLDWRAP (GOLDWRAP.java): same logical series in any point/label
+    # order must produce IDENTICAL wrapper bytes; reversed order differs;
+    # wrapped-string input and list recursion behave like the reference's
+    # ListRecursiveStackFunction.
+    from warp10_platform_spark.core.encoders import Encoder
+    from warp10_platform_spark.warpscript.functions import REGISTRY
+
+    class S:
+        def __init__(self):
+            self.stack = []
+
+        def push(self, v):
+            self.stack.append(v)
+
+        def pop(self):
+            return self.stack.pop()
+
+        def peek(self):
+            return self.stack[-1]
+
+    e1 = Encoder("m", {"b": "2", "a": "1"})
+    e1.add_value(30, 3.0)
+    e1.add_value(10, 1.0)
+    e1.add_value(20, 2.0)
+    e2 = Encoder("m", {"a": "1", "b": "2"})
+    e2.add_value(10, 1.0)
+    e2.add_value(20, 2.0)
+    e2.add_value(30, 3.0)
+
+    st = S()
+    st.push(e1)
+    REGISTRY["GOLDWRAP"](st)
+    gold = st.pop()
+    assert isinstance(gold, bytes)
+
+    st.push(e2)
+    REGISTRY["GOLDWRAP"](st)
+    assert st.pop() == gold  # canonical across input orderings
+
+    st.push(e1)
+    st.push(True)
+    REGISTRY["GOLDWRAP"](st)
+    assert st.pop() != gold  # descending sort is a different blob
+
+    st.push(e1.wrap())
+    REGISTRY["GOLDWRAP"](st)
+    assert st.pop() == gold  # wrapped-string input path
+
+    st.push([e1, e2])
+    REGISTRY["GOLDWRAP"](st)
+    assert st.pop() == [gold, gold]  # list recursion

@@ -270,11 +270,30 @@ def encode_gts(points, base: int = 0) -> bytes:
     return bytes(out)
 
 
-def decode_gts(blob: bytes, base: int = 0, with_location: bool = False):
+def encrypt_gts(stream: bytes, key: bytes) -> bytes:
+    """GTSEncoder.getBytes with a wrapping key (GTSEncoder.java:785-824):
+    PKCS7-pad the plain stream to the next multiple of 8 (always 1..8
+    bytes), RFC 3394 AES-keywrap, then emit the 0x00 encrypted-section
+    flag + uvarint length + ciphertext.  A plaintext flag byte can never
+    be exactly 0x00 (booleans always carry TRUE/FALSE/DELETE bits), which
+    is what makes the marker unambiguous."""
+    from warp10_platform_spark.functions.aes import wrap as _aes_wrap
+
+    enc = _aes_wrap(key, stream)
+    out = bytearray([0x00])
+    write_uvarint(out, len(enc))
+    out += enc
+    return bytes(out)
+
+
+def decode_gts(blob: bytes, base: int = 0, with_location: bool = False,
+               key: bytes | None = None):
     """Decode a GTSEncoder stream → list of (ts, value, elevation|None),
     or (ts, value, elevation|None, location|None) when with_location.
-    Handles every non-encrypted flag combination, including the
-    BigDecimal compact double form."""
+    Handles every flag combination, including the BigDecimal compact
+    double form; encrypted sections (flag byte 0x00) are decrypted and
+    spliced in when ``key`` is given, silently skipped otherwise — the
+    GTSDecoder.next contract (GTSDecoder.java:214-262)."""
     pos = 0
     n = len(blob)
     last_ts = 0
@@ -287,6 +306,19 @@ def decode_gts(blob: bytes, base: int = 0, with_location: bool = False):
     while pos < n:
         flags = blob[pos]
         pos += 1
+        if flags == 0x00:  # encrypted section
+            enc_len, pos = read_uvarint(blob, pos)
+            section = blob[pos : pos + enc_len]
+            pos += enc_len
+            if key is None:
+                continue  # no key: skip the section like the reference
+            from warp10_platform_spark.functions.aes import unwrap as _aes_unwrap
+
+            # splice decrypted bytes ahead of the remaining stream;
+            # decoder state (last_*) carries across like the reference
+            blob = _aes_unwrap(key, section) + blob[pos:]
+            pos, n = 0, len(blob)
+            continue
         elev_flags = 0
         if flags & FLAGS_CONTINUATION:
             elev_flags = blob[pos]

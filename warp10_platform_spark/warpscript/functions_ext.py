@@ -2446,6 +2446,50 @@ def _togts(st):
     )), None, "v_double"))
 
 
+@register("GOLDWRAP")
+def _goldwrap(st):
+    """[encoder|wrapped …] bool? GOLDWRAP (GOLDWRAP.java:95-130):
+    canonical serialized GTSWrapper BYTES per element — points fully
+    sorted (optional boolean on top = descending), labels/attributes in
+    TreeMap (lexicographic) order, wrapper compressed (compratio 1.0)
+    — a deterministic "golden" blob usable for byte-equality compare.
+    Recurses over lists like the reference's ListRecursiveStackFunction."""
+    from warp10_platform_spark.core.gtscodec import encode_gts, write_wrapper
+
+    E = _enc()
+    reverse = False
+    if isinstance(st.peek(), bool):
+        reverse = st.pop()
+    v = st.pop()
+
+    def gold(el):
+        if isinstance(el, list):
+            return [gold(x) for x in el]
+        if isinstance(el, (str, bytes)):
+            el = E.Encoder.from_wrapped(
+                el if isinstance(el, str) else el.decode("ascii")
+            )
+        if not isinstance(el, E.Encoder):
+            raise TypeError("GOLDWRAP operates on encoders or wrapped blobs")
+        # full sort: ts, then location/elevation/value repr for stability
+        pts = sorted(
+            el.points, key=lambda p: (p[0], repr(p[3]), repr(p[2]), repr(p[1])),
+            reverse=reverse,
+        )
+        blob = encode_gts(pts, base=0)
+        return write_wrapper(
+            el.name,
+            dict(sorted(el.labels.items())),
+            blob,
+            len(pts),
+            base=0,
+            attributes=dict(sorted(el.attributes.items())),
+            compress=True,
+        )
+
+    st.push(gold(v))
+
+
 # =====================================================================
 # Tranche H — constructive geometry on GeoXP coverages
 # (GeoWKT/GeoJSON → GeoXPShape; GeoUnion/GeoIntersection/GeoSubtraction
