@@ -142,3 +142,24 @@ def test_pii_and_repetition_are_scan_side(spark, sf_dir):
         assert r.python_evals == 0, name
         assert r.exchanges == 0, name
         assert r.cartesian_products == 0, name
+
+
+def test_lm_score_broadcasts_small_aggregates(spark, sf_dir):
+    # unigram counts + vocab scalar are broadcast; the bigram join may
+    # shuffle (it's the big side) — but never a cartesian on data
+    r = plan_report(E.queries()["doc_lm_score"](spark, sf_dir))
+    assert r.broadcast_joins >= 2
+    assert r.python_evals == 0
+
+
+def test_stratified_sample_is_scan_side(spark, sf_dir):
+    r = plan_report(E.queries()["doc_stratified_sample"](spark, sf_dir))
+    assert r.exchanges == 0
+    assert r.python_evals == 0
+
+
+def test_seq_packing_sharded_single_shuffle(spark, sf_dir):
+    # keyed window = one exchange on the shard key, nothing else
+    r = plan_report(E.queries()["doc_seq_packing_sharded"](spark, sf_dir))
+    assert r.exchanges <= 1
+    assert r.python_evals == 0

@@ -295,3 +295,78 @@ def doc_contamination(spark, sf_dir):
     train = docs.where(F.col("doc_id") % 97 != 0)
     ev = docs.where(F.col("doc_id") % 97 == 0)
     return _text.contamination(train, ev, n=3)
+
+
+# ---------------------------------------------------------------------------
+# dataset assembly: LM quality scoring, mixture sampling, sequence packing
+# ---------------------------------------------------------------------------
+
+@register("doc_lm_score", (
+    "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents), "
+    "d AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2), "
+    "bi AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bg FROM d), "
+    "bi2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bi), "
+    "c1 AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w), "
+    "c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg), "
+    "v AS (SELECT count(*)::DOUBLE AS v FROM c1) "
+    "SELECT doc_id, count(*) AS n_bigrams, "
+    "round(avg(ln((c2 + 1) / (c1 + v))), 6) AS avg_logprob "
+    "FROM bi2 JOIN c2 USING (bg) JOIN c1 ON bi2.w1 = c1.w CROSS JOIN v "
+    "GROUP BY doc_id"
+))
+def doc_lm_score(spark, sf_dir):
+    """Corpus-trained bigram LM log-likelihood per doc (add-one
+    smoothing) — the perplexity quality filter, fully relational."""
+    docs = load_table(spark, sf_dir, "documents")
+    from warp10_platform_spark.pipeline.assemble import lm_score
+
+    return lm_score(docs)
+
+
+@register("doc_stratified_sample", (
+    "SELECT doc_id, source FROM documents "
+    "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 "
+    "< 50 * (1 + (substr(source, 4)::INT % 10))"
+))
+def doc_stratified_sample(spark, sf_dir):
+    """Deterministic data mixing: per-source mixture weights (per-mille
+    rates derived from the source id) applied via the portable content
+    hash — identical row selection on any engine, pure scan-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    from warp10_platform_spark.pipeline.assemble import stratified_sample
+
+    rate = 50 * (1 + (F.substring("source", 4, 10).cast("int") % 10))
+    return stratified_sample(docs, rate).select("doc_id", "source")
+
+
+_PACK_SQL = (
+    "WITH t AS (SELECT doc_id, {part} len(string_split(trim(text), ' ')) AS nt FROM documents) "
+    "SELECT doc_id, {part} nt::BIGINT AS n_tokens, "
+    "(sum(nt) OVER w - nt)::BIGINT AS stream_offset, "
+    "CAST(floor((sum(nt) OVER w - nt) / 2048) AS BIGINT) AS bin_id "
+    "FROM t WINDOW w AS ({partby}ORDER BY doc_id)"
+)
+
+
+@register("doc_seq_packing", _PACK_SQL.format(part="", partby=""))
+def doc_seq_packing(spark, sf_dir):
+    """Sequence packing, global doc_id order: deterministic greedy
+    concat-and-chunk into 2048-token bins. The global window is the
+    oracle-able form; doc_seq_packing_sharded is the scale path."""
+    docs = load_table(spark, sf_dir, "documents")
+    from warp10_platform_spark.pipeline.assemble import seq_packing
+
+    return seq_packing(docs, bin_tokens=2048)
+
+
+@register("doc_seq_packing_sharded", _PACK_SQL.format(
+    part="source, ", partby="PARTITION BY source "
+))
+def doc_seq_packing_sharded(spark, sf_dir):
+    """Sequence packing keyed by source shard — every shard packs
+    independently in parallel (one shuffle on the shard key), the form
+    that holds at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    from warp10_platform_spark.pipeline.assemble import seq_packing
+
+    return seq_packing(docs, bin_tokens=2048, partition_col="source")
