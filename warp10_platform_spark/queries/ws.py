@@ -666,3 +666,25 @@ def ws_ceval_fetch(spark, sf_dir):
     results = st.pop()
     rows = [(c, int(res[0])) for c, res in zip(classes, results)]
     return spark.createDataFrame(rows, "class string, n long")
+
+
+@register("ws_secure_eval", (
+    f"WITH {PTS}, {DAILY} "
+    'SELECT class, "user", ts, count(v) AS v_agg FROM daily GROUP BY class, "user", ts'
+))
+def ws_secure_eval(spark, sf_dir):
+    """The secure-script path end-to-end: a FETCH→BUCKETIZE pipeline is
+    SECUREd into an opaque blob (thrift SecureScript + RFC 3394 keywrap
+    + OPB64, functions_secure.py) and executed via EVALSECURE on the
+    real stack — same lazy Catalyst plan, same oracle as the plain
+    ws_fetch_bucketize."""
+    from warp10_platform_spark.warpscript import functions_secure as fs
+
+    inner = (
+        f"[ '~events\\..*' {{}} {_START} {LASTBUCKET} ] FETCH "
+        f"[ SWAP bucketizer.count {LASTBUCKET} {DAY} {NDAYS} ] BUCKETIZE"
+    )
+    blob = fs.secure(fs._DEFAULT_MASTER, "mixkey", inner, timestamp_ms=0)
+    script = f"'mixkey' SECUREKEY '{blob}' EVALSECURE"
+    gf = exec_script(spark, sf_dir, script)
+    return _out(gf.df, "v_agg", "v_agg")
