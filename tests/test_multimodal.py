@@ -166,3 +166,65 @@ def test_attach_wav_audio_is_real_wav(spark, sf_dir):
     for r in rows:
         sig, rate, ch = decode_wav(bytes(r.content))
         assert rate == 8000 and ch == 1 and len(sig) == 64
+
+
+# ---------------------------------------------------------------------
+# GIF89a codec (multimodal/gif.py) — real LZW both directions
+# ---------------------------------------------------------------------
+
+def test_gif_lzw_roundtrip_forcing_code_growth():
+    import numpy as np
+
+    from warp10_platform_spark.multimodal.gif import lzw_decode, lzw_encode
+
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 10, 4096, 20000):
+        d = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert lzw_decode(lzw_encode(d, 8), 8) == d
+    # repetitive input exercises the KwKwK case and table resets
+    d = b"abcabcabc" * 3000
+    assert lzw_decode(lzw_encode(d, 8), 8) == d
+
+
+def test_gif_animated_roundtrip():
+    import numpy as np
+
+    from warp10_platform_spark.multimodal.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (7, 5), dtype=np.uint8) for _ in range(4)]
+    gif = encode_gif(frames)
+    assert gif[:6] == b"GIF89a" and gif[-1] == 0x3B
+    out = decode_gif(gif)
+    assert len(out) == len(frames)
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+
+
+def test_gif_transparency_composites_over_previous():
+    import struct
+
+    import numpy as np
+
+    from warp10_platform_spark.multimodal.gif import (
+        _sub_blocks,
+        decode_gif,
+        encode_gif,
+        lzw_encode,
+    )
+
+    base = np.full((2, 2), 200, dtype=np.uint8)
+    gif = bytearray(encode_gif([base]))
+    # append a second frame marked transparent on index 0: only the
+    # non-zero pixel must overwrite the composited canvas
+    overlay = np.array([[0, 7], [0, 0]], dtype=np.uint8)
+    extra = bytearray()
+    extra += b"\x21\xf9" + _sub_blocks(struct.pack("<BHB", 0x05, 10, 0))  # transparent idx 0
+    extra += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+    extra.append(8)
+    extra += _sub_blocks(lzw_encode(overlay.tobytes(), 8))
+    gif = bytes(gif[:-1]) + bytes(extra) + b"\x3b"
+    frames = decode_gif(gif)
+    assert (frames[0] == 200).all()
+    assert frames[1][0, 1] == 7
+    assert frames[1][0, 0] == 200 and (frames[1][1] == 200).all()

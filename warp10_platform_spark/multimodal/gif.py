@@ -1,0 +1,249 @@
+"""GIF89a codec — pure Python, stdlib only: real LZW in both directions.
+
+Replaces the last "video container decode stays stubbed" caveat with an
+actual animated-container path: multi-frame GIFs are parsed for real
+(header, logical screen descriptor, global color table, graphic control
+extensions, image descriptors, sub-block chains, LZW decompression with
+code-size growth and CLEAR/EOI handling, frame compositing with the
+GIF89a disposal rules) and produced for real (the encoder emits genuine
+variable-code-size LZW with table resets, not the uncompressed-code
+trick).
+
+Validation: encoder/decoder are independent implementations of the LZW
+table logic and round-trip property tests cover sizes that force code
+widths up to 12 bits; the Spark query path additionally cross-checks
+per-frame pixel means against a DuckDB oracle that recomputes them from
+md5 hex, so a compositing or palette bug cannot hide.
+
+Grayscale model: frames are (h, w) uint8 arrays; the palette is the
+identity grayscale ramp (index i → (i, i, i)), so pixel index == pixel
+value and the SQL oracle needs no palette logic.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_HEADER = b"GIF89a"
+
+
+# ---------------------------------------------------------------------------
+# LZW (GIF variant: variable code width 3..12 bits, CLEAR and EOI codes)
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int):
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bw = _BitWriter()
+
+    def reset():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    bw.write(clear, width)
+    prefix = b""
+    for b in data:
+        cand = prefix + bytes([b])
+        if cand in table:
+            prefix = cand
+            continue
+        bw.write(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1:
+            if width < 12:
+                width += 1
+            else:
+                bw.write(clear, width)
+                table, next_code, width = reset()
+        prefix = bytes([b])
+    if prefix:
+        bw.write(table[prefix], width)
+    bw.write(eoi, width)
+    return bw.flush()
+
+
+def lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def reset_table():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = reset_table()
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # truncated stream: emit what we have
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = reset_table()
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream: code out of range")
+        out += entry
+        prev = entry
+        # GIF growth rule: the width bumps when the table hits 2^width
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+# ---------------------------------------------------------------------------
+# container
+# ---------------------------------------------------------------------------
+
+def _sub_blocks(payload: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(frames: list[np.ndarray], delay_cs: int = 10) -> bytes:
+    """Animated grayscale GIF89a: identity 256-color ramp GCT, one GCE +
+    image descriptor per frame, real LZW image data."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape
+    out = bytearray(_HEADER)
+    # logical screen descriptor: GCT present, 8 bits/channel, 256 entries
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    for i in range(256):  # grayscale ramp palette
+        out += bytes((i, i, i))
+    # netscape loop extension (standard for animations)
+    out += b"\x21\xff\x0bNETSCAPE2.0" + _sub_blocks(b"\x01\x00\x00")
+    for fr in frames:
+        if fr.shape != (h, w):
+            raise ValueError("all frames must share the logical screen size")
+        # graphic control extension: disposal=1 (leave), no transparency
+        out += b"\x21\xf9" + _sub_blocks(struct.pack("<BHB", 0x04, delay_cs, 0))
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # no LCT
+        out.append(8)  # LZW min code size
+        out += _sub_blocks(lzw_encode(fr.astype(np.uint8).tobytes(), 8))
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> list[np.ndarray]:
+    """Decode every frame of a GIF87a/89a into grayscale (h, w) uint8
+    arrays (palette collapsed via its red channel — exact for the
+    grayscale ramp, the luminance approximation otherwise), applying the
+    disposal rules between frames."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    disposal, transparent = 0, None
+    prev_canvas = None
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = data[pos]
+            pos += 1
+            blocks = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                blocks += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and len(blocks) >= 4:
+                packed, _delay, tidx = struct.unpack("<BHB", blocks[:4])
+                disposal = (packed >> 2) & 0x07
+                transparent = tidx if packed & 0x01 else None
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, fw, fh, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
+        pos += 9
+        lct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            lct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF frames not supported")
+        min_code = data[pos]
+        pos += 1
+        blocks = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            blocks += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            lzw_decode(bytes(blocks), min_code)[: fw * fh], dtype=np.uint8
+        ).reshape(fh, fw)
+        if disposal == 3:
+            prev_canvas = canvas.copy()
+        gray = lct[:, 0][idx] if lct is not None else idx
+        region = canvas[top : top + fh, left : left + fw]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = gray[mask]
+        else:
+            region[:] = gray
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore to background (0)
+            canvas[top : top + fh, left : left + fw] = 0
+        elif disposal == 3 and prev_canvas is not None:
+            canvas = prev_canvas
+    return frames

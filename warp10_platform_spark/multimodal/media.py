@@ -488,3 +488,76 @@ def attach_jpeg_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return src.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------
+# Real animated-GIF codec path (round 4): the video-container tier is no
+# longer stubbed — multimodal/gif.py parses GIF89a for real (LZW with
+# code growth, GCE/disposal compositing) and writes it for real.
+# ---------------------------------------------------------------------
+
+def attach_gif_videos(docs: DataFrame, n_frames: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """documents → media rows carrying REAL animated GIF bytes: frame k
+    is the 4x4 md5(text||k) pixel image (frame 0 = md5(text)), encoded
+    through the GIF89a writer inside Arrow-batched mapInPandas."""
+    import hashlib as _hl
+
+    from warp10_platform_spark.multimodal.gif import encode_gif
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, text in zip(pdf[id_col], pdf["text"]):
+                frames = []
+                for k in range(n_frames):
+                    src = text if k == 0 else f"{text}{k}"
+                    px = np.frombuffer(
+                        _hl.md5(src.encode("utf-8")).digest(), dtype=np.uint8
+                    ).reshape(4, 4)
+                    frames.append(px)
+                ids.append(did)
+                blobs.append(encode_gif(frames))
+            yield pd.DataFrame({"media_id": pd.array(ids, dtype="int64"),
+                                "content": pd.Series(blobs, dtype=object)})
+
+    return docs.select(id_col, "text").mapInPandas(run, schema=schema)
+
+
+def gif_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
+    """Frame sampling over a REAL video container: decode the animated
+    GIF (full LZW + compositing), keep every `every`-th frame, emit the
+    per-frame mean pixel — same output contract as frame_sample, so the
+    same md5-arithmetic oracle verifies the whole container path."""
+    from warp10_platform_spark.multimodal.gif import decode_gif
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("mean_pixel", DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, means = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                frames = decode_gif(bytes(content))
+                for k in range(0, len(frames), every):
+                    ids.append(mid)
+                    idxs.append(k)
+                    # exact integer sum / count: engine-reproducible double
+                    means.append(int(frames[k].astype(np.int64).sum()) / frames[k].size)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int64"),
+                    "mean_pixel": pd.array(means, dtype="float64"),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, schema=schema)

@@ -335,3 +335,18 @@ def media_jpeg_dhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = attach_jpeg_images(docs)
     return dhash_images(media, resize_to=(4, 4))
+
+
+@register("media_gif_frame_sample", _frames_oracle())
+def media_gif_frame_sample(spark, sf_dir):
+    """REAL video-container path: each doc becomes a 4-frame animated
+    GIF89a (real LZW, GCE per frame) built by the own writer, decoded by
+    the own parser (code-size growth, compositing), sampled every 2nd
+    frame. Pixels are the same md5 bytes as media_frame_sample, so the
+    identical SQL oracle verifies the whole container round-trip — any
+    LZW or compositing bug breaks the means."""
+    from warp10_platform_spark.multimodal.media import attach_gif_videos, gif_frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_gif_videos(docs, n_frames=4)
+    return gif_frame_sample(media, every=2)
