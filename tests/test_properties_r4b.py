@@ -1,0 +1,130 @@
+"""Hypothesis property tests for the round-4 late tiers: digests, AES /
+RFC 3394, the secure-script envelope, GIF LZW, and GOLDWRAP canonicity."""
+
+import hashlib
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from warp10_platform_spark.core.encoders import Encoder
+from warp10_platform_spark.core.gtscodec import decode_gts, encode_gts, encrypt_gts
+from warp10_platform_spark.functions import aes
+from warp10_platform_spark.functions import digests as dg
+from warp10_platform_spark.multimodal.gif import decode_gif, encode_gif, lzw_decode, lzw_encode
+from warp10_platform_spark.warpscript import functions_secure as fs
+from warp10_platform_spark.warpscript.functions import REGISTRY
+
+payload = st.binary(min_size=0, max_size=400)
+
+
+@given(payload)
+@settings(max_examples=50, deadline=None)
+def test_ripemd160_always_matches_openssl(data):
+    assert dg.ripemd160_pure(data) == hashlib.new("ripemd160", data).digest()
+
+
+@given(payload, st.sampled_from([224, 256, 384, 512]))
+@settings(max_examples=50, deadline=None)
+def test_keccak_sponge_always_matches_sha3(data, bits):
+    ref = getattr(hashlib, f"sha3_{bits}")
+    assert dg.sha3(data, bits) == ref(data).digest()
+
+
+@given(payload, st.sampled_from([16, 24, 32]))
+@settings(max_examples=40, deadline=None)
+def test_aes_envelope_roundtrip(data, klen):
+    key = bytes(range(klen))
+    assert aes.unwrap(key, aes.wrap(key, data)) == data
+
+
+@given(st.text(min_size=0, max_size=300), st.text(min_size=1, max_size=20))
+@settings(max_examples=30, deadline=None)
+def test_secure_envelope_roundtrip_any_script(script, key):
+    blob = fs.secure(bytes(range(32)), key, script, timestamp_ms=42)
+    got = fs.unsecure(bytes(range(32)), blob)
+    assert got == {"timestamp": 42, "key": key, "script": script}
+
+
+@given(st.binary(min_size=0, max_size=3000))
+@settings(max_examples=40, deadline=None)
+def test_gif_lzw_roundtrip(data):
+    assert lzw_decode(lzw_encode(data, 8), 8) == data
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_gif_container_roundtrip(w, h, n_frames, seed):
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(n_frames)]
+    out = decode_gif(encode_gif(frames))
+    assert len(out) == n_frames
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.integers(min_value=-(2**31), max_value=2**31),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda p: p[0],
+    ),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_goldwrap_is_order_canonical(points, seed):
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(points))
+
+    class S:
+        def __init__(self):
+            self.stack = []
+
+        def push(self, v):
+            self.stack.append(v)
+
+        def pop(self):
+            return self.stack.pop()
+
+        def peek(self):
+            return self.stack[-1]
+
+    def gold(pts):
+        e = Encoder("m", {"k": "v"})
+        for ts, val in pts:
+            e.add_value(ts, val)
+        s = S()
+        s.push(e)
+        REGISTRY["GOLDWRAP"](s)
+        return s.pop()
+
+    assert gold(points) == gold([points[i] for i in order])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.integers(min_value=-(2**31), max_value=2**31),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from([16, 24, 32]),
+)
+@settings(max_examples=40, deadline=None)
+def test_encrypted_stream_roundtrip(points, klen):
+    key = bytes(range(klen))
+    pts = [(ts, v) for ts, v in points]
+    enc = encrypt_gts(encode_gts(pts, base=0), key)
+    assert [(t, v) for t, v, _ in decode_gts(enc, base=0, key=key)] == pts
+    assert decode_gts(enc, base=0) == []

@@ -153,3 +153,45 @@ def test_streaming_exact_dedup_state_across_batches(spark, tmp_path):
         q.stop()
     rows = {r["doc_id"]: (r["keep_id"], r["is_dup"]) for r in spark.table(sink).collect()}
     assert rows == {1: (1, False), 2: (1, True), 3: (1, True), 4: (4, False)}
+
+
+def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
+    # the stateless pipeline stages (PII scrub, repetition, token count)
+    # apply unchanged to a readStream frame — prove scrub output on a
+    # stream equals the batch result on the same rows
+    import json
+    import os
+
+    from warp10_platform_spark.pipeline.text import pii_scrub
+
+    d = tmp_path / "pii_stream"
+    os.makedirs(d)
+    rows = [
+        {"doc_id": 1, "text": "reach me at a.b@example.com or 10.0.0.7 ok"},
+        {"doc_id": 2, "text": "no pii here"},
+        {"doc_id": 3, "text": "two mails x@y.io z@w.dev one ip 192.168.1.254"},
+    ]
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in rows[:2]))
+    (d / "b2.json").write_text(json.dumps(rows[2]))
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(d))
+    )
+    out = pii_scrub(stream).select("doc_id", "n_emails", "n_ips", "clean_text")
+    sink = f"pii_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"]: (r["n_emails"], r["n_ips"], r["clean_text"])
+           for r in spark.table(sink).collect()}
+    batch = spark.createDataFrame([tuple(r.values()) for r in rows], schema)
+    want = {r["doc_id"]: (r["n_emails"], r["n_ips"], r["clean_text"])
+            for r in pii_scrub(batch).collect()}
+    assert got == want
+    assert got[1] == (1, 1, "reach me at <EMAIL> or <IP> ok")
+    assert got[3][0] == 2 and got[3][1] == 1
