@@ -77,17 +77,46 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]], col: str = "embeddin
     return d.withColumn("ivf_cell", F.expr(best + ".i"))
 
 
+def ivf_probe(df: DataFrame, centroids: list[list[float]], nprobe: int,
+              col: str = "embedding") -> DataFrame:
+    """Multi-probe assignment: one row per (vector, probed cell) for the
+    vector's `nprobe` nearest centroids — the standard IVF recall lever.
+    Same literal-centroid arithmetic as ivf_assign; the sorted-struct
+    slice runs JVM-side, and the explode multiplies only the QUERY side
+    (tiny) by nprobe."""
+    d = _as_double(df, col)
+    dists = []
+    for i, c in enumerate(centroids):
+        arr = "array(" + ",".join(f"{x}D" for x in c) + ")"
+        cc = sum(x * x for x in c)
+        dists.append(
+            f"named_struct('d', {_DOT.format(a='v', b='v')} - 2.0D * {_DOT.format(a='v', b=arr)} + {cc}D, 'i', {i})"
+        )
+    probed = (
+        f"transform(slice(array_sort(array({', '.join(dists)})), 1, {nprobe}), s -> s.i)"
+    )
+    return d.withColumn("ivf_cell", F.explode(F.expr(probed)))
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
     centroids: list[list[float]],
     k: int = 3,
     id_col: str = "vec_id",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF ANN top-k: search only the query's cell (nprobe=1) — the
-    cell equi-join replaces the whole-corpus broadcast product; recall < 1
-    by construction, like the reference's sketch-based approximations."""
-    q = with_norm(ivf_assign(queries, centroids)).select(
+    """IVF ANN top-k: search the query's `nprobe` nearest cells — the
+    cell equi-join replaces the whole-corpus broadcast product; recall
+    rises with nprobe (cost: query-side rows × nprobe, still tiny).
+    Candidates keep exactly one cell, so probing introduces no duplicate
+    (qid, nid) pairs."""
+    qsrc = (
+        ivf_probe(queries, centroids, nprobe)
+        if nprobe > 1
+        else ivf_assign(queries, centroids)
+    )
+    q = with_norm(qsrc).select(
         F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn"), "ivf_cell"
     )
     c = with_norm(ivf_assign(_spread(candidates), centroids)).select(

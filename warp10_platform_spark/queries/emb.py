@@ -143,3 +143,48 @@ def emb_cosine_dup(spark, sf_dir):
     by LSH/IVF cell first."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _sim.cosine_dup_pairs(emb, threshold=0.4)
+
+
+def _ivf_topk_nprobe_oracle(dim: int = 64, n_cells: int = 8, k: int = 3, nprobe: int = 2) -> str:
+    """DuckDB replica of ivf_topk with multi-probe: query side joins on
+    its `nprobe` nearest cells, candidates keep their single cell."""
+    cents = _ivf_centroids(dim, n_cells)
+    vals = ", ".join(
+        f"({i}, [{','.join(str(x) for x in c)}]::DOUBLE[], {sum(x * x for x in c)})" for i, c in enumerate(cents)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents(i, c, cc) AS (VALUES {vals}),
+dist AS (
+  SELECT e.vec_id, cents.i,
+         list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, cents.c) + cents.cc AS d
+  FROM e CROSS JOIN cents
+),
+ranked AS (
+  SELECT vec_id, i AS ivf_cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rk
+  FROM dist
+),
+cell AS (SELECT vec_id, ivf_cell FROM ranked WHERE rk = 1),
+probe AS (SELECT vec_id, ivf_cell FROM ranked WHERE rk <= {nprobe}),
+b AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS norm, cell.ivf_cell
+      FROM e JOIN cell ON e.vec_id = cell.vec_id),
+q AS (SELECT e.vec_id AS qid, e.v AS qv, sqrt(list_dot_product(e.v, e.v)) AS qn, probe.ivf_cell
+      FROM e JOIN probe ON e.vec_id = probe.vec_id WHERE e.vec_id < 10),
+s AS (SELECT q.qid, c.vec_id AS nid,
+             round(list_dot_product(q.qv, c.v) / (q.qn * c.norm), 6) AS sim
+      FROM q JOIN b c ON c.ivf_cell = q.ivf_cell AND c.vec_id != q.qid)
+SELECT qid, nid, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk FROM s
+) WHERE rk <= {k}
+"""
+
+
+@register("emb_ivf_topk_nprobe2", _ivf_topk_nprobe_oracle())
+def emb_ivf_topk_nprobe2(spark, sf_dir):
+    """IVF ANN with multi-probe (nprobe=2): the standard recall lever —
+    query vectors search their two nearest cells. Query-side rows double;
+    the corpus side is untouched, so the 100 TB cost model is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return _sim.ivf_topk(queries, emb, _ivf_centroids(), k=3, nprobe=2)
