@@ -157,3 +157,24 @@ def test_goldwrap_canonical_bytes():
     st.push([e1, e2])
     REGISTRY["GOLDWRAP"](st)
     assert st.pop() == [gold, gold]  # list recursion
+
+
+def test_snapshot_of_encoder_rebuilds(spark):
+    # SNAPSHOT.java:290-308: encoder values snapshot as
+    # '<wrapped>' UNWRAPENCODER — eval of the snapshot rebuilds the value
+    from warp10_platform_spark.core.encoders import Encoder
+    from warp10_platform_spark.warpscript.stack import WarpScriptStack
+
+    st = WarpScriptStack(spark, "/root/testdata/sf0.001")
+    e = Encoder("snap.m", {"a": "1"})
+    e.add_value(100, 1.5)
+    e.add_value(200, 2.5)
+    st.push(e)
+    st.exec("SNAPSHOT")
+    snap = st.pop()
+    assert "UNWRAPENCODER" in snap and "snap.m" not in snap  # opaque blob
+    st.exec(snap)
+    back = st.pop()
+    assert isinstance(back, Encoder)
+    assert back.name == "snap.m" and back.labels == {"a": "1"}
+    assert [(p[0], p[1]) for p in back.points] == [(100, 1.5), (200, 2.5)]

@@ -1519,7 +1519,15 @@ def _snap_value(v) -> str:
         return "[ " + " ".join(_snap_value(x) for x in sorted(v, key=repr)) + " ] ->SET"
     if isinstance(v, dict):
         return "{ " + " ".join(f"{_snap_value(k)} {_snap_value(x)}" for k, x in v.items()) + " }"
-    raise TypeError(f"SNAPSHOT of {type(v).__name__} not supported (GTS snapshots need WRAP)")
+    from warp10_platform_spark.core.encoders import Encoder as _Encoder
+
+    if isinstance(v, _Encoder):
+        # SNAPSHOT.java:290-308: encoders snapshot as their wrapped blob
+        # followed by UNWRAPENCODER (GTS would use UNWRAP; a distributed
+        # GTSFrame still refuses — collecting a frame to the driver for a
+        # snapshot is the anti-pattern, WRAP it explicitly instead)
+        return "'" + v.wrap() + "' UNWRAPENCODER"
+    raise TypeError(f"SNAPSHOT of {type(v).__name__} not supported (GTS frames need WRAP)")
 
 
 @register("SNAPSHOT")
