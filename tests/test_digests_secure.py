@@ -317,3 +317,96 @@ def test_encrypted_and_plain_sections_mix():
     # without the key only the plain tail survives
     got2 = decode_gts(enc + plain_tail, base=0)
     assert [(t, v) for t, v, _ in got2] == [(now + 2, 3.5)]
+
+
+# ---------------------------------------------------------------------------
+# RSA tier (functions/rsa.py + RSA* stack bindings)
+# ---------------------------------------------------------------------------
+
+def test_rsa_digestinfo_prefixes_match_published_constants():
+    # the DER encoder derives DigestInfo from the OIDs; the results must
+    # equal the RFC 8017 §9.2 note-1 published prefixes
+    from warp10_platform_spark.functions import rsa
+
+    cases = {
+        "SHA256WITHRSA": ("3031300d060960864801650304020105000420", 32),
+        "SHA1WITHRSA": ("3021300906052b0e03021a05000414", 20),
+        "MD5WITHRSA": ("3020300c06082a864886f70d020505000410", 16),
+        "SHA384WITHRSA": ("3041300d060960864801650304020205000430", 48),
+        "SHA512WITHRSA": ("3051300d060960864801650304020305000440", 64),
+    }
+    for alg, (prefix, dlen) in cases.items():
+        di = rsa._digest_info(alg, b"abc")
+        assert di[:-dlen].hex() == prefix, alg
+
+
+def test_rsa_sign_is_rfc8017_deterministic():
+    # RSASSA-PKCS1-v1_5 is deterministic: sig^e mod n must equal the
+    # EMSA encoding exactly (the RFC definition, checked structurally)
+    from warp10_platform_spark.functions import rsa
+
+    priv, pub = rsa.generate(768)
+    msg = b"payload"
+    sig = rsa.sign("SHA256withRSA", priv, msg)
+    assert sig == rsa.sign("SHA256withRSA", priv, msg)  # deterministic
+    k = (pub.n.bit_length() + 7) // 8
+    em = pow(int.from_bytes(sig, "big"), pub.e, pub.n).to_bytes(k, "big")
+    assert em == rsa._emsa("SHA256WITHRSA", msg, k)
+    assert em[:2] == b"\x00\x01" and b"\x00" in em[2:]
+
+
+def test_rsa_stack_surface_end_to_end():
+    from warp10_platform_spark.functions import rsa
+
+    st = _Stack()
+    st.push("65537")
+    st.push(512)
+    REGISTRY["RSAGEN"](st)
+    pubmap = st.pop()
+    privmap = st.pop()
+    assert pubmap["algorithm"] == "RSA" and pubmap["exponent"] == "65537"
+    assert int(privmap["modulus"]) == int(pubmap["modulus"])
+    st.push(privmap)
+    REGISTRY["RSAPRIVATE"](st)
+    priv = st.pop()
+    st.push(pubmap)
+    REGISTRY["RSAPUBLIC"](st)
+    pub = st.pop()
+    assert isinstance(priv, rsa.RSAPrivateKey) and isinstance(pub, rsa.RSAPublicKey)
+    # sign → verify; tampered data must fail
+    st.push(b"data")
+    st.push("SHA256withRSA")
+    st.push(priv)
+    REGISTRY["RSASIGN"](st)
+    sig = st.pop()
+    st.push(b"data")
+    st.push(sig)
+    st.push("SHA256withRSA")
+    st.push(pub)
+    REGISTRY["RSAVERIFY"](st)
+    assert st.pop() is True
+    st.push(b"tampered")
+    st.push(sig)
+    st.push("SHA256withRSA")
+    st.push(pub)
+    REGISTRY["RSAVERIFY"](st)
+    assert st.pop() is False
+    # encrypt with public, decrypt with private (nonce stripped)
+    st.push(b"secret bytes")
+    st.push(pub)
+    REGISTRY["RSAENCRYPT"](st)
+    ct = st.pop()
+    assert ct != b"secret bytes"
+    st.push(ct)
+    st.push(priv)
+    REGISTRY["RSADECRYPT"](st)
+    assert st.pop() == b"secret bytes"
+
+
+def test_rsa_long_payload_chunks():
+    from warp10_platform_spark.functions import rsa
+
+    priv, pub = rsa.generate(512)
+    data = os.urandom(300)  # forces multiple PKCS1 blocks at 512 bits
+    assert rsa.decrypt(priv, rsa.encrypt(pub, data)) == data
+    assert rsa.decrypt(pub, rsa.encrypt(priv, data)) == data

@@ -185,3 +185,101 @@ def _aesunwrap(st):
     if not isinstance(data, (bytes, bytearray)):
         raise TypeError("AESUNWRAP operates on a byte array.")
     st.push(aes.unwrap(bytes(key), bytes(data))[8:])
+
+
+# ---------------------------------------------------------------------------
+# RSA tier (RSAGEN.java, RSAPUBLIC/RSAPRIVATE.java, RSASIGN/RSAVERIFY.java,
+# RSAENCRYPT/RSADECRYPT.java) — engine in functions/rsa.py
+# ---------------------------------------------------------------------------
+
+from warp10_platform_spark.functions import rsa as _rsa
+
+
+@register("RSAGEN")
+def _rsagen(st):
+    """exponent strength RSAGEN → private param map, public param map
+    (decimal-string values, RSAGEN.java:60-87)."""
+    strength = st.pop()
+    if not isinstance(strength, int):
+        raise TypeError("RSAGEN expects a key length.")
+    e = int(str(st.pop()))
+    priv, pub = _rsa.generate(int(strength), e)
+    st.push({
+        _rsa.KEY_MODULUS: str(priv.n),
+        _rsa.KEY_ALGORITHM: "RSA",
+        _rsa.KEY_EXPONENT: str(priv.d),
+    })
+    st.push({
+        _rsa.KEY_MODULUS: str(pub.n),
+        _rsa.KEY_ALGORITHM: "RSA",
+        _rsa.KEY_EXPONENT: str(pub.e),
+    })
+
+
+def _key_map(st, cls):
+    m = st.pop()
+    if not isinstance(m, dict):
+        raise TypeError("expects a map on top of the stack.")
+    if m.get(_rsa.KEY_ALGORITHM) != "RSA":
+        raise ValueError("invalid value for key 'algorithm', expected value 'RSA'.")
+    n = int(str(m[_rsa.KEY_MODULUS]))
+    x = int(str(m[_rsa.KEY_EXPONENT]))
+    return cls(n, x)
+
+
+REGISTRY["RSAPUBLIC"] = lambda st: st.push(_key_map(st, _rsa.RSAPublicKey))
+REGISTRY["RSAPRIVATE"] = lambda st: st.push(_key_map(st, _rsa.RSAPrivateKey))
+
+
+@register("RSASIGN")
+def _rsasign(st):
+    """data alg privkey RSASIGN → RSASSA-PKCS1-v1_5 signature bytes."""
+    key = st.pop()
+    if not isinstance(key, _rsa.RSAPrivateKey):
+        raise TypeError("RSASIGN expects a private key on top of the stack.")
+    alg = str(st.pop())
+    data = st.pop()
+    if not isinstance(data, (bytes, bytearray)):
+        raise TypeError("RSASIGN operates on a byte array.")
+    st.push(_rsa.sign(alg, key, bytes(data)))
+
+
+@register("RSAVERIFY")
+def _rsaverify(st):
+    """data sig alg pubkey RSAVERIFY → boolean."""
+    key = st.pop()
+    if not isinstance(key, _rsa.RSAPublicKey):
+        raise TypeError("RSAVERIFY expects a public key on top of the stack.")
+    alg = str(st.pop())
+    sig = st.pop()
+    data = st.pop()
+    if not isinstance(sig, (bytes, bytearray)) or not isinstance(data, (bytes, bytearray)):
+        raise TypeError("RSAVERIFY operates on byte arrays.")
+    st.push(_rsa.verify(alg, key, bytes(data), bytes(sig)))
+
+
+@register("RSAENCRYPT")
+def _rsaencrypt(st):
+    """data key RSAENCRYPT: 8-byte nonce prefix then chunked
+    RSAES-PKCS1-v1_5 (RSAENCRYPT.java:55-67; block format documented in
+    functions/rsa.py — the reference's external helper's exact padding
+    is not reproducible here)."""
+    key = st.pop()
+    if not isinstance(key, (_rsa.RSAPublicKey, _rsa.RSAPrivateKey)):
+        raise TypeError("RSAENCRYPT expects a key on top of the stack.")
+    data = st.pop()
+    if not isinstance(data, (bytes, bytearray)):
+        raise TypeError("RSAENCRYPT operates on a byte array.")
+    st.push(_rsa.encrypt(key, os.urandom(8) + bytes(data)))
+
+
+@register("RSADECRYPT")
+def _rsadecrypt(st):
+    """data key RSADECRYPT: decrypt, strip the 8-byte nonce."""
+    key = st.pop()
+    if not isinstance(key, (_rsa.RSAPublicKey, _rsa.RSAPrivateKey)):
+        raise TypeError("RSADECRYPT expects a key on top of the stack.")
+    data = st.pop()
+    if not isinstance(data, (bytes, bytearray)):
+        raise TypeError("RSADECRYPT operates on a byte array.")
+    st.push(_rsa.decrypt(key, bytes(data))[8:])
