@@ -410,3 +410,109 @@ def test_rsa_long_payload_chunks():
     data = os.urandom(300)  # forces multiple PKCS1 blocks at 512 bits
     assert rsa.decrypt(priv, rsa.encrypt(pub, data)) == data
     assert rsa.decrypt(pub, rsa.encrypt(priv, data)) == data
+
+
+# ---------------------------------------------------------------------------
+# EC tier (functions/ec.py + EC* stack bindings)
+# ---------------------------------------------------------------------------
+
+def test_ecdsa_rfc6979_a25_vector():
+    # RFC 6979 A.2.5 (P-256, SHA-256, message "sample") — end-to-end
+    # external validation of curve constants, point mul, nonce, ECDSA
+    from warp10_platform_spark.functions import ec
+
+    c = ec.CURVES["secp256r1"]
+    d = 0xC9AFA9D845BA75166B5C215767B1D6934E50C3DB36E89B127B8A622B120F6721
+    priv = ec.ECPrivateKey(c, d)
+    h1 = hashlib.sha256(b"sample").digest()
+    k = ec._rfc6979_k(c, d, h1, "sha256")
+    assert format(k, "x").upper() == (
+        "A6E3C57DD01ABE90086538398355DD4C3B17AA873382B0F24D6129493D8AAD60"
+    )
+    r, s = ec._parse_der_sig(ec.sign("SHA256withECDSA", priv, b"sample"))
+    assert format(r, "x").upper() == (
+        "EFD48B2AACB6A8FD1140DD9CD45E81D69D2C877B56AAF991C34D0EA84EAF3716"
+    )
+    assert format(s, "x").upper() == (
+        "F7CB1C942D657C41D436C7A1B6E29F65F3E900DBB9AFF4064DC4AB2F843ACDA8"
+    )
+    pub = ec.public_from_private(priv)
+    assert format(pub.q[0], "x").upper() == (
+        "60FED4BA255A9D31C961EB74C6356D68C049B8923B61FA6CE669622E60F29FB6"
+    )
+
+
+def test_ec_stack_surface_end_to_end():
+    from warp10_platform_spark.functions import ec
+
+    st = _Stack()
+    st.push("secp256k1")
+    REGISTRY["ECGEN"](st)
+    pubmap = st.pop()
+    privmap = st.pop()
+    assert sorted(privmap) == ["curve", "d"] and sorted(pubmap) == ["curve", "q"]
+    st.push(privmap)
+    REGISTRY["ECPRIVATE"](st)
+    priv = st.pop()
+    st.push(pubmap)
+    REGISTRY["ECPUBLIC"](st)
+    pub = st.pop()
+    # the ECGEN double-apply idiom: priv obj → pub obj → map
+    st.push(priv)
+    REGISTRY["ECPUBLIC"](st)
+    REGISTRY["ECPUBLIC"](st)
+    assert st.pop() == pubmap
+    # sign / verify / tamper
+    st.push(b"data")
+    st.push("SHA256withECDSA")
+    st.push(priv)
+    REGISTRY["ECSIGN"](st)
+    sig = st.pop()
+    st.push(b"data")
+    st.push(sig)
+    st.push("SHA256withECDSA")
+    st.push(pub)
+    REGISTRY["ECVERIFY"](st)
+    assert st.pop() is True
+    st.push(b"tampered")
+    st.push(sig)
+    st.push("SHA256withECDSA")
+    st.push(pub)
+    REGISTRY["ECVERIFY"](st)
+    assert st.pop() is False
+    # ECDH symmetry
+    st.push("secp256k1")
+    REGISTRY["ECGEN"](st)
+    pubmap2 = st.pop()
+    privmap2 = st.pop()
+    st.push(privmap2)
+    REGISTRY["ECPRIVATE"](st)
+    priv2 = st.pop()
+    st.push(pubmap2)
+    REGISTRY["ECPUBLIC"](st)
+    pub2 = st.pop()
+    st.push(pub2)
+    st.push(priv)
+    REGISTRY["ECDH"](st)
+    s1 = st.pop()
+    st.push(pub)
+    st.push(priv2)
+    REGISTRY["ECDH"](st)
+    assert st.pop() == s1
+    # ECRECOVER finds the signing key among candidates
+    st.push({"curve": "secp256k1", "hash": hashlib.sha256(b"data").digest(), "sig": sig})
+    REGISTRY["ECRECOVER"](st)
+    cands = st.pop()
+    enc = ec.encode_point(ec.CURVES["secp256k1"], pub.q).decode("latin-1")
+    assert enc in cands and len(cands) <= 4
+
+
+def test_ec_compressed_point_roundtrip():
+    from warp10_platform_spark.functions import ec
+
+    for name in ("secp256k1", "secp256r1"):
+        c = ec.CURVES[name]
+        priv, pub = ec.generate(name)
+        comp = ec.encode_point(c, pub.q, compressed=True)
+        assert len(comp) == 33
+        assert ec.decode_point(c, comp) == pub.q

@@ -283,3 +283,145 @@ def _rsadecrypt(st):
     if not isinstance(data, (bytes, bytearray)):
         raise TypeError("RSADECRYPT operates on a byte array.")
     st.push(_rsa.decrypt(key, bytes(data))[8:])
+
+
+# ---------------------------------------------------------------------------
+# EC tier (ECGEN/ECPUBLIC/ECPRIVATE/ECSIGN/ECVERIFY/ECDH/ECRECOVER.java)
+# — engine in functions/ec.py (curves self-checked, RFC 6979 vector-pinned)
+# ---------------------------------------------------------------------------
+
+from warp10_platform_spark.functions import ec as _ec
+
+
+def _curve_of(name):
+    c = _ec.CURVES.get(str(name))
+    if c is None:
+        raise ValueError(
+            f"unsupported curve {name!r} (supported: {', '.join(_ec.CURVES)})"
+        )
+    return c
+
+
+@register("ECGEN")
+def _ecgen(st):
+    """curvename ECGEN → private map {curve, d}, public map {curve, q}
+    (ECGEN.java:104-152; q = hex of the uncompressed point)."""
+    c = _curve_of(st.pop())
+    priv, pub = _ec.generate(c.name)
+    st.push({_ec.KEY_CURVE: c.name, _ec.KEY_D: str(priv.d)})
+    st.push({_ec.KEY_CURVE: c.name, _ec.KEY_Q: _ec.encode_point(c, pub.q).hex()})
+
+
+@register("ECPRIVATE")
+def _ecprivate(st):
+    """map {curve, d} ECPRIVATE → private key object."""
+    m = st.pop()
+    if not isinstance(m, dict):
+        raise TypeError("ECPRIVATE expects a parameter map.")
+    c = _curve_of(m[_ec.KEY_CURVE])
+    st.push(_ec.ECPrivateKey(c, int(str(m[_ec.KEY_D]))))
+
+
+@register("ECPUBLIC")
+def _ecpublic(st):
+    """ECPUBLIC (ECPUBLIC.java:100-140): map {curve, q|d} → public key
+    object; a private key object → its public key; a public key object
+    → its parameter map (the ECGEN double-apply idiom)."""
+    v = st.pop()
+    if isinstance(v, _ec.ECPrivateKey):
+        st.push(_ec.public_from_private(v))
+        return
+    if isinstance(v, _ec.ECPublicKey):
+        st.push({
+            _ec.KEY_CURVE: v.curve.name,
+            _ec.KEY_Q: _ec.encode_point(v.curve, v.q).hex(),
+        })
+        return
+    if not isinstance(v, dict):
+        raise TypeError("ECPUBLIC expects a parameter map or key.")
+    c = _curve_of(v[_ec.KEY_CURVE])
+    if v.get(_ec.KEY_Q) is not None:
+        q = _ec.decode_point(c, bytes.fromhex(str(v[_ec.KEY_Q])))
+    elif v.get(_ec.KEY_D) is not None:
+        q = _ec.point_mul(c, int(str(v[_ec.KEY_D])), (c.gx, c.gy))
+    else:
+        raise ValueError("ECPUBLIC needs 'q' or 'd'")
+    st.push(_ec.ECPublicKey(c, q))
+
+
+@register("ECSIGN")
+def _ecsign(st):
+    """data alg privkey ECSIGN → DER (r,s) signature (deterministic,
+    RFC 6979 nonce — the reference's random-k signatures verify
+    identically)."""
+    key = st.pop()
+    if not isinstance(key, _ec.ECPrivateKey):
+        raise TypeError("ECSIGN expects an ECC private key.")
+    alg = str(st.pop())
+    data = st.pop()
+    if not isinstance(data, (bytes, bytearray)):
+        raise TypeError("ECSIGN operates on a byte array.")
+    st.push(_ec.sign(alg, key, bytes(data)))
+
+
+@register("ECVERIFY")
+def _ecverify(st):
+    """data sig alg pubkey ECVERIFY → boolean."""
+    key = st.pop()
+    if not isinstance(key, _ec.ECPublicKey):
+        raise TypeError("ECVERIFY expects an ECC public key.")
+    alg = str(st.pop())
+    sig = st.pop()
+    data = st.pop()
+    if not isinstance(sig, (bytes, bytearray)) or not isinstance(data, (bytes, bytearray)):
+        raise TypeError("ECVERIFY operates on byte arrays.")
+    st.push(_ec.verify(alg, key, bytes(data), bytes(sig)))
+
+
+@register("ECDH")
+def _ecdh(st):
+    """pubkey privkey ECDH → shared-secret x-coordinate hex string."""
+    priv = st.pop()
+    if not isinstance(priv, _ec.ECPrivateKey):
+        raise TypeError("ECDH expects an ECC private key.")
+    pub = st.pop()
+    if not isinstance(pub, _ec.ECPublicKey):
+        raise TypeError("ECDH expects an ECC public key.")
+    st.push(_ec.ecdh(priv, pub))
+
+
+@register("ECRECOVER")
+def _ecrecover(st):
+    """map ECRECOVER → list of candidate public keys (ISO-8859-1 strings
+    of the uncompressed encoding, ECRECOVER.java:208-270). Map keys:
+    curve, hash (bytes), sig (DER bytes) or r/s (decimal or 0x hex
+    strings), optional i (cofactor index) and even (y parity)."""
+    m = st.pop()
+    if not isinstance(m, dict):
+        raise TypeError("ECRECOVER expects a MAP.")
+    c = _curve_of(m[_ec.KEY_CURVE])
+    h = m.get("hash")
+    if not isinstance(h, (bytes, bytearray)):
+        raise TypeError("ECRECOVER invalid 'hash', expected BYTES.")
+    if m.get("sig") is not None:
+        r, s = _ec._parse_der_sig(bytes(m["sig"]))
+    elif m.get("r") is not None and m.get("s") is not None:
+        def _num(x):
+            x = str(x).lower()
+            return int(x[2:], 16) if x.startswith("0x") else int(x)
+        r, s = _num(m["r"]), _num(m["s"])
+    else:
+        raise ValueError("ECRECOVER expects 'sig' or 'r' and 's'.")
+    if not (1 <= r <= c.n and 1 <= s <= c.n):
+        raise ValueError("ECRECOVER r/s out of range")
+    z = _ec._bits2int(bytes(h), c.n)
+    if isinstance(m.get("i"), int):
+        j_range = [int(m["i"])]
+    else:
+        j_range = range(0, c.h + 1)
+    if isinstance(m.get("even"), bool):
+        types = (0x02,) if m["even"] else (0x03,)
+    else:
+        types = (0x02, 0x03)
+    cands = _ec.recover(c, z % c.n, r, s, j_range, types)
+    st.push([e.decode("latin-1") for e in cands])
