@@ -1,0 +1,215 @@
+"""PGP tier tests — cross-validated BOTH directions against GnuPG.
+
+A session-scoped fixture generates an RSA key (sign primary + encrypt
+subkey, no passphrase) and a passphrase-protected key in an ephemeral
+GNUPGHOME, exports the rings, and produces gpg-made artifacts (detached
+signature, rfc4880 encrypted message).  Tests then check:
+- ring parsing reproduces gpg's fingerprints/key ids exactly
+- gpg's signature verifies here; ours verifies under ``gpg --verify``
+- gpg's message decrypts here; ours decrypts under ``gpg --decrypt``
+- the iterated-salted S2K unlock accepts the right passphrase only
+Skipped wholesale when no gpg binary is available.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+
+import pytest
+
+from warp10_platform_spark.functions import pgp as P
+from warp10_platform_spark.warpscript.functions import REGISTRY
+
+pytestmark = pytest.mark.skipif(shutil.which("gpg") is None, reason="gpg not available")
+
+
+class _Stack:
+    def __init__(self):
+        self.stack = []
+
+    def push(self, v):
+        self.stack.append(v)
+
+    def pop(self):
+        return self.stack.pop()
+
+
+@pytest.fixture(scope="module")
+def gpgenv(tmp_path_factory):
+    home = tmp_path_factory.mktemp("gnupg")
+    os.chmod(home, 0o700)
+    env = dict(os.environ, GNUPGHOME=str(home))
+
+    def gpg(*args, input=None):
+        r = subprocess.run(["gpg", "--batch", "--pinentry-mode", "loopback", *args],
+                           capture_output=True, env=env, input=input)
+        return r
+
+    assert gpg("--passphrase", "", "--quick-gen-key",
+               "Test User <test@example.com>", "rsa2048", "default", "never").returncode == 0
+    fpr = None
+    for line in gpg("--list-keys", "--with-colons").stdout.decode().splitlines():
+        if line.startswith("fpr:"):
+            fpr = line.split(":")[9]
+            break
+    assert gpg("--passphrase", "", "--quick-add-key", fpr, "rsa2048", "encr", "never").returncode == 0
+    assert gpg("--passphrase", "hunter2", "--quick-gen-key",
+               "Locked <locked@example.com>", "rsa2048", "default", "never").returncode == 0
+    d = tmp_path_factory.mktemp("artifacts")
+    msg = b"the gpg interop payload"
+    (d / "msg.bin").write_bytes(msg)
+    (d / "pub.ring").write_bytes(gpg("--export", "test@example.com").stdout)
+    (d / "sec.ring").write_bytes(gpg("--passphrase", "", "--export-secret-keys", "test@example.com").stdout)
+    (d / "locked.ring").write_bytes(
+        gpg("--passphrase", "hunter2", "--export-secret-keys", "locked@example.com").stdout
+    )
+    assert gpg("--passphrase", "", "--detach-sign", "--output", str(d / "msg.sig"),
+               str(d / "msg.bin")).returncode == 0
+    assert gpg("--rfc4880", "--compress-algo", "none", "--trust-model", "always",
+               "--encrypt", "--recipient", "test@example.com",
+               "--output", str(d / "msg.gpg"), str(d / "msg.bin")).returncode == 0
+    return {"gpg": gpg, "dir": d, "msg": msg, "fpr": fpr, "env": env}
+
+
+def test_ring_parse_matches_gpg(gpgenv):
+    pr = P.parse_rings((gpgenv["dir"] / "pub.ring").read_bytes())[0]
+    sr = P.parse_rings((gpgenv["dir"] / "sec.ring").read_bytes())[0]
+    assert pr.keys[0].fingerprint.hex().upper() == gpgenv["fpr"]
+    assert [k.keyid for k in pr.keys] == [k.public.keyid for k in sr.keys]
+    assert pr.uids == ["Test User <test@example.com>"]
+    assert len(pr.keys) == 2 and pr.keys[1].is_subkey
+
+
+def test_gpg_signature_verifies_here(gpgenv):
+    pr = P.parse_rings((gpgenv["dir"] / "pub.ring").read_bytes())[0]
+    sig_body = next(
+        b for t, b in P.parse_packets((gpgenv["dir"] / "msg.sig").read_bytes())
+        if t == P.TAG_SIGNATURE
+    )
+    assert P.verify_signature(pr.keys[0], gpgenv["msg"], sig_body)
+    assert not P.verify_signature(pr.keys[0], gpgenv["msg"] + b"x", sig_body)
+
+
+def test_our_signature_verifies_under_gpg(gpgenv, tmp_path):
+    sr = P.parse_rings((gpgenv["dir"] / "sec.ring").read_bytes())[0]
+    priv = sr.keys[0].unlock("")
+    sig = P.sign_detached(priv, sr.keys[0].public.keyid, gpgenv["msg"], "SHA512")
+    (tmp_path / "ours.sig").write_bytes(sig)
+    r = subprocess.run(
+        ["gpg", "--verify", str(tmp_path / "ours.sig"), str(gpgenv["dir"] / "msg.bin")],
+        capture_output=True, env=gpgenv["env"],
+    )
+    assert r.returncode == 0 and b"Good signature" in r.stderr
+
+
+def test_our_onepass_message_verifies_under_gpg(gpgenv, tmp_path):
+    sr = P.parse_rings((gpgenv["dir"] / "sec.ring").read_bytes())[0]
+    priv = sr.keys[0].unlock("")
+    inline = P.sign_onepass(priv, sr.keys[0].public.keyid, b"inline payload", "SHA256")
+    (tmp_path / "inline.pgp").write_bytes(inline)
+    r = subprocess.run(
+        ["gpg", "--batch", "--output", "-", "--decrypt", str(tmp_path / "inline.pgp")],
+        capture_output=True, env=gpgenv["env"],
+    )
+    assert r.stdout == b"inline payload" and b"Good signature" in r.stderr
+
+
+def test_gpg_message_decrypts_here(gpgenv):
+    sr = P.parse_rings((gpgenv["dir"] / "sec.ring").read_bytes())[0]
+    enc_key = [k for k in sr.keys if k.public.is_subkey][-1]
+    out = P.decrypt(enc_key, "", (gpgenv["dir"] / "msg.gpg").read_bytes())
+    assert out == gpgenv["msg"]
+
+
+def test_our_message_decrypts_under_gpg(gpgenv, tmp_path):
+    sr = P.parse_rings((gpgenv["dir"] / "sec.ring").read_bytes())[0]
+    enc_pub = [k.public for k in sr.keys if k.public.is_subkey][-1]
+    ct = P.encrypt(enc_pub, b"round trip secret", throw_keyid=False)
+    (tmp_path / "ours.gpg").write_bytes(ct)
+    r = subprocess.run(
+        ["gpg", "--batch", "--pinentry-mode", "loopback", "--passphrase", "",
+         "--decrypt", str(tmp_path / "ours.gpg")],
+        capture_output=True, env=gpgenv["env"],
+    )
+    assert r.stdout == b"round trip secret"
+
+
+def test_s2k_protected_key_unlock(gpgenv):
+    sr = P.parse_rings((gpgenv["dir"] / "locked.ring").read_bytes())[0]
+    k = sr.keys[0]
+    assert k.s2k_usage == 254 and k.s2k[0] == "iterated"
+    with pytest.raises(ValueError, match="passphrase"):
+        k.unlock("wrong")
+    priv = k.unlock("hunter2")
+    sig = P.sign_detached(priv, k.public.keyid, b"locked", "SHA256")
+    sig_body = next(b for t, b in P.parse_packets(sig) if t == P.TAG_SIGNATURE)
+    assert P.verify_signature(k.public, b"locked", sig_body)
+
+
+def test_armor_roundtrip_and_crc():
+    payload = bytes(range(200))
+    arm = P.armor("MESSAGE", payload)
+    assert arm.startswith("-----BEGIN PGP MESSAGE-----")
+    assert P.dearmor(arm) == payload
+
+
+def test_stack_surface_full_cycle(gpgenv):
+    # PGPRING → PGPPUBLIC/PGPPRIVATE → PGPSIGN/PGPVERIFY → PGPENCRYPT/
+    # PGPDECRYPT, exactly as a reference user would script it
+    st = _Stack()
+    st.push((gpgenv["dir"] / "sec.ring").read_bytes())
+    REGISTRY["PGPRING"](st)
+    rings = st.pop()
+    assert len(rings) == 1 and isinstance(rings[0], P.PGPSecretKeyRing)
+    ring = rings[0]
+    st.push(ring)
+    REGISTRY["PGPPRIVATE"](st)
+    keyids = st.pop()
+    assert len(keyids) == 2 and all(len(k) == 16 for k in keyids)
+    # detached sign via the stack, verify via the stack
+    st.push(b"stack data")
+    st.push({"keyring": ring, "keyid": keyids[0], "passphrase": "",
+             "digest": "SHA256", "armor": False})
+    REGISTRY["PGPSIGN"](st)
+    sig = st.pop()
+    st.push(b"stack data")
+    st.push(sig)
+    st.push(ring)
+    st.push(keyids[0])
+    st.push(True)
+    REGISTRY["PGPVERIFY"](st)
+    assert st.pop() is True
+    # inline sign → verify returns (data, bool)
+    st.push(b"inline stack data")
+    st.push({"keyring": ring, "keyid": keyids[0], "passphrase": "",
+             "detached": False, "armor": False})
+    REGISTRY["PGPSIGN"](st)
+    msg = st.pop()
+    st.push(msg)
+    st.push(ring)
+    st.push(keyids[0])
+    REGISTRY["PGPVERIFY"](st)
+    ok = st.pop()
+    data = st.pop()
+    assert ok is True and data == b"inline stack data"
+    # encrypt (armored) → decrypt
+    st.push(b"stack secret")
+    st.push({"keyring": ring, "recipient": keyids[1], "armor": True})
+    REGISTRY["PGPENCRYPT"](st)
+    ct = st.pop()
+    assert isinstance(ct, str) and ct.startswith("-----BEGIN PGP MESSAGE-----")
+    st.push(ct)
+    st.push(ring)
+    st.push(keyids[1])
+    st.push("")
+    REGISTRY["PGPDECRYPT"](st)
+    assert st.pop() == b"stack secret"
+    # PGPINFO map
+    st.push(ring)
+    REGISTRY["PGPINFO"](st)
+    info = st.pop()
+    assert set(info) == {k.public.keyid for k in ring.keys}
+    first = info[ring.keys[0].public.keyid]
+    assert first["bits"] == 2048 and first["master"] is True

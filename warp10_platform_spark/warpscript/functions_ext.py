@@ -4287,3 +4287,4 @@ from warp10_platform_spark.warpscript import functions_r6 as _r6  # noqa: E402,F
 from warp10_platform_spark.warpscript import functions_canvas as _cv  # noqa: E402,F401
 from warp10_platform_spark.warpscript import functions_concurrent as _cc  # noqa: E402,F401
 from warp10_platform_spark.warpscript import functions_secure as _sec  # noqa: E402,F401
+from warp10_platform_spark.warpscript import functions_pgp as _pgp  # noqa: E402,F401
