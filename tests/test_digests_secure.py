@@ -516,3 +516,92 @@ def test_ec_compressed_point_roundtrip():
         comp = ec.encode_point(c, pub.q, compressed=True)
         assert len(comp) == 33
         assert ec.decode_point(c, comp) == pub.q
+
+
+# ---------------------------------------------------------------------------
+# macro signing (MSIGN/MSIG/MVERIFY/MCHECKSIG/MSIGCOUNT/MSIGINFO/MDETACH)
+# ---------------------------------------------------------------------------
+
+def _ec_priv(st):
+    st.push("secp256k1")
+    REGISTRY["ECGEN"](st)
+    st.pop()
+    privmap = st.pop()
+    st.push(privmap)
+    REGISTRY["ECPRIVATE"](st)
+    return st.pop()
+
+
+def _macro(src):
+    from warp10_platform_spark.warpscript.stack import Macro
+    from warp10_platform_spark.warpscript.tokenizer import tokenize
+
+    return Macro(tokenize(src))
+
+
+def test_macro_sign_verify_countersign_detach():
+    from warp10_platform_spark.warpscript.stack import Macro
+
+    st = _Stack()
+    priv = _ec_priv(st)
+    m = _macro("1 2 + 3 *")
+    st.push(m)
+    st.push(priv)
+    REGISTRY["MSIGN"](st)
+    signed = st.pop()
+    assert len(signed.tokens) == len(m.tokens) + 4
+    st.push(signed)
+    REGISTRY["MVERIFY"](st)
+    assert st.pop() is True
+    st.pop()
+    # countersign: both signatures valid, count = 2
+    st.push(signed)
+    st.push(priv)
+    REGISTRY["MSIGN"](st)
+    twice = st.pop()
+    st.push(twice)
+    REGISTRY["MSIGCOUNT"](st)
+    assert st.pop() == 2
+    st.pop()
+    st.push(twice)
+    REGISTRY["MSIGINFO"](st)
+    infos = st.pop()
+    st.pop()
+    assert [i["valid"] for i in infos] == [True, True]
+    # tampered body fails MVERIFY, MCHECKSIG raises
+    bad = Macro(_macro("1 2 + 4 *").tokens + signed.tokens[-4:])
+    st.push(bad)
+    REGISTRY["MVERIFY"](st)
+    assert st.pop() is False
+    st.pop()
+    st.push(bad)
+    with pytest.raises(RuntimeError, match="unable to verify"):
+        REGISTRY["MCHECKSIG"](st)
+    # MDETACH strips one trailer and returns it
+    st = _Stack()
+    st.push(twice)
+    REGISTRY["MDETACH"](st)
+    trailer = st.pop()
+    stripped = st.pop()
+    assert len(trailer) == 3
+    assert len(stripped.tokens) == len(signed.tokens)
+
+
+def test_signed_macro_executes_identically(spark):
+    # the MSIG trailer must be execution-transparent: a signed macro
+    # computes the same value as the unsigned one
+    from warp10_platform_spark.warpscript.stack import WarpScriptStack
+
+    helper = _Stack()
+    priv = _ec_priv(helper)
+    st = WarpScriptStack(spark, "/root/testdata/sf0.001")
+    st.exec("<% 1 2 + 3 * %>")
+    macro = st.pop()
+    st.push(macro)
+    st.push(priv)
+    REGISTRY["MSIGN"](st)
+    signed = st.pop()
+    st.exec_macro(macro)
+    plain_result = st.pop()
+    st.exec_macro(signed)
+    assert st.pop() == plain_result == 9

@@ -425,3 +425,194 @@ def _ecrecover(st):
         types = (0x02, 0x03)
     cands = _ec.recover(c, z % c.n, r, s, j_range, types)
     st.push([e.decode("latin-1") for e in cands])
+
+
+# ---------------------------------------------------------------------------
+# Macro signing (MSIGN/MSIG/MVERIFY/MCHECKSIG/MSIGCOUNT/MSIGINFO/MDETACH
+# .java) — ECDSA SHA256WITHECDSA over the macro's canonical source; the
+# signature travels as a 4-statement trailer [curve pubhex sighex MSIG]
+# appended to the macro, and MSIG pops its three strings when the macro
+# executes so a signed macro runs identically (MSIG.java:25-80).
+# ---------------------------------------------------------------------------
+
+MSIG_ALG = "SHA256WITHECDSA"
+
+
+def _macro_source(st, macro) -> bytes:
+    """Canonical macro source via the MACRO-> renderer (the engine's
+    snapshot form — self-consistent across sign and verify)."""
+    from warp10_platform_spark.warpscript.stack import Macro
+
+    class _TmpStack:
+        def __init__(self):
+            self.stack = []
+
+        def push(self, v):
+            self.stack.append(v)
+
+        def pop(self):
+            return self.stack.pop()
+
+    tmp = _TmpStack()
+    tmp.push(macro if isinstance(macro, Macro) else Macro(list(macro)))
+    REGISTRY["MACRO->"](tmp)
+    return str(tmp.pop()).encode("utf-8")
+
+
+def _sig_trailer_of(macro):
+    """MSIG.getSignature: the trailing [str str str MSIG] statements."""
+    t = macro.tokens
+    if (
+        len(t) >= 4
+        and t[-1].kind == "stmt" and t[-1].value == "MSIG"
+        and all(x.kind == "string" for x in t[-4:-1])
+    ):
+        return [x.value for x in t[-4:-1]]
+    return None
+
+
+def _strip_one_sig(macro):
+    from warp10_platform_spark.warpscript.stack import Macro
+
+    return Macro(macro.tokens[:-4]) if _sig_trailer_of(macro) else macro
+
+
+@register("MSIG")
+def _msig(st):
+    """macro MSIG → macro + its signature trailer values (or, executed
+    inside a signed macro, pops the 3 signature strings: transparent)."""
+    from warp10_platform_spark.warpscript.stack import Macro
+
+    top = st.pop()
+    if isinstance(top, Macro):
+        st.push(top)
+        st.push(_sig_trailer_of(top) or [])
+        return
+    # executing inside a signed macro: consume pubhex and curve below
+    st.pop()
+    st.pop()
+
+
+@register("MSIGN")
+def _msign(st):
+    """macro privkey MSIGN → signed macro (signature trailer appended).
+    Signs the canonical source of the macro AS GIVEN — a countersignature
+    therefore covers the inner signatures too, like the reference's
+    snapshot-then-sign (MSIGN.java:45-95)."""
+    from warp10_platform_spark.warpscript.stack import Macro
+    from warp10_platform_spark.warpscript.tokenizer import Token
+
+    key = st.pop()
+    if not isinstance(key, _ec.ECPrivateKey):
+        raise TypeError("MSIGN expects an ECC private key.")
+    macro = st.pop()
+    if not isinstance(macro, Macro):
+        raise TypeError("MSIGN operates on a macro.")
+    data = _macro_source(st, macro)
+    sig = _ec.sign(MSIG_ALG, key, data)
+    pub = _ec.public_from_private(key)
+    ln = macro.tokens[-1].lineno if macro.tokens else 0
+    trailer = [
+        Token("string", key.curve.name, ln),
+        Token("string", _ec.encode_point(pub.curve, pub.q).hex(), ln),
+        Token("string", sig.hex(), ln),
+        Token("stmt", "MSIG", ln),
+    ]
+    st.push(Macro(macro.tokens + trailer))
+
+
+def _mverify(macro) -> bool:
+    trailer = _sig_trailer_of(macro)
+    if not trailer:
+        return False
+    curve_name, pubhex, sighex = trailer
+    c = _ec.CURVES.get(curve_name)
+    if c is None:
+        return False
+    pub = _ec.ECPublicKey(c, _ec.decode_point(c, bytes.fromhex(pubhex)))
+    data = _macro_source(None, _strip_one_sig(macro))
+    return _ec.verify(MSIG_ALG, pub, data, bytes.fromhex(sighex))
+
+
+@register("MVERIFY")
+def _mverify_fn(st):
+    """macro MVERIFY → macro + boolean."""
+    from warp10_platform_spark.warpscript.stack import Macro
+
+    macro = st.pop()
+    if not isinstance(macro, Macro):
+        raise TypeError("MVERIFY operates on a macro.")
+    ok = _mverify(macro)
+    st.push(macro)
+    st.push(ok)
+
+
+@register("MCHECKSIG")
+def _mchecksig(st):
+    """macro MCHECKSIG → macro, raising when the signature is invalid
+    (MVERIFY with verify=true)."""
+    from warp10_platform_spark.warpscript.stack import Macro
+
+    macro = st.pop()
+    if not isinstance(macro, Macro):
+        raise TypeError("MCHECKSIG operates on a macro.")
+    if not _mverify(macro):
+        raise RuntimeError("MCHECKSIG unable to verify macro.")
+    st.push(macro)
+
+
+@register("MSIGCOUNT")
+def _msigcount(st):
+    """macro MSIGCOUNT → macro + number of stacked signature trailers."""
+    from warp10_platform_spark.warpscript.stack import Macro
+
+    macro = st.pop()
+    if not isinstance(macro, Macro):
+        raise TypeError("MSIGCOUNT operates on a macro.")
+    n = 0
+    m = macro
+    while _sig_trailer_of(m):
+        n += 1
+        m = _strip_one_sig(m)
+    st.push(macro)
+    st.push(n)
+
+
+@register("MSIGINFO")
+def _msiginfo(st):
+    """macro MSIGINFO → macro + list of {curve, pubkey, sig, valid}
+    maps, outermost signature first."""
+    from warp10_platform_spark.warpscript.stack import Macro
+
+    macro = st.pop()
+    if not isinstance(macro, Macro):
+        raise TypeError("MSIGINFO operates on a macro.")
+    infos = []
+    m = macro
+    while True:
+        trailer = _sig_trailer_of(m)
+        if not trailer:
+            break
+        infos.append({
+            "curve": trailer[0],
+            "pubkey": trailer[1],
+            "sig": trailer[2],
+            "valid": _mverify(m),
+        })
+        m = _strip_one_sig(m)
+    st.push(macro)
+    st.push(infos)
+
+
+@register("MDETACH")
+def _mdetach(st):
+    """macro MDETACH → macro without its outermost signature trailer +
+    the detached trailer values."""
+    from warp10_platform_spark.warpscript.stack import Macro
+
+    macro = st.pop()
+    if not isinstance(macro, Macro):
+        raise TypeError("MDETACH operates on a macro.")
+    trailer = _sig_trailer_of(macro)
+    st.push(_strip_one_sig(macro))
+    st.push(trailer or [])
