@@ -605,3 +605,29 @@ def test_signed_macro_executes_identically(spark):
     plain_result = st.pop()
     st.exec_macro(signed)
     assert st.pop() == plain_result == 9
+
+
+def test_whirlpool_matches_openssl():
+    # the S-box is derived from the spec's mini-boxes; cross-validate the
+    # whole hash bit-exact against OpenSSL's legacy provider
+    import shutil
+    import subprocess
+
+    assert dg.whirlpool(b"").hex() == (
+        "19fa61d75522a4669b44e39c1d2e1726c530232130d407f89afee0964997f7a7"
+        "3e83be698b288febcf88e3e03c4f0757ea8964e59b63d93708b138cc42a66eb3"
+    )
+    if shutil.which("openssl"):
+        for n in (1, 31, 32, 33, 64, 200):
+            data = os.urandom(n)
+            r = subprocess.run(
+                ["openssl", "dgst", "-whirlpool", "-provider", "legacy"],
+                input=data, capture_output=True,
+            )
+            if r.returncode == 0 and b"= " in r.stdout:
+                want = r.stdout.decode().strip().split("= ")[1]
+                assert dg.whirlpool(data).hex() == want
+    st = _Stack()
+    st.push(b"payload")
+    REGISTRY["WHIRLPOOL"](st)
+    assert st.pop() == dg.whirlpool(b"payload")

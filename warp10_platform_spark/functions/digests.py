@@ -21,10 +21,12 @@ Keccak reference specification's LFSR / (x,y)->(y,2x+3y) walk at import
 time rather than being transcribed, so a typo cannot silently corrupt
 them.
 
-TIGER / WHIRLPOOL / GOST3411 are NOT implemented: their S-box tables
-cannot be independently verified in this environment (no reference
-implementation available to cross-check), and an unverifiable hash is
-worse than an absent one.  They are documented gaps in COVERAGE.md.
+WHIRLPOOL is implemented with its S-box derived from the spec's
+E/E^-1/R mini-boxes and cross-validated bit-exact against OpenSSL's
+legacy provider.  TIGER / GOST3411 are NOT implemented: no independent
+implementation is available in this environment to validate their
+S-boxes, and an unverifiable hash is worse than an absent one — they
+are documented gaps in COVERAGE.md.
 """
 
 from __future__ import annotations
@@ -413,3 +415,81 @@ def sha3(data: bytes, bits: int) -> bytes:
     against hashlib.sha3_*; not part of the reference surface."""
     rate = (1600 - 2 * bits) // 8
     return keccak_sponge(data, rate, bits // 8, 0x06)
+
+
+# ---------------------------------------------------------------------------
+# WHIRLPOOL (ISO/IEC 10118-3).  The S-box is DERIVED from the spec's
+# E / E^-1 / R mini-boxes at import (not transcribed), and the whole
+# implementation is cross-validated bit-exact against OpenSSL's legacy
+# provider in tests — the same strategy as RIPEMD-160.
+# ---------------------------------------------------------------------------
+
+def _whirlpool_tables():
+    E = [0x1, 0xB, 0x9, 0xC, 0xD, 0x6, 0xF, 0x3, 0xE, 0x8, 0x7, 0x4, 0xA, 0x2, 0x5, 0x0]
+    R = [0x7, 0xC, 0xB, 0xD, 0xE, 0x4, 0x9, 0xF, 0x6, 0x3, 0x8, 0xA, 0x2, 0x5, 0x1, 0x0]
+    Einv = [0] * 16
+    for i, v in enumerate(E):
+        Einv[v] = i
+    sbox = [0] * 256
+    for x in range(256):
+        u, l = x >> 4, x & 15
+        y1, y2 = E[u], Einv[l]
+        r = R[y1 ^ y2]
+        sbox[x] = (E[y1 ^ r] << 4) | Einv[y2 ^ r]
+
+    def gmul(a, b):  # GF(2^8) mod x^8+x^4+x^3+x^2+1 (0x11D)
+        p = 0
+        while b:
+            if b & 1:
+                p ^= a
+            a <<= 1
+            if a & 0x100:
+                a ^= 0x11D
+            b >>= 1
+        return p
+
+    C = (1, 1, 4, 1, 8, 5, 2, 9)  # circulant MDS row
+    mul = {c: [gmul(b, c) for b in range(256)] for c in set(C)}
+    return sbox, C, mul
+
+
+_WP_SBOX, _WP_C, _WP_MUL = _whirlpool_tables()
+
+
+def _wp_round(state, key_mat):
+    # gamma (S-box), pi (cyclic column shift), theta (MDS), sigma (xor key)
+    g = [[_WP_SBOX[b] for b in row] for row in state]
+    p = [[g[(i - j) % 8][j] for j in range(8)] for i in range(8)]
+    out = []
+    for i in range(8):
+        row = []
+        for j in range(8):
+            v = 0
+            for k in range(8):
+                v ^= _WP_MUL[_WP_C[(j - k) % 8]][p[i][k]]
+            row.append(v)
+        out.append([a ^ b for a, b in zip(row, key_mat[i])])
+    return out
+
+
+def whirlpool(data: bytes) -> bytes:
+    bitlen = len(data) * 8
+    msg = bytearray(data)
+    msg.append(0x80)
+    while len(msg) % 64 != 32:
+        msg.append(0)
+    msg += bitlen.to_bytes(32, "big")
+    H = bytes(64)
+    for off in range(0, len(msg), 64):
+        blk = bytes(msg[off : off + 64])
+        K = [list(H[8 * i : 8 * i + 8]) for i in range(8)]
+        S = [
+            [a ^ b for a, b in zip(blk[8 * i : 8 * i + 8], K[i])] for i in range(8)
+        ]
+        for r in range(10):
+            rc = [[_WP_SBOX[8 * r + j] if i == 0 else 0 for j in range(8)] for i in range(8)]
+            K = _wp_round(K, rc)
+            S = _wp_round(S, K)
+        Hn = bytes(b for row in S for b in row)
+        H = bytes(a ^ b ^ c for a, b, c in zip(Hn, H, blk))
+    return H

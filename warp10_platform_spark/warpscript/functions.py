@@ -1365,6 +1365,7 @@ REGISTRY["RIPEMD128"] = lambda st: st.push(_digests.ripemd128(_to_bytes(st.pop()
 REGISTRY["RIPEMD160"] = lambda st: st.push(_digests.ripemd160(_to_bytes(st.pop())))
 REGISTRY["RIPEMD256"] = lambda st: st.push(_digests.ripemd256(_to_bytes(st.pop())))
 REGISTRY["RIPEMD320"] = lambda st: st.push(_digests.ripemd320(_to_bytes(st.pop())))
+REGISTRY["WHIRLPOOL"] = lambda st: st.push(_digests.whirlpool(_to_bytes(st.pop())))
 for _bits in (128, 224, 256, 288, 384, 512):
     REGISTRY["KECCAK.%d" % _bits] = (
         lambda st, _b=_bits: st.push(_digests.keccak(_to_bytes(st.pop()), _b))
