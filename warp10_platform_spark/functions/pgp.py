@@ -280,7 +280,7 @@ class PGPPublicKeyRing:
 
     def get_key(self, keyid: int):
         for k in self.keys:
-            if k.keyid == keyid or (keyid and k.keyid & 0xFFFFFFFF == keyid & 0xFFFFFFFF and keyid.bit_length() <= 32):
+            if k.keyid == keyid:
                 return k
         return None
 
