@@ -128,3 +128,45 @@ def test_encrypted_stream_roundtrip(points, klen):
     enc = encrypt_gts(encode_gts(pts, base=0), key)
     assert [(t, v) for t, v, _ in decode_gts(enc, base=0, key=key)] == pts
     assert decode_gts(enc, base=0) == []
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_tokenizer_never_crashes_on_printable_soup(src):
+    # the tokenizer must either produce tokens or raise a clean
+    # ValueError/SyntaxError — no hangs, no foreign exceptions
+    from warp10_platform_spark.warpscript.tokenizer import tokenize
+
+    try:
+        toks = tokenize(src)
+    except (ValueError, SyntaxError):
+        return
+    assert isinstance(toks, list)
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_pgp_packet_parser_never_crashes(blob):
+    # arbitrary bytes must parse or fail with ValueError/IndexError/
+    # struct.error — never hang or corrupt state
+    import struct as _struct
+
+    from warp10_platform_spark.functions.pgp import parse_packets
+
+    try:
+        parse_packets(blob)
+    except (ValueError, IndexError, _struct.error):
+        pass
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_gts_decoder_never_crashes(blob):
+    from warp10_platform_spark.core.gtscodec import decode_gts
+
+    try:
+        decode_gts(blob, base=0)
+    except Exception:
+        # decode of garbage may fail arbitrarily but must not hang;
+        # reaching here at all proves termination
+        pass
