@@ -1,0 +1,135 @@
+"""HTTP extension tests against a local in-process http.server —
+capability gating, host allowlist, GET/POST, basic auth, limits."""
+
+from __future__ import annotations
+
+import http.server
+import threading
+
+import pytest
+
+from warp10_platform_spark.warpscript.functions import REGISTRY
+
+
+class _Handler(http.server.BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        if self.path == "/auth":
+            auth = self.headers.get("Authorization", "")
+            if auth != "Basic dXNlcjpwdw==":  # user:pw
+                self.send_response(401)
+                self.end_headers()
+                self.wfile.write(b"denied")
+                return
+        body = b"hello from server"
+        self.send_response(200)
+        self.send_header("X-Test", "yes")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        data = self.rfile.read(n)
+        self.send_response(200)
+        self.end_headers()
+        self.wfile.write(b"echo:" + data)
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+class _Stack:
+    def __init__(self, caps=None):
+        self.stack = []
+        self.attributes = {"capabilities": caps or {}}
+
+    def push(self, v):
+        self.stack.append(v)
+
+    def pop(self):
+        return self.stack.pop()
+
+    def exec_macro(self, m):
+        m(self)
+
+
+def test_http_requires_capability(server):
+    st = _Stack(caps={})
+    st.push({"url": server + "/"})
+    with pytest.raises(PermissionError, match="capability"):
+        REGISTRY["HTTP"](st)
+
+
+def test_http_denies_unlisted_host(server):
+    st = _Stack(caps={"http": "!.*"})
+    st.push({"url": server + "/"})
+    with pytest.raises(PermissionError, match="not allowed"):
+        REGISTRY["HTTP"](st)
+
+
+def test_http_get_and_response_map(server):
+    st = _Stack(caps={"http": r"127\.0\.0\.1.*"})
+    st.push({"url": server + "/"})
+    REGISTRY["HTTP"](st)
+    resp = st.pop()
+    assert resp["status.code"] == 200
+    assert resp["content"] == b"hello from server"
+    assert resp["headers"]["X-Test"] == "yes"
+
+
+def test_http_post_body_and_default_method(server):
+    st = _Stack(caps={"http": r"127\.0\.0\.1.*", "http.requests": 5})
+    st.push({"url": server + "/", "body": "payload"})
+    REGISTRY["HTTP"](st)
+    assert st.pop()["content"] == b"echo:payload"
+
+
+def test_http_basic_auth(server):
+    st = _Stack(caps={"http": r"127\.0\.0\.1.*", "http.requests": 5})
+    st.push({"url": server + "/auth", "username": "user", "password": "pw"})
+    REGISTRY["HTTP"](st)
+    assert st.pop()["status.code"] == 200
+    st.push({"url": server + "/auth"})
+    REGISTRY["HTTP"](st)
+    assert st.pop()["status.code"] == 401  # error responses still map
+
+
+def test_http_request_budget(server):
+    st = _Stack(caps={"http": r"127\.0\.0\.1.*"})  # default budget: 1
+    st.push({"url": server + "/"})
+    REGISTRY["HTTP"](st)
+    st.pop()
+    st.push({"url": server + "/"})
+    with pytest.raises(RuntimeError, match="budget"):
+        REGISTRY["HTTP"](st)
+
+
+def test_http_size_bound(server):
+    st = _Stack(caps={"http": r"127\.0\.0\.1.*", "http.size": 4, "http.requests": 5})
+    st.push({"url": server + "/"})
+    with pytest.raises(RuntimeError, match="byte capability bound"):
+        REGISTRY["HTTP"](st)
+
+
+def test_http_chunk_macro(server):
+    chunks = []
+
+    def macro(st):
+        chunks.append(st.pop())
+
+    st = _Stack(caps={"http": r"127\.0\.0\.1.*", "http.requests": 5})
+    st.push({"url": server + "/", "chunk.size": 5, "chunk.macro": macro})
+    REGISTRY["HTTP"](st)
+    resp = st.pop()
+    assert resp["content"] == b""  # content delivered via chunks
+    got = b"".join(c["content"] for c in chunks)
+    assert got == b"hello from server"
+    assert chunks[0]["chunk.number"] == 0 and chunks[0]["status.code"] == 200
