@@ -133,3 +133,65 @@ def test_http_chunk_macro(server):
     got = b"".join(c["content"] for c in chunks)
     assert got == b"hello from server"
     assert chunks[0]["chunk.number"] == 0 and chunks[0]["status.code"] == 200
+
+
+# ---------------------------------------------------------------------
+# sensision metrics extension
+# ---------------------------------------------------------------------
+
+def _sens_stack():
+    return _Stack(caps={"sensision.read": "", "sensision.write": ""})
+
+
+def test_sensision_update_get_dump():
+    st = _sens_stack()
+    st.push(["warp.requests", {"app": "x"}, 3])
+    REGISTRY["SENSISION.UPDATE"](st)
+    st.push(["warp.requests", {"app": "x"}, 2])
+    REGISTRY["SENSISION.UPDATE"](st)
+    st.push([ "warp.requests", {"app": "x"} ])
+    REGISTRY["SENSISION.GET"](st)
+    enc = st.pop()
+    assert enc.name == "warp.requests" and len(enc.points) == 1
+    assert enc.points[0][1] == 5
+    st.push(True)
+    REGISTRY["SENSISION.DUMP"](st)
+    dump = st.pop()
+    assert "warp.requests{app=x} 5" in dump
+    # SET overrides; SET None clears
+    st.push(["warp.requests", {"app": "x"}, 42])
+    REGISTRY["SENSISION.SET"](st)
+    st.push(["warp.requests", {"app": "x"}])
+    REGISTRY["SENSISION.GET"](st)
+    assert st.pop().points[0][1] == 42
+    st.push(["warp.requests", {"app": "x"}, None])
+    REGISTRY["SENSISION.SET"](st)
+    st.push(["warp.requests", {"app": "x"}])
+    REGISTRY["SENSISION.GET"](st)
+    assert len(st.pop().points) == 0
+
+
+def test_sensision_events_drain():
+    st = _sens_stack()
+    st.push(["warp.event", {"k": "v"}, "boom"])
+    REGISTRY["SENSISION.EVENT"](st)
+    st.push([1234, "warp.event", {"k": "v"}, 7])
+    REGISTRY["SENSISION.EVENT"](st)
+    REGISTRY["SENSISION.DUMPEVENTS"](st)
+    events = st.pop().split("\n")
+    assert len(events) == 2
+    assert events[0].endswith("warp.event{k=v} 'boom'")
+    assert events[1] == "1234// warp.event{k=v} 7"
+    REGISTRY["SENSISION.DUMPEVENTS"](st)
+    assert st.pop() == ""  # drained
+
+
+def test_sensision_requires_capabilities():
+    st = _Stack(caps={})
+    st.push(["c", {}, 1])
+    with pytest.raises(PermissionError):
+        REGISTRY["SENSISION.UPDATE"](st)
+    st = _Stack(caps={"sensision.write": ""})
+    st.push(True)
+    with pytest.raises(PermissionError):
+        REGISTRY["SENSISION.DUMP"](st)

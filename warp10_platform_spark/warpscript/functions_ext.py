@@ -4289,3 +4289,4 @@ from warp10_platform_spark.warpscript import functions_concurrent as _cc  # noqa
 from warp10_platform_spark.warpscript import functions_secure as _sec  # noqa: E402,F401
 from warp10_platform_spark.warpscript import functions_pgp as _pgp  # noqa: E402,F401
 from warp10_platform_spark.warpscript import functions_http as _http  # noqa: E402,F401
+from warp10_platform_spark.warpscript import functions_sensision as _sens  # noqa: E402,F401
