@@ -195,3 +195,47 @@ def test_sensision_requires_capabilities():
     st.push(True)
     with pytest.raises(PermissionError):
         REGISTRY["SENSISION.DUMP"](st)
+
+
+# ---------------------------------------------------------------------
+# warprun file surface
+# ---------------------------------------------------------------------
+
+def test_warprun_fload_fstore_fread(tmp_path):
+    st = _Stack(caps={"warprun": ""})
+    p = str(tmp_path / "f.txt")
+    st.push("line1\nline2\nline3")
+    st.push(p)
+    REGISTRY["FSTORE"](st)
+    st.push(p)
+    REGISTRY["FLOAD"](st)
+    assert st.pop() == b"line1\nline2\nline3"
+    # overwrite refused without the flag, allowed with it
+    st.push(b"x")
+    st.push(p)
+    with pytest.raises(FileExistsError):
+        REGISTRY["FSTORE"](st)
+    st = _Stack(caps={"warprun": ""})
+    st.push(b"new content")
+    st.push(p)
+    st.push(True)
+    REGISTRY["FSTORE"](st)
+    # FREAD: macro per line
+    st = _Stack(caps={"warprun": ""})
+    seen = []
+    st.push(lambda s: seen.append(s.pop()))
+    st.push(p)
+
+    def exec_macro(m):
+        m(st)
+
+    st.exec_macro = exec_macro  # FOREACH calls exec_macro
+    REGISTRY["FREAD"](st)
+    assert seen == ["new content"]
+
+
+def test_warprun_requires_capability(tmp_path):
+    st = _Stack(caps={})
+    st.push(str(tmp_path / "nope"))
+    with pytest.raises(PermissionError):
+        REGISTRY["FLOAD"](st)

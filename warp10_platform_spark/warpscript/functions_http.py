@@ -136,3 +136,83 @@ def _http(st):
         "headers": rheaders,
         "content": content,
     })
+
+
+# ---------------------------------------------------------------------------
+# warprun extension (ext/warprun): FLOAD / FREAD / FSTORE / STDIN — the
+# CLI runner's file surface (FLOAD.java, FREAD.java:60-85, FSTORE.java,
+# STDIN.java:79). The reference runs these in a local CLI with full fs
+# access; embedded in a session they are gated behind the ``warprun``
+# capability, consistent with the HTTP gate.
+# ---------------------------------------------------------------------------
+
+@register("FLOAD")
+def _fload(st):
+    """path FLOAD → file bytes."""
+    if "warprun" not in _capabilities(st):
+        raise PermissionError("FLOAD requires capability 'warprun'.")
+    path = st.pop()
+    if not isinstance(path, str):
+        raise TypeError("FLOAD expects a file path.")
+    with open(path, "rb") as f:
+        st.push(f.read())
+
+
+@register("FSTORE")
+def _fstore(st):
+    """data path (overwrite?) FSTORE: write bytes/string to a file,
+    refusing to clobber unless the optional boolean is true."""
+    import os as _os
+
+    if "warprun" not in _capabilities(st):
+        raise PermissionError("FSTORE requires capability 'warprun'.")
+    top = st.pop()
+    overwrite = False
+    if isinstance(top, bool):
+        overwrite = top
+        top = st.pop()
+    if not isinstance(top, str):
+        raise TypeError("FSTORE expects a target file path.")
+    path = top
+    data = st.pop()
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    if not isinstance(data, (bytes, bytearray)):
+        raise TypeError("FSTORE operates on a STRING or BYTES.")
+    if _os.path.exists(path) and not overwrite:
+        raise FileExistsError(f"FSTORE refusing to overwrite '{path}'.")
+    with open(path, "wb") as f:
+        f.write(bytes(data))
+
+
+@register("FREAD")
+def _fread(st):
+    """macro path FREAD: run the macro once per line of the file
+    (line-iterator + FOREACH, like the reference)."""
+    if "warprun" not in _capabilities(st):
+        raise PermissionError("FREAD requires capability 'warprun'.")
+    path = st.pop()
+    if not isinstance(path, str):
+        raise TypeError("FREAD expects a file path.")
+    macro = st.pop()
+
+    def lines():
+        with open(path, "r", encoding="utf-8") as f:
+            for ln in f:
+                yield ln.rstrip("\n")
+
+    st.push(lines())
+    st.push(macro)
+    from warp10_platform_spark.warpscript.functions import REGISTRY as _R
+
+    _R["FOREACH"](st)
+
+
+@register("STDIN")
+def _stdin(st):
+    """STDIN → line iterator over standard input (STDIN.java:79)."""
+    import sys as _sys
+
+    if "warprun" not in _capabilities(st):
+        raise PermissionError("STDIN requires capability 'warprun'.")
+    st.push((ln.rstrip("\n") for ln in _sys.stdin))
