@@ -239,3 +239,35 @@ def test_warprun_requires_capability(tmp_path):
     st.push(str(tmp_path / "nope"))
     with pytest.raises(PermissionError):
         REGISTRY["FLOAD"](st)
+
+
+def test_cap_introspection():
+    st = _Stack(caps={"http": "x", "sensision.read": ""})
+    st.push("http")
+    REGISTRY["CAPCHECK"](st)
+    assert st.pop() is True
+    st.push("nope")
+    REGISTRY["CAPCHECK"](st)
+    assert st.pop() is False
+    st.push("http")
+    REGISTRY["CAPGET"](st)
+    assert st.pop() == "x"
+    st.push(["http", "missing"])
+    REGISTRY["CAPGET"](st)
+    assert st.pop() == {"http": "x", "missing": None}
+    st.push(None)
+    REGISTRY["CAPGET"](st)
+    assert st.pop() == {"http": "x", "sensision.read": ""}
+    st.push("http")
+    REGISTRY["CAPDEL"](st)
+    st.push("http")
+    REGISTRY["CAPCHECK"](st)
+    assert st.pop() is False
+    st.push(None)
+    REGISTRY["CAPDEL"](st)
+    st.push(None)
+    REGISTRY["CAPGET"](st)
+    assert st.pop() == {}
+    st.push(["a", "b"])
+    REGISTRY["CAPEXPORT"](st)
+    assert st.attributes["capabilities.exported"] == {"a", "b"}

@@ -216,3 +216,75 @@ def _stdin(st):
     if "warprun" not in _capabilities(st):
         raise PermissionError("STDIN requires capability 'warprun'.")
     st.push((ln.rstrip("\n") for ln in _sys.stdin))
+
+
+# ---------------------------------------------------------------------------
+# Capability introspection (CAPGET.java, CAPCHECK.java, CAPDEL.java,
+# CAPEXPORT.java) over the stack's capabilities map — the mechanism the
+# HTTP/sensision/warprun gates consume.  CAPADD stays unimplemented:
+# it decodes capabilities from an auth TOKEN, which is out of scope.
+# ---------------------------------------------------------------------------
+
+@register("CAPGET")
+def _capget(st):
+    """name|list|NULL CAPGET → value | map of values | full map copy."""
+    caps = _capabilities(st)
+    top = st.pop()
+    if isinstance(top, str):
+        st.push(caps.get(top))
+    elif isinstance(top, list):
+        st.push({n: caps.get(n) for n in top})
+    elif top is None:
+        st.push(dict(caps))
+    else:
+        raise TypeError("CAPGET expects a capability name (STRING) or a LIST thereof.")
+
+
+@register("CAPCHECK")
+def _capcheck(st):
+    """name CAPCHECK → boolean."""
+    top = st.pop()
+    if not isinstance(top, str):
+        raise TypeError("CAPCHECK expects a STRING capability name.")
+    st.push(top in _capabilities(st))
+
+
+@register("CAPDEL")
+def _capdel(st):
+    """name|list|NULL CAPDEL: drop capabilities (NULL clears all)."""
+    if not hasattr(st, "attributes"):
+        st.attributes = {}
+    caps = st.attributes.setdefault("capabilities", {})
+    top = st.pop()
+    if isinstance(top, str):
+        caps.pop(top, None)
+    elif isinstance(top, list):
+        for n in top:
+            if isinstance(n, str):
+                caps.pop(n, None)
+    elif top is None:
+        caps.clear()
+    else:
+        raise TypeError("CAPDEL expects a capability name (STRING), a LIST thereof or NULL.")
+
+
+@register("CAPEXPORT")
+def _capexport(st):
+    """name|list|NULL CAPEXPORT: mark capabilities to survive the end of
+    the enclosing secure context (NULL exports all) — recorded in the
+    ``capabilities.exported`` attribute set like the reference's
+    exported-set (CAPEXPORT.java)."""
+    if not hasattr(st, "attributes"):
+        st.attributes = {}
+    exported = st.attributes.setdefault("capabilities.exported", set())
+    top = st.pop()
+    if isinstance(top, str) or top is None:
+        exported.add(top)
+    elif isinstance(top, list):
+        for n in top:
+            if isinstance(n, str) or n is None:
+                exported.add(n)
+            else:
+                raise TypeError("CAPEXPORT expects NULL, a capability name (STRING) or a LIST thereof.")
+    else:
+        raise TypeError("CAPEXPORT expects NULL, a capability name (STRING) or a LIST thereof.")
