@@ -688,3 +688,24 @@ def ws_secure_eval(spark, sf_dir):
     script = f"'mixkey' SECUREKEY '{blob}' EVALSECURE"
     gf = exec_script(spark, sf_dir, script)
     return _out(gf.df, "v_agg", "v_agg")
+
+
+@register("ws_registers_pipeline", (
+    f"WITH {PTS}, {DAILY} "
+    'SELECT class, "user", ts, count(v) AS v_agg FROM daily GROUP BY class, "user", ts'
+))
+def ws_registers_pipeline(spark, sf_dir):
+    """Register ops end-to-end (POPRn/PUSHRn/CPOPRn/RUNRn, the loop
+    registrations at WarpScriptLib.java:3389-3394): the fetch result is
+    parked in register 0, a bucketizer macro in register 7, and the
+    pipeline reassembled from registers — same plan, same oracle as
+    ws_fetch_bucketize."""
+    script = f"""
+    <% [ SWAP bucketizer.count {LASTBUCKET} {DAY} {NDAYS} ] BUCKETIZE %> POPR7
+    [ '~events\\..*' {{}} {_START} {LASTBUCKET} ] FETCH
+    POPR0
+    PUSHR0
+    RUNR7
+    """
+    gf = exec_script(spark, sf_dir, script)
+    return _out(gf.df, "v_agg", "v_agg")
