@@ -123,7 +123,7 @@ def test_minhash_guard_bands_reps_only(spark, sf_dir):
     from warp10_platform_spark.pipeline import dedup
 
     src = inspect.getsource(dedup.minhash_lsh_pairs)
-    assert "reps.select" in src and 'F.min("doc_id").over' in src
+    assert "reps.select" in src and 'F.min("doc_id").alias("rep")' in src
 
 
 def test_contamination_broadcasts_eval_side(spark, sf_dir):
