@@ -610,6 +610,82 @@ def read_metadata(buf: bytes, pos: int) -> tuple[dict, int]:
             pos = _skip(buf, pos, ctype)
 
 
+def write_metaset(
+    expiry_ms: int,
+    token: str,
+    metadatas: list[bytes],
+    maxduration: int | None = None,
+    notbefore: int | None = None,
+    notafter: int | None = None,
+) -> bytes:
+    """MetaSet struct (thrift:334-373) in TCompactProtocol: {1: i64
+    expiry ms, 2: string token, 3: list<Metadata>, 4-6: optional i64
+    maxduration/notbefore/notafter}. `metadatas` are pre-encoded
+    write_metadata() blobs (each already STOP-terminated)."""
+    out = bytearray()
+    prev = 0
+    prev = _w_field(out, prev, 1, _CT_I64)
+    write_svarint(out, expiry_ms)
+    prev = _w_field(out, prev, 2, _CT_BINARY)
+    _w_binary(out, (token or "").encode("utf-8"))
+    prev = _w_field(out, prev, 3, _CT_LIST)
+    n = len(metadatas)
+    if n < 15:
+        out.append((n << 4) | _CT_STRUCT)
+    else:
+        out.append(0xF0 | _CT_STRUCT)
+        write_uvarint(out, n)
+    for md in metadatas:
+        out += md
+    for fid, val in ((4, maxduration), (5, notbefore), (6, notafter)):
+        if val is not None:
+            prev = _w_field(out, prev, fid, _CT_I64)
+            write_svarint(out, int(val))
+    out.append(_CT_STOP)
+    return bytes(out)
+
+
+def read_metaset(buf: bytes) -> dict:
+    """Parse a MetaSet struct (inverse of write_metaset)."""
+    ms = {"expiry": 0, "token": "", "metadatas": [],
+          "maxduration": None, "notbefore": None, "notafter": None}
+    pos = 0
+    prev = 0
+    while pos < len(buf):
+        head = buf[pos]
+        pos += 1
+        if head == _CT_STOP:
+            break
+        ctype = head & 0x0F
+        if head >> 4:
+            prev += head >> 4
+        else:
+            prev, pos = read_svarint(buf, pos)
+        if prev == 1 and ctype == _CT_I64:
+            ms["expiry"], pos = read_svarint(buf, pos)
+        elif prev == 2 and ctype == _CT_BINARY:
+            raw, pos = _r_binary(buf, pos)
+            ms["token"] = raw.decode("utf-8")
+        elif prev == 3 and ctype == _CT_LIST:
+            head = buf[pos]
+            pos += 1
+            n = head >> 4
+            if n == 15:
+                n, pos = read_uvarint(buf, pos)
+            for _ in range(n):
+                md, pos = read_metadata(buf, pos)
+                ms["metadatas"].append(md)
+        elif prev == 4 and ctype == _CT_I64:
+            ms["maxduration"], pos = read_svarint(buf, pos)
+        elif prev == 5 and ctype == _CT_I64:
+            ms["notbefore"], pos = read_svarint(buf, pos)
+        elif prev == 6 and ctype == _CT_I64:
+            ms["notafter"], pos = read_svarint(buf, pos)
+        else:
+            pos = _skip(buf, pos, ctype)
+    return ms
+
+
 def read_wrapper(buf: bytes, inflate: bool = True) -> dict:
     """Parse a GTSWrapper struct. inflate=False skips the gzip pass —
     cheap metadata-only reads (UNWRAPSIZE pulls just the count)."""

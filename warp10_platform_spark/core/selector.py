@@ -38,6 +38,11 @@ class Selector:
     class_regex: str | None = None
     labels: list[tuple[str, str, str]] = field(default_factory=list)  # (key, op, value) op ∈ {'=','~'}
     attributes: list[tuple[str, str, str]] = field(default_factory=list)
+    # True when the selector spelled a second {...} group (even empty):
+    # `cls{lab}{attr}` checks labels and attributes SEPARATELY, while the
+    # standard `cls{k=v}` form falls back label → attribute per key
+    # (MetadataSelectorMatcher.java:41-55 doc comment).
+    extended: bool = False
 
 
 def _parse_clauses(body: str) -> list[tuple[str, str, str]]:
@@ -75,6 +80,7 @@ def parse_selector(selector: str) -> Selector:
         sel.class_exact = cls
     sel.labels = _parse_clauses(m.group("labels") or "")
     sel.attributes = _parse_clauses(m.group("attrs") or "")
+    sel.extended = m.group("attrs") is not None
     return sel
 
 
@@ -119,6 +125,51 @@ def selector_predicate(
         pred = pred & clause_pred(labels_col, key, op, val)
     for key, op, val in sel.attributes:
         pred = pred & clause_pred(attrs_col, key, op, val)
+    return pred
+
+
+def metamatch_predicate(
+    selector: str | Selector,
+    class_col: str = "class",
+    labels_col: str = "labels",
+    attrs_col: str = "attributes",
+) -> Column:
+    """METAMATCH's matcher as a Column (MetadataSelectorMatcher.java:
+    145-248). Standard form `cls{k=v}`: k is looked up in labels first,
+    falling back to attributes only when the LABEL is absent (a present
+    but mismatching label fails even if the attribute would match); an
+    empty exact value `k=` requires k absent from both maps. Extended
+    form `cls{..}{..}`: label clauses check labels only, attribute
+    clauses attributes only, absent checks scoped to their own map."""
+    sel = parse_selector(selector) if isinstance(selector, str) else selector
+    if sel.class_exact is not None:
+        pred = F.col(class_col) == sel.class_exact
+    elif sel.class_regex in (".*", None):
+        pred = F.lit(True)
+    else:
+        pred = F.col(class_col).rlike(_anchor(sel.class_regex))
+
+    def one(entry: Column, op: str, val: str) -> Column:
+        if op == "=":
+            return entry.isNotNull() & (entry == val)
+        return entry.isNotNull() & entry.rlike(_anchor(val))
+
+    if sel.extended:
+        for col_name, clauses in ((labels_col, sel.labels), (attrs_col, sel.attributes)):
+            for key, op, val in clauses:
+                e = F.element_at(F.col(col_name), key)
+                if op == "=" and val == "":
+                    pred = pred & e.isNull()
+                else:
+                    pred = pred & one(e, op, val)
+    else:
+        for key, op, val in sel.labels:
+            lab = F.element_at(F.col(labels_col), key)
+            att = F.element_at(F.col(attrs_col), key)
+            if op == "=" and val == "":
+                pred = pred & lab.isNull() & att.isNull()
+            else:
+                pred = pred & one(F.coalesce(lab, att), op, val)
     return pred
 
 

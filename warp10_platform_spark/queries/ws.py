@@ -709,3 +709,26 @@ def ws_registers_pipeline(spark, sf_dir):
     """
     gf = exec_script(spark, sf_dir, script)
     return _out(gf.df, "v_agg", "v_agg")
+
+
+@register("ws_metamatch", (
+    f"WITH {PTS} "
+    "SELECT DISTINCT class, "
+    "  '[{\"key\":\"user\",\"value\":\"' || \"user\" || '\"}]' AS labels_key, "
+    "  (class LIKE 'events.p%') AS is_match "
+    f"FROM pts WHERE ts > {LASTBUCKET - DAY * NDAYS} AND ts <= {LASTBUCKET}"
+))
+def ws_metamatch(spark, sf_dir):
+    """METADIFF delta-upserts an attribute on every fetched series, then
+    METAMATCH evaluates a STANDARD selector whose label key only exists
+    as an attribute — exercising the label→attribute fallback
+    (MetadataSelectorMatcher.java:160-168) plus the class regex. The
+    match boolean is therefore exactly 'class starts with events.p'
+    (the attribute clause holds everywhere METADIFF ran)."""
+    script = f"""
+    [ '~events\\..*' {{}} {_START} {LASTBUCKET} ] FETCH
+    {{ 'unit' 'count' 'obsolete' '' }} METADIFF
+    '~events\\.p.*{{unit=count}}' METAMATCH
+    """
+    out = exec_script(spark, sf_dir, script)
+    return out.select("class", "labels_key", F.col("match").alias("is_match"))

@@ -64,6 +64,22 @@ def meta(points: DataFrame, selector: str, attributes: dict[str, str]) -> DataFr
     )
 
 
+def meta_delta(points: DataFrame, attributes: dict[str, str]) -> DataFrame:
+    """METADIFF — delta attribute update (META.java delta=true →
+    StandaloneIngressHandler.java:797,897 →
+    StandaloneDirectoryClient.java:1037-1055): non-empty values upsert
+    into the existing attribute map; an EMPTY value deletes the key."""
+    keys = list(attributes)
+    merged = F.map_filter(F.col("attributes"), lambda k, _: ~k.isin(keys))
+    ups = [(k, v) for k, v in attributes.items() if v != ""]
+    if ups:
+        pairs = []
+        for k, v in ups:
+            pairs += [F.lit(k), F.lit(v)]
+        merged = F.map_concat(merged, F.create_map(*pairs))
+    return points.withColumn("attributes", merged)
+
+
 # ---- export formats (EgressFetchHandler.java:1077-1085) ----
 
 def export_tsv(points: DataFrame, value_col: str = "v_double") -> DataFrame:

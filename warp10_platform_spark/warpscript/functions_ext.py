@@ -2137,9 +2137,121 @@ def _ago(st):
     st.push(int(_t.time() * 1_000_000) - int(st.pop()))
 
 
-@register("->SSSS", "SSSS->")
-def _ssss(st):
-    raise NotImplementedError("Shamir secret sharing is crypto scope (SURVEY: out of scope)")
+# ---- Shamir secret sharing (TOSSSS.java / SSSSTO.java) -------------
+# The reference delegates to com.geoxp.oss CryptoHelper.SSSSSplit /
+# SSSSRecover (library not present in the reference tree). The share
+# CONTRACT visible from TOSSSS.java:30-96 is: each split is a byte
+# array of (x, y) PAIRS — one pair per secret byte — over GF(256), the
+# secret byte being the polynomial value at x=0 (the ensureRandomness
+# branch strips x==0 pairs precisely because f(0) IS the secret).
+# Recovery therefore reads x from the share itself and Lagrange-
+# interpolates at 0, so it accepts any split laid out per that
+# contract regardless of how the splitter picked its x coordinates.
+
+_GF_EXP = [0] * 512
+_GF_LOG = [0] * 256
+_x = 1
+for _i in range(255):
+    _GF_EXP[_i] = _x
+    _GF_LOG[_x] = _i
+    # multiply by the generator 0x03 (= x ⊕ x·2); 0x02 is NOT a
+    # generator of GF(256)* under the AES polynomial
+    _x ^= (_x << 1) ^ (0x11B if _x & 0x80 else 0)
+for _i in range(255, 512):
+    _GF_EXP[_i] = _GF_EXP[_i - 255]
+
+
+def _gf_mul(a: int, b: int) -> int:
+    if a == 0 or b == 0:
+        return 0
+    return _GF_EXP[_GF_LOG[a] + _GF_LOG[b]]
+
+
+def _gf_div(a: int, b: int) -> int:
+    if a == 0:
+        return 0
+    return _GF_EXP[(_GF_LOG[a] - _GF_LOG[b]) % 255]
+
+
+def ssss_split(secret: bytes, n: int, k: int, rng) -> list[bytes]:
+    """Split into n shares, any k of which recover the secret: per
+    secret byte an independent degree-(k-1) polynomial with constant
+    term = the byte; share i holds the (x=i+1, y=f(i+1)) pair."""
+    shares = [bytearray() for _ in range(n)]
+    for b in secret:
+        coeffs = [b] + [rng.randrange(256) for _ in range(k - 1)]
+        for i in range(n):
+            x = i + 1
+            y = 0
+            for c in reversed(coeffs):  # Horner
+                y = _gf_mul(y, x) ^ c
+            shares[i] += bytes((x, y))
+    return [bytes(s) for s in shares]
+
+
+def ssss_recover(shares: list[bytes]) -> bytes:
+    """Lagrange interpolation at x=0 per byte position."""
+    if not shares:
+        raise ValueError("SSSS-> expects at least one share")
+    ln = len(shares[0])
+    if ln % 2 or any(len(s) != ln for s in shares):
+        raise ValueError("SSSS-> shares must be equal-length (x,y) pair arrays")
+    out = bytearray()
+    for j in range(ln // 2):
+        pts = [(s[2 * j], s[2 * j + 1]) for s in shares]
+        acc = 0
+        for i, (xi, yi) in enumerate(pts):
+            num, den = 1, 1
+            for m, (xm, _) in enumerate(pts):
+                if m == i:
+                    continue
+                num = _gf_mul(num, xm)
+                den = _gf_mul(den, xm ^ xi)
+            acc ^= _gf_mul(yi, _gf_div(num, den))
+        out.append(acc)
+    return bytes(out)
+
+
+@register("->SSSS")
+def _to_ssss(st):
+    """secret n k [ensureRandomness] ->SSSS (TOSSSS.java:30-96): push a
+    list of n byte-array shares, k needed to recover. ensureRandomness
+    defaults true; our x coordinates are never 0 so the false branch's
+    x==0 stripping is a no-op (shares are already minimal length).
+    Seed via SRAND for reproducible shares."""
+    import random as _random
+
+    top = st.pop()
+    if isinstance(top, bool):
+        top = st.pop()  # ensureRandomness flag — see docstring
+    if not isinstance(top, int):
+        raise TypeError("->SSSS expects the number of splits needed to reconstruct the input.")
+    k = top
+    if k < 2 or k > 255:
+        raise ValueError("->SSSS expects the number of needed splits to be between 2 and 255.")
+    n = st.pop()
+    if not isinstance(n, int):
+        raise TypeError("->SSSS expects the number of splits to generate.")
+    if n > 255:
+        raise ValueError("->SSSS the number of splits must be strictly less than 256.")
+    if n < k:
+        raise ValueError(
+            "->SSSS the number of splits to generate must be at least equal to the number of needed splits."
+        )
+    secret = st.pop()
+    if not isinstance(secret, (bytes, bytearray)):
+        raise TypeError("->SSSS operates on a byte array.")
+    rng = getattr(st, "rng", None) or _random.Random()
+    st.push(ssss_split(bytes(secret), n, k, rng))
+
+
+@register("SSSS->")
+def _from_ssss(st):
+    """[shares] SSSS-> (SSSSTO.java): recover the secret byte array."""
+    shares = st.pop()
+    if not isinstance(shares, list) or not all(isinstance(s, (bytes, bytearray)) for s in shares):
+        raise TypeError("SSSS-> operates on a LIST of byte arrays.")
+    st.push(ssss_recover([bytes(s) for s in shares]))
 
 
 @register("NRETURN")
@@ -3495,15 +3607,95 @@ def _metasort(st):
     st.push(metasort(gf.df))
 
 
-@register("METASET", "METADIFF", "METAMATCH")
-def _meta_encoder_ops(st):
-    """Encoder metadata ops (METASET.java family) on the driver-side
-    encoder value: METASET merges {attrs}; METADIFF yields keys that
-    differ; METAMATCH tests a labels pattern map."""
-    raise NotImplementedError(
-        "METASET/METADIFF/METAMATCH operate on stored directory metadata; "
-        "use META (attribute upsert) / FIND on the frame surface"
+@register("METAMATCH")
+def _metamatch(st):
+    """gts 'selector' METAMATCH (METAMATCH.java:30 +
+    MetadataSelectorMatcher.java:55): per-series boolean match frame
+    (class, labels_key, match). The reference pushes one boolean per GTS;
+    the frame surface returns the same verdicts as a DataFrame, computed
+    executor-side from the same standard/extended selector semantics
+    (label → attribute fallback in the standard form)."""
+    from warp10_platform_spark.core.selector import metamatch_predicate
+
+    selector = str(st.pop())
+    gf = _as_frame(st.pop())
+    cols = ["class", "labels_key", "labels"]
+    has_attrs = "attributes" in gf.df.columns
+    if has_attrs:
+        cols.append("attributes")
+    series = gf.df.select(*cols).dropDuplicates(["class", "labels_key"])
+    if not has_attrs:
+        series = series.withColumn("attributes", F.create_map().cast("map<string,string>"))
+    st.push(
+        series.select(
+            "class", "labels_key", metamatch_predicate(selector).alias("match")
+        )
     )
+
+
+@register("METADIFF")
+def _metadiff(st):
+    """gts {attrs} METADIFF (META.java delta=true registration,
+    WarpScriptLib.java:2561): delta attribute update — non-empty values
+    upsert, empty values DELETE the attribute (directory delta-endpoint
+    semantics, StandaloneDirectoryClient.java:1037-1055)."""
+    from warp10_platform_spark.sources.write import meta_delta
+
+    attrs = st.pop()
+    if not isinstance(attrs, dict):
+        raise TypeError("METADIFF expects a map of attribute deltas")
+    gf = _as_frame(st.pop())
+    st.push(GTSFrame(meta_delta(gf.df, attrs), gf.bucketspec, gf.value_col))
+
+
+@register("METASET")
+def _metaset(st):
+    """[ token 'class' {labels} notbefore notafter maxduration ttl ]
+    METASET (FIND.java metaset registration WarpScriptLib.java:2456,
+    param pops :268-310, envelope :598-607): FIND the matching series
+    metadata, bundle into a MetaSet thrift struct (thrift:334-373),
+    gzip, CryptoUtils.wrap with the metaset master key, OPB64-encode.
+    NaN for notbefore/notafter/maxduration leaves the field unset. The
+    master key is a deployment secret (keystore warp.aes.metasets);
+    override via stack attribute ``metaset.master.key``."""
+    from warp10_platform_spark.core import gtscodec as gc
+    from warp10_platform_spark.functions import aes
+    from warp10_platform_spark.sources.directory import build_directory, find
+    from warp10_platform_spark.sources.tables import events_points
+
+    args = st.pop()
+    if not isinstance(args, list) or len(args) != 7:
+        raise TypeError("METASET expects 7 parameters.")
+    token, cls, labels, notbefore, notafter, maxduration, ttl = args
+
+    def _opt(v):
+        return None if isinstance(v, float) and _math.isnan(v) else int(v)
+
+    selector = str(cls) + "{" + ",".join(f"{k}={v}" for k, v in (labels or {}).items()) + "}"
+    rows = find(build_directory(events_points(st.spark, st.sf_dir)), selector).collect()
+    if not rows:
+        raise ValueError(
+            "METASET couldn't find any metadata matching the given class and label selectors."
+        )
+    metas = [
+        gc.write_metadata(
+            r["class"], dict(r["labels"] or {}),
+            dict(r["attributes"]) if "attributes" in r.__fields__ and r["attributes"] else None,
+        )
+        for r in rows
+    ]
+    import time as _t
+
+    # expiry = now_ms + ttl / TIME_UNITS_PER_MS (µs platform → /1000)
+    expiry_ms = int(_t.time() * 1000) + int(ttl) // 1000
+    serialized = gc.write_metaset(
+        expiry_ms, str(token), metas,
+        maxduration=_opt(maxduration), notbefore=_opt(notbefore), notafter=_opt(notafter),
+    )
+    key = getattr(st, "attributes", {}).get("metaset.master.key")
+    if not isinstance(key, (bytes, bytearray)):
+        key = bytes(range(32))
+    st.push(gc.opb64_encode(aes.wrap(bytes(key), gc._gzip_det(serialized))))
 
 
 # ---- geo coverage utilities ----
