@@ -331,13 +331,139 @@ def _as_frame(v) -> GTSFrame:
     raise TypeError(f"expected GTS on stack, got {type(v).__name__}")
 
 
+def _ts_param(v, now_us: int) -> int:
+    """FETCH time param: long µs | ISO8601 string | 'now'
+    (FETCH.java PARAM_END/PARAM_START handling)."""
+    if isinstance(v, int):
+        return v
+    s = str(v)
+    if s == "now":
+        return now_us
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1_000_000)
+
+
+def _fetch_map(st, params: dict):
+    """Map-parameter FETCH (FETCH.java:1100-1400): selector/selectors/
+    class+labels/metaset targeting; start+end, end+timespan or end+count
+    time range; boundary.pre/post, skip, sample, step/timestep,
+    gskip/gcount post-processing — each dispatched to the engine tier
+    that already implements it (core/frame.py, sources/directory.py)."""
+    import time as _t
+
+    from warp10_platform_spark.core.selector import selector_predicate, to_selector
+
+    now_us = int(_t.time() * 1_000_000)
+    params = dict(params)
+
+    # ---- targeting --------------------------------------------------
+    selectors: list[str] = []
+    if "metaset" in params:
+        if "boundary.pre" in params or "boundary.post" in params:
+            raise ValueError("FETCH cannot support both MetaSet and pre/post boundary parameters.")
+        from warp10_platform_spark.core import gtscodec as gc
+        from warp10_platform_spark.functions import aes
+
+        blob = params["metaset"]
+        raw = gc.opb64_decode(blob) if isinstance(blob, str) else bytes(blob)
+        key = getattr(st, "attributes", {}).get("metaset.master.key")
+        if not isinstance(key, (bytes, bytearray)):
+            key = bytes(range(32))
+        import gzip as _gz
+
+        try:
+            ms = gc.read_metaset(_gz.decompress(aes.unwrap(bytes(key), raw)))
+        except Exception as e:
+            raise ValueError("FETCH was unable to decode the provided MetaSet.") from e
+        if ms["expiry"] < int(_t.time() * 1000):
+            raise ValueError("FETCH MetaSet has expired.")
+        selectors = [
+            to_selector(md["name"], md["labels"], exact=True) for md in ms["metadatas"]
+        ]
+        # MetaSet constraints (FETCH.java:1326-1380)
+        if ms["maxduration"] is not None:
+            if ms["notbefore"] is None and ms["notafter"] is None:
+                params["end"] = now_us
+            if ms["maxduration"] >= 0:
+                if "timespan" not in params or params["timespan"] > ms["maxduration"]:
+                    params["timespan"] = ms["maxduration"]
+            else:
+                if "count" not in params or params["count"] > -ms["maxduration"]:
+                    params["count"] = -ms["maxduration"]
+        if ms["notbefore"] is not None and _ts_param(params.get("end", now_us), now_us) < ms["notbefore"]:
+            params["end"] = ms["notbefore"]
+        if ms["notafter"] is not None and _ts_param(params.get("end", now_us), now_us) > ms["notafter"]:
+            params["end"] = ms["notafter"]
+    elif "selectors" in params:
+        selectors = [str(s) for s in params["selectors"]]
+    elif "selector" in params:
+        selectors = [str(params["selector"])]
+    elif "class" in params:
+        labels = params.get("labels") or {}
+        selectors = [str(params["class"]) + "{" + ",".join(f"{k}={v}" for k, v in labels.items()) + "}"]
+    else:
+        raise ValueError("FETCH missing 'selector', 'selectors', 'class' or 'metaset' parameter.")
+
+    # ---- time range -------------------------------------------------
+    end = _ts_param(params["end"], now_us) if "end" in params else None
+    start = _ts_param(params["start"], now_us) if "start" in params else None
+    count = int(params["count"]) if "count" in params else None
+    if "timespan" in params:
+        if end is None:
+            raise ValueError("FETCH 'timespan' requires 'end'.")
+        start = end - int(params["timespan"]) + 1
+
+    pts = events_points(st.spark, st.sf_dir)
+    from functools import reduce
+
+    pred = reduce(lambda a, b: a | b, (selector_predicate(s) for s in selectors))
+    pts = pts.where(pred)
+
+    if "gskip" in params or "gcount" in params:
+        from warp10_platform_spark.sources.directory import build_directory, fetch_gskip_gcount
+
+        # predicate already applied; rank the remaining series
+        pts = fetch_gskip_gcount(
+            pts, build_directory(pts), "~.*{}",
+            gskip=int(params.get("gskip", 0)),
+            gcount=int(params["gcount"]) if "gcount" in params else None,
+        )
+
+    pre = int(params.get("boundary.pre", params.get("boundary", 0)))
+    post = int(params.get("boundary.post", params.get("boundary", 0)))
+    if pre or post:
+        gf = GTSFrame.fetch_with_boundary(
+            pts, None, start if start is not None else 0,
+            end if end is not None else now_us, boundary_pre=pre, boundary_post=post,
+        )
+    else:
+        gf = GTSFrame.fetch(pts, None, start=start, end=end, count=count)
+
+    if "skip" in params:
+        gf = gf.skip(int(params["skip"]))
+    if "step" in params or "timestep" in params:
+        gf = gf.thin(step=int(params.get("step", 1)), timestep=int(params.get("timestep", 1)))
+    if "sample" in params:
+        gf = gf.sample(float(params["sample"]))
+    return gf
+
+
 @register("FETCH")
 def _fetch(st):
     """[ (token)? class_selector labels_map start end ] FETCH — the
-    5/4-element list form (FETCH.java:101-141). A negative final element
+    5/4-element list form (FETCH.java:101-141) — or the map-parameter
+    form `{ 'selector' … 'end' … 'timespan' … } FETCH` (FETCH.java
+    PARAM_* handling, see _fetch_map). A negative final list element
     means count-based fetch: [ … now -count ] keeps the last `count`
     points per series (FETCH.java:128)."""
     args = st.pop()
+    if isinstance(args, dict):
+        st.push(_fetch_map(st, args))
+        return
     if not isinstance(args, list):
         raise TypeError("FETCH expects a parameter list")
     if len(args) == 5:
