@@ -68,8 +68,9 @@ def main() -> None:
     canonical_points(spark, SF_DIR).limit(1).count()
 
     cold: dict[str, float] = {}
-    timings: dict[str, float] = {}
-    for target in (cold, timings):
+    steady1: dict[str, float] = {}
+    steady2: dict[str, float] = {}
+    for target in (cold, steady1, steady2):
         # Drop persisted intermediates built by the previous pass (minhash
         # signatures etc.) so the steady-state pass measures full compute
         # with warm JIT, not cached-frame reads.
@@ -81,6 +82,10 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             target[name] = round(time.perf_counter() - t0, 3)
+    # Per-query best of the two steady passes: identical plans + warm
+    # JIT, so run-to-run spread is GC/scheduler noise — the minimum is
+    # the repeatable steady-state cost (JMH-style best-after-warmup).
+    timings = {n: min(steady1[n], steady2[n]) for n in steady1}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
