@@ -70,6 +70,14 @@ def test_map_fetch_missing_target_raises(spark, sf_dir):
         _fetch(st, {"start": 0, "end": 10**18})
 
 
+def test_map_fetch_type_param(spark, sf_dir):
+    st = _stack(spark, sf_dir)
+    gf = _fetch(st, {"selector": "~events\\..*{}", "start": 0, "end": 10**18, "type": "DOUBLE"})
+    assert gf.value_col == "v_double" and gf.df.count() > 0
+    with pytest.raises(ValueError):
+        _fetch(st, {"selector": "~events\\..*{}", "start": 0, "end": 10**18, "type": "nope"})
+
+
 def test_metaset_feeds_fetch(spark, sf_dir):
     """METASET blob → { 'metaset' … } FETCH: decode, expiry check,
     selector reconstruction from the bundled Metadata (FETCH.java:

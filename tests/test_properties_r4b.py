@@ -170,3 +170,41 @@ def test_gts_decoder_never_crashes(blob):
         # decode of garbage may fail arbitrarily but must not hang;
         # reaching here at all proves termination
         pass
+
+
+# ---- Shamir secret sharing + MetaSet codec (late round-4) ----
+
+@given(st.binary(min_size=1, max_size=60), st.integers(2, 6), st.integers(0, 4), st.integers(0, 10**6))
+@settings(max_examples=40, deadline=None)
+def test_ssss_split_recover_roundtrip(secret, k, extra, seed):
+    import random
+
+    from warp10_platform_spark.warpscript.functions_ext import ssss_recover, ssss_split
+
+    n = k + extra
+    shares = ssss_split(secret, n, k, random.Random(seed))
+    assert len(shares) == n and all(len(s) == 2 * len(secret) for s in shares)
+    # exactly-k and all-n subsets both recover
+    assert ssss_recover(shares[:k]) == secret
+    assert ssss_recover(shares) == secret
+
+
+@given(
+    st.integers(0, 2**40),
+    st.text(max_size=20),
+    st.lists(st.tuples(st.text(min_size=1, max_size=10),
+                       st.dictionaries(st.text(min_size=1, max_size=5), st.text(max_size=5), max_size=3)),
+             max_size=20),
+    st.none() | st.integers(-2**40, 2**40),
+    st.none() | st.integers(0, 2**40),
+    st.none() | st.integers(0, 2**40),
+)
+@settings(max_examples=40, deadline=None)
+def test_metaset_codec_roundtrip(expiry, token, metas, maxd, nb, na):
+    from warp10_platform_spark.core.gtscodec import read_metaset, write_metadata, write_metaset
+
+    blobs = [write_metadata(name, labels) for name, labels in metas]
+    ms = read_metaset(write_metaset(expiry, token, blobs, maxduration=maxd, notbefore=nb, notafter=na))
+    assert ms["expiry"] == expiry and ms["token"] == token
+    assert ms["maxduration"] == maxd and ms["notbefore"] == nb and ms["notafter"] == na
+    assert [(m["name"], m["labels"]) for m in ms["metadatas"]] == [(n, l) for n, l in metas]

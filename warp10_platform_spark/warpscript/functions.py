@@ -449,6 +449,14 @@ def _fetch_map(st, params: dict):
         gf = gf.thin(step=int(params.get("step", 1)), timestep=int(params.get("timestep", 1)))
     if "sample" in params:
         gf = gf.sample(float(params["sample"]))
+    if "type" in params:
+        # PARAM_TYPE: constrain to one value type (FETCH.java:1380-1395)
+        col = {"LONG": "v_long", "DOUBLE": "v_double", "BOOLEAN": "v_bool", "STRING": "v_string"}.get(
+            str(params["type"]).upper()
+        )
+        if col is None:
+            raise ValueError("FETCH invalid 'type' parameter.")
+        gf = GTSFrame(gf.df.where(F.col(col).isNotNull()), gf.bucketspec, col)
     return gf
 
 
