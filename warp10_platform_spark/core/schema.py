@@ -66,6 +66,23 @@ def canonical_labels(labels: Column = None) -> Column:
     return F.to_json(F.array_sort(F.map_entries(labels)))
 
 
+def labels_from_key(labels_key: Column = None) -> Column:
+    """Inverse of canonical_labels: labels_key JSON → labels map.
+
+    Aggregations must NOT carry the map-typed `labels` column through
+    `first(...)`: a map-typed aggregate buffer is unsupported by
+    HashAggregate, so Catalyst silently falls back to SortAggregate —
+    two extra Sorts and an O(n log n) full partition sort per agg, which
+    is the difference between hash and sort aggregation at 100 TB.
+    Instead, group by `labels_key` (already a SERIES_KEY) and rebuild the
+    map on the (far smaller) aggregated output with this JVM expression.
+    """
+    labels_key = F.col("labels_key") if labels_key is None else labels_key
+    return F.map_from_entries(
+        F.from_json(labels_key, "array<struct<key:string,value:string>>")
+    )
+
+
 def gts_id(class_col: Column = None, labels_col: Column = None) -> Column:
     """64-bit series identity ≙ classId/labelsId SipHashes of the reference
     (Metadata thrift, io_warp10_continuum_store_thrift_data.thrift:23-63).

@@ -24,6 +24,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from warp10_platform_spark.core.schema import labels_from_key
+
 # One canonical aggregation expression per bucketizer name, over a numeric
 # value column `v` ordered by tick `ts`. Mirrors script/aggregator/* —
 # Sum.java:31, Mean.java:34, Min/Max.java:29, Count.java:30,
@@ -211,7 +213,8 @@ def bucketize(
     agg = bucketizer_expr(bucketizer, F.col(value_col), F.col("ts"), p=p).alias("v_agg")
     out = (
         bucketed.groupBy(*SERIES_KEYS, "bucket_end")
-        .agg(agg, F.first("labels").alias("labels"))
+        .agg(agg)
+        .withColumn("labels", labels_from_key())
         .withColumnRenamed("bucket_end", "ts")
     )
     return out, spec
@@ -240,6 +243,7 @@ def bucketize_calendar(
     return (
         df.withColumn("bucket_start", bucket_start)
         .groupBy(*SERIES_KEYS, "bucket_start")
-        .agg(agg, F.first("labels").alias("labels"))
+        .agg(agg)
+        .withColumn("labels", labels_from_key())
         .withColumnRenamed("bucket_start", "ts")
     )

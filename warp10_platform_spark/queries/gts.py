@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from warp10_platform_spark.core.frame import GTSFrame
+from warp10_platform_spark.core.schema import labels_from_key
 from warp10_platform_spark.operators import outliers as _outliers
 from warp10_platform_spark.operators import reshape as _reshape
 from warp10_platform_spark.operators import sort as _sort
@@ -116,8 +117,8 @@ def _bucketized_decimal_mean(spark, sf_dir):
             F.round(
                 F.sum(F.col("v_double").cast("decimal(28,10)")).cast("double") / F.count("v_double"), 6
             ).alias("v_agg"),
-            F.first("labels").alias("labels"),
         )
+        .withColumn("labels", labels_from_key())
         .withColumnRenamed("bucket_end", "ts")
     )
 
@@ -155,7 +156,8 @@ def bucketize_min_max(spark, sf_dir):
     out = (
         df.withColumn("bucket_end", bucket_end_col(LASTBUCKET, DAY))
         .groupBy(*SERIES_KEYS, "bucket_end")
-        .agg(F.min("v_double").alias("v_min"), F.max("v_double").alias("v_max"), F.first("labels").alias("labels"))
+        .agg(F.min("v_double").alias("v_min"), F.max("v_double").alias("v_max"))
+        .withColumn("labels", labels_from_key())
         .withColumnRenamed("bucket_end", "ts")
     )
     return out.select(
@@ -180,8 +182,8 @@ def bucketize_first_last(spark, sf_dir):
         .agg(
             F.min_by("v_double", "ts").alias("v_first"),
             F.max_by("v_double", "ts").alias("v_last"),
-            F.first("labels").alias("labels"),
         )
+        .withColumn("labels", labels_from_key())
         .withColumnRenamed("bucket_end", "ts")
     )
     return out.select("class", F.element_at(F.col("labels"), "user").alias("user"), "ts", "v_first", "v_last")
@@ -204,8 +206,8 @@ def bucketize_sd_median(spark, sf_dir):
         .agg(
             F.round(F.stddev_samp("v_double"), 6).alias("v_sd"),
             F.round(F.median("v_double"), 6).alias("v_median"),
-            F.first("labels").alias("labels"),
         )
+        .withColumn("labels", labels_from_key())
         .withColumnRenamed("bucket_end", "ts")
     )
     return out.select("class", F.element_at(F.col("labels"), "user").alias("user"), "ts", "v_sd", "v_median")

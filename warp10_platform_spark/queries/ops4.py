@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from warp10_platform_spark.core.frame import GTSFrame
+from warp10_platform_spark.core.schema import labels_from_key
 from warp10_platform_spark.operators import reduce_apply as _ra
 from warp10_platform_spark.queries import register
 from warp10_platform_spark.queries.gts import DAILY, DAY, LASTBUCKET, NDAYS, PTS, _bucketized
@@ -126,8 +127,8 @@ def bucketize_argminmax(spark, sf_dir):
         .agg(
             F.max_by("ts", "v_double").alias("t_max"),
             F.min_by("ts", "v_double").alias("t_min"),
-            F.first("labels").alias("labels"),
         )
+        .withColumn("labels", labels_from_key())
     )
     return out.select(
         "class",
@@ -162,9 +163,9 @@ def bucketize_join_delta_rate(spark, sf_dir):
             bucketizer_expr("join", v.cast("string"), ts).alias("joined"),
             bucketizer_expr("delta", v, ts).alias("delta"),
             F.round(bucketizer_expr("rate", v, ts), 6).alias("rate"),
-            F.first("labels").alias("labels"),
             (F.max("ts") > F.min("ts")).alias("_multi"),
         )
+        .withColumn("labels", labels_from_key())
         .where(F.col("_multi"))
     )
     return out.select(
@@ -217,8 +218,8 @@ def circular_mean_daily(spark, sf_dir):
                 ),
                 6,
             ).alias("v_agg"),
-            F.first("labels").alias("labels"),
         )
+        .withColumn("labels", labels_from_key())
     )
     return out.select(
         "class",

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from warp10_platform_spark.core.schema import labels_from_key
 from warp10_platform_spark.core.selector import selector_predicate
 
 
@@ -26,11 +27,15 @@ def build_directory(points: DataFrame) -> DataFrame:
     """points → directory: one row per series (identity, labels, extent
     stats). Shuffle carries only (gts_id, partials) — partial aggregation
     makes this one map-side-combined pass."""
-    return points.groupBy("gts_id", "class", "labels_key").agg(
-        F.first("labels").alias("labels"),
-        F.min("ts").alias("first_ts"),
-        F.max("ts").alias("last_ts"),
-        F.count("*").alias("n_points"),
+    return (
+        points.groupBy("gts_id", "class", "labels_key")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("n_points"),
+        )
+        .withColumn("labels", labels_from_key())
+        .select("gts_id", "class", "labels_key", "labels", "first_ts", "last_ts", "n_points")
     )
 
 
