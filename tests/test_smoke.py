@@ -57,3 +57,19 @@ def test_connected_components_chain_and_clique(spark):
     )
     got = {r["id"]: r["rep"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_events_points_labels_key_matches_canonical(spark):
+    """events_points builds labels_key by template concat (perf); it must
+    equal the generic canonical_labels()/with_gts_id form bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.core.schema import canonical_labels
+    from warp10_platform_spark.sources.tables import events_points
+
+    df = events_points(spark, "/root/testdata/sf0.001")
+    bad = df.where(
+        (F.col("labels_key") != canonical_labels())
+        | (F.col("gts_id") != F.xxhash64(F.col("class"), canonical_labels()))
+    ).count()
+    assert bad == 0
