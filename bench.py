@@ -70,7 +70,8 @@ def main() -> None:
     cold: dict[str, float] = {}
     steady1: dict[str, float] = {}
     steady2: dict[str, float] = {}
-    for target in (cold, steady1, steady2):
+    steady3: dict[str, float] = {}
+    for target in (cold, steady1, steady2, steady3):
         # Drop persisted intermediates built by the previous pass (minhash
         # signatures etc.) so the steady-state pass measures full compute
         # with warm JIT, not cached-frame reads.
@@ -82,10 +83,10 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             target[name] = round(time.perf_counter() - t0, 3)
-    # Per-query best of the two steady passes: identical plans + warm
+    # Per-query best of the three steady passes: identical plans + warm
     # JIT, so run-to-run spread is GC/scheduler noise — the minimum is
     # the repeatable steady-state cost (JMH-style best-after-warmup).
-    timings = {n: min(steady1[n], steady2[n]) for n in steady1}
+    timings = {n: min(steady1[n], steady2[n], steady3[n]) for n in steady1}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

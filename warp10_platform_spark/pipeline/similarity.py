@@ -132,6 +132,44 @@ def ivf_topk(
     return sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k).select("qid", "nid", "sim")
 
 
+def sq8_codes(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Scalar (int8) quantization: per-vector symmetric scale = max|x|,
+    codes = floor(x/scale*127 + 0.5) ∈ [-127, 127].
+
+    The 100 TB memory-bandwidth lever: a 4× smaller corpus representation
+    whose dot products are exact small-integer arithmetic (|code| ≤ 127,
+    so every product ≤ 16129 and any realistic sum stays exactly
+    representable in double — the approximation is ONLY the quantization
+    itself, never the arithmetic). The per-vector scale cancels out of
+    cosine, so similarity is computed on codes alone; floor(+0.5) is used
+    instead of round() because floor is IEEE-identical across engines
+    while decimal-string rounding is not. All JVM HOF exprs, no UDF."""
+    d = _as_double(df, col)
+    s = "greatest(array_max(transform(v, x -> abs(x))), 1e-30D)"
+    return d.withColumn(
+        "code", F.expr(f"transform(v, x -> floor(x / {s} * 127.0D + 0.5D))")
+    ).withColumn("code_n2", F.expr(_DOT.format(a="code", b="code")))
+
+
+def sq8_topk(queries: DataFrame, candidates: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k cosine over int8-quantized codes (same join/rank contract as
+    cosine_topk: broadcast query codes, rank on round(sim, 6) with id
+    tie-break). Zero-vector guard: code_n2 = 0 rows can't score."""
+    q = sq8_codes(queries).where(F.col("code_n2") > 0).select(
+        F.col("vec_id").alias("qid"), F.col("code").alias("qc"), F.col("code_n2").alias("qn2")
+    )
+    c = sq8_codes(_spread(candidates)).where(F.col("code_n2") > 0).select(
+        F.col("vec_id").alias("nid"), F.col("code").alias("cc"), F.col("code_n2").alias("cn2")
+    )
+    dot = F.expr(_DOT.format(a="qc", b="cc"))
+    sims = (
+        c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
+        .withColumn("sim", F.round(dot / (F.sqrt("qn2") * F.sqrt("cn2")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k).select("qid", "nid", "sim")
+
+
 def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95, id_col: str = "vec_id") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the embedding tier of the
     dedup ladder): exact all-pairs baseline — id_a < id_b, cos ≥ t.

@@ -188,3 +188,34 @@ def emb_ivf_topk_nprobe2(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return _sim.ivf_topk(queries, emb, _ivf_centroids(), k=3, nprobe=2)
+
+
+SQ8_TOPK_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+  SELECT vec_id,
+         list_transform(v, x -> floor(x / greatest(list_max(list_transform(v, y -> abs(y))), 1e-30) * 127.0 + 0.5)) AS code
+  FROM e
+),
+n AS (SELECT vec_id, code, list_dot_product(code, code) AS n2 FROM c WHERE list_dot_product(code, code) > 0),
+q AS (SELECT vec_id AS qid, code AS qc, n2 AS qn2 FROM n WHERE vec_id < 10),
+s AS (SELECT q.qid, n.vec_id AS nid,
+             round(list_dot_product(q.qc, n.code) / (sqrt(q.qn2) * sqrt(n.n2)), 6) AS sim
+      FROM q JOIN n ON n.vec_id != q.qid)
+SELECT qid, nid, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk FROM s
+) WHERE rk <= 3
+"""
+
+
+@register("emb_sq8_topk", SQ8_TOPK_ORACLE)
+def emb_sq8_topk(spark, sf_dir):
+    """Int8 scalar-quantized cosine top-k: the memory-bandwidth scale
+    path (4x smaller corpus representation, exact small-integer dot
+    products — the only approximation is the quantization itself). The
+    per-vector scale cancels out of cosine, so scoring runs entirely on
+    codes; floor(x/s*127 + 0.5) is IEEE-identical across engines, making
+    even this approximate path bit-exact against the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return _sim.sq8_topk(queries, emb, k=3)
