@@ -170,6 +170,101 @@ def sq8_topk(queries: DataFrame, candidates: DataFrame, k: int = 3) -> DataFrame
     return sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k).select("qid", "nid", "sim")
 
 
+def pq_codebook(dim: int, m: int = 8, k: int = 16, seed: int = 1234):
+    """Deterministic PQ codebook: `m` subspaces of dim/m, `k` centroids
+    each, sampled from a seeded Gaussian scaled to the unit-ish range of
+    normalized embeddings. In production the codebook is k-means-trained
+    offline and shipped as plan literals exactly the same way (the IVF
+    centroids follow the identical contract)."""
+    import random
+
+    sub = dim // m
+    rnd = random.Random(seed)
+    return [[[rnd.gauss(0, 0.35) for _ in range(sub)] for _ in range(k)] for _ in range(m)]
+
+
+def _pq_sub(m_idx: int, sub: int) -> str:
+    return f"slice(v, {m_idx * sub + 1}, {sub})"
+
+
+def pq_codes(df: DataFrame, codebook, col: str = "embedding") -> DataFrame:
+    """PQ encode: per subspace, the index of the nearest centroid
+    (argmin of exact squared L2, ties broken by centroid index via struct
+    compare — same contract as ivf_assign). Output `pq` is an array of m
+    small ints: the 100 TB corpus representation is m bytes/vector. All
+    literal-centroid JVM exprs, no UDF, no shuffle."""
+    d = _as_double(df, col)
+    m, k, sub = len(codebook), len(codebook[0]), len(codebook[0][0])
+    per_sub = []
+    for mi in range(m):
+        s = _pq_sub(mi, sub)
+        dists = []
+        for ci, c in enumerate(codebook[mi]):
+            arr = "array(" + ",".join(f"{x}D" for x in c) + ")"
+            cc = sum(x * x for x in c)
+            dists.append(
+                f"named_struct('d', {_DOT.format(a=s, b=s)} - 2.0D * {_DOT.format(a=s, b=arr)} + {cc}D, 'i', {ci})"
+            )
+        per_sub.append(f"array_min(array({', '.join(dists)})).i")
+    return d.withColumn("pq", F.expr("array(" + ", ".join(per_sub) + ")"))
+
+
+def pq_topk(queries: DataFrame, candidates: DataFrame, codebook, topk: int = 3) -> DataFrame:
+    """PQ/ADC top-k (asymmetric distance computation): the corpus is
+    searched through its m-byte PQ codes only; each query precomputes a
+    (m × k) dot-product table against the codebook and scores a candidate
+    by summing m table lookups — O(m) per pair instead of O(dim), on a
+    corpus 4·dim/m× smaller than float32.
+
+    Approximate-but-deterministic like lsh/ivf/sq8: centroids and table
+    are plan literals + IEEE arithmetic, so the oracle replays it
+    bit-for-bit; rank on round(sim, 6) with id tie-break. Candidate
+    norm uses the reconstruction norm sqrt(Σ_m |cb[m][code_m]|²)
+    (centroid reconstruction), the standard ADC cosine denominator."""
+    m, k, sub = len(codebook), len(codebook[0]), len(codebook[0][0])
+    # corpus: codes + reconstruction norm² via literal lookup tables
+    n2_tables = []
+    for mi in range(m):
+        n2s = [sum(x * x for x in c) for c in codebook[mi]]
+        n2_tables.append("array(" + ",".join(f"{x}D" for x in n2s) + ")")
+    recon_n2 = " + ".join(
+        f"element_at({n2_tables[mi]}, cast(pq[{mi}] AS int) + 1)" for mi in range(m)
+    )
+    c = (
+        pq_codes(_spread(candidates), codebook)
+        .withColumn("cn2", F.expr(recon_n2))
+        .where(F.col("cn2") > 0)
+        .select(F.col("vec_id").alias("nid"), F.col("pq"), F.col("cn2"))
+    )
+    # query: full-precision dot table dt[m][c] = <q_m, cb[m][c]>
+    rows = []
+    for mi in range(m):
+        s = _pq_sub(mi, sub)
+        cells = []
+        for c_ in codebook[mi]:
+            arr = "array(" + ",".join(f"{x}D" for x in c_) + ")"
+            cells.append(_DOT.format(a=s, b=arr))
+        rows.append("array(" + ", ".join(cells) + ")")
+    dt = "array(" + ", ".join(rows) + ")"
+    q = (
+        with_norm(queries)
+        .withColumn("dt", F.expr(dt))
+        .where(F.col("norm") > 0)
+        .select(F.col("vec_id").alias("qid"), F.col("dt"), F.col("norm").alias("qn"))
+    )
+    adc = "aggregate(zip_with(pq, dt, (cd, row) -> element_at(row, cast(cd AS int) + 1)), 0D, (acc, x) -> acc + x)"
+    sims = (
+        c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
+        .withColumn("sim", F.round(F.expr(adc) / (F.col("qn") * F.sqrt("cn2")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= topk)
+        .select("qid", "nid", "sim")
+    )
+
+
 def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95, id_col: str = "vec_id") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the embedding tier of the
     dedup ladder): exact all-pairs baseline — id_a < id_b, cos ≥ t.

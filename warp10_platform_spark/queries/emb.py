@@ -219,3 +219,72 @@ def emb_sq8_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return _sim.sq8_topk(queries, emb, k=3)
+
+
+def _pq_topk_oracle(dim: int = 64, m: int = 8, k: int = 16, topk: int = 3) -> str:
+    """DuckDB replica of pq_topk: identical codebook literals, identical
+    argmin (ORDER BY d, c == Spark's struct compare), and fold-order
+    parity — Spark's `e0 + e1 + ...` left-assoc chain is DuckDB
+    list_reduce seeded with the first element, while Spark's
+    aggregate(.., 0D, ..) fold is list_reduce with a prepended 0.0."""
+    cb = _sim.pq_codebook(dim, m, k)
+    sub = dim // m
+    rows = []
+    for mi in range(m):
+        for ci, c in enumerate(cb[mi]):
+            vec = "[" + ",".join(str(x) for x in c) + "]::DOUBLE[]"
+            n2 = sum(x * x for x in c)
+            rows.append(f"({mi}, {ci}, {vec}, {n2})")
+    values = ",\n".join(rows)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb(m, c, cvec, n2) AS (VALUES {values}),
+dist AS (
+  SELECT e.vec_id, cb.m, cb.c, cb.cvec, cb.n2,
+         list_dot_product(e.v[cb.m*{sub}+1 : cb.m*{sub}+{sub}], e.v[cb.m*{sub}+1 : cb.m*{sub}+{sub}])
+         - 2.0*list_dot_product(e.v[cb.m*{sub}+1 : cb.m*{sub}+{sub}], cb.cvec) + cb.n2 AS d
+  FROM e CROSS JOIN cb
+),
+chosen AS (
+  SELECT vec_id, m, cvec, n2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rk FROM dist
+  ) WHERE rk = 1
+),
+cn AS (
+  SELECT vec_id, list_reduce(list(n2 ORDER BY m), (a, b) -> a + b) AS cn2
+  FROM chosen GROUP BY vec_id
+),
+q AS (SELECT vec_id AS qid, v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id < 10
+      AND sqrt(list_dot_product(v, v)) > 0),
+terms AS (
+  SELECT q.qid, ch.vec_id AS nid, ch.m,
+         list_dot_product(q.qv[ch.m*{sub}+1 : ch.m*{sub}+{sub}], ch.cvec) AS t
+  FROM q CROSS JOIN chosen ch WHERE ch.vec_id != q.qid
+),
+adc AS (
+  SELECT qid, nid,
+         list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY m)), (a, b) -> a + b) AS adot
+  FROM terms GROUP BY qid, nid
+),
+s AS (
+  SELECT adc.qid, adc.nid, round(adc.adot / (q.qn * sqrt(cn.cn2)), 6) AS sim
+  FROM adc JOIN q ON adc.qid = q.qid JOIN cn ON adc.nid = cn.vec_id
+  WHERE cn.cn2 > 0
+)
+SELECT qid, nid, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk FROM s
+) WHERE rk <= {topk}
+"""
+
+
+@register("emb_pq_topk", _pq_topk_oracle())
+def emb_pq_topk(spark, sf_dir):
+    """PQ/ADC ANN top-k — the corpus-compression end of the ANN ladder
+    (brute → LSH → IVF → SQ8 → PQ): m=8 subspaces × 16 centroids, corpus
+    searched via 8 table lookups per pair on an 8-byte/vector
+    representation. Codebook is deterministic plan literals (production
+    trains it offline, same contract as the IVF centroids), so even this
+    approximate path is bit-exact against the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return _sim.pq_topk(queries, emb, _sim.pq_codebook(64, 8, 16), topk=3)
