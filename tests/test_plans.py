@@ -163,3 +163,17 @@ def test_seq_packing_sharded_single_shuffle(spark, sf_dir):
     r = plan_report(E.queries()["doc_seq_packing_sharded"](spark, sf_dir))
     assert r.exchanges <= 1
     assert r.python_evals == 0
+
+
+def test_no_sort_aggregate_in_bucketize_directory_tier(spark):
+    """Map-typed first(labels) used to force SortAggregate fallback
+    (unsupported hash buffer) across the bucketize/directory tier;
+    labels_from_key keeps these aggregations hash-based. Regression
+    guard on the executed plans."""
+    from warp10_platform_spark.queries import QUERIES
+
+    for name in ("bucketize_mean", "bucketize_sum", "bucketize_min_max",
+                 "bucketize_calendar_daily", "find_series", "findstats"):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortAggregate" not in plan, name
