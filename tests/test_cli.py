@@ -1,0 +1,36 @@
+"""CLI entry point (python -m warp10_platform_spark): the /exec surface."""
+
+import json
+
+from warp10_platform_spark.__main__ import main
+
+
+def test_cli_scalars(spark, capsys, tmp_path):
+    p = tmp_path / "s.mc2"
+    p.write_text("1 2 + 'x' SWAP")
+    assert main([str(p), "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out == [3, "x"]
+
+
+def test_cli_fetch_bucketize_gts_json(spark, capsys, tmp_path):
+    p = tmp_path / "s.mc2"
+    p.write_text(
+        "[ '~events\\..*' {} 1704844800000000 1704931200000000 ] FETCH "
+        "[ SWAP bucketizer.count 1704931200000000 86400000000 1 ] BUCKETIZE"
+    )
+    assert main([str(p), "--sf-dir", "/root/testdata/sf0.001", "--limit", "5"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert len(out) == 1 and isinstance(out[0], list) and out[0]
+    gts = out[0][0]
+    assert set(gts) == {"c", "l", "a", "v"}
+    assert gts["c"].startswith("events.")
+    assert all(len(pt) == 2 for pt in gts["v"])
+
+
+def test_cli_explain_mode(spark, capsys, tmp_path):
+    p = tmp_path / "s.mc2"
+    p.write_text("[ 'events.purchase{}' {} 0 1704931200000000 ] FETCH")
+    assert main([str(p), "--sf-dir", "/root/testdata/sf0.001", "--explain"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert "gts_plan" in out[0] and "Scan parquet" in out[0]["gts_plan"] or "FileScan" in out[0]["gts_plan"]
