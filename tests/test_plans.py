@@ -177,3 +177,27 @@ def test_no_sort_aggregate_in_bucketize_directory_tier(spark):
         df = QUERIES[name](spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SortAggregate" not in plan, name
+
+
+def test_bucketed_layout_is_shuffle_free(spark):
+    """The gts_id-bucketed storage layout exposes its bucket spec to
+    Catalyst: per-series aggregation AND per-series windows plan with
+    ZERO Exchange operators — the co-location contract SCALE.md claims."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.queries import QUERIES
+    from warp10_platform_spark.sources.tables import bucketed_points
+
+    t = bucketed_points(spark, "/root/testdata/sf0.001")
+    agg = t.groupBy("gts_id", "class", "labels_key").agg(F.count("*").alias("n"))
+    assert agg._jdf.queryExecution().executedPlan().toString().count("Exchange") == 0
+
+    w = Window.partitionBy("gts_id").orderBy("ts")
+    win = t.withColumn("d", F.col("v_double") - F.lag("v_double").over(w))
+    assert win._jdf.queryExecution().executedPlan().toString().count("Exchange") == 0
+
+    q = QUERIES["bucketize_count_bucketed"](spark, "/root/testdata/sf0.001")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0
+    assert "SortAggregate" not in plan

@@ -559,3 +559,26 @@ def findstats(spark, sf_dir):
         F.count_distinct("class").alias("n_classes"),
         F.count_distinct("class", F.element_at("labels", F.lit("user"))).alias("n_series"),
     )
+
+
+@register("bucketize_count_bucketed", _bucketize_oracle("count(v)"))
+def bucketize_count_bucketed(spark, sf_dir):
+    """Identical semantics to bucketize_count, but read through the
+    gts_id-BUCKETED storage layout (sources/tables.bucketed_points): the
+    bucket spec reaches Catalyst, so the per-series aggregation runs with
+    ZERO Exchange operators — the shuffle-free per-series tier the 100 TB
+    layout is designed for (plan-asserted in tests/test_plans.py)."""
+    from warp10_platform_spark.operators.bucketize import SERIES_KEYS, bucket_end_col
+    from warp10_platform_spark.sources.tables import bucketed_points
+
+    df = bucketed_points(spark, sf_dir).where(
+        (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)
+    )
+    out = (
+        df.withColumn("bucket_end", bucket_end_col(LASTBUCKET, DAY))
+        .groupBy(*SERIES_KEYS, "bucket_end")
+        .agg(F.count("v_double").alias("v_agg"))
+        .withColumn("labels", labels_from_key())
+        .withColumnRenamed("bucket_end", "ts")
+    )
+    return _out(out, "v_agg", "v_agg")

@@ -132,3 +132,47 @@ SELECT 'events.' || event_type AS class,
        event_id
 FROM events
 """
+
+
+def bucketed_points(spark: SparkSession, sf_dir: str, buckets: int = 8) -> DataFrame:
+    """The points table in its co-located STORAGE layout: bucketed by
+    gts_id and sorted by (gts_id, ts) inside each bucket — SURVEY §1.6's
+    "bucket by gts_id" made concrete.
+
+    Reading through the table catalog exposes the bucket spec to Catalyst,
+    so every per-series operation — groupBy(gts_id, ...) aggregation AND
+    Window.partitionBy(gts_id) — runs with ZERO Exchange operators
+    (asserted in tests/test_plans.py): at 100 TB the entire per-series
+    tier becomes shuffle-free against this layout, the single biggest
+    plan-level win bucketing buys. Materialized once per sf_dir under
+    .cache/ and re-registered into the session catalog on reuse."""
+    key = _cache_key(sf_dir)
+    name = f"points_bucketed_{key}"
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache",
+        name,
+    )
+    if not spark.catalog.tableExists(name):
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            # layout already on disk from a previous session: re-attach
+            # the bucket spec without rewriting the data
+            schema = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in events_points(spark, sf_dir).schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({schema}) USING parquet "
+                f"CLUSTERED BY (gts_id) SORTED BY (gts_id, ts) INTO {buckets} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+        else:
+            (
+                events_points(spark, sf_dir)
+                .write.mode("overwrite")
+                .bucketBy(buckets, "gts_id")
+                .sortBy("gts_id", "ts")
+                .option("path", path)
+                .saveAsTable(name)
+            )
+    return spark.table(name)
