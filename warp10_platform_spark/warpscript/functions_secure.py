@@ -616,3 +616,69 @@ def _mdetach(st):
     trailer = _sig_trailer_of(macro)
     st.push(_strip_one_sig(macro))
     st.push(trailer or [])
+
+
+# ---------- ARGON2 (functions/ARGON2.java, WarpScriptLib.java:2279) ----------
+
+def _caps(st) -> dict:
+    return getattr(st, "attributes", {}).get("capabilities", {}) or {}
+
+
+def _argon2_gate(st, key: str, value: int, default_max: int, cap: str) -> None:
+    """ARGON2.java:84-147 — params beyond the open default need the
+    matching capability, and must not exceed its value."""
+    if value <= default_max:
+        return
+    caps = _caps(st)
+    if cap not in caps:
+        raise PermissionError(f"ARGON2 missing capability '{cap}'.")
+    if value > int(caps[cap]):
+        raise ValueError(f"ARGON2 {key} exceeds capability value.")
+
+
+@register("ARGON2")
+def _argon2(st):
+    """params-map ARGON2 → tag bytes (ARGON2.java:60-168): keys type
+    (d/i/id, default id), iterations/memory/parallelism (BouncyCastle
+    defaults 3/4096 KiB/1 when absent), salt/secret/additional (BYTES),
+    size (default 32), password (STRING or BYTES, required). Limits
+    beyond iter 3 / mem 32 KiB / par 1 / size 32 are gated by the
+    argon2.maxiter/maxmem/maxpar/maxsize capabilities, as in the
+    reference."""
+    from warp10_platform_spark.functions.argon2 import argon2 as _a2
+
+    m = st.pop()
+    if not isinstance(m, dict):
+        raise TypeError("ARGON2 expects a parameter map.")
+    variant = str(m.get("type", "id")).lower()
+    if variant not in ("d", "i", "id"):
+        variant = "id"
+    t = int(m.get("iterations", 3))
+    mem = int(m.get("memory", 4096))
+    par = int(m.get("parallelism", 1))
+    size = int(m.get("size", 32))
+    _argon2_gate(st, "iterations", t, 3, "argon2.maxiter")
+    _argon2_gate(st, "memory", mem, 32, "argon2.maxmem")
+    _argon2_gate(st, "parallelism", par, 1, "argon2.maxpar")
+    _argon2_gate(st, "size", size, 32, "argon2.maxsize")
+    pw = m.get("password")
+    if isinstance(pw, str):
+        pw = pw.encode()
+    if not isinstance(pw, (bytes, bytearray)):
+        raise TypeError("ARGON2 missing password as either STRING or BYTES.")
+    salt = m.get("salt", b"")
+    secret = m.get("secret", b"")
+    ad = m.get("additional", b"")
+    st.push(
+        _a2(
+            bytes(pw),
+            bytes(salt),
+            time_cost=t,
+            memory_kib=mem,
+            lanes=par,
+            tag_len=size,
+            variant=variant,
+            secret=bytes(secret),
+            ad=bytes(ad),
+        )
+    )
