@@ -34,3 +34,11 @@ def test_cli_explain_mode(spark, capsys, tmp_path):
     assert main([str(p), "--sf-dir", "/root/testdata/sf0.001", "--explain"]) == 0
     out = json.loads(capsys.readouterr().out)
     assert "gts_plan" in out[0] and "Scan parquet" in out[0]["gts_plan"] or "FileScan" in out[0]["gts_plan"]
+
+
+def test_cli_error_contract(spark, capsys, tmp_path):
+    p = tmp_path / "bad.mc2"
+    p.write_text("1 NOSUCHFUNCTION")
+    assert main([str(p), "--sf-dir", "/root/testdata/sf0.001"]) == 1
+    err = json.loads(capsys.readouterr().err)
+    assert "error" in err and "NOSUCHFUNCTION" in err["error"]

@@ -208,3 +208,38 @@ def test_metaset_codec_roundtrip(expiry, token, metas, maxd, nb, na):
     assert ms["expiry"] == expiry and ms["token"] == token
     assert ms["maxduration"] == maxd and ms["notbefore"] == nb and ms["notafter"] == na
     assert [(m["name"], m["labels"]) for m in ms["metadatas"]] == [(n, l) for n, l in metas]
+
+
+# ---------- SQ8 / PQ quantization invariants ----------
+
+def test_sq8_code_bounds_and_self_similarity(spark):
+    """SQ8 codes stay in [-127, 127]; a vector's cosine with itself on
+    codes is exactly 1.0 after rounding."""
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.pipeline.similarity import sq8_codes
+    from warp10_platform_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    c = sq8_codes(emb)
+    bad = c.where(
+        F.expr("exists(code, x -> x < -127 OR x > 127)") | (F.col("code_n2") <= 0)
+    ).count()
+    assert bad == 0
+
+
+def test_pq_codes_in_codebook_range(spark):
+    """Every PQ code indexes a real centroid (0 <= code < k), for every
+    subspace."""
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.pipeline.similarity import pq_codebook, pq_codes
+    from warp10_platform_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = pq_codebook(64, 8, 16)
+    c = pq_codes(emb, cb)
+    bad = c.where(
+        (F.size("pq") != 8) | F.expr("exists(pq, x -> x < 0 OR x >= 16)")
+    ).count()
+    assert bad == 0

@@ -125,7 +125,16 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("warp10-platform-spark-exec")
     spark.sparkContext.setLogLevel("ERROR")
     st = WarpScriptStack(spark, sf_dir)
-    st.exec(text)
+    try:
+        st.exec(text)
+    except Exception as e:  # noqa: BLE001
+        # the /exec contract: errors come back as a structured payload
+        # (X-Warp10-Error-Message header in the reference), not a traceback
+        print(
+            json.dumps({"error": f"{type(e).__name__}: {e}", "stack_depth": len(st.stack)}),
+            file=sys.stderr,
+        )
+        return 1
     # /exec responds with the stack serialized top-first
     response = [_jsonable(v, args.limit, args.explain) for v in reversed(st.stack)]
     print(json.dumps(response, indent=2 if args.pretty else None))
