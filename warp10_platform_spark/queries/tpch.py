@@ -140,3 +140,144 @@ def tpch_q5(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,6)") * (1 - F.col("l_discount").cast("decimal(28,6)"))), 2).cast("double").alias("revenue"))
     )
+
+
+Q4_ORACLE = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01' AND o.o_orderdate < TIMESTAMP '1995-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("tpch_q4_semi", Q4_ORACLE)
+def tpch_q4_semi(spark, sf_dir):
+    """TPC-H Q4 shape on the reduced schema: EXISTS → LEFT SEMI join.
+    The semi join never materializes matched lineitem rows — the shuffle
+    carries only the distinct fact keys that survive the pushed-down
+    returnflag filter, the cheapest correct plan for an existence test."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q10_ORACLE = """
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         CAST(round(sum(l.l_extendedprice::DECIMAL(28,6) * (1 - l.l_discount::DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+  FROM customer c
+  JOIN orders o   ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name, n.n_name
+)
+SELECT c_custkey, c_name, n_name, revenue FROM (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS rk FROM rev
+) WHERE rk <= 20
+"""
+
+
+@register("tpch_q10_returns", Q10_ORACLE)
+def tpch_q10_returns(spark, sf_dir):
+    """TPC-H Q10 shape: lost-revenue-by-customer on returned items.
+    customer/nation broadcast, orders⋈lineitem is the only big shuffle,
+    DECIMAL revenue for cross-engine exactness, global top-20 ranked on
+    the ROUNDED revenue with custkey tie-break so float ulps cannot
+    reorder the cut."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,6)") * (1 - F.col("l_discount").cast("decimal(28,6)"))), 2
+            ).cast("double").alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return rev.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 20).drop("rk")
+
+
+Q12_ORACLE = """
+SELECT l.l_linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01' AND l.l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l.l_linestatus
+"""
+
+
+@register("tpch_q12_priority", Q12_ORACLE)
+def tpch_q12_priority(spark, sf_dir):
+    """TPC-H Q12 shape: conditional aggregation (CASE inside SUM) over a
+    fact-fact join — integer counts, exact by construction; the priority
+    flag is evaluated scan-side so the shuffle carries one bit."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_count"),
+            F.sum(1 - high).alias("low_count"),
+        )
+    )
+
+
+Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+       CAST(sum(l.l_quantity::DECIMAL(18,4)) AS DOUBLE) AS total_qty
+FROM orders o
+JOIN big      ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+"""
+
+
+@register("tpch_q18_bigorders", Q18_ORACLE)
+def tpch_q18_bigorders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING pre-aggregation then join back — the
+    aggregate (big) is orders-of-magnitude smaller than the fact, so it
+    broadcasts into the semi filter; lineitem is scanned twice but
+    shuffled on the same key both times."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_q"))
+        .where(F.col("_q") > 150)
+        .select(F.col("l_orderkey").alias("_big_orderkey"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == F.col("_big_orderkey"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("total_qty"))
+    )
