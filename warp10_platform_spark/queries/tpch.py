@@ -192,9 +192,9 @@ def tpch_q10_returns(spark, sf_dir):
     customer/nation broadcast, orders⋈lineitem is the only big shuffle,
     DECIMAL revenue for cross-engine exactness, global top-20 ranked on
     the ROUNDED revenue with custkey tie-break so float ulps cannot
-    reorder the cut."""
-    from pyspark.sql import Window
-
+    reorder the cut. orderBy+limit (NOT a global window) so the top-N
+    compiles to TakeOrderedAndProject: per-partition heaps + a driver
+    merge of 20-row candidates, no single-partition global sort."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
@@ -210,8 +210,9 @@ def tpch_q10_returns(spark, sf_dir):
             ).cast("double").alias("revenue")
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return rev.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 20).drop("rk")
+    # (revenue, custkey) is a total order, so this is exactly the
+    # oracle's row_number cut
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
 
 
 Q12_ORACLE = """
