@@ -88,3 +88,29 @@ def test_argon2_stack_function_and_gates():
     st3.attributes = {"capabilities": {"argon2.maxiter": "16"}}
     st3.exec("{ 'iterations' 4 'memory' 32 'password' 'x' 'size' 16 } ARGON2 SIZE")
     assert st3.stack[-1] == 16
+
+
+@pytest.mark.skipif(_OPENSSL is None, reason="openssl not available")
+def test_argon2_randomized_differential_vs_openssl():
+    """Randomized differential testing: arbitrary passwords/salts/params
+    (within fast bounds) must match OpenSSL bit-for-bit."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        pw=st.binary(min_size=0, max_size=40),
+        salt=st.binary(min_size=8, max_size=24),
+        variant=st.sampled_from(["d", "i", "id"]),
+        t=st.integers(1, 3),
+        m_mult=st.integers(2, 8),
+        p=st.integers(1, 3),
+        keylen=st.integers(4, 48),
+    )
+    def check(pw, salt, variant, t, m_mult, p, keylen):
+        m = 8 * p * m_mult  # keep memory small and valid (>= 8*lanes)
+        ours = argon2(pw, salt, time_cost=t, memory_kib=m, lanes=p,
+                      tag_len=keylen, variant=variant)
+        assert ours == _openssl_argon2(variant, pw, salt, t, m, p, keylen)
+
+    check()
