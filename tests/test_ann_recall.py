@@ -1,0 +1,55 @@
+"""Recall floors for the approximate similarity paths vs brute force.
+
+Determinism alone does not make an ANN useful — these tests pin each
+path's measured recall@3 against the exact cosine top-3 on the sf0.01
+corpus (near-uniform unit vectors, i.e. a HARD case: weak neighbor
+structure). Floors sit just under the measured values so a silent recall
+regression (changed seeds, broken candidate generation) fails loudly:
+
+  measured: lsh multitable 0.43 | ivf 1.0 | ivf nprobe2 1.0 |
+            sq8 0.97 | pq trained 0.33 | pq random 0.20
+
+Single-table LSH (emb_lsh_topk) is intentionally NOT floored: with
+8 planes over 500 near-uniform vectors its buckets carry no neighbor
+signal (recall ~0) — it exists as the single-table mechanics baseline;
+the multitable variant is the configured path.
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+FLOORS = {
+    "emb_lsh_multitable_topk": 0.35,
+    "emb_ivf_topk": 0.90,
+    "emb_ivf_topk_nprobe2": 0.90,
+    "emb_sq8_topk": 0.90,
+    "emb_pq_trained_topk": 0.25,
+    "emb_pq_topk": 0.10,
+}
+
+
+@pytest.fixture(scope="module")
+def truth(spark):
+    from warp10_platform_spark.queries import QUERIES
+
+    return {(r.qid, r.nid) for r in QUERIES["emb_cosine_topk"](spark, SF).collect()}
+
+
+@pytest.mark.parametrize("name", sorted(FLOORS))
+def test_ann_recall_floor(spark, truth, name):
+    from warp10_platform_spark.queries import QUERIES
+
+    got = {(r.qid, r.nid) for r in QUERIES[name](spark, SF).collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= FLOORS[name], f"{name} recall {recall:.3f} < floor {FLOORS[name]}"
+
+
+def test_trained_codebook_beats_random(spark, truth):
+    from warp10_platform_spark.queries import QUERIES
+
+    r = {}
+    for name in ("emb_pq_topk", "emb_pq_trained_topk"):
+        got = {(x.qid, x.nid) for x in QUERIES[name](spark, SF).collect()}
+        r[name] = len(got & truth) / len(truth)
+    assert r["emb_pq_trained_topk"] > r["emb_pq_topk"]
