@@ -12,7 +12,7 @@ from warp10_platform_spark.operators.mapper import map_scalar, npdf_mapper
 from warp10_platform_spark.queries import register
 from warp10_platform_spark.queries.gts import PTS
 from warp10_platform_spark.sources.directory import build_directory, findstats
-from warp10_platform_spark.sources.tables import events_points
+from warp10_platform_spark.sources.tables import canonical_points, events_points
 
 _B_START, _B_END = 1704844800000000, 1705708800000000
 
@@ -35,7 +35,7 @@ def fetch_boundary(spark, sf_dir):
     params): range scan + nearest out-of-range context points — the
     as-of boundary every edge rate/fill needs."""
     gf = GTSFrame.fetch_with_boundary(
-        events_points(spark, sf_dir), "events.purchase{}", _B_START, _B_END, boundary_pre=2, boundary_post=1
+        canonical_points(spark, sf_dir), "events.purchase{}", _B_START, _B_END, boundary_pre=2, boundary_post=1
     )
     return gf.df.select(
         "class", F.element_at("labels", F.lit("user")).alias("user"), "ts", "v_double"
@@ -52,7 +52,7 @@ def fetch_boundary(spark, sf_dir):
 def fetch_skip_sample(spark, sf_dir):
     """FETCH skip=5 + sample=0.5: per-series offset + deterministic
     hash-based sampling (reproducible across engines — rand() is not)."""
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).skip(5).sample(0.5)
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).skip(5).sample(0.5)
     return gf.df.select(
         "class", F.element_at("labels", F.lit("user")).alias("user"), "ts", "v_double"
     )
@@ -70,7 +70,7 @@ def rate_of_resets(spark, sf_dir):
     from pyspark.sql import Window
 
     w = Window.partitionBy("gts_id").orderBy("ts")
-    pts = events_points(spark, sf_dir).withColumn("pv", F.lag("v_double").over(w))
+    pts = canonical_points(spark, sf_dir).withColumn("pv", F.lag("v_double").over(w))
     return pts.groupBy("class", F.element_at("labels", F.lit("user")).alias("user")).agg(
         F.count(F.when(F.col("v_double") < F.col("pv"), 1)).alias("resets"),
         F.count("pv").alias("steps"),
@@ -86,7 +86,7 @@ def rate_of_resets(spark, sf_dir):
 def mapper_npdf_band(spark, sf_dir):
     """mapper.npdf + clamp (min.x/max.x) + value-predicate mapper —
     the §2.5 scalar-mapper tail."""
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     out = npdf_mapper(pts, mu=50.0, sigma=25.0, out_col="npdf")
     out = map_scalar(out, "mapper.min.x", 90.0, out_col="v_cap")
     out = map_scalar(out, "mapper.max.x", 10.0, value_col="v_cap", out_col="clamped")
@@ -179,7 +179,7 @@ def sax_discords(spark, sf_dir):
     Values quantize to µ-units and the mean/variance are sequential
     left-folds in both engines, so the symbol assignment — and therefore
     the rarity ranking — is bit-exact against the SQL replay."""
-    out = _fit.sax_discords(events_points(spark, sf_dir), word_len=4, alphabet=4, top=3)
+    out = _fit.sax_discords(canonical_points(spark, sf_dir), word_len=4, alphabet=4, top=3)
     return out.select(
         "class", F.get_json_object("labels_key", "$[0].value").alias("user"), "ts", "word", "occurrences"
     )
@@ -214,7 +214,7 @@ def holt_smooth(spark, sf_dir):
     """Double exponential smoothing (Holt, α=0.3 β=0.1): final
     level/trend/forecast per series. Exact int64 micro-unit fold — the
     identical integer recurrence on both engines (no float drift)."""
-    out = _fit.holt_smooth(events_points(spark, sf_dir), alpha_num=3, beta_num=1, denom=10)
+    out = _fit.holt_smooth(canonical_points(spark, sf_dir), alpha_num=3, beta_num=1, denom=10)
     return out.select(
         "class",
         F.get_json_object("labels_key", "$[0].value").alias("user"),
@@ -275,7 +275,7 @@ def findstats_hll(spark, sf_dir):
     directory-scale path where exact distinct is itself too big. The
     Spark-native approx_count_distinct path stays available as
     findstats(d, approx=True)."""
-    d = build_directory(events_points(spark, sf_dir))
+    d = build_directory(canonical_points(spark, sf_dir))
     user = F.get_json_object("labels_key", "$[0].value")
     keys = d.select("class", F.concat("class", F.lit("|"), user).alias("skey"))
     nc = _phll_estimate(keys, "class", "n_classes")

@@ -28,7 +28,7 @@ from warp10_platform_spark.analytics import sax as _sax
 from warp10_platform_spark.analytics import stats as _stats
 from warp10_platform_spark.queries import register
 from warp10_platform_spark.queries.gts import DAILY, DAY, LASTBUCKET, NDAYS, PTS, _bucketized
-from warp10_platform_spark.sources.tables import events_points
+from warp10_platform_spark.sources.tables import canonical_points, events_points
 
 _USER = 'get_json_object(labels_key, "$[0].value")'
 
@@ -59,7 +59,7 @@ FROM mom WHERE n >= 2
 def lr_slope(spark, sf_dir):
     """LR (functions/LR.java): per-series least-squares value~time line,
     exact integer/decimal accumulators → engine-independent double."""
-    out = _fit.lr_fit(events_points(spark, sf_dir))
+    out = _fit.lr_fit(canonical_points(spark, sf_dir))
     return out.select(
         "class",
         _user(),
@@ -115,7 +115,7 @@ FROM per
 def exp_smooth_last(spark, sf_dir):
     """Single exponential smoothing final state (α=0.3) — sequential IEEE
     recurrence, identical fold order in both engines."""
-    out = _fit.exp_smooth_last(events_points(spark, sf_dir), alpha=0.3)
+    out = _fit.exp_smooth_last(canonical_points(spark, sf_dir), alpha=0.3)
     return out.select("class", _user(), F.round("s_last", 6).alias("s_last"))
 
 
@@ -149,7 +149,7 @@ FROM z GROUP BY class, "user"
 def sax_words(spark, sf_dir):
     """PATTERNS/SAX (PATTERNS.java:32): one 8-letter SAX word per series,
     alphabet 4 — z-scores from exact sums so binning is reproducible."""
-    out = _sax.sax_words(events_points(spark, sf_dir), w=8, alphabet=4)
+    out = _sax.sax_words(canonical_points(spark, sf_dir), w=8, alphabet=4)
     return out.select("class", _user(), "sax_word")
 
 

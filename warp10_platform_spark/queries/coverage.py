@@ -19,7 +19,7 @@ from warp10_platform_spark.sources.directory import (
     find,
     findstats,
 )
-from warp10_platform_spark.sources.tables import events_points
+from warp10_platform_spark.sources.tables import canonical_points, events_points
 
 TZ = "Europe/Paris"
 
@@ -37,7 +37,7 @@ CAL_TRUNC = (
 def bucketize_calendar_daily(spark, sf_dir):
     """BUCKETIZECALENDAR (functions/BUCKETIZECALENDAR.java): DST-aware
     daily buckets in Europe/Paris — calendar boundaries, not fixed spans."""
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).bucketize_calendar("bucketizer.count", "day", TZ)
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).bucketize_calendar("bucketizer.count", "day", TZ)
     return gf.df.select(
         "class", F.get_json_object("labels_key", "$[0].value").alias("user"), "ts", "v_agg"
     )
@@ -49,7 +49,7 @@ def bucketize_calendar_daily(spark, sf_dir):
     + ' AS ts, min(v) AS v_agg FROM pts GROUP BY class, "user", 3'
 ))
 def bucketize_calendar_monthly(spark, sf_dir):
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).bucketize_calendar("bucketizer.min", "month", TZ)
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).bucketize_calendar("bucketizer.min", "month", TZ)
     return gf.df.select(
         "class", F.get_json_object("labels_key", "$[0].value").alias("user"), "ts", "v_agg"
     )
@@ -108,7 +108,7 @@ def bucketize_skewness(spark, sf_dir):
 
     d = F.col("v_double").cast("decimal(12,6)")
     d3 = F.col("v_double").cast("decimal(13,6)")
-    df = events_points(spark, sf_dir).where(
+    df = canonical_points(spark, sf_dir).where(
         (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)
     )
     mom = (
@@ -155,7 +155,7 @@ def find_series_directory(spark, sf_dir):
 def fetch_directory_semijoin(spark, sf_dir):
     """FETCH with a directory pre-filter: broadcast the matching gts_ids,
     leftsemi-join the points scan (the 100 TB fetch shape)."""
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     directory = build_directory(pts)
     out = fetch_filtered(pts, directory, "events.purchase{}")
     return out.select(
@@ -175,7 +175,7 @@ def fetch_gcount(spark, sf_dir):
     """FETCH gskip=3 gcount=10 (FETCH.java:135-136): skip the first 3
     matched series in directory order, fetch the next 10 — the global
     series budget across the whole match set."""
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     directory = build_directory(pts)
     out = fetch_gskip_gcount(pts, directory, "~events\\..*{}", gskip=3, gcount=10)
     return out.select(
@@ -201,7 +201,7 @@ def findstats_directory(spark, sf_dir):
 ))
 def atindex_last(spark, sf_dir):
     """ATINDEX(-1) (ATINDEX.java): last point of each series."""
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).atindex(-1)
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).atindex(-1)
     return gf.df.select(
         "class", F.element_at("labels", F.lit("user")).alias("user"), "ts", "v_double"
     )
@@ -215,7 +215,7 @@ def rename_relabel(spark, sf_dir):
     """RENAME('+.renamed') + RELABEL {region: eu, user: NULL} — identity
     rewrite with gts_id/labels_key recompute (RENAME.java:34,
     RELABEL.java:37)."""
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).rename("+.renamed").relabel({"region": "eu", "user": None})
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).rename("+.renamed").relabel({"region": "eu", "user": None})
     return gf.df.select("class", "labels_key").distinct()
 
 
@@ -230,7 +230,7 @@ def rename_relabel(spark, sf_dir):
 def pivot_classes(spark, sf_dir):
     """PIVOT (multivariate view): one wide row per (user, tick), a column
     per event class."""
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     wide = _reshape.pivot(pts, values=["events.click", "events.purchase", "events.view"])
     return wide.select(
         "labels_key", "ts",
@@ -249,7 +249,7 @@ def pivot_classes(spark, sf_dir):
 def sortby_sum(spark, sf_dir):
     """SORTBY (SORTBY.java:38): series ranked by per-series total (exact
     DECIMAL sum so the rank order is engine-independent)."""
-    pts = events_points(spark, sf_dir).withColumn("v_double", F.col("v_double").cast("decimal(28,10)"))
+    pts = canonical_points(spark, sf_dir).withColumn("v_double", F.col("v_double").cast("decimal(28,10)"))
     ranked = _sort.sortby(pts, "bucketizer.sum")
     return ranked.select(
         "class",
@@ -265,7 +265,7 @@ def sortby_sum(spark, sf_dir):
 ))
 def metasort_rank(spark, sf_dir):
     """METASORT: series ordered by metadata (class, canonical labels)."""
-    ranked = _sort.metasort(events_points(spark, sf_dir))
+    ranked = _sort.metasort(canonical_points(spark, sf_dir))
     return ranked.select(
         "class", F.get_json_object("labels_key", "$[0].value").alias("user"), "meta_rank"
     )

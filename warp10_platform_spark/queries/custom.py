@@ -15,7 +15,7 @@ from warp10_platform_spark.core.frame import GTSFrame
 from warp10_platform_spark.functions import macro_bucketizer, macro_mapper, macro_reducer
 from warp10_platform_spark.queries import register
 from warp10_platform_spark.queries.gts import DAILY, DAY, LASTBUCKET, NDAYS, PTS, _bucketized_decimal_mean
-from warp10_platform_spark.sources.tables import events_points
+from warp10_platform_spark.sources.tables import canonical_points, events_points
 
 
 def _wmean(fr) -> float:
@@ -62,7 +62,7 @@ def macro_wmean(spark, sf_dir):
     """Custom mapper through the MACROMAPPER surface: time-weighted mean
     over a [2 pre, 2 post] tick frame — an aggregation no built-in
     operator provides, run via applyInPandas per series."""
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     out = macro_mapper(pts, _wmean, pre=2, post=2)
     return out.select(
         "class",
@@ -80,7 +80,7 @@ def macro_wmean(spark, sf_dir):
 def macro_bucket_range(spark, sf_dir):
     """Custom bucketizer through the MACROMAPPER surface: per-day value
     range (max - min) — order-independent, so exact across engines."""
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     out, _spec = macro_bucketizer(
         pts, lambda fr: float(fr.values.max() - fr.values.min()), DAY, LASTBUCKET, NDAYS
     )
@@ -136,7 +136,7 @@ def macro_window_slope(spark, sf_dir):
     DuckDB regr_slope (slope is invariant to the x-shift: numpy centers x
     at the frame tick, the oracle at LASTBUCKET — verified bit-exact at
     sf0.001 and sf0.01 after round 6)."""
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     out = macro_mapper(pts, _np_slope, pre=3, post=3)
     return out.select(
         "class",

@@ -14,7 +14,7 @@ from warp10_platform_spark.operators import geo as _geo
 from warp10_platform_spark.queries import register
 from warp10_platform_spark.queries.gts import PTS
 from warp10_platform_spark.sources import write as _write
-from warp10_platform_spark.sources.tables import events_points
+from warp10_platform_spark.sources.tables import canonical_points, events_points
 
 # lat/lon derived from the tick: bounded, varies per point, same formula
 # in Spark and SQL. (No geo columns in the driver testdata.)
@@ -25,7 +25,7 @@ _LON_SQL = "(CAST((ts // 1000) % 3500 AS DOUBLE) / 10.0 - 175.0)"
 
 
 def _with_coords(spark, sf_dir):
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     return pts.withColumn("lat", F.expr(_LAT)).withColumn("lon", F.expr(_LON))
 
 
@@ -109,7 +109,7 @@ def geo_hhcode_cells(spark, sf_dir):
 def update_lww(spark, sf_dir):
     """UPDATE (UPDATE.java:47): re-ingest every purchase point with value
     -1 at the same ticks — last-write-wins replacement."""
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     new = pts.where(F.col("class") == "events.purchase").withColumn("v_double", F.lit(-1.0))
     out = _write.update(pts, new)
     return out.select(
@@ -124,7 +124,7 @@ def update_lww(spark, sf_dir):
 def delete_selector(spark, sf_dir):
     """DELETE (DELETE.java:50): erase purchase points in a time range;
     survivors returned (anti-predicate pushed to the scan)."""
-    out = _write.delete(events_points(spark, sf_dir), "events.purchase{}", 1704844800000000, 1705708800000000)
+    out = _write.delete(canonical_points(spark, sf_dir), "events.purchase{}", 1704844800000000, 1705708800000000)
     return out.select(
         "class", F.element_at("labels", F.lit("user")).alias("user"), "ts", "v_double"
     )
@@ -137,7 +137,7 @@ def delete_selector(spark, sf_dir):
 def meta_attributes(spark, sf_dir):
     """META (META.java:47): set attributes on selector-matched series —
     mutable metadata, identity (gts_id) unchanged."""
-    out = _write.meta(events_points(spark, sf_dir), "~events\\.p.*{}", {"tier": "hot"})
+    out = _write.meta(canonical_points(spark, sf_dir), "~events\\.p.*{}", {"tier": "hot"})
     return out.select(
         "class",
         F.element_at("labels", F.lit("user")).alias("user"),
@@ -153,7 +153,7 @@ def meta_attributes(spark, sf_dir):
 def export_tsv(spark, sf_dir):
     """/fetch TSV export (EgressFetchHandler.java:1077-1085): golden-output
     parity — byte-identical lines across engines."""
-    return _write.export_tsv(events_points(spark, sf_dir))
+    return _write.export_tsv(canonical_points(spark, sf_dir))
 
 
 @register("mfilter_series", (
@@ -168,7 +168,7 @@ def mfilter_series(spark, sf_dir):
     from warp10_platform_spark.operators.filters import mfilter
 
     out = mfilter(
-        events_points(spark, sf_dir),
+        canonical_points(spark, sf_dir),
         lambda fr: len(fr.ticks) > 40 and (fr.values.max() - fr.values.min()) > 100,
     )
     return out.select(

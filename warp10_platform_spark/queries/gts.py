@@ -16,7 +16,7 @@ from warp10_platform_spark.operators import outliers as _outliers
 from warp10_platform_spark.operators import reshape as _reshape
 from warp10_platform_spark.operators import sort as _sort
 from warp10_platform_spark.queries import register
-from warp10_platform_spark.sources.tables import events_points
+from warp10_platform_spark.sources.tables import canonical_points, events_points
 
 DAY = 86_400_000_000
 HOUR = 3_600_000_000
@@ -81,7 +81,7 @@ def fetch_range(spark, sf_dir):
 def fetch_last_n(spark, sf_dir):
     """Count-based FETCH (FETCH.java:128): last 3 points per series via a
     descending per-series window — the scan-level count pushdown analog."""
-    gf = GTSFrame.fetch(events_points(spark, sf_dir), count=3)
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir), count=3)
     return _out(gf.df, "v_double", "v_double")
 
 
@@ -95,7 +95,7 @@ def _bucketize_oracle(agg_sql: str, alias: str = "v_agg") -> str:
 
 
 def _bucketized(spark, sf_dir, bucketizer, decimal=False, **kw):
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     if decimal:
         pts = pts.withColumn("v_double", F.col("v_double").cast("decimal(28,10)"))
     gf = GTSFrame.fetch(pts)
@@ -107,7 +107,7 @@ def _bucketized_decimal_mean(spark, sf_dir):
     reproducible form of bucketizer.mean."""
     from warp10_platform_spark.operators.bucketize import SERIES_KEYS, bucket_end_col
 
-    df = events_points(spark, sf_dir).where(
+    df = canonical_points(spark, sf_dir).where(
         (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)
     )
     return (
@@ -150,7 +150,7 @@ def bucketize_count(spark, sf_dir):
 def bucketize_min_max(spark, sf_dir):
     from warp10_platform_spark.operators.bucketize import SERIES_KEYS, bucket_end_col
 
-    df = events_points(spark, sf_dir).where(
+    df = canonical_points(spark, sf_dir).where(
         (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)
     )
     out = (
@@ -173,7 +173,7 @@ def bucketize_min_max(spark, sf_dir):
 def bucketize_first_last(spark, sf_dir):
     from warp10_platform_spark.operators.bucketize import SERIES_KEYS, bucket_end_col
 
-    df = events_points(spark, sf_dir).where(
+    df = canonical_points(spark, sf_dir).where(
         (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)
     )
     out = (
@@ -197,7 +197,7 @@ def bucketize_first_last(spark, sf_dir):
 def bucketize_sd_median(spark, sf_dir):
     from warp10_platform_spark.operators.bucketize import SERIES_KEYS, bucket_end_col
 
-    df = events_points(spark, sf_dir).where(
+    df = canonical_points(spark, sf_dir).where(
         (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)
     )
     out = (
@@ -239,7 +239,7 @@ def gts_bucketize_reduce(spark, sf_dir):
     ") WHERE v_mapped IS NOT NULL"
 ))
 def map_delta(spark, sf_dir):
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).delta()
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).delta()
     return _out(gf.df.where(F.col("v_mapped").isNotNull()), "v_mapped", "v_mapped")
 
 
@@ -250,7 +250,7 @@ def map_delta(spark, sf_dir):
     ") WHERE v_mapped IS NOT NULL"
 ))
 def map_rate(spark, sf_dir):
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).rate()
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).rate()
     return _out(gf.df.where(F.col("v_mapped").isNotNull()), "v_mapped", "v_mapped", 6)
 
 
@@ -260,7 +260,7 @@ def map_rate(spark, sf_dir):
     "), 6) AS v_mapped FROM pts"
 ))
 def map_moving_mean(spark, sf_dir):
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).map_aggregate("mapper.mean", pre=2, post=0)
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).map_aggregate("mapper.mean", pre=2, post=0)
     return _out(gf.df, "v_mapped", "v_mapped", 6)
 
 
@@ -270,7 +270,7 @@ def map_moving_mean(spark, sf_dir):
     "), 6) AS DOUBLE) AS v_mapped FROM pts"
 ))
 def map_csum(spark, sf_dir):
-    pts = events_points(spark, sf_dir).withColumn("v_double", F.col("v_double").cast("decimal(28,10)"))
+    pts = canonical_points(spark, sf_dir).withColumn("v_double", F.col("v_double").cast("decimal(28,10)"))
     gf = GTSFrame.fetch(pts).map_aggregate("mapper.csum")
     return _out(gf.df.withColumn("v_mapped", F.round("v_mapped", 6).cast("double")), "v_mapped", "v_mapped")
 
@@ -283,7 +283,7 @@ def map_csum(spark, sf_dir):
 def map_time_range_sum(spark, sf_dir):
     """Time-frame MAP (pre<0 → range window, GTSHelper.map:6275): sum over
     the trailing hour."""
-    pts = events_points(spark, sf_dir).withColumn("v_double", F.col("v_double").cast("decimal(28,10)"))
+    pts = canonical_points(spark, sf_dir).withColumn("v_double", F.col("v_double").cast("decimal(28,10)"))
     gf = GTSFrame.fetch(pts).map_aggregate("mapper.sum", pre=-HOUR, post=0)
     return _out(gf.df.withColumn("v_mapped", F.round("v_mapped", 6).cast("double")), "v_mapped", "v_mapped")
 
@@ -299,7 +299,7 @@ def map_time_range_sum(spark, sf_dir):
 def apply_div(spark, sf_dir):
     """APPLY op.div (OpDiv.java:29; GTSHelper.apply:7846): daily purchase
     sum ÷ daily view count, tick-aligned per user."""
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     pts_dec = pts.withColumn("v_double", F.col("v_double").cast("decimal(28,10)"))
     p = GTSFrame.fetch(pts_dec, "events.purchase{}").bucketize("bucketizer.sum", DAY, LASTBUCKET, NDAYS)
     p = GTSFrame(p.df.withColumn("v_agg", F.round("v_agg", 6).cast("double")), p.bucketspec, "v_agg")
@@ -346,7 +346,7 @@ def fill_previous(spark, sf_dir):
 def sessionize(spark, sf_dir):
     """TIMESPLIT (TIMESPLIT.java:34): gap>1h sessionization, then a
     per-session summary."""
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).timesplit(HOUR)
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).timesplit(HOUR)
     return (
         gf.df.groupBy("class", F.element_at(F.col("labels"), "user").alias("user"), "session_id")
         .agg(F.count("*").alias("n"), (F.max("ts") - F.min("ts")).alias("duration_us"))
@@ -358,7 +358,7 @@ def sessionize(spark, sf_dir):
     'row_number() OVER (PARTITION BY class, "user" ORDER BY ts) - 1 AS ts, v AS v_double FROM pts'
 ))
 def tickindex(spark, sf_dir):
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).tickindex()
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).tickindex()
     return _out(gf.df, "v_double", "v_double")
 
 
@@ -366,7 +366,7 @@ def tickindex(spark, sf_dir):
     f"WITH {PTS} SELECT class, \"user\", ts + 3600000000 AS ts, v AS v_double FROM pts"
 ))
 def timeshift(spark, sf_dir):
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).timeshift(HOUR)
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).timeshift(HOUR)
     return _out(gf.df, "v_double", "v_double")
 
 
@@ -375,7 +375,7 @@ def timeshift(spark, sf_dir):
     "FROM (SELECT *, min(v) OVER w AS mn, max(v) OVER w AS mx FROM pts WINDOW w AS (PARTITION BY class, \"user\"))"
 ))
 def normalize(spark, sf_dir):
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).normalize()
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).normalize()
     return _out(gf.df, "v_norm", "v_norm", 6)
 
 
@@ -384,7 +384,7 @@ def normalize(spark, sf_dir):
     "FROM (SELECT *, avg(v) OVER w AS mu, stddev_samp(v) OVER w AS sd FROM pts WINDOW w AS (PARTITION BY class, \"user\"))"
 ))
 def standardize(spark, sf_dir):
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).standardize()
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).standardize()
     return _out(gf.df, "v_std", "v_std", 6)
 
 
@@ -393,7 +393,7 @@ def standardize(spark, sf_dir):
     "CASE WHEN v <= 25 THEN 0 WHEN v <= 50 THEN 1 WHEN v <= 75 THEN 2 WHEN v <= 100 THEN 3 ELSE 4 END AS v_q FROM pts"
 ))
 def quantize(spark, sf_dir):
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).quantize([25.0, 50.0, 75.0, 100.0])
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).quantize([25.0, 50.0, 75.0, 100.0])
     return _out(gf.df, "v_q", "v_q")
 
 
@@ -406,7 +406,7 @@ def quantize(spark, sf_dir):
 def compact_quantized(spark, sf_dir):
     """QUANTIZE → COMPACT (COMPACT.java:44, preserveRanges=false): run-
     compression keeping only the first point of each constant run."""
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).quantize([25.0, 50.0, 75.0, 100.0])
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).quantize([25.0, 50.0, 75.0, 100.0])
     return _out(gf.compact().df, "v_q", "v_q")
 
 
@@ -418,7 +418,7 @@ def compact_quantized(spark, sf_dir):
     "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000000.0, 0.0) AS v_int FROM m"
 ))
 def integrate(spark, sf_dir):
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).integrate()
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).integrate()
     return _out(gf.df, "v_int", "v_int")
 
 
@@ -430,7 +430,7 @@ def integrate(spark, sf_dir):
     ") WHERE rk <= 3"
 ))
 def topk_per_series(spark, sf_dir):
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).topk(3)
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).topk(3)
     return _out(gf.df, "v_double", "v_double")
 
 
@@ -440,7 +440,7 @@ def topk_per_series(spark, sf_dir):
 def lastsort(spark, sf_dir):
     """LASTSORT (LASTSORT.java:34) — per-series latest value ranking table
     (ordering itself is order-insensitive in the compare)."""
-    gf = GTSFrame.fetch(events_points(spark, sf_dir))
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir))
     last = _sort.lastsort(gf.df, "v_double")
     return last.select(
         "class",
@@ -458,7 +458,7 @@ def lastsort(spark, sf_dir):
 ))
 def zscoretest(spark, sf_dir):
     """ZSCORETEST (GTSOutliersHelper.java:227): |z| > 2 ticks."""
-    gf = GTSFrame.fetch(events_points(spark, sf_dir))
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir))
     out = _outliers.zscoretest(gf.df, 2.0)
     return _out(out.withColumn("zscore", F.round("zscore", 6)), "zscore", "zscore")
 
@@ -468,7 +468,7 @@ def zscoretest(spark, sf_dir):
     'FROM pts GROUP BY class, "user"'
 ))
 def musigma(spark, sf_dir):
-    gf = GTSFrame.fetch(events_points(spark, sf_dir))
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir))
     out = _outliers.musigma(gf.df)
     return out.select(
         "class",
@@ -487,7 +487,7 @@ def musigma(spark, sf_dir):
 def shannon_entropy(spark, sf_dir):
     """reducer.shannonentropy (ShannonEntropy.java:33): event-class
     distribution entropy per user."""
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     c = pts.groupBy(F.element_at("labels", F.lit("user")).alias("user"), "class").agg(F.count("*").alias("n"))
     t = c.groupBy("user").agg(F.sum("n").alias("tot"))
     p = F.col("n") / F.col("tot")
@@ -508,7 +508,7 @@ def mode_per_user(spark, sf_dir):
     """MODE (MODE.java) with deterministic tie-break (count desc, name asc)."""
     from pyspark.sql import Window
 
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     c = pts.groupBy(F.element_at("labels", F.lit("user")).alias("user"), "class").agg(F.count("*").alias("n"))
     w = Window.partitionBy("user").orderBy(F.col("n").desc(), F.col("class").asc())
     return (
@@ -525,7 +525,7 @@ def mode_per_user(spark, sf_dir):
 def value_histogram(spark, sf_dir):
     """VALUEHISTOGRAM (VALUEHISTOGRAM.java): value→count map per class
     (binned for a numeric domain)."""
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     return pts.groupBy(
         "class", F.floor(F.col("v_double") / 25).cast("long").alias("bin")
     ).agg(F.count("*").alias("n"))
@@ -537,7 +537,7 @@ def value_histogram(spark, sf_dir):
 def find_series(spark, sf_dir):
     """FIND (FIND.java:73): metadata-only selector search — distinct
     series identities, no data read beyond the directory columns."""
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     from warp10_platform_spark.core.selector import selector_predicate
 
     return (
@@ -554,7 +554,7 @@ def find_series(spark, sf_dir):
 def findstats(spark, sf_dir):
     """FINDSTATS (FIND.java:73 flag): cardinality stats. Exact here;
     approx_count_distinct is the 100TB path (HLL++ ≙ HyperLogLogPlus.java)."""
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     return pts.agg(
         F.count_distinct("class").alias("n_classes"),
         F.count_distinct("class", F.element_at("labels", F.lit("user"))).alias("n_series"),

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from warp10_platform_spark.queries import register
 from warp10_platform_spark.queries.gts import PTS
 from warp10_platform_spark.sources.gts_text import format_gts_lines, parse_gts_lines
-from warp10_platform_spark.sources.tables import epoch_us_col, events_points, load_table
+from warp10_platform_spark.sources.tables import canonical_points, epoch_us_col, events_points, load_table
 
 
 @register(
@@ -23,7 +23,7 @@ def gts_text_roundtrip(spark, sf_dir):
     """format_gts_lines → parse_gts_lines roundtrip over the full events
     projection (GTSHelper.java:2682 wire format; doubles exported in
     shortest-roundtrip form so the parse is loss-free)."""
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     parsed = parse_gts_lines(format_gts_lines(pts))
     return parsed.select(
         "class", F.element_at(F.col("labels"), "user").alias("user"), "ts", "v_double"

@@ -15,7 +15,7 @@ from warp10_platform_spark.multimodal import (
     frame_sample,
 )
 from warp10_platform_spark.queries import register
-from warp10_platform_spark.sources.tables import load_table
+from warp10_platform_spark.sources.tables import canonical_points, load_table
 
 
 def _byte(src: str, i: int) -> str:
@@ -264,7 +264,7 @@ def media_sparkline_render(spark, sf_dir):
     from warp10_platform_spark.queries.gts import DAY, LASTBUCKET, NDAYS
     from warp10_platform_spark.sources.tables import events_points
 
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     daily = (
         pts.where(
             (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)

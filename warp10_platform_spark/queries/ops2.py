@@ -15,7 +15,7 @@ from warp10_platform_spark.queries import register
 from warp10_platform_spark.queries.custom import _wmean
 from warp10_platform_spark.queries.gts import DAILY, DAY, LASTBUCKET, NDAYS, PTS, _bucketized
 from warp10_platform_spark.queries.geo import _LAT_SQL, _LON_SQL, _with_coords
-from warp10_platform_spark.sources.tables import events_points
+from warp10_platform_spark.sources.tables import canonical_points, events_points
 
 
 @register("entropy_daily", (
@@ -114,7 +114,7 @@ def dotproduct_smooth(spark, sf_dir):
     """mapper.dotproduct (MapperDotProduct.java:34): [0.25, 0.5, 0.25]
     binomial smoothing over a [1 pre, 1 post] frame; null at edges where
     the frame is shorter than the weight vector."""
-    out = dotproduct_mapper(events_points(spark, sf_dir), [0.25, 0.5, 0.25], pre=1, post=1)
+    out = dotproduct_mapper(canonical_points(spark, sf_dir), [0.25, 0.5, 0.25], pre=1, post=1)
     return out.where(F.col("v_mapped").isNotNull()).select(
         "class",
         F.element_at("labels", F.lit("user")).alias("user"),
@@ -147,7 +147,7 @@ def dotproduct_smooth(spark, sf_dir):
 def strict_wmean(spark, sf_dir):
     """STRICTMAPPER (mapper/STRICTMAPPER.java): the macro weighted mean
     with min_points=5 — edge frames yield no output point."""
-    out = macro_mapper(events_points(spark, sf_dir), _wmean, pre=2, post=2, min_points=5)
+    out = macro_mapper(canonical_points(spark, sf_dir), _wmean, pre=2, post=2, min_points=5)
     # pandas NaN arrives as SQL NULL through Arrow — strict frames emit no point
     return out.where(F.col("v_mapped").isNotNull()).select(
         "class",
@@ -188,7 +188,7 @@ def map_csum_chunked(spark, sf_dir):
     from warp10_platform_spark.operators.mapper import map_csum_chunked as _csum
 
     WEEK = 7 * 86_400_000_000
-    pts = events_points(spark, sf_dir).withColumn("v_double", F.col("v_double").cast("decimal(28,10)"))
+    pts = canonical_points(spark, sf_dir).withColumn("v_double", F.col("v_double").cast("decimal(28,10)"))
     out = _csum(pts, WEEK)
     return out.select(
         "class",
@@ -214,7 +214,7 @@ def map_imposed_ticks(spark, sf_dir):
     from warp10_platform_spark.operators.mapper import map_at_ticks
 
     DAY_US = 86_400_000_000
-    pts = events_points(spark, sf_dir).withColumn("v_double", F.col("v_double").cast("decimal(28,10)"))
+    pts = canonical_points(spark, sf_dir).withColumn("v_double", F.col("v_double").cast("decimal(28,10)"))
     out = map_at_ticks(
         pts, "sum", [1704844800000000, 1705449600000000, 1706054400000000], pre_us=DAY_US, post_us=0
     )

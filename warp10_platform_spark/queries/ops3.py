@@ -11,7 +11,7 @@ from warp10_platform_spark.operators import reshape as _reshape
 from warp10_platform_spark.operators import setops as _setops
 from warp10_platform_spark.queries import register
 from warp10_platform_spark.queries.gts import HOUR, PTS
-from warp10_platform_spark.sources.tables import events_points
+from warp10_platform_spark.sources.tables import canonical_points, events_points
 
 
 @register("filters_compose", (
@@ -29,7 +29,7 @@ def filters_compose(spark, sf_dir):
     bysize ≥ 10 → filter.last.gt 20 — each a series-level aggregate +
     broadcast semi-join."""
     gf = (
-        GTSFrame.fetch(events_points(spark, sf_dir))
+        GTSFrame.fetch(canonical_points(spark, sf_dir))
         .filter_byclass(r"^events\.(p|c).*$")
         .filter_bysize(10)
         .filter_last("gt", 20.0)
@@ -56,7 +56,7 @@ def kernel_gaussian_smooth(spark, sf_dir):
     tick order on both engines."""
     from warp10_platform_spark.operators.mapper import kernel_smoother
 
-    out = kernel_smoother(events_points(spark, sf_dir), "gaussian", HOUR)
+    out = kernel_smoother(canonical_points(spark, sf_dir), "gaussian", HOUR)
     return out.select(
         "class",
         F.element_at("labels", F.lit("user")).alias("user"),
@@ -77,7 +77,7 @@ def kernel_gaussian_smooth(spark, sf_dir):
 def setops_merge_diff(spark, sf_dir):
     """Set algebra (UNION/INTERSECTION/DIFFERENCE, WarpScriptLib:2015-17):
     symmetric difference of two point sets via the engine's set ops."""
-    pts = events_points(spark, sf_dir).select(
+    pts = canonical_points(spark, sf_dir).select(
         "class", F.element_at("labels", F.lit("user")).alias("user"), "ts", "v_double"
     )
     a = pts.where(F.col("class") == "events.purchase")
@@ -96,7 +96,7 @@ def setops_merge_diff(spark, sf_dir):
 def valuededup_first(spark, sf_dir):
     """VALUEDEDUP (VALUEDEDUP.java): keep the first occurrence of each
     distinct value per series."""
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).valuededup()
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).valuededup()
     return gf.df.select(
         "class", F.element_at("labels", F.lit("user")).alias("user"), "ts", "v_double"
     )
@@ -110,7 +110,7 @@ def valuededup_first(spark, sf_dir):
 ))
 def timescale_monotonic(spark, sf_dir):
     """TIMESCALE (×0.001, µs→ms axis) then MONOTONIC running max."""
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).timescale(0.001)
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).timescale(0.001)
     out = _reshape.monotonic(gf.df.withColumn("_o", F.col("v_double")))
     # deterministic tie-break on equal scaled ticks: order by (ts, v)
     from pyspark.sql import Window

@@ -12,7 +12,7 @@ from warp10_platform_spark.core.schema import labels_from_key
 from warp10_platform_spark.operators import reduce_apply as _ra
 from warp10_platform_spark.queries import register
 from warp10_platform_spark.queries.gts import DAILY, DAY, LASTBUCKET, NDAYS, PTS, _bucketized
-from warp10_platform_spark.sources.tables import events_points
+from warp10_platform_spark.sources.tables import canonical_points, events_points
 
 _DAILY_COUNTS = (
     'c AS (SELECT class, "user", ts, count(*) AS n FROM daily GROUP BY class, "user", ts)'
@@ -57,7 +57,7 @@ def commonticks_daily(spark, sf_dir):
     a lazy 1-row aggregate cross-join, no driver action."""
     from warp10_platform_spark.operators.bucketize import bucket_end_col
 
-    df = events_points(spark, sf_dir).where(
+    df = canonical_points(spark, sf_dir).where(
         (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)
     )
     per_class = (
@@ -78,7 +78,7 @@ def commonticks_daily(spark, sf_dir):
 def chunk_label(spark, sf_dir):
     """CHUNK (CHUNK.java:37): weekly chunks anchored at lastchunk; the
     chunk id becomes a new label (sub-series identity)."""
-    gf = GTSFrame.fetch(events_points(spark, sf_dir), end=LASTBUCKET).chunk(7 * DAY, LASTBUCKET)
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir), end=LASTBUCKET).chunk(7 * DAY, LASTBUCKET)
     return gf.df.select(
         "class",
         F.element_at("labels", F.lit("user")).alias("user"),
@@ -98,7 +98,7 @@ def time_extract(spark, sf_dir):
     calendar fields of the tick itself (UTC)."""
     from warp10_platform_spark.operators.mapper import map_scalar
 
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     out = map_scalar(pts, "mapper.year", out_col="y")
     out = map_scalar(out, "mapper.month", out_col="m")
     out = map_scalar(out, "mapper.day", out_col="d")
@@ -118,7 +118,7 @@ def bucketize_argminmax(spark, sf_dir):
     of each bucket's extremum."""
     from warp10_platform_spark.operators.bucketize import SERIES_KEYS, bucket_end_col
 
-    df = events_points(spark, sf_dir).where(
+    df = canonical_points(spark, sf_dir).where(
         (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)
     )
     out = (
@@ -152,7 +152,7 @@ def bucketize_join_delta_rate(spark, sf_dir):
     Delta.java:31) + rate per second (Rate.java:33) in one bucket pass."""
     from warp10_platform_spark.operators.bucketize import SERIES_KEYS, bucket_end_col, bucketizer_expr
 
-    df = events_points(spark, sf_dir).where(
+    df = canonical_points(spark, sf_dir).where(
         (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)
     )
     v, ts = F.col("v_double"), F.col("ts")
@@ -197,7 +197,7 @@ def circular_mean_daily(spark, sf_dir):
     exactness device as INTEGRATE)."""
     from warp10_platform_spark.operators.bucketize import SERIES_KEYS, bucket_end_col
 
-    df = events_points(spark, sf_dir).where(
+    df = canonical_points(spark, sf_dir).where(
         (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)
     )
     rad = F.radians(F.col("v_double") * 0.72)
@@ -292,7 +292,7 @@ def lttb_downsample(spark, sf_dir):
     bit-reproducible."""
     from warp10_platform_spark.core.schema import with_gts_id
 
-    pts = events_points(spark, sf_dir).select(
+    pts = canonical_points(spark, sf_dir).select(
         "class",
         F.create_map().cast("map<string,string>").alias("labels"),
         "ts",

@@ -18,7 +18,7 @@ from warp10_platform_spark.analytics import fit as _fit
 from warp10_platform_spark.operators import reshape as _reshape
 from warp10_platform_spark.queries import register
 from warp10_platform_spark.queries.gts import DAILY, DAY, LASTBUCKET, NDAYS, PTS, _bucketized, _bucketized_decimal_mean
-from warp10_platform_spark.sources.tables import events_points
+from warp10_platform_spark.sources.tables import canonical_points, events_points
 
 def _USER():
     return F.get_json_object("labels_key", "$[0].value").alias("user")
@@ -174,7 +174,7 @@ def sliding_retention_caps(spark, sf_dir):
     (functions/MaxTickSlidingWindow.java:24, MaxTimeSlidingWindow.java:24):
     per-series retention caps — last 5 points and last 3 days — as batch
     operators; output is the kept-count per series for both policies."""
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     user = F.element_at("labels", "user").alias("user")
     by_n = _reshape.max_tick_sliding_window(pts, 5).groupBy("class", user).agg(
         F.count("*").alias("n_last5")

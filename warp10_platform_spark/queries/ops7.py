@@ -19,7 +19,7 @@ from warp10_platform_spark.operators import fill as _fill
 from warp10_platform_spark.operators import sort as _sort
 from warp10_platform_spark.queries import register
 from warp10_platform_spark.queries.gts import DAY, LASTBUCKET, NDAYS, PTS, _bucketized
-from warp10_platform_spark.sources.tables import events_points
+from warp10_platform_spark.sources.tables import canonical_points, events_points
 
 
 def _user():
@@ -41,7 +41,7 @@ def projection_accessors(spark, sf_dir):
     tick census from the TICKS projection joined to the value range from
     the VALUES projection — both accessors exercised, one shuffle each on
     the series key."""
-    gf = GTSFrame.fetch(events_points(spark, sf_dir))
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir))
     t = gf.ticks().groupBy("class", "labels_key").agg(
         F.count("ts").alias("n_ticks"), F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
     )
@@ -66,7 +66,7 @@ def map_step_occurrences(spark, sf_dir):
     series) — the stride/cap post-filter over the mapped frame."""
     from warp10_platform_spark.operators.mapper import apply_step_occurrences
 
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).map_scalar("mapper.abs")
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).map_scalar("mapper.abs")
     out = apply_step_occurrences(gf.df, step=3, occurrences=4)
     return out.select("class", _user(), "ts", F.round("v_mapped", 6).alias("v_abs"))
 
@@ -81,7 +81,7 @@ def predicate_clamp_mappers(spark, sf_dir):
     MapperMinX.java): mapper.gt emits the boolean verdict per tick,
     mapper.min.x caps the value — both single column exprs, fused into
     one projection (no join needed: each mapper keeps the input row)."""
-    gf = GTSFrame.fetch(events_points(spark, sf_dir), "events.purchase{}")
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir), "events.purchase{}")
     flagged = gf.map_scalar("mapper.gt", 50.0)
     clamped = GTSFrame(flagged.df.withColumnRenamed("v_mapped", "gt50"), value_col="v_double").map_scalar(
         "mapper.min.x", 50.0
@@ -100,7 +100,7 @@ def valuesort_limit(spark, sf_dir):
     value order over the distinct value set (ties removed so the head is
     deterministic in any engine), capped at 5 — Spark executes this as a
     TakeOrderedAndProject, no full sort materialization."""
-    pts = events_points(spark, sf_dir).select("v_double").distinct()
+    pts = canonical_points(spark, sf_dir).select("v_double").distinct()
     return _sort.valuesort(pts, "v_double").limit(5)
 
 
@@ -124,7 +124,7 @@ def fillticks_previous(spark, sf_dir):
     series, forward-fill from the latest earlier point, return the probe
     rows (rows with no prior point stay null and are dropped, matching
     the reference's empty-fill behavior)."""
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).fillticks(_FT)
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).fillticks(_FT)
     filled = _fill.fill_previous(gf.df, "v_double")
     probes = filled.where(F.col("ts").isin(_FT) & F.col("v_double").isNotNull())
     return probes.select("class", _user(), "ts", F.round("v_double", 6).alias("v_filled"))
@@ -168,7 +168,7 @@ def nonempty_maxgts(spark, sf_dir):
     keep only series that still have points (empty series vanish from the
     points model — NONEMPTY is counting them), cap the listing at the
     first 5 series in metadata order, carrying the total series count."""
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).timeclip(LASTBUCKET - 5 * DAY, LASTBUCKET)
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).timeclip(LASTBUCKET - 5 * DAY, LASTBUCKET)
     sz = gf.df.groupBy("class", "labels_key").agg(F.count("*").alias("n"))
     w = Window.orderBy("class", "labels_key")
     r = sz.withColumn("rk", F.row_number().over(w)).withColumn(
@@ -251,7 +251,7 @@ def hll_cardinality(spark, sf_dir):
     Pure streaming aggregate: no distinct, no shuffle of raw users —
     THE sketch shape for 100 TB directory stats. Exact count joined in
     for reference."""
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     user = F.element_at("labels", "user")
     h = F.expr(
         "cast(conv(substr(md5(concat('hll:', element_at(labels, 'user'))), 1, 15), 16, 10) AS bigint)"
@@ -290,7 +290,7 @@ def wrap_unwrap_roundtrip(spark, sf_dir):
     proving the blob is self-contained (metadata + ordered ticks)."""
     from warp10_platform_spark.core.wrap import unwrap, wrap
 
-    gf = GTSFrame.fetch(events_points(spark, sf_dir), "events.purchase{}")
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir), "events.purchase{}")
     blobs = wrap(gf.df)
     pts = unwrap(blobs)
     return pts.select("class", _user(), "ts", F.round("v_double", 6).alias("v"))
@@ -320,7 +320,7 @@ def fetch_step_timestep(spark, sf_dir):
     MultiScanGTSDecoderIterator.java:380-420): greedy newest-first
     timestep spacing, then every step-th survivor. The oracle replays the
     identical state machine with a recursive CTE."""
-    gf = GTSFrame.fetch(events_points(spark, sf_dir)).thin(step=_THIN_STEP, timestep=_THIN_TSTEP)
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).thin(step=_THIN_STEP, timestep=_THIN_TSTEP)
     return gf.df.select("class", _user(), "ts", F.round("v_double", 6).alias("v"))
 
 
@@ -337,7 +337,7 @@ def mapper_scalar_coverage(spark, sf_dir):
     tick-local value rewrites, all JVM expressions."""
     from warp10_platform_spark.operators.mapper import map_scalar
 
-    gf = GTSFrame.fetch(events_points(spark, sf_dir), "events.purchase{}")
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir), "events.purchase{}")
     df = map_scalar(gf.df, "mapper.tick", out_col="v_tick")
     df = map_scalar(df, "mapper.datetime", out_col="v_dt")
     df = map_scalar(df, "mapper.compareto", param=0.5, out_col="v_cmp")
@@ -367,7 +367,7 @@ def bucketize_product(spark, sf_dir):
 def _bucketized_input(spark, sf_dir):
     from warp10_platform_spark.operators.mapper import map_scalar
 
-    gf = GTSFrame.fetch(events_points(spark, sf_dir), None, LASTBUCKET - DAY * NDAYS + 1, LASTBUCKET)
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir), None, LASTBUCKET - DAY * NDAYS + 1, LASTBUCKET)
     df = map_scalar(gf.df, "mapper.compareto", param=0.5, out_col="v_cmp")
     df = df.withColumn("v_double", (F.col("v_cmp") + 2).cast("double"))
     return GTSFrame(df.drop("v_cmp"), value_col="v_double").bucketize("bucketizer.product", DAY, lastbucket=LASTBUCKET, bucketcount=NDAYS)
@@ -388,7 +388,7 @@ def wrap_thrift_roundtrip(spark, sf_dir):
     the identity selection."""
     from warp10_platform_spark.core.wrap import unwrap_thrift, wrap_thrift
 
-    pts = events_points(spark, sf_dir).where(F.col("class") == "events.view")
+    pts = canonical_points(spark, sf_dir).where(F.col("class") == "events.view")
     wrapped = wrap_thrift(pts)
     back = unwrap_thrift(wrapped)
     return back.select(

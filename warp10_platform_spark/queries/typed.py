@@ -16,12 +16,12 @@ from warp10_platform_spark.operators import mapper as _mapper
 from warp10_platform_spark.operators import reduce_apply as _ra
 from warp10_platform_spark.queries import register
 from warp10_platform_spark.queries.gts import DAILY, DAY, LASTBUCKET, NDAYS, PTS
-from warp10_platform_spark.sources.tables import epoch_us_col, events_points, load_table
+from warp10_platform_spark.sources.tables import canonical_points, epoch_us_col, events_points, load_table
 
 
 def _daily_bool(spark, sf_dir, cls: str, min_count: int):
     """Boolean daily series: true where the day has >= min_count points."""
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     gf = GTSFrame.fetch(pts, f"{cls}{{}}").bucketize("bucketizer.count", DAY, LASTBUCKET, NDAYS)
     return GTSFrame(gf.df.withColumn("v_bool", F.col("v_agg") >= min_count), gf.bucketspec, "v_bool")
 
@@ -61,7 +61,7 @@ WHERE m.ok
 def bool_mask(spark, sf_dir):
     """op.mask (op/OpMask.java): keep the value series only at ticks where
     the boolean mask series is true."""
-    pts = events_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
     v = GTSFrame.fetch(pts, "events.purchase{}").bucketize("bucketizer.count", DAY, LASTBUCKET, NDAYS)
     m = _daily_bool(spark, sf_dir, "events.click", 2)
     mask_df = m.df.drop("v_agg").withColumnRenamed("v_bool", "v_agg")

@@ -237,7 +237,7 @@ def ws_string_digest_suite(spark, sf_dir):
     (warpscript/functions.py), the vectorized JVM-side path for scalar
     names; per-row evaluator parity with these bindings lives in
     tests/test_warpscript.py (no driver-side collect loop)."""
-    from warp10_platform_spark.sources.tables import load_table
+    from warp10_platform_spark.sources.tables import canonical_points, load_table
     from warp10_platform_spark.warpscript.functions import COLUMN_BINDINGS as CB
 
     c = F.col("o_orderpriority")
@@ -621,10 +621,10 @@ def ws_canvas_raster(spark, sf_dir):
     grid — float64-identical, so counts match bit-exactly."""
     import numpy as np
 
-    from warp10_platform_spark.sources.tables import events_points
+    from warp10_platform_spark.sources.tables import canonical_points
     from warp10_platform_spark.warpscript.stack import WarpScriptStack
 
-    n_clicks = events_points(spark, sf_dir).where(F.col("class") == "events.click").count()
+    n_clicks = canonical_points(spark, sf_dir).where(F.col("class") == "events.click").count()
     w = 10 + n_clicks % 30
     st = WarpScriptStack(spark, sf_dir)
     st.exec(
