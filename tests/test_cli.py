@@ -42,3 +42,17 @@ def test_cli_error_contract(spark, capsys, tmp_path):
     assert main([str(p), "--sf-dir", "/root/testdata/sf0.001"]) == 1
     err = json.loads(capsys.readouterr().err)
     assert "error" in err and "NOSUCHFUNCTION" in err["error"]
+
+
+def test_cli_example_scripts(spark, capsys):
+    """The committed example scripts run end-to-end through the CLI."""
+    import glob
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scripts = sorted(glob.glob(os.path.join(repo, "examples", "*.mc2")))
+    assert len(scripts) >= 3
+    for s in scripts:
+        assert main([s, "--sf-dir", "/root/testdata/sf0.001", "--limit", "3"]) == 0, s
+        out = json.loads(capsys.readouterr().out)
+        assert isinstance(out, list) and out, s
