@@ -63,10 +63,31 @@ def humanduration(us: int) -> str:
     return sign + "".join(out)
 
 
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def tz_wall_ntz(ts_us: Column, tz: str) -> Column:
+    """LONG µs instant → TIMESTAMP_NTZ carrying the wall-clock fields in
+    `tz`. Session-timezone-independent by construction: NTZ arithmetic
+    from the epoch plus convert_timezone never consults the session tz —
+    unlike field extraction on a plain TIMESTAMP, which silently renders
+    in whatever zone the session happens to use."""
+    utc = F.timestamp_add("MICROSECOND", ts_us, F.expr(_EPOCH_NTZ))
+    if tz == "UTC":
+        return utc
+    return F.convert_timezone(F.lit("UTC"), F.lit(tz), utc)
+
+
+def wall_ntz_to_us(ntz: Column, tz: str) -> Column:
+    """Inverse of tz_wall_ntz: NTZ wall clock in `tz` → LONG µs instant."""
+    utc = ntz if tz == "UTC" else F.convert_timezone(F.lit(tz), F.lit("UTC"), ntz)
+    return F.timestamp_diff("MICROSECOND", F.expr(_EPOCH_NTZ), utc)
+
+
 def tselements(ts: Column, tz: str = "UTC") -> Column:
     """TSELEMENTS (TSELEMENTS.java): tick → [year, month, day, hour,
     minute, second, microseconds] in tz, as an array<long>."""
-    t = F.from_utc_timestamp(F.timestamp_micros(ts), tz)
+    t = tz_wall_ntz(ts, tz)
     return F.array(
         F.year(t).cast("long"),
         F.month(t).cast("long"),
@@ -81,5 +102,5 @@ def tselements(ts: Column, tz: str = "UTC") -> Column:
 def from_tselements(year: Column, month: Column, day: Column, hour: Column,
                     minute: Column, second: Column, micros: Column, tz: str = "UTC") -> Column:
     """->TSELEMENTS inverse: calendar fields in tz → LONG µs tick."""
-    t = F.make_timestamp(year, month, day, hour, minute, second)
-    return F.unix_micros(F.to_utc_timestamp(t, tz)) + micros
+    t = F.make_timestamp_ntz(year, month, day, hour, minute, second)
+    return wall_ntz_to_us(t, tz) + micros

@@ -237,8 +237,11 @@ def bucketize_calendar(
     same partition of the time axis, different tick labeling (documented
     deviation). Pure column math: trunc in wall-clock tz, one hash
     aggregation, partial aggregation applies."""
-    wall = F.from_utc_timestamp(F.timestamp_micros(F.col("ts")), tz)
-    bucket_start = F.unix_micros(F.to_utc_timestamp(F.date_trunc(unit, wall), tz))
+    from warp10_platform_spark.functions.timeutil import tz_wall_ntz, wall_ntz_to_us
+
+    # NTZ wall-clock math (session-timezone-independent; see tz_wall_ntz)
+    wall = tz_wall_ntz(F.col("ts"), tz)
+    bucket_start = wall_ntz_to_us(F.date_trunc(unit, wall), tz)
     agg = bucketizer_expr(bucketizer, F.col(value_col), F.col("ts"), p=p).alias("v_agg")
     return (
         df.withColumn("bucket_start", bucket_start)

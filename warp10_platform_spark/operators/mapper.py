@@ -142,6 +142,17 @@ def map_at_ticks(
 
 # --- arithmetic / scalar mappers: pure column exprs (mapper/Mapper*.java) ---
 
+def _utc_wall(c):
+    """LONG µs tick → TIMESTAMP_NTZ carrying the UTC wall-clock fields.
+
+    The reference's datetime mappers extract UTC fields (MapperYear.java
+    et al. default tz). Field extraction on a plain TIMESTAMP renders in
+    the SESSION timezone, so year(timestamp_micros(ts)) silently changes
+    meaning under a non-UTC session; NTZ arithmetic from the epoch is
+    session-independent by construction."""
+    return F.timestamp_add("MICROSECOND", c, F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"))
+
+
 _UNARY = {
     "mapper.abs": F.abs,
     "mapper.ceil": F.ceil,
@@ -160,16 +171,16 @@ _UNARY = {
     "mapper.parsedouble": lambda c: c.cast("double"),  # MapperParseDouble.java:30
     "mapper.tick": lambda c: c,            # MapperTick.java:29 (value := tick; ts col routed)
     "mapper.datetime": lambda c: F.concat(  # MapperDateTime.java: tick → ISO-8601 UTC string
-        F.date_format(F.timestamp_micros(c), "yyyy-MM-dd'T'HH:mm:ss"),
+        F.date_format(_utc_wall(c), "yyyy-MM-dd'T'HH:mm:ss"),
         F.format_string(".%06dZ", F.pmod(c, F.lit(1_000_000))),
     ),
-    "mapper.year": lambda c: F.year(F.timestamp_micros(c)),
-    "mapper.month": lambda c: F.month(F.timestamp_micros(c)),
-    "mapper.day": lambda c: F.dayofmonth(F.timestamp_micros(c)),
-    "mapper.weekday": lambda c: F.dayofweek(F.timestamp_micros(c)),
-    "mapper.hour": lambda c: F.hour(F.timestamp_micros(c)),
-    "mapper.minute": lambda c: F.minute(F.timestamp_micros(c)),
-    "mapper.second": lambda c: F.second(F.timestamp_micros(c)),
+    "mapper.year": lambda c: F.year(_utc_wall(c)),
+    "mapper.month": lambda c: F.month(_utc_wall(c)),
+    "mapper.day": lambda c: F.dayofmonth(_utc_wall(c)),
+    "mapper.weekday": lambda c: F.dayofweek(_utc_wall(c)),
+    "mapper.hour": lambda c: F.hour(_utc_wall(c)),
+    "mapper.minute": lambda c: F.minute(_utc_wall(c)),
+    "mapper.second": lambda c: F.second(_utc_wall(c)),
 }
 
 _BINARY = {

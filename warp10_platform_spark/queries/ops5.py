@@ -68,8 +68,11 @@ def tselements_tz(spark, sf_dir):
     (America/New_York), the reference's tz-aware calendar splitter."""
     ev = load_table(spark, sf_dir, "events")
     ts_us = epoch_us_col(ev, "ts")
+    from warp10_platform_spark.functions.timeutil import tz_wall_ntz
+
     e = ev.select("event_id", ts_us.alias("us")).where(F.col("event_id") % 101 == 0)
-    lt = F.from_utc_timestamp(F.timestamp_micros(F.col("us")), "America/New_York")
+    # NTZ wall-clock math: session-timezone-independent (tz_wall_ntz)
+    lt = tz_wall_ntz(F.col("us"), "America/New_York")
     return e.select(
         "event_id",
         "us",
