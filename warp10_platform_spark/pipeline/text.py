@@ -146,3 +146,38 @@ def contamination(train: DataFrame, eval_df: DataFrame, n: int = 3) -> DataFrame
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_shared_ngrams"))
     )
+
+
+def chunk_dedup_ratio(docs: DataFrame, chunk_tokens: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level chunk (pseudo-line/paragraph) dedup signal: split each
+    doc into disjoint `chunk_tokens`-token windows, count every chunk's
+    corpus-wide occurrences, and report per doc the fraction of its
+    chunks that are duplicated somewhere in the corpus — the
+    line/paragraph-dedup step of a CCNet/RefinedWeb-style pipeline
+    (there, chunks are newline paragraphs; this corpus is flat text, so
+    fixed windows play that role).
+
+    Scale shape: chunks are hashed scan-side; the only shuffles are the
+    partial-aggregated groupBy(chunk) count and the chunk equi-join back
+    — both carry (chunk, count), never full text, and partial
+    aggregation collapses the heavy-duplicate chunks map-side (the
+    common case in a boilerplate-laden crawl)."""
+    d = docs.withColumn("_toks", F.split(F.trim(F.col("text")), " "))
+    d = d.where(F.size("_toks") >= chunk_tokens).select(
+        F.col(id_col),
+        F.expr(
+            f"transform(sequence(0, size(_toks) DIV {chunk_tokens} - 1),"
+            f" i -> array_join(slice(_toks, i * {chunk_tokens} + 1, {chunk_tokens}), ' '))"
+        ).alias("_chunks"),
+    )
+    e = d.select(id_col, F.explode("_chunks").alias("chunk"))
+    g = e.groupBy("chunk").agg(F.count("*").alias("_n"))
+    return (
+        e.join(g, "chunk")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("_n") > 1).cast("long")).alias("n_dup"),
+        )
+        .withColumn("dup_chunk_ratio", F.round(F.col("n_dup") / F.col("n_chunks"), 6))
+    )

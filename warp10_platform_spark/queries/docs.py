@@ -370,3 +370,23 @@ def doc_seq_packing_sharded(spark, sf_dir):
     from warp10_platform_spark.pipeline.assemble import seq_packing
 
     return seq_packing(docs, bin_tokens=2048, partition_col="source")
+
+
+@register("doc_chunk_dedup", (
+    "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents), "
+    "c AS (SELECT doc_id, [array_to_string(toks[i*10+1 : i*10+10], ' ') for i in range(0, len(toks)//10)] AS chunks "
+    "      FROM t WHERE len(toks) >= 10), "
+    "e AS (SELECT doc_id, unnest(chunks) AS chunk FROM c), "
+    "g AS (SELECT chunk, count(*) AS n FROM e GROUP BY chunk), "
+    "d AS (SELECT e.doc_id, count(*) AS n_chunks, sum(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) AS n_dup "
+    "      FROM e JOIN g USING(chunk) GROUP BY e.doc_id) "
+    "SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks, CAST(n_dup AS BIGINT) AS n_dup, "
+    "round(n_dup * 1.0 / n_chunks, 6) AS dup_chunk_ratio FROM d"
+))
+def doc_chunk_dedup(spark, sf_dir):
+    """Chunk-level (pseudo-line/paragraph) dedup ratio per doc — the
+    line-dedup stage of a CCNet/RefinedWeb pipeline: disjoint 10-token
+    windows, corpus-wide occurrence counts, per-doc duplicated-chunk
+    fraction. Shuffles carry (chunk, count), never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.chunk_dedup_ratio(docs)
