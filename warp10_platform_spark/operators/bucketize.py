@@ -87,10 +87,14 @@ def bucketizer_expr(name: str, v: Column, ts: Column, *, p: float | None = None,
         return F.min(v.cast("boolean"))
     if n == "or":
         return F.max(v.cast("boolean"))
+    # argmin/argmax tie-break: the reference scans ticks ascending with a
+    # strict comparison (Argminmax.java:158), so the EARLIEST tick among
+    # tied extreme values wins; plain max_by/min_by pick an arbitrary
+    # tied row. Lexicographic struct min/max pins the reference order.
     if n == "argmax":
-        return F.max_by(ts, F.when(v.isNotNull(), v))
+        return (-F.max(F.when(v.isNotNull(), F.struct(v.alias("a"), (-ts).alias("b"))))["b"]).cast("long")
     if n == "argmin":
-        return F.min_by(ts, F.when(v.isNotNull(), v))
+        return F.min(F.when(v.isNotNull(), F.struct(v.alias("a"), ts.alias("b"))))["b"].cast("long")
     if n == "musigma":
         return F.struct(F.avg(v).alias("mu"), F.stddev_samp(v).alias("sigma"))
     if n == "mad":

@@ -96,14 +96,20 @@ SKEW_ORACLE = (
     "SELECT class, \"user\", ts, "
     "round((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n)) / "
     "      ((s2/n - (s1/n)*(s1/n)) ^ 1.5), 6) + 0.0 AS v_skew "
-    "FROM mom WHERE n >= 2 AND (s2/n - (s1/n)*(s1/n)) > 0"
+    "FROM mom WHERE n >= 3 AND (s2/n - (s1/n)*(s1/n)) > 0"
 )
 
 
 @register("bucketize_skewness", SKEW_ORACLE)
 def bucketize_skewness(spark, sf_dir):
     """Population skewness per daily bucket (SKEWNESS.java) from exact
-    DECIMAL moment sums — reproducible across engines."""
+    DECIMAL moment sums — reproducible across engines.
+
+    Buckets need n >= 3: two-point skewness is identically zero
+    mathematically, so the computed value is pure cancellation noise
+    whose last bits differ between engines (caught by the sf0.1 mirror —
+    the moment sums were bit-identical, the assembled noise was not).
+    n >= 3 buckets have generic nonzero skew far above noise."""
     from warp10_platform_spark.operators.bucketize import SERIES_KEYS, bucket_end_col
 
     d = F.col("v_double").cast("decimal(12,6)")
@@ -126,7 +132,7 @@ def bucketize_skewness(spark, sf_dir):
     var = m2 - m1 * m1
     skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5)
     return (
-        mom.where((n >= 2) & (var > 0))
+        mom.where((n >= 3) & (var > 0))
         .select(
             "class",
             F.get_json_object("labels_key", "$[0].value").alias("user"),

@@ -110,12 +110,20 @@ def time_extract(spark, sf_dir):
 
 @register("bucketize_argminmax", (
     f"WITH {PTS}, {DAILY} "
-    'SELECT class, "user", ts, arg_max(raw_ts, v) AS t_max, arg_min(raw_ts, v) AS t_min '
+    'SELECT class, "user", ts, '
+    "-(max(struct_pack(a := v, b := -raw_ts)).b) AS t_max, "
+    "min(struct_pack(a := v, b := raw_ts)).b AS t_min "
     'FROM daily GROUP BY class, "user", ts'
 ))
 def bucketize_argminmax(spark, sf_dir):
     """bucketizer.argmax/argmin (aggregator/Argminmax.java:46): the tick
-    of each bucket's extremum."""
+    of each bucket's extremum. Ties on the extreme VALUE break to the
+    EARLIEST tick — the reference scans ticks ascending with a strict
+    comparison (Argminmax.java:158), so first occurrence wins; plain
+    max_by/arg_min pick an arbitrary tied row and diverge between
+    engines once buckets are dense enough to contain duplicate values
+    (seen at sf0.1). Lexicographic struct min/max encodes the tie-break
+    in both engines."""
     from warp10_platform_spark.operators.bucketize import SERIES_KEYS, bucket_end_col
 
     df = canonical_points(spark, sf_dir).where(
@@ -125,8 +133,8 @@ def bucketize_argminmax(spark, sf_dir):
         df.withColumn("bucket_end", bucket_end_col(LASTBUCKET, DAY))
         .groupBy(*SERIES_KEYS, "bucket_end")
         .agg(
-            F.max_by("ts", "v_double").alias("t_max"),
-            F.min_by("ts", "v_double").alias("t_min"),
+            (-F.max(F.struct(F.col("v_double").alias("a"), (-F.col("ts")).alias("b")))["b"]).alias("t_max"),
+            F.min(F.struct(F.col("v_double").alias("a"), F.col("ts").alias("b")))["b"].alias("t_min"),
         )
         .withColumn("labels", labels_from_key())
     )
