@@ -1,0 +1,76 @@
+"""Rollup tier (sources/rollup.py): exact partial-merge semantics,
+alignment guards, and the scan-shape claims that matter at 100 TB."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from warp10_platform_spark.plans.audit import explain_formatted, plan_report
+from warp10_platform_spark.queries.gts import DAY, LASTBUCKET, NDAYS, _bucketized_decimal_mean
+from warp10_platform_spark.sources.rollup import (
+    HOUR_US,
+    rebucket,
+    rollup_merge,
+    rollup_partials,
+    rollup_points,
+)
+from warp10_platform_spark.sources.tables import canonical_points
+
+
+def test_rebucket_alignment_guard(spark, sf_dir):
+    ro = rollup_points(spark, sf_dir)
+    with pytest.raises(ValueError, match="not a multiple"):
+        rebucket(ro, HOUR_US + 1, LASTBUCKET, 3)
+    with pytest.raises(ValueError, match="rollup boundary"):
+        rebucket(ro, DAY, LASTBUCKET + 1, 3)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_rollup_daily_mean_matches_raw_scan(spark, sf_dir):
+    """The rebucketed hourly rollup must be BIT-identical to the direct
+    raw-points bucketize (decimal sums merge exactly)."""
+    direct = _bucketized_decimal_mean(spark, sf_dir)
+    ro = rebucket(rollup_points(spark, sf_dir), DAY, LASTBUCKET, NDAYS).withColumn(
+        "v_agg", F.round(F.col("sum_d").cast("double") / F.col("cnt"), 6)
+    )
+    cols = ["class", "labels_key", "ts", "v_agg"]
+    assert _rows(direct, cols) == _rows(ro, cols)
+
+
+def test_rollup_merge_equals_full_rollup(spark, sf_dir):
+    """Incremental maintenance: partials from two ingest batches merged
+    with rollup_merge equal the single-pass rollup on every column —
+    counts, decimal sums, min/max, and the first/last endpoint structs."""
+    pts = canonical_points(spark, sf_dir)
+    full = rollup_partials(pts)
+    merged = rollup_merge(
+        rollup_partials(pts.where(F.col("event_id") % 2 == 0)),
+        rollup_partials(pts.where(F.col("event_id") % 2 == 1)),
+    )
+    cols = ["gts_id", "rb", "cnt", "sum_d", "min_v", "max_v", "first", "last"]
+    assert _rows(full, cols) == _rows(merged, cols)
+
+
+def test_rollup_query_never_scans_raw_points(spark, sf_dir):
+    """The whole point of the tier: the daily profile reads ONLY the
+    rollup table (with its rb range pushed to the scan) — no events
+    parquet, no canonical points, no cartesian joins."""
+    import __spark_entry__ as E
+
+    df = E.queries()["rollup_daily_profile"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "rollup_" in plan
+    assert "events.parquet" not in plan and "/points_" not in plan
+    r = plan_report(df)
+    assert r.cartesian_products == 0 and r.python_evals == 0
+    assert any("rb" in p for p in r.pushed_filters)
+
+
+def test_rollup_is_materially_smaller(spark, sf_dir):
+    """Compression sanity: one row per series-hour must beat one row per
+    point, or the tier buys nothing."""
+    n_points = canonical_points(spark, sf_dir).count()
+    n_rollup = rollup_points(spark, sf_dir).count()
+    assert n_rollup < n_points

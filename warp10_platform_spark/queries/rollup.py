@@ -1,0 +1,79 @@
+"""Rollup-tier queries: BUCKETIZE grids answered from the materialized
+continuous-aggregate table (sources/rollup.py) instead of raw points.
+
+Both oracles aggregate the RAW events table in DuckDB, so a PASS proves
+the rollup path — partials, merge, rebucket — is bit-identical to the
+raw scan, not merely approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from warp10_platform_spark.queries import register
+from warp10_platform_spark.queries.gts import DAILY, DAY, LASTBUCKET, NDAYS, PTS, _out
+from warp10_platform_spark.sources.rollup import (
+    HOUR_US,
+    rebucket,
+    rollup_merge,
+    rollup_partials,
+    rollup_points,
+)
+from warp10_platform_spark.sources.tables import canonical_points
+
+_PROFILE_ORACLE = f"""
+WITH {PTS}, {DAILY}
+SELECT class, "user", ts,
+       round(CAST(sum(v::DECIMAL(28,10)) AS DOUBLE) / count(v), 6) AS v_mean,
+       CAST(round(sum(v::DECIMAL(28,10)), 6) AS DOUBLE) AS v_sum,
+       min(v) AS v_min,
+       max(v) AS v_max,
+       count(v) AS v_cnt
+FROM daily GROUP BY class, "user", ts
+"""
+
+
+@register("rollup_daily_profile", _PROFILE_ORACLE)
+def rollup_daily_profile(spark, sf_dir):
+    """Daily mean/sum/min/max/count per series served from HOURLY rollup
+    partials — the 100 TB dashboard path: the scan touches one row per
+    series-hour instead of every raw point (~3600× fewer at 1 Hz data),
+    yet the oracle aggregating raw events matches bit-for-bit because
+    decimal-sum/count/min/max partials merge exactly."""
+    ro = rollup_points(spark, sf_dir, HOUR_US)
+    df = rebucket(ro, DAY, LASTBUCKET, NDAYS, HOUR_US)
+    return df.select(
+        "class",
+        F.element_at(F.col("labels"), "user").alias("user"),
+        "ts",
+        F.round(F.col("sum_d").cast("double") / F.col("cnt"), 6).alias("v_mean"),
+        F.round(F.col("sum_d"), 6).cast("double").alias("v_sum"),
+        F.col("min_v").alias("v_min"),
+        F.col("max_v").alias("v_max"),
+        F.col("cnt").alias("v_cnt"),
+    )
+
+
+_INCR_ORACLE = (
+    f"WITH {PTS}, {DAILY} "
+    'SELECT class, "user", ts, '
+    "round(CAST(sum(v::DECIMAL(28,10)) AS DOUBLE) / count(v), 6) AS v_agg "
+    'FROM daily GROUP BY class, "user", ts'
+)
+
+
+@register("rollup_incremental_daily_mean", _INCR_ORACLE)
+def rollup_incremental_daily_mean(spark, sf_dir):
+    """The incremental-maintenance path end-to-end: points arrive in two
+    ingest batches (split by event_id parity), each contributes hourly
+    partials, rollup_merge unions+regroups them, and the merged table
+    answers the daily-mean grid. The oracle aggregates the raw events in
+    one pass — a PASS proves delta-merge maintenance loses nothing, so
+    at 100 TB rollup upkeep costs O(delta), never a history re-scan."""
+    pts = canonical_points(spark, sf_dir)
+    batch_a = rollup_partials(pts.where(F.col("event_id") % 2 == 0), HOUR_US)
+    batch_b = rollup_partials(pts.where(F.col("event_id") % 2 == 1), HOUR_US)
+    merged = rollup_merge(batch_a, batch_b)
+    df = rebucket(merged, DAY, LASTBUCKET, NDAYS, HOUR_US)
+    out = df.withColumn("v_agg", F.round(F.col("sum_d").cast("double") / F.col("cnt"), 6))
+    return _out(out, "v_agg", "v_agg")

@@ -1,0 +1,145 @@
+"""Materialized time-rollups (continuous aggregates) over the points lake.
+
+Warp 10 itself has no pre-aggregation tier: every FETCH reads raw points
+and GTSHelper.bucketize (warp10/src/main/java/io/warp10/continuum/gts/
+GTSHelper.java:2257) aggregates them after the scan. At the 100 TB design
+point that raw re-scan is the dominant cost of every dashboard-style
+BUCKETIZE, so this module adds the standard lake answer: a materialized
+table of MERGEABLE per-(series, fixed-span) partial aggregates —
+
+    cnt       exact point count                       (long)
+    sum_d     DECIMAL(38,10) sum of values            (exact, order-free)
+    min_v / max_v                                     (double)
+    first / last   struct<ts,v> endpoints via min/max  (lexicographic on
+                   (ts, v): deterministic even under duplicate ticks)
+
+from which any ALIGNED coarser BUCKETIZE grid (target span a multiple of
+the rollup span, lastbucket on a rollup boundary) is answered EXACTLY by
+re-grouping partials: decimal sums merge associatively, counts add,
+min/max/first/last compose. The rollup path is therefore bit-identical
+to the raw-scan path — proven by the oracled `rollup_daily_profile`
+query (its DuckDB oracle aggregates the RAW events) and
+tests/test_rollup.py.
+
+Scale shape: with hourly rollups over second-resolution data the rebucket
+reads ~3600× fewer rows than the raw scan; the rollup table is
+partitioned by `class` (same pruning as canonical_points) and its `rb`
+range predicate lands in PushedFilters. Incremental maintenance is a
+pure partial-merge (`rollup_merge`): ingest batches contribute partials
+that union+regroup into the existing table — no raw-data re-read, the
+same property Structured Streaming's foreachBatch needs for a
+continuously-maintained rollup.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warp10_platform_spark.core.schema import labels_from_key
+from warp10_platform_spark.operators.bucketize import SERIES_KEYS
+from warp10_platform_spark.sources.tables import _cache_key, canonical_points
+
+HOUR_US = 3_600_000_000
+
+def _partials():
+    # Built lazily: Column construction needs a live SparkContext.
+    return [
+        F.count("v_double").alias("cnt"),
+        F.sum(F.col("v_double").cast("decimal(28,10)")).alias("sum_d"),
+        F.min("v_double").alias("min_v"),
+        F.max("v_double").alias("max_v"),
+        F.min(F.struct("ts", F.col("v_double").alias("v"))).alias("first"),
+        F.max(F.struct("ts", F.col("v_double").alias("v"))).alias("last"),
+    ]
+
+
+def _merge_aggs():
+    return [
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_d").alias("sum_d"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+        F.min("first").alias("first"),
+        F.max("last").alias("last"),
+    ]
+
+
+def rollup_partials(points: DataFrame, span_us: int = HOUR_US) -> DataFrame:
+    """Partial aggregates per (series, rollup bucket). `rb` is the
+    bucket END (inclusive), grid anchored at 0: bucket covers
+    (rb - span, rb]. Timestamps must be positive (µs epoch ticks are)."""
+    rb = F.expr(f"((ts + {span_us - 1}L) DIV {span_us}L) * {span_us}L").alias("rb")
+    return points.groupBy(*SERIES_KEYS, rb).agg(*_partials())
+
+
+def rollup_points(spark: SparkSession, sf_dir: str, span_us: int = HOUR_US) -> DataFrame:
+    """The materialized rollup table for sf_dir — built once per
+    (testdata signature, span) under .cache/, partitioned by `class` so
+    selector pruning works exactly as on canonical_points."""
+    key = _cache_key(sf_dir)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache",
+        f"rollup_{span_us}_{key}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            rollup_partials(canonical_points(spark, sf_dir), span_us)
+            .write.mode("overwrite")
+            .partitionBy("class")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
+def rollup_merge(*rollups: DataFrame) -> DataFrame:
+    """Merge rollup partial tables (e.g. an existing rollup plus a fresh
+    ingest batch's partials) — union + regroup, exact by associativity.
+    This is the 100 TB UPDATE path: maintenance cost is proportional to
+    the DELTA, never a raw-history re-scan."""
+    out = rollups[0]
+    for r in rollups[1:]:
+        out = out.unionByName(r)
+    return out.groupBy(*SERIES_KEYS, "rb").agg(*_merge_aggs())
+
+
+def rebucket(
+    rollup: DataFrame, span_us: int, lastbucket_us: int, bucketcount: int, rollup_span_us: int = HOUR_US
+) -> DataFrame:
+    """Answer an anchored BUCKETIZE grid (GTSHelper.bucketize:2257
+    semantics: bucket n covers (lastbucket-(n+1)·span, lastbucket-n·span])
+    from rollup partials instead of raw points.
+
+    Exactness requires alignment: every target bucket boundary must be a
+    rollup boundary, i.e. span and lastbucket both multiples of the
+    rollup span — enforced, because a silent misaligned answer would be
+    wrong, not approximate. Output: one row per (series, bucket end) with
+    all merged partials; callers project the metric(s) they need."""
+    if span_us % rollup_span_us != 0:
+        raise ValueError(
+            f"target span {span_us} not a multiple of rollup span {rollup_span_us}: "
+            "rollup buckets would straddle target boundaries"
+        )
+    if lastbucket_us % rollup_span_us != 0:
+        raise ValueError(
+            f"lastbucket {lastbucket_us} not on a rollup boundary "
+            f"(span {rollup_span_us}): grid is misaligned"
+        )
+    lo = lastbucket_us - span_us * bucketcount
+    # The raw window (lo, lastbucket] is exactly the union of rollup
+    # buckets with rb in (lo, lastbucket] (both bounds are rollup
+    # boundaries) — and this range predicate prunes the rollup scan.
+    win = rollup.where((F.col("rb") <= lastbucket_us) & (F.col("rb") > lo))
+    bucket_end = F.expr(
+        f"{lastbucket_us}L - (({lastbucket_us}L - rb) DIV {span_us}L) * {span_us}L"
+    ).alias("bucket_end")
+    return (
+        win.withColumn("bucket_end", bucket_end)
+        .groupBy(*SERIES_KEYS, "bucket_end")
+        .agg(*_merge_aggs())
+        .withColumn("labels", labels_from_key())
+        .withColumnRenamed("bucket_end", "ts")
+    )
