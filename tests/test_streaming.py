@@ -195,3 +195,47 @@ def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
     assert got == want
     assert got[1] == (1, 1, "reach me at <EMAIL> or <IP> ok")
     assert got[3][0] == 2 and got[3][1] == 1
+
+
+def test_streaming_rollup_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """foreachBatch rollup maintenance: per-batch appended partials,
+    regrouped on read, must equal the single-pass batch rollup exactly —
+    counts, decimal sums, min/max and endpoint structs."""
+    from warp10_platform_spark.sources.rollup import rollup_partials
+    from warp10_platform_spark.streaming.rollup_maint import (
+        compact_rollup,
+        maintain_rollup,
+        read_maintained_rollup,
+    )
+
+    pts = events_points(spark, sf_dir).where(F.col("class") == "events.purchase")
+    text_dir = str(tmp_path / "gts_text")
+    # repartition forces multiple input files => multiple micro-batches
+    format_gts_lines(pts).repartition(4).write.mode("overwrite").text(text_dir)
+
+    stream = read_gts_text_stream(spark, text_dir, max_files_per_trigger=1)
+    roll_dir = str(tmp_path / "rollup")
+    q = maintain_rollup(stream, roll_dir, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_pts = parse_gts_lines(spark.read.text(text_dir))
+    expect = {
+        (r["gts_id"], r["rb"]): (r["cnt"], r["sum_d"], r["min_v"], r["max_v"], r["first"], r["last"])
+        for r in rollup_partials(batch_pts).collect()
+    }
+    got = {
+        (r["gts_id"], r["rb"]): (r["cnt"], r["sum_d"], r["min_v"], r["max_v"], r["first"], r["last"])
+        for r in read_maintained_rollup(spark, roll_dir).collect()
+    }
+    assert got == expect and got
+
+    # Compaction rewrites the append pile; readers see identical results.
+    compact_rollup(spark, roll_dir)
+    after = {
+        (r["gts_id"], r["rb"]): (r["cnt"], r["sum_d"], r["min_v"], r["max_v"], r["first"], r["last"])
+        for r in read_maintained_rollup(spark, roll_dir).collect()
+    }
+    assert after == expect

@@ -1,0 +1,61 @@
+"""Continuously-maintained rollups: the streaming twin of
+sources/rollup.py.
+
+Each micro-batch contributes its own partial aggregates (count /
+DECIMAL sum / min / max / first / last per series-hour) which are
+APPENDED to the rollup location — never merged in place, so the write
+path is an idempotent-per-batch blind append with no read-modify-write
+race. Readers regroup on read (`read_maintained_rollup`), which is
+exact because partials merge associatively; `compact_rollup` rewrites
+the accumulated partials as one row per key when the append pile grows.
+
+This is the plain-parquet rendition of what a Delta/Iceberg MERGE would
+do, chosen deliberately: appends + regroup-on-read need no table-format
+dependency and the compaction cost is bounded by the ROLLUP size (one
+row per series-span per batch), not the raw history. At 100 TB the
+maintenance cost per batch is O(batch), and dashboard reads stay
+O(series-hours in range).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from warp10_platform_spark.sources.rollup import HOUR_US, rollup_merge, rollup_partials
+
+
+def maintain_rollup(
+    points_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    span_us: int = HOUR_US,
+    trigger_available_now: bool = True,
+):
+    """Start the maintenance query: per micro-batch, compute the batch's
+    rollup partials and append them to `path`. Returns the streaming
+    query handle (caller stops it / processAllAvailable)."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        rollup_partials(batch_df, span_us).write.mode("append").parquet(path)
+
+    writer = points_stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_maintained_rollup(spark: SparkSession, path: str) -> DataFrame:
+    """The queryable rollup: appended per-batch partials regrouped into
+    one row per (series, rb) — exact by associativity, feedable straight
+    into sources.rollup.rebucket."""
+    return rollup_merge(spark.read.parquet(path))
+
+
+def compact_rollup(spark: SparkSession, path: str) -> None:
+    """Rewrite the append pile as fully-merged partials (one row per
+    key). Readers before/after see identical results; this just caps the
+    regroup-on-read input size."""
+    merged = read_maintained_rollup(spark, path).localCheckpoint()
+    merged.write.mode("overwrite").parquet(path)
