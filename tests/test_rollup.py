@@ -74,3 +74,63 @@ def test_rollup_is_materially_smaller(spark, sf_dir):
     n_points = canonical_points(spark, sf_dir).count()
     n_rollup = rollup_points(spark, sf_dir).count()
     assert n_rollup < n_points
+
+
+def test_serve_bucketize_routes_and_matches(spark, sf_dir):
+    """The materialized-view rewrite: servable+aligned grids come from
+    the rollup and match the raw path (bit-exact for count/min/max/
+    first/last, FP-reassociation tolerance for sum/mean); non-servable
+    or misaligned requests fall back to the raw scan."""
+    import math
+
+    from warp10_platform_spark.operators.bucketize import bucketize as raw_bucketize
+    from warp10_platform_spark.sources.rollup import serve_bucketize
+
+    for name in ["count", "min", "max", "first", "last", "sum", "mean"]:
+        served, route = serve_bucketize(spark, sf_dir, name, DAY, LASTBUCKET, NDAYS)
+        assert route == "rollup", name
+        raw, _ = raw_bucketize(canonical_points(spark, sf_dir), name, DAY, LASTBUCKET, NDAYS)
+        cols = ["class", "labels_key", "ts", "v_agg"]
+        got = _rows(served, cols)
+        exp = _rows(raw, cols)
+        if name in ("sum", "mean"):
+            assert len(got) == len(exp)
+            for g, e in zip(got, exp):
+                assert g[:3] == e[:3]
+                assert math.isclose(float(g[3]), float(e[3]), rel_tol=1e-12), (name, g, e)
+        else:
+            assert got == exp, name
+
+    # median needs the raw distribution; a misaligned span can't be
+    # reconstructed from hourly partials — both must route to raw.
+    _, route = serve_bucketize(spark, sf_dir, "median", DAY, LASTBUCKET, NDAYS)
+    assert route == "raw"
+    _, route = serve_bucketize(spark, sf_dir, "count", DAY + 1, LASTBUCKET, NDAYS)
+    assert route == "raw"
+
+
+def test_rollup_exact_across_spans(spark, sf_dir):
+    """Rebucket must stay bit-exact for any aligned target span, not
+    just the daily grid the oracled query uses."""
+    ro = rollup_points(spark, sf_dir)
+    pts = canonical_points(spark, sf_dir)
+    for span, count in [(2 * HOUR_US, 36), (6 * HOUR_US, 12), (12 * HOUR_US, 6)]:
+        got = rebucket(ro, span, LASTBUCKET, count)
+        lo = LASTBUCKET - span * count
+        exp = (
+            pts.where((F.col("ts") <= LASTBUCKET) & (F.col("ts") > lo))
+            .withColumn(
+                "ts2",
+                F.expr(f"{LASTBUCKET}L - (({LASTBUCKET}L - ts) DIV {span}L) * {span}L"),
+            )
+            .groupBy("gts_id", "ts2")
+            .agg(
+                F.count("v_double").alias("cnt"),
+                F.sum(F.col("v_double").cast("decimal(28,10)")).alias("sum_d"),
+                F.min("v_double").alias("min_v"),
+                F.max("v_double").alias("max_v"),
+            )
+        )
+        cols_g = _rows(got, ["gts_id", "ts", "cnt", "sum_d", "min_v", "max_v"])
+        cols_e = _rows(exp.withColumnRenamed("ts2", "ts"), ["gts_id", "ts", "cnt", "sum_d", "min_v", "max_v"])
+        assert cols_g == cols_e, span

@@ -143,3 +143,62 @@ def rebucket(
         .withColumn("labels", labels_from_key())
         .withColumnRenamed("bucket_end", "ts")
     )
+
+
+# Bucketizers the rollup partials can reconstruct. Everything else
+# (median/percentile/sd/entropy/...) needs the raw distribution and
+# routes to the raw scan.
+SERVABLE = {"sum", "mean", "min", "max", "count", "first", "last"}
+
+_PROJECT = {
+    "sum": lambda: F.col("sum_d").cast("double"),
+    "mean": lambda: F.col("sum_d").cast("double") / F.col("cnt"),
+    "min": lambda: F.col("min_v"),
+    "max": lambda: F.col("max_v"),
+    "count": lambda: F.col("cnt"),
+    "first": lambda: F.col("first.v"),
+    "last": lambda: F.col("last.v"),
+}
+
+
+def serve_bucketize(
+    spark: SparkSession,
+    sf_dir: str,
+    bucketizer: str,
+    span_us: int,
+    lastbucket_us: int,
+    bucketcount: int,
+    rollup_span_us: int = HOUR_US,
+) -> tuple[DataFrame, str]:
+    """Materialized-view rewrite for BUCKETIZE: serve the grid from the
+    rollup when the bucketizer is reconstructible from partials AND the
+    grid is aligned; otherwise fall back to the raw-points scan. Returns
+    (frame, route) with route ∈ {"rollup", "raw"} so callers and tests
+    can assert which physical source answered.
+
+    Parity contract with the raw path (tests/test_rollup.py):
+    count/min/max are bit-identical; first/last are identical whenever
+    ticks are unique per series (the GTS data model's invariant);
+    sum/mean agree up to FP reassociation — the raw path's own
+    partial-aggregation order is already nondeterministic at that level,
+    while the rollup path is decimal-exact, i.e. never worse."""
+    from warp10_platform_spark.operators.bucketize import bucketize as _raw_bucketize
+
+    name = bucketizer.replace("bucketizer.", "")
+    aligned = span_us % rollup_span_us == 0 and lastbucket_us % rollup_span_us == 0
+    if name in SERVABLE and aligned:
+        merged = rebucket(
+            rollup_points(spark, sf_dir, rollup_span_us),
+            span_us,
+            lastbucket_us,
+            bucketcount,
+            rollup_span_us,
+        )
+        out = merged.select(
+            *SERIES_KEYS, "ts", _PROJECT[name]().alias("v_agg"), "labels"
+        )
+        return out, "rollup"
+    out, _spec = _raw_bucketize(
+        canonical_points(spark, sf_dir), bucketizer, span_us, lastbucket_us, bucketcount
+    )
+    return out, "raw"
