@@ -108,3 +108,34 @@ def seq_packing(docs: DataFrame, bin_tokens: int = 2048,
     return d.withColumn(
         "bin_id", F.floor(F.col("stream_offset") / bin_tokens).cast("long")
     ).select(*cols, "bin_id")
+
+
+def curate(docs: DataFrame, min_tokens: int, diversity_permille: int, rate_col) -> DataFrame:
+    """The composed curation pipeline as ONE Catalyst DAG: exact-dedup
+    keeper selection → quality gate → deterministic mixture sampling →
+    per-source accounting (docs kept, token budget).
+
+    Stage plumbing, not new operators: the value is that the stages fuse
+    — dedup's keeper join is the only wide exchange (hash groupBy +
+    join-back on doc_id), the quality gate and sampling filters run
+    scan-side ON the join output, and the final per-source agg is
+    partial-aggregated map-side. The quality gate uses INTEGER
+    arithmetic (nd·1000 ≥ nt·permille) so the cut is bit-identical on
+    any engine — no float-rounding boundary to disagree on."""
+    keep = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    kept = docs.join(keep.select("doc_id"), "doc_id")
+    t = (
+        kept.withColumn("_toks", TOKS())
+        .withColumn("nt", F.size("_toks"))
+        .withColumn("nd", F.size(F.array_distinct(F.col("_toks"))))
+        .drop("_toks")
+    )
+    f = t.where(
+        (F.col("nt") >= min_tokens)
+        & (F.col("nd") * 1000 >= F.col("nt") * diversity_permille)
+    )
+    s = stratified_sample(f, rate_col)
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+    )

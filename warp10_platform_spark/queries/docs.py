@@ -390,3 +390,27 @@ def doc_chunk_dedup(spark, sf_dir):
     fraction. Shuffles carry (chunk, count), never text."""
     docs = load_table(spark, sf_dir, "documents")
     return _text.chunk_dedup_ratio(docs)
+
+
+@register("doc_curate_e2e", (
+    "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), "
+    "t AS (SELECT d.doc_id, d.source, "
+    "  len(string_split(trim(d.text), ' ')) AS nt, "
+    "  len(list_distinct(string_split(trim(d.text), ' '))) AS nd "
+    "  FROM documents d JOIN keep ON d.doc_id = keep.doc_id), "
+    "f AS (SELECT * FROM t WHERE nt >= 8 AND nd * 1000 >= nt * 300), "
+    "s AS (SELECT * FROM f WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 "
+    "  < 50 * (1 + (substr(source, 4)::INT % 10))) "
+    "SELECT source, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens FROM s GROUP BY source"
+))
+def doc_curate_e2e(spark, sf_dir):
+    """The curation stages COMPOSED in one DAG: exact-dedup keepers →
+    integer-arithmetic quality gate (≥8 tokens, ≥30% lexical diversity)
+    → per-source mixture sampling → per-source doc/token accounting.
+    Proves the pipeline tier chains without materialization boundaries;
+    the oracle replays the whole chain in SQL."""
+    from warp10_platform_spark.pipeline.assemble import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = 50 * (1 + (F.substring("source", 4, 10).cast("int") % 10))
+    return curate(docs, 8, 300, rate)
