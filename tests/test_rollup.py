@@ -88,7 +88,7 @@ def test_serve_bucketize_routes_and_matches(spark, sf_dir):
 
     for name in ["count", "min", "max", "first", "last", "sum", "mean"]:
         served, route = serve_bucketize(spark, sf_dir, name, DAY, LASTBUCKET, NDAYS)
-        assert route == "rollup", name
+        assert route == f"rollup:{DAY}", name  # coarsest servable level
         raw, _ = raw_bucketize(canonical_points(spark, sf_dir), name, DAY, LASTBUCKET, NDAYS)
         cols = ["class", "labels_key", "ts", "v_agg"]
         got = _rows(served, cols)
@@ -107,6 +107,9 @@ def test_serve_bucketize_routes_and_matches(spark, sf_dir):
     assert route == "raw"
     _, route = serve_bucketize(spark, sf_dir, "count", DAY + 1, LASTBUCKET, NDAYS)
     assert route == "raw"
+    # hour-aligned but not day-aligned: drops one level down the ladder
+    _, route = serve_bucketize(spark, sf_dir, "count", 2 * HOUR_US, LASTBUCKET, 6)
+    assert route == f"rollup:{HOUR_US}"
 
 
 def test_rollup_exact_across_spans(spark, sf_dir):
@@ -134,3 +137,14 @@ def test_rollup_exact_across_spans(spark, sf_dir):
         cols_g = _rows(got, ["gts_id", "ts", "cnt", "sum_d", "min_v", "max_v"])
         cols_e = _rows(exp.withColumnRenamed("ts2", "ts"), ["gts_id", "ts", "cnt", "sum_d", "min_v", "max_v"])
         assert cols_g == cols_e, span
+
+
+def test_day_level_built_from_hour_level(spark, sf_dir):
+    """The day rollup must equal partials computed straight from raw
+    points — building it by merging hour-partials loses nothing."""
+    from warp10_platform_spark.sources.rollup import DAY_US
+
+    day = rollup_points(spark, sf_dir, DAY_US)
+    direct = rollup_partials(canonical_points(spark, sf_dir), DAY_US)
+    cols = ["gts_id", "rb", "cnt", "sum_d", "min_v", "max_v", "first", "last"]
+    assert _rows(day, cols) == _rows(direct, cols)

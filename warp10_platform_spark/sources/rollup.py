@@ -75,10 +75,18 @@ def rollup_partials(points: DataFrame, span_us: int = HOUR_US) -> DataFrame:
     return points.groupBy(*SERIES_KEYS, rb).agg(*_partials())
 
 
+DAY_US = 24 * HOUR_US
+
+
 def rollup_points(spark: SparkSession, sf_dir: str, span_us: int = HOUR_US) -> DataFrame:
     """The materialized rollup table for sf_dir — built once per
     (testdata signature, span) under .cache/, partitioned by `class` so
-    selector pruning works exactly as on canonical_points."""
+    selector pruning works exactly as on canonical_points.
+
+    Coarser levels of the ladder are built FROM the finest materialized
+    level, not from raw points: a day-partial is the exact merge of its
+    24 hour-partials (associativity again), so materializing the whole
+    ladder costs one raw scan plus rollup-sized regroups."""
     key = _cache_key(sf_dir)
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -86,12 +94,13 @@ def rollup_points(spark: SparkSession, sf_dir: str, span_us: int = HOUR_US) -> D
         f"rollup_{span_us}_{key}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        (
-            rollup_partials(canonical_points(spark, sf_dir), span_us)
-            .write.mode("overwrite")
-            .partitionBy("class")
-            .parquet(path)
-        )
+        if span_us != HOUR_US and span_us % HOUR_US == 0:
+            base = rollup_points(spark, sf_dir, HOUR_US)
+            coarse_rb = F.expr(f"((rb + {span_us - 1}L) DIV {span_us}L) * {span_us}L").alias("rb")
+            src = base.groupBy(*SERIES_KEYS, coarse_rb).agg(*_merge_aggs())
+        else:
+            src = rollup_partials(canonical_points(spark, sf_dir), span_us)
+        src.write.mode("overwrite").partitionBy("class").parquet(path)
     return spark.read.parquet(path)
 
 
@@ -168,13 +177,16 @@ def serve_bucketize(
     span_us: int,
     lastbucket_us: int,
     bucketcount: int,
-    rollup_span_us: int = HOUR_US,
+    ladder: tuple[int, ...] = (DAY_US, HOUR_US),
 ) -> tuple[DataFrame, str]:
     """Materialized-view rewrite for BUCKETIZE: serve the grid from the
-    rollup when the bucketizer is reconstructible from partials AND the
-    grid is aligned; otherwise fall back to the raw-points scan. Returns
-    (frame, route) with route ∈ {"rollup", "raw"} so callers and tests
-    can assert which physical source answered.
+    COARSEST rollup level that can answer it (bucketizer reconstructible
+    from partials + grid aligned to that level); otherwise fall back to
+    the raw-points scan. Returns (frame, route) with route
+    "rollup:<span>" or "raw" so callers and tests can assert which
+    physical source answered. A daily grid reads the day level (one row
+    per series-day); an hour-aligned-but-not-day-aligned grid drops to
+    the hour level; everything else scans raw.
 
     Parity contract with the raw path (tests/test_rollup.py):
     count/min/max are bit-identical; first/last are identical whenever
@@ -185,19 +197,20 @@ def serve_bucketize(
     from warp10_platform_spark.operators.bucketize import bucketize as _raw_bucketize
 
     name = bucketizer.replace("bucketizer.", "")
-    aligned = span_us % rollup_span_us == 0 and lastbucket_us % rollup_span_us == 0
-    if name in SERVABLE and aligned:
-        merged = rebucket(
-            rollup_points(spark, sf_dir, rollup_span_us),
-            span_us,
-            lastbucket_us,
-            bucketcount,
-            rollup_span_us,
-        )
-        out = merged.select(
-            *SERIES_KEYS, "ts", _PROJECT[name]().alias("v_agg"), "labels"
-        )
-        return out, "rollup"
+    if name in SERVABLE:
+        for rspan in sorted(ladder, reverse=True):
+            if span_us % rspan == 0 and lastbucket_us % rspan == 0:
+                merged = rebucket(
+                    rollup_points(spark, sf_dir, rspan),
+                    span_us,
+                    lastbucket_us,
+                    bucketcount,
+                    rspan,
+                )
+                out = merged.select(
+                    *SERIES_KEYS, "ts", _PROJECT[name]().alias("v_agg"), "labels"
+                )
+                return out, f"rollup:{rspan}"
     out, _spec = _raw_bucketize(
         canonical_points(spark, sf_dir), bucketizer, span_us, lastbucket_us, bucketcount
     )
