@@ -201,7 +201,7 @@ SELECT c_custkey, c_name, n_name, revenue FROM (
 def tpch_q10_returns(spark, sf_dir):
     """TPC-H Q10 shape: lost-revenue-by-customer on returned items.
     customer/nation broadcast, orders⋈lineitem is the only big shuffle,
-    DECIMAL revenue for cross-engine exactness, global top-20 ranked on
+    integer-cents revenue for cross-engine exactness, global top-20 ranked on
     the ROUNDED revenue with custkey tie-break so float ulps cannot
     reorder the cut. orderBy+limit (NOT a global window) so the top-N
     compiles to TakeOrderedAndProject: per-partition heaps + a driver
@@ -258,7 +258,7 @@ WITH big AS (
   SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
 )
 SELECT c.c_name, o.o_orderkey, o.o_totalprice,
-       CAST(sum(l.l_quantity::DECIMAL(18,4)) AS DOUBLE) AS total_qty
+       (sum(round(l.l_quantity*100)::BIGINT)::BIGINT)::DOUBLE / 100.0 AS total_qty
 FROM orders o
 JOIN big      ON o.o_orderkey = big.l_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -276,8 +276,8 @@ def tpch_q18_bigorders(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_q"))
-        .where(F.col("_q") > 150)
+        .agg(F.expr("sum(CAST(round(l_quantity*100) AS BIGINT))").alias("_q"))
+        .where(F.col("_q") > 15000)
         .select(F.col("l_orderkey").alias("_big_orderkey"))
     )
     o = load_table(spark, sf_dir, "orders")
@@ -287,5 +287,5 @@ def tpch_q18_bigorders(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("c_name", "o_orderkey", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("total_qty"))
+        .agg(F.expr("CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0").alias("total_qty"))
     )
