@@ -201,3 +201,12 @@ def test_bucketed_layout_is_shuffle_free(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 0
     assert "SortAggregate" not in plan
+
+
+def test_tpch_q19_or_brackets_push_to_both_scans(spark, sf_dir):
+    """The disjunction of conjunctive brackets spans the join, but its
+    per-side unions must still reach BOTH parquet scans."""
+    r = plan_report(E.queries()["tpch_q19_brackets"](spark, sf_dir))
+    pushed = " ".join(r.pushed_filters)
+    assert "l_quantity" in pushed and "p_brand" in pushed
+    assert r.broadcast_joins >= 1 and r.cartesian_products == 0

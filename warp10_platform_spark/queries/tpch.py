@@ -289,3 +289,125 @@ def tpch_q18_bigorders(spark, sf_dir):
         .groupBy("c_name", "o_orderkey", "o_totalprice")
         .agg(F.expr("CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0").alias("total_qty"))
     )
+
+
+# Shared integer-cents revenue fragments (see header comment).
+_REV_SPARK = (
+    "CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+    "(100 - CAST(round(l_discount*100) AS BIGINT))) + 50) DIV 100 AS DOUBLE)/100.0"
+)
+_REV_DUCK = (
+    "((sum(round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT))::BIGINT"
+    " + 50) // 100)::DOUBLE / 100.0"
+)
+
+Q7_ORACLE = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       {_REV_DUCK.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")} AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+"""
+
+
+@register("tpch_q7_volume", Q7_ORACLE)
+def tpch_q7_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+    The disjunctive nation predicate can only be applied AFTER both dim
+    joins, so the plan keeps all dims broadcast (supplier/customer/
+    nation×2) and the fact flows through one pipeline; year() on the
+    NTZ ship date is session-tz-independent by construction."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.expr(_REV_SPARK).alias("revenue"))
+    )
+
+
+Q14_ORACLE = """
+SELECT (100 * sum(CASE WHEN p.p_type = 'ECONOMY'
+                  THEN round(l.l_extendedprice*100)::BIGINT * (100 - round(l.l_discount*100)::BIGINT)
+                  ELSE 0 END)::BIGINT)::DOUBLE
+       / (sum(round(l.l_extendedprice*100)::BIGINT * (100 - round(l.l_discount*100)::BIGINT))::BIGINT)::DOUBLE
+       AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01' AND l.l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+@register("tpch_q14_promo", Q14_ORACLE)
+def tpch_q14_promo(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-revenue share. Both sums are exact
+    integers, so the single double division is correctly rounded from
+    identical operands on any engine — the ratio needs no round() at
+    all to hash-match."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    cents = "CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))"
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        .agg(
+            F.expr(
+                f"CAST(100 * sum(CASE WHEN p_type = 'ECONOMY' THEN {cents} ELSE 0 END) AS DOUBLE)"
+                f" / CAST(sum({cents}) AS DOUBLE)"
+            ).alias("promo_pct")
+        )
+    )
+
+
+Q19_ORACLE = f"""
+SELECT {_REV_DUCK.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")} AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("tpch_q19_brackets", Q19_ORACLE)
+def tpch_q19_brackets(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive brackets spanning
+    BOTH join sides. Per-side conjunct unions ARE pushable (brand/size
+    to the part scan, quantity to the lineitem scan) and Catalyst
+    derives them from the residual OR; the full predicate applies after
+    the broadcast join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")), li.l_partkey == F.col("p_partkey"))
+    br = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return j.where(
+        br("Brand#12", 15, 1, 11) | br("Brand#23", 25, 10, 20) | br("Brand#3", 35, 20, 30)
+    ).agg(F.expr(_REV_SPARK).alias("revenue"))
