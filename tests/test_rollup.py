@@ -148,3 +148,43 @@ def test_day_level_built_from_hour_level(spark, sf_dir):
     direct = rollup_partials(canonical_points(spark, sf_dir), DAY_US)
     cols = ["gts_id", "rb", "cnt", "sum_d", "min_v", "max_v", "first", "last"]
     assert _rows(day, cols) == _rows(direct, cols)
+
+
+def test_hll_register_merge_is_associative(spark, sf_dir):
+    """Hourly register partials merged to days must equal registers
+    computed directly at day grain — the sketch obeys the same merge
+    algebra as the numeric partials."""
+    from warp10_platform_spark.sources.rollup import DAY_US, hll_register_partials
+
+    pts = canonical_points(spark, sf_dir)
+    item = "CAST(round(v_double*1000000) AS BIGINT)"
+    hourly = hll_register_partials(pts, item, HOUR_US, ("class",))
+    via_hours = (
+        hourly.withColumn("rb", F.expr(f"((rb + {DAY_US - 1}L) DIV {DAY_US}L) * {DAY_US}L"))
+        .groupBy("class", "rb", "reg")
+        .agg(F.max("mj").alias("mj"))
+    )
+    direct = hll_register_partials(pts, item, DAY_US, ("class",))
+    cols = ["class", "rb", "reg", "mj"]
+    assert _rows(via_hours, cols) == _rows(direct, cols)
+
+
+def test_hll_estimate_accuracy(spark, sf_dir):
+    """p=8 HLL carries ~6.5% standard error; the estimate must land
+    within a loose 4-sigma band of the exact distinct count."""
+    from warp10_platform_spark.sources.rollup import hll_estimate, hll_register_partials
+
+    pts = canonical_points(spark, sf_dir)
+    item = "CAST(round(v_double*1000000) AS BIGINT)"
+    est = {
+        r["class"]: r["n_est"]
+        for r in hll_estimate(hll_register_partials(pts, item, HOUR_US, ("class",)), ["class"]).collect()
+    }
+    exact = {
+        r["class"]: r["n"]
+        for r in pts.groupBy("class")
+        .agg(F.countDistinct(F.expr(item)).alias("n"))
+        .collect()
+    }
+    for cls, n in exact.items():
+        assert abs(est[cls] - n) <= max(5, 0.26 * n), (cls, est[cls], n)

@@ -104,3 +104,41 @@ def rollup_daily_active_series(spark, sf_dir):
             F.sum("cnt").alias("n_points"),
         )
     )
+
+
+_HLL_ORACLE = f"""
+WITH {PTS}, {DAILY},
+h AS (SELECT class, ts, ('0x' || substr(md5('hll:' || CAST(round(v*1000000) AS BIGINT)), 1, 15))::BIGINT AS hv FROM daily),
+r AS (SELECT class, ts, hv >> 52 AS reg, hv & ((1::BIGINT << 52) - 1) AS w FROM h),
+m AS (SELECT class, ts, reg, max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mj FROM r GROUP BY class, ts, reg),
+s AS (SELECT class, ts, (sum(1::BIGINT << (53 - mj)))::BIGINT AS sum_int, count(*) AS nreg FROM m GROUP BY class, ts),
+e AS (SELECT class, ts,
+        (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+          / CAST(sum_int + (256 - nreg) * (1::BIGINT << 53) AS DOUBLE) AS e_raw,
+        256 - nreg AS v0
+      FROM s)
+SELECT class, ts,
+       CAST(floor(CASE WHEN e_raw <= 640.0 AND v0 > 0 THEN 256.0 * ln(256.0 / v0) ELSE e_raw END) AS BIGINT) AS n_values_est
+FROM e
+"""
+
+
+@register("rollup_daily_distinct_values_hll", _HLL_ORACLE)
+def rollup_daily_distinct_values_hll(spark, sf_dir):
+    """Distinct VALUES per class-day — a key NOT in the rollup grain, so
+    exact distinct would need the raw scan. Instead: hourly HLL register
+    partials (class × hour × register max-rho, the mergeable-sketch
+    analog of a sum partial) merged to days and estimated. Values render
+    as micro-unit integers so the hashed bytes — and therefore every
+    register, and therefore the estimate — are identical cross-engine;
+    the oracle replays the whole sketch in SQL and matches bit-for-bit."""
+    from warp10_platform_spark.sources.rollup import hll_estimate, hll_register_partials
+
+    pts = canonical_points(spark, sf_dir).where(
+        (F.col("ts") <= LASTBUCKET) & (F.col("ts") > LASTBUCKET - DAY * NDAYS)
+    )
+    regs = hll_register_partials(pts, "CAST(round(v_double*1000000) AS BIGINT)", HOUR_US, ("class",))
+    day = regs.withColumn(
+        "ts", F.expr(f"{LASTBUCKET}L - (({LASTBUCKET}L - rb) DIV {DAY}L) * {DAY}L")
+    )
+    return hll_estimate(day, ["class", "ts"]).withColumnRenamed("n_est", "n_values_est")

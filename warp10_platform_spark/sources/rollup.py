@@ -215,3 +215,64 @@ def serve_bucketize(
         canonical_points(spark, sf_dir), bucketizer, span_us, lastbucket_us, bucketcount
     )
     return out, "raw"
+
+
+# ---- sketch partials: HLL registers as a rollup column -----------------
+#
+# Exact distinct over the rollup works when the key is part of the rollup
+# grain (rollup_daily_active_series counts gts_id from series-hour rows).
+# For distinct counts of something NOT in the grain — distinct VALUES per
+# class-day — the 100 TB answer is a mergeable sketch partial: per
+# (key, hour) HLL register maxima (p=8, 256 registers, the portable
+# md5-based construction of queries/advanced.py). max() merges registers
+# across hours/batches exactly like sum() merges counts, so the sketch
+# column obeys the same O(delta) maintenance algebra as every other
+# partial, and the estimate is derived at query time.
+
+
+def hll_register_partials(
+    points: DataFrame, item_sql: str, span_us: int = HOUR_US, key_cols: tuple = ("class",)
+) -> DataFrame:
+    """Per (key, rollup bucket, register) max-rho partials for the
+    portable HLL. `item_sql` is a Spark-SQL expression rendering the
+    counted item as a STRING whose bytes are identical cross-engine
+    (render integers, never raw doubles)."""
+    h = F.expr(
+        f"cast(conv(substr(md5(concat('hll:', {item_sql})), 1, 15), 16, 10) AS bigint)"
+    )
+    rb = F.expr(f"((ts + {span_us - 1}L) DIV {span_us}L) * {span_us}L").alias("rb")
+    r = points.select(
+        *key_cols,
+        rb,
+        F.shiftright(h, 52).alias("reg"),
+        h.bitwiseAND(F.expr("shiftleft(CAST(1 AS BIGINT), 52) - 1")).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.expr("bin(w)"))
+    )
+    return r.groupBy(*key_cols, "rb", "reg").agg(F.max(rho).alias("mj"))
+
+
+def hll_estimate(registers: DataFrame, group_cols: list) -> DataFrame:
+    """Merge register partials down to `group_cols` (max per register —
+    associative, so hour partials roll into days/weeks exactly) and
+    derive the HLL estimate (`n_est`): alpha·m²·2^53 / Σ 2^(53-mj), with
+    the standard linear-counting branch for small cardinalities. All
+    inputs to the float math are exact integers, so both engines divide
+    identical operands."""
+    m = registers.groupBy(*group_cols, "reg").agg(F.max("mj").alias("mj"))
+    s = m.groupBy(*group_cols).agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - mj)")).alias("sum_int"),
+        F.count("*").alias("nreg"),
+    )
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+    total = (
+        F.col("sum_int")
+        + (F.lit(256) - F.col("nreg")) * F.expr("shiftleft(CAST(1 AS BIGINT), 53)")
+    ).cast("double")
+    e_raw = F.lit(alpha_m2) / total
+    v0 = F.lit(256) - F.col("nreg")
+    est = F.when(
+        (e_raw <= 640.0) & (v0 > 0), F.lit(256.0) * F.log(F.lit(256.0) / v0)
+    ).otherwise(e_raw)
+    return s.select(*group_cols, F.floor(est).cast("long").alias("n_est"))
