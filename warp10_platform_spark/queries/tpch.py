@@ -411,3 +411,102 @@ def tpch_q19_brackets(spark, sf_dir):
     return j.where(
         br("Brand#12", 15, 1, 11) | br("Brand#23", 25, 10, 20) | br("Brand#3", 35, 20, 30)
     ).agg(F.expr(_REV_SPARK).alias("revenue"))
+
+
+Q8_ORACLE = """
+WITH vol AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         sum(CASE WHEN sn.n_name = 'NATION_3'
+             THEN round(l.l_extendedprice*100)::BIGINT * (100 - round(l.l_discount*100)::BIGINT)
+             ELSE 0 END)::BIGINT AS nation_vol,
+         sum(round(l.l_extendedprice*100)::BIGINT * (100 - round(l.l_discount*100)::BIGINT))::BIGINT AS total_vol
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+  JOIN region r   ON cn.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+  GROUP BY year(o.o_orderdate)
+)
+SELECT o_year, (nation_vol::DOUBLE) / (total_vol::DOUBLE) AS mkt_share
+FROM vol WHERE total_vol > 0
+"""
+
+
+@register("tpch_q8_market_share", Q8_ORACLE)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's yearly trade
+    volume. Six-way join, all dims broadcast, ONE pass computing both
+    the conditional and total sums (no second scan for the
+    denominator); exact-integer numerator/denominator make the share a
+    single correctly-rounded division — hash-stable with no rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    cents = (
+        "CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))"
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r.select("r_regionkey")), F.col("cn_region") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.expr(f"sum(CASE WHEN supp_nation = 'NATION_3' THEN {cents} ELSE 0 END)").alias("_nv"),
+            F.expr(f"sum({cents})").alias("_tv"),
+        )
+        .where(F.col("_tv") > 0)
+        .select("o_year", (F.col("_nv").cast("double") / F.col("_tv").cast("double")).alias("mkt_share"))
+    )
+
+
+Q15_ORACLE = """
+WITH srev AS (
+  SELECT l_suppkey,
+         ((sum(round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT))::BIGINT + 50) // 100)::DOUBLE / 100.0 AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM srev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM srev)
+"""
+
+
+@register("tpch_q15_top_supplier", Q15_ORACLE)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) achieving the quarter's max revenue.
+    The max is an empty-frame window over the per-supplier aggregate
+    (supplier-sized, not fact-sized), so no second scan and no driver
+    round-trip; ties are kept exactly as the reference query keeps
+    them — revenue is exact cents, so cross-engine ties are identical."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    srev = li.groupBy("l_suppkey").agg(F.expr(_REV_SPARK).alias("total_rev"))
+    w = Window.partitionBy()
+    top = srev.withColumn("_mx", F.max("total_rev").over(w)).where(
+        F.col("total_rev") == F.col("_mx")
+    )
+    return (
+        top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
