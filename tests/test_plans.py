@@ -203,6 +203,44 @@ def test_bucketed_layout_is_shuffle_free(spark):
     assert "SortAggregate" not in plan
 
 
+def test_bucketed_fact_join_is_shuffle_free(spark):
+    """Co-located fact-fact join: orders and lineitem bucketed by their
+    orderkey join with ZERO shuffle Exchange operators, and a follow-up
+    groupBy whose keys include the bucket key inherits the distribution.
+    Broadcast is disabled to force the large-data plan shape — at sf0.001
+    Spark (correctly) broadcasts the tiny fact instead; at 100 TB this
+    SortMergeJoin-over-buckets IS the plan."""
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.sources.tables import bucketed_fact
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = bucketed_fact(spark, "/root/testdata/sf0.001", "orders", "o_orderkey")
+        li = bucketed_fact(spark, "/root/testdata/sf0.001", "lineitem", "l_orderkey")
+        q = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderkey", "o_orderpriority")
+            .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 0, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_tpch_q18_colocated_no_fact_shuffle(spark):
+    """The registered co-located q18 variant never shuffles a fact row:
+    every Exchange in its plan is a BroadcastExchange of a dim/pre-agg."""
+    from warp10_platform_spark.queries import QUERIES
+
+    q = QUERIES["tpch_q18_colocated"](spark, "/root/testdata/sf0.001")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == plan.count("BroadcastExchange"), plan
+
+
 def test_tpch_q19_or_brackets_push_to_both_scans(spark, sf_dir):
     """The disjunction of conjunctive brackets spans the join, but its
     per-side unions must still reach BOTH parquet scans."""

@@ -27,7 +27,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from warp10_platform_spark.queries import register
-from warp10_platform_spark.sources.tables import load_table
+from warp10_platform_spark.sources.tables import bucketed_fact, load_table
 
 # Integer-cents fragments (see tpch.py header for the discipline).
 _PC = "CAST(round(l_extendedprice*100) AS BIGINT)"
@@ -404,6 +404,49 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
         .join(F.broadcast(n.select("n_nationkey")), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
+    )
+
+
+Q18C_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(round(l_quantity*100)::BIGINT) > 15000
+)
+SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+       (sum(round(l.l_quantity*100)::BIGINT)::BIGINT)::DOUBLE / 100.0 AS total_qty
+FROM orders o
+JOIN big      ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+"""
+
+
+@register("tpch_q18_colocated", Q18C_ORACLE)
+def tpch_q18_colocated(spark, sf_dir):
+    """tpch.py's q18 re-planned against the CO-LOCATED storage layout
+    (sources.tables.bucketed_fact): orders and lineitem both bucketed
+    by orderkey.  Identical results (same oracle), radically different
+    plan: the HAVING pre-agg, the orders⋈lineitem SortMergeJoin, and
+    the final groupBy (whose keys include o_orderkey) all consume the
+    bucket distribution — ZERO Exchange operators touch a fact row
+    (asserted in tests/test_plans.py).  This is the layout a 100 TB
+    deployment writes at ingest; tpch_q18_bigorders remains the plan
+    for ad-hoc data."""
+    li = bucketed_fact(spark, sf_dir, "lineitem", "l_orderkey")
+    o = bucketed_fact(spark, sf_dir, "orders", "o_orderkey")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr(f"sum({_QC})").alias("_q"))
+        .where(F.col("_q") > 15000)
+        .select(F.col("l_orderkey").alias("_big_orderkey"))
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == F.col("_big_orderkey"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.expr(f"CAST(sum({_QC}) AS DOUBLE)/100.0").alias("total_qty"))
     )
 
 

@@ -90,19 +90,19 @@ def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("gts_id", F.xxhash64(F.col("class"), F.col("labels_key")))
 
 
-def _cache_key(sf_dir: str) -> str:
+def _cache_key(sf_dir: str, table: str = "events") -> str:
     """Cache key for derived layouts: path + size/mtime of the source
-    events.parquet, so an in-place testdata regeneration (it has
-    happened across driver rounds) invalidates stale caches instead of
-    silently serving old data."""
+    parquet, so an in-place testdata regeneration (it has happened
+    across driver rounds) invalidates stale caches instead of silently
+    serving old data."""
     import hashlib
 
-    p = os.path.join(sf_dir, "events.parquet")
+    p = os.path.join(sf_dir, f"{table}.parquet")
     try:
         st = os.stat(p)
-        sig = f"{sf_dir}|{st.st_size}|{int(st.st_mtime)}"
+        sig = f"{sf_dir}|{table}|{st.st_size}|{int(st.st_mtime)}"
     except OSError:
-        sig = sf_dir
+        sig = f"{sf_dir}|{table}"
     return hashlib.md5(sig.encode()).hexdigest()[:10]
 
 
@@ -153,26 +153,62 @@ def bucketed_points(spark: SparkSession, sf_dir: str, buckets: int = 8) -> DataF
         ".cache",
         name,
     )
+    return _attach_bucketed(
+        spark, events_points(spark, sf_dir), name, path, "gts_id", ("gts_id", "ts"), buckets
+    )
+
+
+def _attach_bucketed(spark, src_df, name, path, key, sort_cols, buckets):
+    """Materialize (or re-attach) a bucketed+sorted table layout.
+
+    saveAsTable is required because parquet files alone carry no bucket
+    spec — the catalog entry is what lets Catalyst trust the layout and
+    drop the Exchange. On reuse across sessions the data is NOT
+    rewritten: a CREATE TABLE ... CLUSTERED BY re-attaches the spec to
+    the existing files."""
     if not spark.catalog.tableExists(name):
         if os.path.exists(os.path.join(path, "_SUCCESS")):
-            # layout already on disk from a previous session: re-attach
-            # the bucket spec without rewriting the data
             schema = ", ".join(
-                f"`{f.name}` {f.dataType.simpleString()}"
-                for f in events_points(spark, sf_dir).schema.fields
+                f"`{f.name}` {f.dataType.simpleString()}" for f in src_df.schema.fields
             )
             spark.sql(
                 f"CREATE TABLE {name} ({schema}) USING parquet "
-                f"CLUSTERED BY (gts_id) SORTED BY (gts_id, ts) INTO {buckets} BUCKETS "
+                f"CLUSTERED BY ({key}) SORTED BY ({', '.join(sort_cols)}) INTO {buckets} BUCKETS "
                 f"LOCATION '{path}'"
             )
         else:
             (
-                events_points(spark, sf_dir)
-                .write.mode("overwrite")
-                .bucketBy(buckets, "gts_id")
-                .sortBy("gts_id", "ts")
+                src_df.write.mode("overwrite")
+                .bucketBy(buckets, key)
+                .sortBy(*sort_cols)
                 .option("path", path)
                 .saveAsTable(name)
             )
     return spark.table(name)
+
+
+def bucketed_fact(spark: SparkSession, sf_dir: str, table: str, key: str, buckets: int = 8) -> DataFrame:
+    """A fact table in its co-located layout: bucketed + sorted by its
+    join key — the 100 TB answer to the one shuffle the TPC-H tier cannot
+    broadcast away (orders⋈lineitem on orderkey, tpch.py's q3/q18/q21).
+
+    When BOTH sides of an equi-join are bucketed by the join key with the
+    same bucket count, SortMergeJoin consumes the scans directly: zero
+    Exchange on either side (asserted in tests/test_plans.py). Follow-up
+    groupBys whose keys INCLUDE the bucket key inherit the distribution
+    (HashPartitioning on a subset satisfies the clustered requirement),
+    so an entire q18-shape pipeline — per-order pre-agg, join, final
+    agg — runs without shuffling a single fact row. At 100 TB this
+    layout is written once at ingest and every orderkey join after is
+    network-free; locally it materializes under .cache/ like
+    canonical_points."""
+    key_sig = _cache_key(sf_dir, table)
+    name = f"{table}_by_{key}_{key_sig}"
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache",
+        name,
+    )
+    return _attach_bucketed(
+        spark, load_table(spark, sf_dir, table), name, path, key, (key,), buckets
+    )
