@@ -48,6 +48,22 @@ HEADLINE = [
     "emb_cosine_topk",
 ]
 
+# Secondary surface, timed the same way but reported under "extended" so
+# the headline total stays comparable across rounds. Includes the
+# co-located q18 next to its ad-hoc twin — the measured value of the
+# bucketed fact layout — plus the widest relational shapes and the
+# LSH/chunk pipeline scale paths.
+EXTENDED = [
+    "tpch_q9_profit",
+    "tpch_q13_custdist",
+    "tpch_q18_bigorders",
+    "tpch_q18_colocated",
+    "tpch_q21_waiting_supplier",
+    "emb_lsh_topk",
+    "doc_chunk_dedup",
+    "doc_contamination",
+]
+
 
 def main() -> None:
     from warp10_platform_spark.queries import QUERIES
@@ -63,9 +79,13 @@ def main() -> None:
     # one-time storage build, not query work).
     for warm in ("tpch_q6", "map_delta", "doc_exact_dedup"):
         QUERIES[warm](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-    from warp10_platform_spark.sources.tables import canonical_points
+    from warp10_platform_spark.sources.tables import bucketed_fact, canonical_points
 
     canonical_points(spark, SF_DIR).limit(1).count()
+    # one-time storage builds for the co-located layout (ingest-time cost
+    # in a real deployment, not query work)
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        bucketed_fact(spark, SF_DIR, tbl, key).limit(1).count()
 
     cold: dict[str, float] = {}
     steady1: dict[str, float] = {}
@@ -76,7 +96,7 @@ def main() -> None:
         # signatures etc.) so the steady-state pass measures full compute
         # with warm JIT, not cached-frame reads.
         spark.catalog.clearCache()
-        for name in HEADLINE:
+        for name in HEADLINE + EXTENDED:
             fn = QUERIES.get(name)
             if fn is None:
                 continue
@@ -86,7 +106,9 @@ def main() -> None:
     # Per-query best of the three steady passes: identical plans + warm
     # JIT, so run-to-run spread is GC/scheduler noise — the minimum is
     # the repeatable steady-state cost (JMH-style best-after-warmup).
-    timings = {n: min(steady1[n], steady2[n], steady3[n]) for n in steady1}
+    best = {n: min(steady1[n], steady2[n], steady3[n]) for n in steady1}
+    timings = {n: best[n] for n in HEADLINE if n in best}
+    extended = {n: best[n] for n in EXTENDED if n in best}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -96,7 +118,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "cold_value": round(sum(cold.values()), 3),
+                "extended": extended,
+                "cold_value": round(sum(cold[n] for n in timings), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -14,6 +14,18 @@ def test_fetch_range_pushes_predicates(spark, sf_dir):
     assert r.cartesian_products == 0
 
 
+def test_fetch_range_daypruned_prunes_day_partitions(spark, sf_dir):
+    """The (class, day)-partitioned layout turns a FETCH time range into
+    directory-level pruning: PartitionFilters carry class AND day bounds,
+    and the ts row filter still reaches PushedFilters."""
+    r = plan_report(E.queries()["fetch_range_daypruned"](spark, sf_dir))
+    parts = " ".join(r.partition_filters)
+    assert "events.purchase" in parts and "day" in parts
+    pushed = " ".join(r.pushed_filters)
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThanOrEqual(ts" in pushed
+    assert r.cartesian_products == 0
+
+
 def test_tpch_q6_scan_prunes_columns(spark, sf_dir):
     r = plan_report(E.queries()["tpch_q6"](spark, sf_dir))
     cols = r.scan_columns()

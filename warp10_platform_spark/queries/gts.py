@@ -73,6 +73,27 @@ def fetch_range(spark, sf_dir):
 
 
 @register(
+    "fetch_range_daypruned",
+    f"WITH {PTS} SELECT class, \"user\", ts, v AS v_double FROM pts "
+    "WHERE class = 'events.purchase' AND ts >= 1704844800000000 AND ts <= 1705708800000000",
+)
+def fetch_range_daypruned(spark, sf_dir):
+    """Same FETCH as fetch_range but over the (class, day)-partitioned
+    layout (SURVEY §1.6's full 100 TB shape): the ts range is converted
+    to exact day-partition bounds (`ts DIV day` is monotone), so the scan
+    lists only the matching day directories — PartitionFilters carry
+    class AND day, asserted in tests/test_plans.py."""
+    from warp10_platform_spark.sources.tables import DAY_US, partitioned_points
+
+    t0, t1 = 1704844800000000, 1705708800000000
+    pts = partitioned_points(spark, sf_dir).where(
+        F.col("day").between(t0 // DAY_US, t1 // DAY_US)
+    )
+    gf = GTSFrame.fetch(pts, "events.purchase{}", t0, t1)
+    return _out(gf.df, "v_double", "v_double")
+
+
+@register(
     "fetch_last_n",
     f"WITH {PTS} SELECT class, \"user\", ts, v AS v_double FROM ("
     "  SELECT *, row_number() OVER (PARTITION BY class, \"user\" ORDER BY ts DESC) AS rn FROM pts"

@@ -187,6 +187,36 @@ def _attach_bucketed(spark, src_df, name, path, key, sort_cols, buckets):
     return spark.table(name)
 
 
+DAY_US = 86_400_000_000
+
+
+def partitioned_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The points table in the FULL 100 TB layout from SURVEY §1.6:
+    partitioned by (class, day).  canonical_points proves class pruning +
+    ts row-group pushdown; this adds the day-level directory partition so
+    a FETCH time range prunes whole partitions before any file is opened
+    (PartitionFilters, asserted in tests/test_plans.py) — at 100 TB the
+    difference between listing a few day directories and statting every
+    file's footer.  `day` is derived as `ts DIV 86400000000`, a pure
+    integer function of the platform µs tick, so deriving the partition
+    predicate from a ts range is exact (no timezone, no calendar)."""
+    key = _cache_key(sf_dir)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache",
+        f"points_day_{key}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            events_points(spark, sf_dir)
+            .withColumn("day", F.expr(f"ts DIV {DAY_US}"))
+            .write.mode("overwrite")
+            .partitionBy("class", "day")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
 def bucketed_fact(spark: SparkSession, sf_dir: str, table: str, key: str, buckets: int = 8) -> DataFrame:
     """A fact table in its co-located layout: bucketed + sorted by its
     join key — the 100 TB answer to the one shuffle the TPC-H tier cannot
