@@ -1,0 +1,116 @@
+"""HTTP API surface (server.py): /exec /fetch /update /delete /meta /find
+against a live server thread — the reference's egress/ingress contract
+(EgressExecHandler.java:214, EgressFetchHandler.java:1077,
+StandaloneIngressHandler.java:185)."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from warp10_platform_spark.server import make_server
+
+
+@pytest.fixture(scope="module")
+def server(spark, sf_dir, tmp_path_factory):
+    srv = make_server(spark, sf_dir, str(tmp_path_factory.mktemp("store")), port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url) as r:
+        return r.status, r.read().decode(), dict(r.headers)
+
+
+def _post(url, data=b"", ctype="text/plain"):
+    req = urllib.request.Request(url, data=data, headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.read().decode(), dict(r.headers)
+
+
+def test_exec_scalar(server):
+    code, body, hdrs = _post(f"{server}/api/v0/exec", b"1 2 + 'a' 'b' +")
+    assert code == 200
+    assert json.loads(body) == ["ab", 3]  # stack top first
+    assert "X-Warp10-Elapsed" in hdrs
+
+
+def test_exec_error_contract(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{server}/api/v0/exec", b"1 0 / NOSUCHFUNC")
+    assert ei.value.code == 500
+    assert ei.value.headers["X-Warp10-Error-Message"]
+
+
+def test_update_fetch_roundtrip(server):
+    lines = (
+        "1000000// srv.test{host=a} 1.5\n"
+        "2000000// srv.test{host=a} 2.5\n"
+        "1000000// srv.test{host=b} 'str'\n"
+    )
+    code, _, hdrs = _post(f"{server}/api/v0/update", lines.encode())
+    assert code == 200 and hdrs["X-Warp10-Ingested"] == "3"
+
+    code, body, _ = _get(f"{server}/api/v0/fetch?selector=srv.test%7B%7D&format=text")
+    assert code == 200
+    got = sorted(ln for ln in body.splitlines() if ln)
+    assert got == sorted(
+        ["1000000// srv.test{host=a} 1.5", "2000000// srv.test{host=a} 2.5", "1000000// srv.test{host=b} 'str'"]
+    )
+
+    # LWW: a later update at the same (series, tick) replaces the value
+    _post(f"{server}/api/v0/update", b"2000000// srv.test{host=a} 9.0\n")
+    code, body, _ = _get(
+        f"{server}/api/v0/fetch?selector=srv.test%7Bhost%3Da%7D&start=2000000&stop=2000000"
+    )
+    assert body.strip() == "2000000// srv.test{host=a} 9.0"
+
+
+def test_fetch_json_and_range(server):
+    _post(f"{server}/api/v0/update", b"1000000// srv.json{k=v} 42\n2000000// srv.json{k=v} 43\n")
+    code, body, _ = _get(
+        f"{server}/api/v0/fetch?selector=srv.json%7B%7D&format=json&start=1500000&stop=3000000"
+    )
+    series = json.loads(body)
+    assert len(series) == 1
+    s = series[0]
+    assert s["c"] == "srv.json" and s["l"] == {"k": "v"}
+    assert s["v"] == [[2000000, 43.0]]
+
+
+def test_delete_tombstone(server):
+    _post(f"{server}/api/v0/update", b"5000000// srv.del{x=1} 7\n6000000// srv.del{x=1} 8\n")
+    _post(f"{server}/api/v0/delete?selector=srv.del%7B%7D&start=5000000&end=5000000")
+    code, body, _ = _get(f"{server}/api/v0/fetch?selector=srv.del%7B%7D")
+    assert body.strip() == "6000000// srv.del{x=1} 8"
+
+
+def test_meta_overlay_and_find(server):
+    _post(f"{server}/api/v0/update", b"1000000// srv.meta{m=1} 1\n")
+    _post(
+        f"{server}/api/v0/meta",
+        json.dumps({"selector": "srv.meta{}", "attributes": {"owner": "ops"}}).encode(),
+        ctype="application/json",
+    )
+    code, body, _ = _get(f"{server}/api/v0/find?selector=srv.meta%7B%7D")
+    found = json.loads(body)
+    assert found == [{"c": "srv.meta", "l": {"m": "1"}, "a": {"owner": "ops"}}]
+
+
+def test_find_directory_only(server):
+    code, body, _ = _get(f"{server}/api/v0/find?selector=~events.p.*%7B%7D")
+    found = json.loads(body)
+    assert found and all(f["c"].startswith("events.p") for f in found)
+
+
+def test_exec_gts_response(server):
+    script = b"NEWGTS 'g' RENAME 1 NaN NaN NaN 10.5 ADDVALUE"
+    code, body, _ = _post(f"{server}/api/v0/exec", script)
+    out = json.loads(body)
+    assert out[0][0]["c"] == "g"
+    assert out[0][0]["v"] == [[1, 10.5]]

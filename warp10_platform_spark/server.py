@@ -1,0 +1,307 @@
+"""HTTP API surface — the reference's `/api/v0/*` endpoints over Spark.
+
+Reference endpoints re-expressed (same paths, same wire formats):
+- ``POST /api/v0/exec``   — WarpScript execution, JSON stack response
+  top-first (EgressExecHandler.java:214; errors come back as HTTP 500
+  with ``X-Warp10-Error-Message``, not a body traceback).
+- ``GET  /api/v0/fetch``  — selector + time-range fetch, ``format=``
+  text (GTS input format), tsv or json (EgressFetchHandler.java:1077).
+- ``POST /api/v0/update`` — GTS text-format ingest
+  (StandaloneIngressHandler.java:185): lines parse with the batch
+  parser and append to the write buffer as parquet.
+- ``POST /api/v0/delete`` — selector (+ optional range) delete
+  (StandaloneDeleteHandler): recorded as a TOMBSTONE applied at read —
+  merge-on-read, the way a 100 TB lake deletes (rewriting the base
+  store synchronously inside an HTTP request would be absurd at scale;
+  compaction folds tombstones in later).
+- ``POST /api/v0/meta``   — attribute upsert (META delta semantics,
+  StandaloneIngressHandler.java:797): recorded as a read-time overlay.
+- ``GET  /api/v0/find``   — directory search (EgressFindHandler),
+  never touches the points store.
+
+Architecture notes (Spark-first, not a port): one shared SparkSession
+serves every request — Spark schedules concurrent jobs from multiple
+handler threads natively, which is exactly the reference's egress
+thread-pool model. The mutable state (buffer / tombstones / meta
+overlay) lives in a store directory; reads compose
+``base ∪ buffer → LWW → ¬tombstones → meta-overlay`` lazily, so every
+HTTP fetch is still one declarative Catalyst plan with pushdown intact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame, functions as F
+
+API = "/api/v0"
+
+
+class Store:
+    """Mutable overlay on the immutable base lake.
+
+    - ``buffer/``        appended parquet from /update (LWW over base)
+    - ``tombstones.json`` list of {selector, start, end} from /delete
+    - ``meta.json``       list of {selector, attributes} from /meta
+    """
+
+    def __init__(self, spark, sf_dir: str, store_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.dir = store_dir
+        os.makedirs(os.path.join(store_dir, "buffer"), exist_ok=True)
+        self._lock = threading.Lock()
+        self._n_appends = 0
+
+    # ---- write paths -------------------------------------------------
+    def append_update(self, text: str) -> int:
+        from warp10_platform_spark.sources.gts_text import parse
+
+        lines = [ln for ln in text.splitlines() if ln.strip()]
+        if not lines:
+            return 0
+        now_us = int(time.time() * 1_000_000)
+        pts = parse(self.spark, lines, default_ts=now_us)
+        with self._lock:
+            self._n_appends += 1
+            sub = os.path.join(self.dir, "buffer", f"b{self._n_appends:06d}")
+        pts.write.mode("overwrite").parquet(sub)
+        # count what actually parsed (the reference 500s on bad lines;
+        # we report the accepted count in a header instead)
+        return self.spark.read.parquet(sub).count()
+
+    def _append_json(self, name: str, entry: dict) -> None:
+        path = os.path.join(self.dir, name)
+        with self._lock:
+            items = []
+            if os.path.exists(path):
+                items = json.load(open(path))
+            items.append(entry)
+            tmp = path + ".tmp"
+            json.dump(items, open(tmp, "w"))
+            os.replace(tmp, path)
+
+    def add_tombstone(self, selector: str, start: int | None, end: int | None) -> None:
+        self._append_json("tombstones.json", {"selector": selector, "start": start, "end": end})
+
+    def add_meta(self, selector: str, attributes: dict) -> None:
+        self._append_json("meta.json", {"selector": selector, "attributes": attributes})
+
+    def _load_json(self, name: str) -> list:
+        path = os.path.join(self.dir, name)
+        return json.load(open(path)) if os.path.exists(path) else []
+
+    # ---- read path ---------------------------------------------------
+    def points(self) -> DataFrame:
+        """base ∪ buffer, buffer wins per (series, tick); then
+        tombstones, then the meta overlay — one lazy plan."""
+        from warp10_platform_spark.sources import write as W
+        from warp10_platform_spark.sources.tables import canonical_points
+
+        base = canonical_points(self.spark, self.sf_dir)
+        df = base.drop("event_id")
+        bufdirs = [
+            os.path.join(self.dir, "buffer", d)
+            for d in sorted(os.listdir(os.path.join(self.dir, "buffer")))
+        ]
+        bufdirs = [d for d in bufdirs if os.path.exists(os.path.join(d, "_SUCCESS"))]
+        if bufdirs:
+            cols = df.columns
+            # fold append batches IN ORDER so last-write-wins respects
+            # ingest order across requests, not just within one batch
+            for d in bufdirs:
+                buf = (
+                    self.spark.read.parquet(d)
+                    .unionByName(df.limit(0), allowMissingColumns=True)
+                    .select(*cols)
+                )
+                df = W.update(df, buf)
+        for t in self._load_json("tombstones.json"):
+            df = W.delete(df, t["selector"], t.get("start"), t.get("end"))
+        for m in self._load_json("meta.json"):
+            df = W.meta(df, m["selector"], m["attributes"])
+        return df
+
+    def directory(self) -> DataFrame:
+        from warp10_platform_spark.sources.directory import build_directory
+
+        pts = self.points()
+        # the core directory carries identity + extent; /find also
+        # reports attributes (mutable metadata, uniform per series after
+        # the meta overlay) — one extra per-series agg
+        attrs = pts.groupBy(F.col("gts_id").alias("_ag")).agg(
+            F.first("attributes").alias("attributes")
+        )
+        return build_directory(pts).join(
+            attrs, F.col("gts_id") == F.col("_ag"), "left"
+        ).drop("_ag")
+
+
+def _fetch_response(store: Store, qs: dict) -> tuple[str, str]:
+    """(content_type, body) for /fetch."""
+    from warp10_platform_spark.core.frame import GTSFrame
+    from warp10_platform_spark.sources.gts_text import format_gts_lines
+    from warp10_platform_spark.sources.write import export_tsv
+
+    selector = qs.get("selector", [None])[0]
+    start = qs.get("start", [None])[0]
+    stop = qs.get("stop", [None])[0] or qs.get("end", [None])[0]
+    fmt = qs.get("format", ["text"])[0]
+    gf = GTSFrame.fetch(
+        store.points(),
+        selector,
+        int(start) if start is not None else None,
+        int(stop) if stop is not None else None,
+    )
+    df = gf.df.orderBy("class", "labels_key", "ts")
+    if fmt == "json":
+        from warp10_platform_spark.__main__ import _series_json
+
+        return "application/json", json.dumps(_series_json(gf, limit=None))
+    if fmt == "tsv":
+        rows = export_tsv(df).collect()
+        return "text/tab-separated-values", "\n".join(r[0] for r in rows) + "\n"
+    rows = format_gts_lines(df).collect()
+    return "text/plain", "\n".join(r[0] for r in rows) + "\n"
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # injected by make_server
+    store: Store = None  # type: ignore[assignment]
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _reply(self, code: int, body: str = "", ctype: str = "text/plain", headers: dict | None = None):
+        data = body.encode()
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(data)))
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _body(self) -> str:
+        n = int(self.headers.get("Content-Length") or 0)
+        return self.rfile.read(n).decode()
+
+    def do_GET(self):  # noqa: N802
+        url = urllib.parse.urlparse(self.path)
+        qs = urllib.parse.parse_qs(url.query)
+        t0 = time.perf_counter()
+        try:
+            if url.path == f"{API}/fetch":
+                ctype, body = _fetch_response(self.store, qs)
+            elif url.path == f"{API}/find":
+                from warp10_platform_spark.sources.directory import find
+
+                sel = qs.get("selector", ["~.*{}"])[0]
+                rows = (
+                    find(self.store.directory(), sel)
+                    .orderBy("class", "labels_key")
+                    .collect()
+                )
+                ctype, body = "application/json", json.dumps(
+                    [
+                        {"c": r["class"], "l": dict(r["labels"] or {}), "a": dict(r["attributes"] or {})}
+                        for r in rows
+                    ]
+                )
+            else:
+                return self._reply(404, "no such endpoint\n")
+        except Exception as e:  # noqa: BLE001
+            return self._reply(
+                500, "", headers={"X-Warp10-Error-Message": f"{type(e).__name__}: {e}"[:900]}
+            )
+        self._reply(
+            200, body, ctype, {"X-Warp10-Elapsed": str(int((time.perf_counter() - t0) * 1e6))}
+        )
+
+    def do_POST(self):  # noqa: N802
+        url = urllib.parse.urlparse(self.path)
+        qs = urllib.parse.parse_qs(url.query)
+        t0 = time.perf_counter()
+        try:
+            if url.path == f"{API}/exec":
+                from warp10_platform_spark.__main__ import _jsonable
+                from warp10_platform_spark.warpscript import WarpScriptStack
+
+                st = WarpScriptStack(self.store.spark, self.store.sf_dir)
+                try:
+                    st.exec(self._body())
+                except Exception as e:  # noqa: BLE001
+                    # the reference /exec error contract: 500 + headers
+                    return self._reply(
+                        500,
+                        "",
+                        headers={
+                            "X-Warp10-Error-Message": f"{type(e).__name__}: {e}"[:900],
+                            "X-Warp10-Error-Line": "0",
+                        },
+                    )
+                body = json.dumps([_jsonable(v, None, False) for v in reversed(st.stack)])
+                ctype = "application/json"
+            elif url.path == f"{API}/update":
+                n = self.store.append_update(self._body())
+                return self._reply(200, "", headers={"X-Warp10-Ingested": str(n)})
+            elif url.path == f"{API}/delete":
+                sel = qs.get("selector", [None])[0]
+                if not sel:
+                    return self._reply(400, "selector required\n")
+                start = qs.get("start", [None])[0]
+                end = qs.get("end", [None])[0]
+                self.store.add_tombstone(
+                    sel,
+                    int(start) if start is not None else None,
+                    int(end) if end is not None else None,
+                )
+                return self._reply(200, "")
+            elif url.path == f"{API}/meta":
+                payload = json.loads(self._body())
+                self.store.add_meta(payload["selector"], dict(payload["attributes"]))
+                return self._reply(200, "")
+            else:
+                return self._reply(404, "no such endpoint\n")
+        except Exception as e:  # noqa: BLE001
+            return self._reply(
+                500, "", headers={"X-Warp10-Error-Message": f"{type(e).__name__}: {e}"[:900]}
+            )
+        self._reply(
+            200, body, ctype, {"X-Warp10-Elapsed": str(int((time.perf_counter() - t0) * 1e6))}
+        )
+
+
+def make_server(spark, sf_dir: str, store_dir: str, port: int = 0) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; ``server.server_address[1]``
+    is the bound port when ``port=0``."""
+    handler = type("Handler", (_Handler,), {"store": Store(spark, sf_dir, store_dir)})
+    return ThreadingHTTPServer(("127.0.0.1", port), handler)
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="python -m warp10_platform_spark.server")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    ap.add_argument("--store-dir", default=".warp10-store")
+    ap.add_argument("--port", type=int, default=8080)
+    args = ap.parse_args(argv)
+
+    from warp10_platform_spark.session import get_spark
+
+    spark = get_spark("warp10-platform-spark-server")
+    spark.sparkContext.setLogLevel("ERROR")
+    srv = make_server(spark, args.sf_dir, args.store_dir, args.port)
+    print(f"listening on :{srv.server_address[1]}  (endpoints: {API}/exec /fetch /update /delete /meta /find)")
+    srv.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
