@@ -108,6 +108,34 @@ def test_find_directory_only(server):
     assert found and all(f["c"].startswith("events.p") for f in found)
 
 
+def test_checkpoint_folds_overlays(spark, sf_dir, tmp_path):
+    """checkpoint(): overlays fold into a new base; reads identical
+    before/after, overlay files cleared."""
+    import os
+
+    from warp10_platform_spark.server import Store
+
+    st = Store(spark, sf_dir, str(tmp_path / "store"))
+    st.append_update("1000000// ck.a{x=1} 1\n2000000// ck.a{x=1} 2\n")
+    st.add_tombstone("ck.a{}", 1000000, 1000000)
+    st.add_meta("ck.a{}", {"o": "y"})
+
+    def snap(s):
+        return sorted(
+            (r["class"], r["ts"], r["v_long"], dict(r["attributes"] or {}))
+            for r in s.points().where("class = 'ck.a'").collect()
+        )
+
+    before = snap(st)
+    st.checkpoint()
+    assert snap(st) == before == [("ck.a", 2000000, 2, {"o": "y"})]
+    assert not os.listdir(os.path.join(st.dir, "buffer"))
+    assert not os.path.exists(os.path.join(st.dir, "tombstones.json"))
+    # a fresh Store over the same dir picks up the checkpointed base
+    st2 = Store(spark, sf_dir, st.dir)
+    assert snap(st2) == before
+
+
 def test_exec_gts_response(server):
     script = b"NEWGTS 'g' RENAME 1 NaN NaN NaN 10.5 ADDVALUE"
     code, body, _ = _post(f"{server}/api/v0/exec", script)

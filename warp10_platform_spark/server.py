@@ -57,6 +57,11 @@ class Store:
         os.makedirs(os.path.join(store_dir, "buffer"), exist_ok=True)
         self._lock = threading.Lock()
         self._n_appends = 0
+        # a prior checkpoint() may have produced an owned base snapshot
+        bases = sorted(
+            d for d in os.listdir(store_dir) if d.startswith("base_")
+        ) if os.path.exists(store_dir) else []
+        self._base_dir = os.path.join(store_dir, bases[-1]) if bases else None
 
     # ---- write paths -------------------------------------------------
     def append_update(self, text: str) -> int:
@@ -103,8 +108,10 @@ class Store:
         from warp10_platform_spark.sources import write as W
         from warp10_platform_spark.sources.tables import canonical_points
 
-        base = canonical_points(self.spark, self.sf_dir)
-        df = base.drop("event_id")
+        if self._base_dir:
+            df = self.spark.read.parquet(self._base_dir)
+        else:
+            df = canonical_points(self.spark, self.sf_dir).drop("event_id")
         bufdirs = [
             os.path.join(self.dir, "buffer", d)
             for d in sorted(os.listdir(os.path.join(self.dir, "buffer")))
@@ -126,6 +133,38 @@ class Store:
         for m in self._load_json("meta.json"):
             df = W.meta(df, m["selector"], m["attributes"])
         return df
+
+    def checkpoint(self) -> str:
+        """Fold the read-time overlays into a NEW base snapshot — the
+        compaction step that keeps merge-on-read bounded: the composed
+        ``base ∪ buffer → LWW → ¬tombstones → meta`` plan is written
+        once (partitioned by class, (gts_id, ts)-sorted for locality via
+        sources.maintenance discipline), then the buffer/tombstone/meta
+        overlays reset.  Readers in flight keep their old plan (parquet
+        snapshots are immutable); new reads see the folded base.  At
+        100 TB this runs as a scheduled job, not per request."""
+        new_base = os.path.join(self.dir, f"base_{int(time.time()*1000):013d}")
+        (
+            self.points()
+            .repartition("class")
+            .sortWithinPartitions("class", "gts_id", "ts")
+            .write.partitionBy("class")
+            .parquet(new_base)
+        )
+        with self._lock:
+            import shutil
+
+            for d in os.listdir(os.path.join(self.dir, "buffer")):
+                shutil.rmtree(os.path.join(self.dir, "buffer", d), ignore_errors=True)
+            for f in ("tombstones.json", "meta.json"):
+                p = os.path.join(self.dir, f)
+                if os.path.exists(p):
+                    os.remove(p)
+            old = self._base_dir
+            self._base_dir = new_base
+            if old and old != new_base:
+                shutil.rmtree(old, ignore_errors=True)
+        return new_base
 
     def directory(self) -> DataFrame:
         from warp10_platform_spark.sources.directory import build_directory
