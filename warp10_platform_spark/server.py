@@ -181,8 +181,15 @@ class Store:
         ).drop("_ag")
 
 
-def _fetch_response(store: Store, qs: dict) -> tuple[str, str]:
-    """(content_type, body) for /fetch."""
+def _fetch_response(store: Store, qs: dict):
+    """(content_type, line_iterator) for /fetch.
+
+    text/tsv STREAM through ``toLocalIterator`` — the driver holds one
+    Arrow batch at a time, never the full result (the reference's fetch
+    handler streams the egress the same way; a ``collect()`` here would
+    OOM the driver on a large range at 100 TB).  json materializes by
+    nature of its structure (one object per series) — same tradeoff the
+    reference makes, where JSON egress buffers per series."""
     from warp10_platform_spark.core.frame import GTSFrame
     from warp10_platform_spark.sources.gts_text import format_gts_lines
     from warp10_platform_spark.sources.write import export_tsv
@@ -201,12 +208,10 @@ def _fetch_response(store: Store, qs: dict) -> tuple[str, str]:
     if fmt == "json":
         from warp10_platform_spark.__main__ import _series_json
 
-        return "application/json", json.dumps(_series_json(gf, limit=None))
-    if fmt == "tsv":
-        rows = export_tsv(df).collect()
-        return "text/tab-separated-values", "\n".join(r[0] for r in rows) + "\n"
-    rows = format_gts_lines(df).collect()
-    return "text/plain", "\n".join(r[0] for r in rows) + "\n"
+        return "application/json", iter([json.dumps(_series_json(gf, limit=None))])
+    lines = export_tsv(df) if fmt == "tsv" else format_gts_lines(df)
+    ctype = "text/tab-separated-values" if fmt == "tsv" else "text/plain"
+    return ctype, (r[0] + "\n" for r in lines.toLocalIterator())
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -236,7 +241,18 @@ class _Handler(BaseHTTPRequestHandler):
         t0 = time.perf_counter()
         try:
             if url.path == f"{API}/fetch":
-                ctype, body = _fetch_response(self.store, qs)
+                ctype, chunks = _fetch_response(self.store, qs)
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Connection", "close")
+                self.end_headers()
+                # close-delimited streaming body: one Arrow batch in
+                # driver memory at a time; an error mid-stream can only
+                # truncate (status already sent) — the reference's
+                # streaming egress has the same property
+                for c in chunks:
+                    self.wfile.write(c.encode())
+                return
             elif url.path == f"{API}/find":
                 from warp10_platform_spark.sources.directory import find
 
