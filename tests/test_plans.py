@@ -88,6 +88,15 @@ def test_wrap_unwrap_adds_no_extra_shuffle(spark, sf_dir):
     assert r.python_evals == 0
 
 
+def test_sessionize_is_single_shuffle(spark, sf_dir):
+    """timesplit windows hash-partition by gts_id; the per-session
+    summary leads its grouping keys with gts_id (which functionally
+    determines class/user), so the whole query is ONE exchange."""
+    r = plan_report(E.queries()["sessionize"](spark, sf_dir))
+    assert r.exchanges == 1, r.exchanges
+    assert r.python_evals == 0
+
+
 def test_chained_per_series_ops_share_partitioning(spark, sf_dir):
     """Two stacked per-series windows (delta then running sum) must not
     re-exchange between them — Catalyst reuses the gts_id partitioning."""

@@ -368,9 +368,17 @@ def sessionize(spark, sf_dir):
     """TIMESPLIT (TIMESPLIT.java:34): gap>1h sessionization, then a
     per-session summary."""
     gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).timesplit(HOUR)
+    # gts_id leads the grouping keys: it functionally determines
+    # (class, user), and because the sessionizing windows already hash-
+    # partitioned by gts_id, the grouping distribution is satisfied and
+    # the per-session summary runs with NO second shuffle (one exchange
+    # total — asserted in tests/test_plans.py).
     return (
-        gf.df.groupBy("class", F.element_at(F.col("labels"), "user").alias("user"), "session_id")
+        gf.df.groupBy(
+            "gts_id", "class", F.element_at(F.col("labels"), "user").alias("user"), "session_id"
+        )
         .agg(F.count("*").alias("n"), (F.max("ts") - F.min("ts")).alias("duration_us"))
+        .drop("gts_id")
     )
 
 
