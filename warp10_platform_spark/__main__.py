@@ -77,12 +77,25 @@ def _series_json(gf, limit: int | None):
 
 
 def _jsonable(v, limit: int | None, explain: bool):
+    from pyspark.sql import DataFrame
+
     from warp10_platform_spark.core.frame import GTSFrame
 
     if isinstance(v, GTSFrame):
         if explain:
             return {"gts_plan": v.df._jdf.queryExecution().executedPlan().toString()}
         return _series_json(v, limit)
+    if isinstance(v, DataFrame):
+        # analytics results that are tabular rather than GTS-shaped
+        # (DTW pair matrices, outlier tables...) serialize as rows —
+        # materialized only HERE, at the response boundary
+        if explain:
+            return {"plan": v._jdf.queryExecution().executedPlan().toString()}
+        rows = v.limit(limit).collect() if limit else v.collect()
+        return [
+            {k: _jsonable(x, limit, explain) for k, x in r.asDict(recursive=True).items()}
+            for r in rows
+        ]
     if isinstance(v, (bytes, bytearray)):
         import base64
 
