@@ -67,6 +67,7 @@ ALLOW = {
     # cartesian / nested-loop joins verified bounded:
     "doc_lm_score": "crossJoin is with a broadcast 1-row vocab-size aggregate (bounded)",
     "findstats_hll": "crossJoin of two 1-row HLL estimates (bounded)",
+    "tpch_q22_dormant_customers": "crossJoin is with a broadcast 1-row scalar aggregate (sum, count) — the TPC-H scalar-subquery shape (bounded)",
     "dtw_daily": "pairwise DTW is O(S^2) in SERIES (not points) by definition; join input is one row per series, mirroring the reference's stack-level DTW",
     "ws_dtw": "same dtw_pairs engine as dtw_daily (script binding)",
     # Python evals verified per-series-iterative or macro or codec:
