@@ -76,7 +76,10 @@ ALLOW = {
     "ws_stlesd": _PANDAS_PER_SERIES + " (script binding of STLESDTEST)",
     "esd_outliers": _PANDAS_PER_SERIES + " (iterative max-deletion with lambda(n) recompute)",
     "grubbs_outliers": _PANDAS_PER_SERIES + " (iterative Grubbs deletion)",
-    "lowess_smooth": _PANDAS_PER_SERIES + " (robust LOWESS reweight iterations)",
+    "lowess_smooth": _PANDAS_PER_SERIES + " (tricube local regression)",
+    "rlowess_robust": _PANDAS_PER_SERIES + " (robust LOWESS bisquare reweight iterations)",
+    "hybrid_piecewise": _PANDAS_PER_SERIES + " (piecewise STL + median-ESD per piece)",
+    "hybrid_entropy": _PANDAS_PER_SERIES + " (piecewise entropy-seasonal + median-ESD per piece)",
     "ws_fft_ifft": _PANDAS_PER_SERIES + " (radix FFT butterfly per series)",
     "sax_discords": _PANDAS_PER_SERIES + " (discord search over SAX words)",
     "lttb_downsample": _PANDAS_PER_SERIES + " (LTTB bucket sweep is sequential per series)",

@@ -240,6 +240,187 @@ def lowess_smooth_exact(df: DataFrame, frac: float = 0.3, value_col: str = "v_do
     return df.groupBy("gts_id").applyInPandas(run, schema=schema)
 
 
+def _rloess_fold(
+    xs: list, ys: list, q: int, rho: list, eval_idx: list | None = None, p: int = 1
+) -> dict:
+    """One robust-LOWESS pass (GTSHelper.pointwise_lowess:10573): for each
+    evaluation index, select the q nearest neighbours (ties resolved to the
+    smaller x, matching the reference's two-pointer `idist < jdist ? i++ :
+    j--` which prefers the left point on equal distance), tricube-weight
+    them scaled by the robustness weights rho (zero rho floored at 1e-6 —
+    pointwise_lowess:10668), and fit a weighted polynomial of degree p.
+
+    p == 1 uses explicit scalar moment folds accumulated in (|x-x0|, x)
+    order so a DuckDB list_reduce replay is bit-identical (same shape as
+    `_loess_fold`); p >= 2 falls back to a numpy weighted least-squares
+    fit (Commons PolynomialCurveFitter minimises sum w_i (y_i - f)^2, so
+    sqrt-weights are passed to lstsq). maxdist is scaled by q/n when
+    q > n (pointwise_lowess:10637). Returns {idx: smoothed}."""
+    n = len(xs)
+    qq = min(q, n)
+    idxs = range(n) if eval_idx is None else eval_idx
+    out: dict = {}
+    for i0 in idxs:
+        x0 = xs[i0]
+        cand = sorted(range(n), key=lambda j: (abs(xs[j] - x0), xs[j]))[:qq]
+        dmax = max(abs(xs[j] - x0) for j in cand)
+        if q > n:
+            dmax = dmax * q / n
+        if dmax == 0.0:
+            s = 0.0
+            for j in cand:
+                s += ys[j]
+            out[i0] = s / len(cand)
+            continue
+        if p >= 2:
+            w = np.empty(len(cand))
+            for widx, j in enumerate(cand):
+                u = abs(xs[j] - x0) / dmax
+                if u >= 1.0:
+                    w[widx] = 0.0
+                else:
+                    t3 = 1.0 - u * u * u
+                    w[widx] = t3 * t3 * t3 * (rho[j] if rho[j] != 0.0 else 0.000001)
+            xa = np.array([xs[j] for j in cand])
+            ya = np.array([ys[j] for j in cand])
+            sw = np.sqrt(w)
+            V = np.vander(xa, p + 1, increasing=True)
+            beta, *_ = np.linalg.lstsq(V * sw[:, None], ya * sw, rcond=None)
+            est = beta[0]
+            tmp = 1.0
+            for u_ in range(1, p + 1):
+                tmp *= x0
+                est += tmp * beta[u_]
+            out[i0] = float(est)
+            continue
+        # Centered (centroid) form, exactly the reference's p=1 math
+        # (pointwise_lowess:10694-10724): numerically safe on raw-µs
+        # ticks where the raw-moment normal equations cancel out.
+        ws = []
+        sw_ = swx = swy = 0.0
+        for j in cand:
+            u = abs(xs[j] - x0) / dmax
+            if u >= 1.0:
+                ws.append(0.0)
+                continue
+            t3 = 1.0 - u * u * u
+            w_ = t3 * t3 * t3 * (rho[j] if rho[j] != 0.0 else 0.000001)
+            ws.append(w_)
+            sw_ += w_
+            swx += w_ * xs[j]
+            swy += w_ * ys[j]
+        ct = swx / sw_
+        cv = swy / sw_
+        covar = var = 0.0
+        for widx, j in enumerate(cand):
+            w_ = ws[widx]
+            covar += w_ * (xs[j] - ct) * (ys[j] - cv)
+            var += w_ * (xs[j] - ct) * (xs[j] - ct)
+        covar /= sw_
+        var /= sw_
+        b1 = 0.0 if var == 0.0 else covar / var
+        b0 = cv - ct * b1
+        out[i0] = b0 + b1 * x0
+    return out
+
+
+def _rlowess_series(xs: list, ys: list, q: int, r: int, d: int = 0, p: int = 1) -> list:
+    """Robust LOWESS over one series (GTSHelper.rlowess:10795): r
+    bisquare robustifying iterations around `_rloess_fold`, with the
+    reference's delta-skip optimisation — ticks within d of the last
+    anchor are linearly interpolated between anchors instead of refit
+    (rlowess:10895 skip/resolve walk). Residual -> rho update uses
+    h = 6 * median(|resid|), rho = (1-u^2)^2 clipped at u >= 1
+    (rlowess:11036-11068). A negative d collapses to 0: the reference's
+    `(long) Math.pow(10,d) * (last-first)` casts the fractional power to
+    long BEFORE multiplying, so the product is always 0 (RLOWESS.java:99
+    operator precedence) — mirrored here for faithfulness."""
+    n = len(xs)
+    if d < 0:
+        d = 0
+    rho = [1.0] * n
+    sm = [0.0] * n
+    for it in range(r + 1):
+        sm = [0.0] * n
+        if d == 0:
+            vals = _rloess_fold(xs, ys, q, rho, p=p)
+            for i in range(n):
+                sm[i] = vals[i]
+        else:
+            last_i: int | None = None
+            run_last_skipped: int | None = None
+            i = 0
+            while i < n:
+                t = xs[i]
+                if i < n - 1 and last_i is not None and t - xs[last_i] <= d:
+                    run_last_skipped = i
+                    i += 1
+                    continue
+                if run_last_skipped is None:
+                    sm[i] = _rloess_fold(xs, ys, q, rho, [i], p=p)[i]
+                    last_i = i
+                    i += 1
+                else:
+                    if i == n - 1 and last_i is not None and t - xs[last_i] <= d:
+                        run_last_skipped = i
+                    ls = run_last_skipped
+                    sm[ls] = _rloess_fold(xs, ys, q, rho, [ls], p=p)[ls]
+                    denom = xs[ls] - xs[last_i]
+                    for s_ in range(last_i + 1, ls):
+                        alpha = (xs[s_] - xs[last_i]) / denom
+                        sm[s_] = alpha * sm[ls] + (1 - alpha) * sm[last_i]
+                    consumed = ls == i
+                    last_i = ls
+                    run_last_skipped = None
+                    if consumed:
+                        i += 1
+        if it < r:
+            resid = [abs(ys[i] - sm[i]) for i in range(n)]
+            srt = sorted(resid)
+            med = srt[n // 2] if n % 2 == 1 else (srt[n // 2 - 1] + srt[n // 2]) / 2
+            h = 6 * med
+            for kk in range(n):
+                if h == 0:
+                    rho[kk] = 1.0
+                else:
+                    u = resid[kk] / h
+                    if u >= 1.0:
+                        rho[kk] = 0.0
+                    else:
+                        t_ = 1.0 - u * u
+                        rho[kk] = t_ * t_
+    return sm
+
+
+def rlowess_smooth(
+    df: DataFrame, q: int, r: int = 2, d: int = 0, p: int = 1, value_col: str = "v_double"
+) -> DataFrame:
+    """RLOWESS (functions/RLOWESS.java, GTSHelper.rlowess:10795): fast and
+    ROBUST lowess — unlike `lowess_smooth`, runs r bisquare reweighting
+    iterations so outliers are downweighted out of the local fits. Per
+    series via applyInPandas; the p=1/d=0 path folds in (|x-x0|, x)
+    order for bit-exact DuckDB replay (queries/robust.py oracle)."""
+    schema = StructType(
+        [
+            StructField("class", StringType()),
+            StructField("labels_key", StringType()),
+            StructField("ts", LongType()),
+            StructField("v_smooth", DoubleType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        xs = [float(t) for t in pdf["ts"]]
+        ys = [float(v) for v in pdf[value_col]]
+        sm = _rlowess_series(xs, ys, q, r, d=d, p=p)
+        return pd.DataFrame(
+            {"class": pdf["class"], "labels_key": pdf["labels_key"], "ts": pdf["ts"], "v_smooth": sm}
+        )
+
+    return df.groupBy("gts_id").applyInPandas(run, schema=schema)
+
+
 def _ma_reflect_fold(v: list, k: int) -> list:
     """Same-length moving average with reflect padding, as an explicit
     ascending fold of v[mirror(i+d)] * (1/k) terms — the order a SQL
@@ -267,6 +448,31 @@ def _ma_reflect_fold(v: list, k: int) -> list:
     return out
 
 
+def _stl_fold_core(y: list, period: int, iterations: int = 2) -> tuple[list, list]:
+    """Fold-exact STL inner loop shared by `stl_decompose_exact` and
+    `hybrid_test_exact`: detrend → per-phase cycle-subseries loess →
+    MA(period)×2 + MA(3) reflect low-pass → deseasonalize → trend loess.
+    Returns (trend, seasonal); caller must guarantee len(y) >= 2*period."""
+    n = len(y)
+    x = [float(i) for i in range(n)]
+    trend = [0.0] * n
+    seasonal = [0.0] * n
+    cyc = [0.0] * n
+    for _ in range(iterations):
+        detr = [y[i] - trend[i] for i in range(n)]
+        for ph in range(period):
+            idx = list(range(ph, n, period))
+            sub = [detr[i] for i in idx]
+            sm = _loess_fold([float(j) for j in range(len(sub))], sub, 0.75)
+            for j, i in enumerate(idx):
+                cyc[i] = sm[j]
+        low = _ma_reflect_fold(_ma_reflect_fold(_ma_reflect_fold(cyc, period), period), 3)
+        seasonal = [cyc[i] - low[i] for i in range(n)]
+        frac_t = max(0.3, 1.5 * period / n)
+        trend = _loess_fold(x, [y[i] - seasonal[i] for i in range(n)], frac_t)
+    return trend, seasonal
+
+
 def stl_decompose_exact(df: DataFrame, period: int, value_col: str = "v_double", iterations: int = 2) -> DataFrame:
     """STL with SQL-replayable determinism: the same inner loop as
     `stl_decompose` but every loess is `_loess_fold` (ordered neighbor
@@ -290,22 +496,7 @@ def stl_decompose_exact(df: DataFrame, period: int, value_col: str = "v_double",
                     "resid": nan,
                 }
             )
-        x = [float(i) for i in range(n)]
-        trend = [0.0] * n
-        seasonal = [0.0] * n
-        cyc = [0.0] * n
-        for _ in range(iterations):
-            detr = [y[i] - trend[i] for i in range(n)]
-            for ph in range(period):
-                idx = list(range(ph, n, period))
-                sub = [detr[i] for i in idx]
-                sm = _loess_fold([float(j) for j in range(len(sub))], sub, 0.75)
-                for j, i in enumerate(idx):
-                    cyc[i] = sm[j]
-            low = _ma_reflect_fold(_ma_reflect_fold(_ma_reflect_fold(cyc, period), period), 3)
-            seasonal = [cyc[i] - low[i] for i in range(n)]
-            frac_t = max(0.3, 1.5 * period / n)
-            trend = _loess_fold(x, [y[i] - seasonal[i] for i in range(n)], frac_t)
+        trend, seasonal = _stl_fold_core(y, period, iterations)
         resid = [y[i] - trend[i] - seasonal[i] for i in range(n)]
         return pd.DataFrame(
             {
@@ -698,3 +889,164 @@ def stl_esd_test_exact(
         F.col("resid").alias("v_double"),
     ).where(F.col("v_double").isNotNull())
     return esd_test(resid, k=k, alpha=alpha, exact_moments=True)
+
+
+def _median_sorted(vals: list) -> float:
+    """Median as the reference computes it (GTSOutliersHelper.hybridTest /
+    rlowess): sort, middle element, or the mean of the two middles."""
+    s = sorted(vals)
+    n = len(s)
+    return s[n // 2] if n % 2 == 1 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _entropy_seasonal(y: list, period: int) -> list:
+    """Entropy-weighted seasonal approximation
+    (GTSOutliersHelper.entropyHybridTest:699-738): per cycle phase,
+    softmax-of-sqrt-zscore probabilities → normalized Shannon entropy →
+    seasonal = entropy * phase mean. The more alike the phase values,
+    the more seasonal is subtracted."""
+    n = len(y)
+    seasonal = [0.0] * n
+    for ph in range(period):
+        idx = list(range(ph, n, period))
+        vals = [y[i] for i in idx]
+        m = len(vals)
+        mu = 0.0
+        for v in vals:
+            mu += v
+        mu /= m
+        ss = 0.0
+        for v in vals:
+            d = v - mu
+            ss += d * d
+        sigma = math.sqrt(ss / (m - 1)) if m > 1 else 0.0
+        probs = []
+        total = 0.0
+        for v in vals:
+            z = abs((v - mu) / sigma) if sigma != 0.0 else 1.0
+            p = math.exp(math.sqrt(z))
+            probs.append(p)
+            total += p
+        entropy = 0.0
+        for p in probs:
+            p /= total
+            if p != 0.0:
+                entropy -= p * math.log(p)
+        if entropy != 0.0:
+            entropy /= math.log(m)
+        else:
+            entropy = 1.0
+        for i in idx:
+            seasonal[i] = entropy * mu
+    return seasonal
+
+
+def hybrid_test_exact(
+    df: DataFrame,
+    buckets_per_period: int,
+    periods_per_piece: int,
+    k: int = 2,
+    alpha: float = 0.05,
+    value_col: str = "v_double",
+    entropy: bool = False,
+) -> DataFrame:
+    """HYBRIDTEST (functions/HYBRIDTEST.java:110,
+    GTSOutliersHelper.hybridTest:524): Twitter's Seasonal Hybrid ESD,
+    PIECEWISE — the series is split into pieces of
+    periods_per_piece*buckets_per_period buckets anchored at the END
+    (the reference's `lb - bs*((pieces-u)*bpp-1)` window arithmetic:
+    leading remainder rows are excluded), then per piece: STL seasonal
+    extraction (period = buckets_per_period), subtract seasonal + the
+    PIECE MEDIAN (the piecewise-median trend approximation,
+    hybridTest:604-617), and run MEDIAN-mode generalized ESD
+    (`ESDTest(subgts, k, true, alpha)` — hybridTest:620; sigma =
+    MAD/0.6745 with sample-std fallback when MAD == 0,
+    GTSOutliersHelper.madsigma:115-131).
+
+    On series whose level shifts between pieces this differs from the
+    whole-series `stl_esd_test` — that is the point of the piecewise
+    test. Series shorter than one piece emit no rows (the reference
+    raises; a distributed frame drops instead — documented deviation).
+    All folds/medians are ordered for bit-exact DuckDB replay
+    (queries/robust.py hybrid oracle).
+
+    entropy=True is HYBRIDTEST2 (functions/HYBRIDTEST2.java:109,
+    GTSOutliersHelper.entropyHybridTest:643): seasonal approximated by
+    entropy-weighted phase means instead of STL."""
+    from warp10_platform_spark.analytics.stats import _esd_critical
+
+    piece_len = buckets_per_period * periods_per_piece
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        n = len(pdf)
+        pieces = n // piece_len
+        out = {"class": [], "labels_key": [], "ts": [], "v_outlier": []}
+        cls = pdf["class"].iloc[0] if n else None
+        lk = pdf["labels_key"].iloc[0] if n else None
+        if pieces:
+            start0 = n - pieces * piece_len
+            y_all = [float(v) for v in pdf[value_col]]
+            ts_all = [int(t) for t in pdf["ts"]]
+            for u in range(pieces):
+                lo = start0 + u * piece_len
+                y = y_all[lo : lo + piece_len]
+                ts = ts_all[lo : lo + piece_len]
+                if entropy:
+                    seasonal = _entropy_seasonal(y, buckets_per_period)
+                else:
+                    _, seasonal = _stl_fold_core(y, buckets_per_period)
+                m = _median_sorted(y)
+                resid = [y[i] - seasonal[i] - m for i in range(piece_len)]
+                alive = list(range(piece_len))
+                cand: list[tuple[int, float, float]] = []
+                for _j in range(k):
+                    nn = len(alive)
+                    if nn < 3:
+                        break
+                    vals = [resid[i] for i in alive]
+                    med = _median_sorted(vals)
+                    mad = _median_sorted([abs(v - med) for v in vals])
+                    if mad != 0.0:
+                        sig = mad / 0.6745
+                    else:
+                        mu = 0.0
+                        for v in vals:
+                            mu += v
+                        mu /= nn
+                        ss = 0.0
+                        for v in vals:
+                            dd = v - mu
+                            ss += dd * dd
+                        sig = math.sqrt(ss / (nn - 1))
+                    if sig == 0.0:
+                        break
+                    best_i, best_z = -1, -1.0
+                    for i in alive:
+                        z = abs((resid[i] - med) / sig)
+                        if z > best_z:
+                            best_i, best_z = i, z
+                    cand.append((best_i, best_z, _esd_critical(nn, alpha)))
+                    alive.remove(best_i)
+                last = -1
+                for j, (_, stat, lam) in enumerate(cand):
+                    if stat > lam:
+                        last = j
+                for i, _stat, _lam in cand[: last + 1]:
+                    out["class"].append(cls)
+                    out["labels_key"].append(lk)
+                    out["ts"].append(ts[i])
+                    out["v_outlier"].append(resid[i])
+        return pd.DataFrame(out).astype(
+            {"ts": "int64", "v_outlier": "float64", "class": "object", "labels_key": "object"}
+        )
+
+    schema = StructType(
+        [
+            StructField("class", StringType()),
+            StructField("labels_key", StringType()),
+            StructField("ts", LongType()),
+            StructField("v_outlier", DoubleType()),
+        ]
+    )
+    return df.groupBy("gts_id").applyInPandas(run, schema=schema)

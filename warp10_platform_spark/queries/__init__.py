@@ -42,4 +42,5 @@ from warp10_platform_spark.queries import ops6  # noqa: E402,F401
 from warp10_platform_spark.queries import ops7  # noqa: E402,F401
 from warp10_platform_spark.queries import ws  # noqa: E402,F401
 from warp10_platform_spark.queries import rollup  # noqa: E402,F401
+from warp10_platform_spark.queries import robust  # noqa: E402,F401
 from warp10_platform_spark.queries import tpch2  # noqa: E402,F401

@@ -70,69 +70,88 @@ def _loess_cte(prefix: str, src: str, keys: list[str], frac_expr: str) -> str:
   FROM {prefix}_sums)"""
 
 
-def _ma_cte(prefix: str, src: str, k: int) -> str:
-    """Reflect-padded MA(k) over `src` (class, "user", i, cnt, val) →
-    `{prefix}_out` (class, "user", i, cnt, val); ascending-offset fold of
+DEFAULT_KEYS = ("class", '"user"')
+
+
+def _ma_cte(prefix: str, src: str, k: int, keys: tuple = DEFAULT_KEYS) -> str:
+    """Reflect-padded MA(k) over `src` (keys…, i, cnt, val) →
+    `{prefix}_out` (keys…, i, cnt, val); ascending-offset fold of
     val[mirror(i+d)] * (1/k)."""
     lo = k // 2
     offsets = ", ".join(str(d) for d in range(-lo, k - lo))
     inv = repr(1.0 / k)
+    ks = ", ".join(f"s.{c}" for c in keys)
+    ka = ", ".join(f"a.{c}" for c in keys)
+    kab = " AND ".join(f"a.{c} = b.{c}" for c in keys)
+    k_ = ", ".join(keys)
     return f"""
 {prefix}_j AS (
-  SELECT s.class, s."user", s.i, s.cnt, o.d,
+  SELECT {ks}, s.i, s.cnt, o.d,
          CASE WHEN s.i + o.d < 0 THEN -(s.i + o.d)
               WHEN s.i + o.d >= s.cnt THEN 2 * s.cnt - 2 - (s.i + o.d)
               ELSE s.i + o.d END AS j
   FROM {src} s CROSS JOIN (SELECT unnest([{offsets}]) AS d) o),
 {prefix}_t AS (
-  SELECT a.class, a."user", a.i, a.cnt, a.d, b.val * {inv} AS term
-  FROM {prefix}_j a JOIN {src} b ON a.class = b.class AND a."user" = b."user" AND b.i = a.j),
+  SELECT {ka}, a.i, a.cnt, a.d, b.val * {inv} AS term
+  FROM {prefix}_j a JOIN {src} b ON {kab} AND b.i = a.j),
 {prefix}_out AS MATERIALIZED (
-  SELECT class, "user", i, cnt, list_reduce(list(term ORDER BY d), (p, q) -> p + q) AS val
-  FROM {prefix}_t GROUP BY class, "user", i, cnt)"""
+  SELECT {k_}, i, cnt, list_reduce(list(term ORDER BY d), (p, q) -> p + q) AS val
+  FROM {prefix}_t GROUP BY {k_}, i, cnt)"""
 
 
-def _iteration(r: int, trend_src: str | None) -> list[str]:
+def _iteration(
+    r: int,
+    trend_src: str | None,
+    keys: tuple = DEFAULT_KEYS,
+    base: str = "base",
+    period: int = PERIOD,
+) -> list[str]:
     """One STL inner iteration as a list of comma-joinable CTE chunks:
-    produces seas{r}_out (class,user,i,cnt,val) and trend{r}_out
-    (class,user,x,val). trend_src None → trend ≡ 0."""
-    trend_join = (
-        f'LEFT JOIN {trend_src} t ON b.class = t.class AND b."user" = t."user" AND CAST(b.i AS DOUBLE) = t.x'
-        if trend_src
-        else ""
-    )
+    produces seas{r}_out (keys…,i,cnt,val) and trend{r}_out
+    (keys…,x,val). trend_src None → trend ≡ 0. `base` must expose
+    (keys…, i, cnt, ts, y)."""
+    kb = ", ".join(f"b.{c}" for c in keys)
+    kbt = " AND ".join(f"b.{c} = t.{c}" for c in keys)
+    kbs = " AND ".join(f"b.{c} = s.{c}" for c in keys)
+    kso = " AND ".join(f"s.{c} = o.{c}" for c in keys)
+    ksd = " AND ".join(f"s.{c} = d.{c}" for c in keys)
+    kcl = " AND ".join(f"c.{c} = l.{c}" for c in keys)
+    ks = ", ".join(f"s.{c}" for c in keys)
+    kc = ", ".join(f"c.{c}" for c in keys)
+    k_ = ", ".join(keys)
+    trend_join = f"LEFT JOIN {trend_src} t ON {kbt} AND CAST(b.i AS DOUBLE) = t.x" if trend_src else ""
     trend_val = "coalesce(t.val, 0.0)" if trend_src else "0.0"
     return [
         f"""
 detr{r} AS MATERIALIZED (
-  SELECT b.class, b."user", b.i, b.cnt, b.ts, b.y, b.y - {trend_val} AS detr
-  FROM base b {trend_join}),
+  SELECT {kb}, b.i, b.cnt, b.ts, b.y, b.y - {trend_val} AS detr
+  FROM {base} b {trend_join}),
 sub{r} AS (
-  SELECT class, "user", i % {PERIOD} AS ph, CAST(i // {PERIOD} AS DOUBLE) AS x, detr AS y, i
+  SELECT {k_}, i % {period} AS ph, CAST(i // {period} AS DOUBLE) AS x, detr AS y, i
   FROM detr{r})""",
-        _loess_cte(f"phl{r}", f"sub{r}", ["class", '"user"', "ph"], "0.75::DOUBLE"),
+        _loess_cte(f"phl{r}", f"sub{r}", list(keys) + ["ph"], "0.75::DOUBLE"),
         f"""
 cyc{r} AS MATERIALIZED (
-  SELECT s.class, s."user", s.i, d.cnt, o.val
+  SELECT {ks}, s.i, d.cnt, o.val
   FROM sub{r} s
-  JOIN phl{r}_out o ON s.class = o.class AND s."user" = o."user" AND s.ph = o.ph AND s.x = o.x
-  JOIN detr{r} d ON s.class = d.class AND s."user" = d."user" AND s.i = d.i)""",
-        _ma_cte(f"ma{r}a", f"cyc{r}", PERIOD),
-        _ma_cte(f"ma{r}b", f"ma{r}a_out", PERIOD),
-        _ma_cte(f"ma{r}c", f"ma{r}b_out", 3),
+  JOIN phl{r}_out o ON {kso} AND s.ph = o.ph AND s.x = o.x
+  JOIN detr{r} d ON {ksd} AND s.i = d.i)""",
+        _ma_cte(f"ma{r}a", f"cyc{r}", period, keys),
+        _ma_cte(f"ma{r}b", f"ma{r}a_out", period, keys),
+        _ma_cte(f"ma{r}c", f"ma{r}b_out", 3, keys),
         f"""
 seas{r}_out AS MATERIALIZED (
-  SELECT c.class, c."user", c.i, c.cnt, c.val - l.val AS val
-  FROM cyc{r} c JOIN ma{r}c_out l ON c.class = l.class AND c."user" = l."user" AND c.i = l.i),
+  SELECT {kc}, c.i, c.cnt, c.val - l.val AS val
+  FROM cyc{r} c JOIN ma{r}c_out l ON {kcl} AND c.i = l.i),
 trin{r} AS (
-  SELECT b.class, b."user", CAST(b.i AS DOUBLE) AS x, b.y - s.val AS y
-  FROM base b JOIN seas{r}_out s ON b.class = s.class AND b."user" = s."user" AND b.i = s.i)""",
+  SELECT {kb}, CAST(b.i AS DOUBLE) AS x, b.y - s.val AS y
+  FROM {base} b JOIN seas{r}_out s ON {kbs} AND b.i = s.i)""",
         _loess_cte(
-            f"trl{r}", f"trin{r}", ["class", '"user"'],
-            f"greatest(0.3::DOUBLE, 1.5::DOUBLE * {PERIOD} / cnt)",
+            f"trl{r}", f"trin{r}", list(keys),
+            f"greatest(0.3::DOUBLE, 1.5::DOUBLE * {period} / cnt)",
         ),
         f"""
-trend{r}_out AS MATERIALIZED (SELECT class, "user", x, val FROM trl{r}_out)""",
+trend{r}_out AS MATERIALIZED (SELECT {k_}, x, val FROM trl{r}_out)""",
     ]
 
 
