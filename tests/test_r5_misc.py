@@ -1,0 +1,69 @@
+"""r5 odds and ends: restricted PICKLE-> unpickler, CALL/REXEC raising
+stubs, GEOCOVER maxcells cap."""
+
+import pickle
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _stack(spark, sf_dir):
+    from warp10_platform_spark.warpscript.stack import WarpScriptStack
+
+    return WarpScriptStack(spark, sf_dir)
+
+
+def test_pickle_roundtrip_data(spark, sf_dir):
+    st = _stack(spark, sf_dir)
+    st.exec("{ 'a' 1 'b' [ 1 2 3 ] } ->PICKLE PICKLE->")
+    assert st.pop() == {"a": 1, "b": [1, 2, 3]}
+
+
+def test_pickle_to_refuses_code(spark, sf_dir):
+    """PICKLE-> must refuse pickles that resolve non-data globals
+    (os.system etc.) — data-only like the JVM razorvine unpickler."""
+    evil = pickle.dumps(pickle.loads.__self__ if False else print)  # a callable
+    st = _stack(spark, sf_dir)
+    st.push(evil)
+    with pytest.raises(Exception, match="refuses non-data global"):
+        st.exec("PICKLE->")
+
+
+def test_call_stub_raises_documented(spark, sf_dir):
+    st = _stack(spark, sf_dir)
+    for fn in ("CALL", "REXEC"):
+        with pytest.raises(Exception, match="out of scope"):
+            st.exec(f"'x' {fn}")
+
+
+def test_geocover_cap(spark, sf_dir):
+    """A fine-resolution cover over many distinct locations trips the
+    10000-cell guard (WarpScriptStack.DEFAULT_MAX_GEOCELLS) instead of
+    materializing unbounded cells on the driver."""
+    from warp10_platform_spark.core.frame import GTSFrame
+
+    n = 600
+    df = spark.range(n).select(
+        F.lit("geo.cap").alias("class"),
+        F.lit('[{"key":"user","value":"u"}]').alias("labels_key"),
+        (F.col("id") * 1_000_000).alias("ts"),
+        (F.col("id") % 80 * 1.0 - 40.0).alias("lat"),
+        ((F.col("id") * 7) % 300 * 1.0 - 150.0).alias("lon"),
+        F.lit(1.0).alias("v_double"),
+    ).withColumn("gts_id", F.xxhash64("class", "labels_key"))
+    st = _stack(spark, sf_dir)
+    st.attributes = {"stack.maxgeocells": 100}
+    st.push(GTSFrame(df, None, "v_double"))
+    st.push(16)
+    with pytest.raises(Exception, match="cell limit"):
+        from warp10_platform_spark.warpscript.functions import REGISTRY
+
+        REGISTRY["GEOCOVER"](st)
+    # coarse resolution stays under the cap and succeeds
+    st.push(GTSFrame(df, None, "v_double"))
+    st.push(2)
+    from warp10_platform_spark.warpscript.functions import REGISTRY
+
+    REGISTRY["GEOCOVER"](st)
+    cov = st.pop()
+    assert 0 < len(list(cov.cells)) <= 100

@@ -142,3 +142,35 @@ def test_exec_gts_response(server):
     out = json.loads(body)
     assert out[0][0]["c"] == "g"
     assert out[0][0]["v"] == [[1, 10.5]]
+
+
+def test_find_streams_chunked(server):
+    """/find is a close-delimited STREAM (reference
+    StreamingMetadataIterator): no Content-Length header — the body is
+    written one directory row at a time — and the JSON is still valid
+    over a multi-series directory."""
+    lines = "".join(
+        f"{i}000000// srv.stream{{n={i}}} {i}\n" for i in range(50)
+    ).encode()
+    _post(f"{server}/api/v0/update", lines)
+    code, body, hdrs = _get(f"{server}/api/v0/find?selector=srv.stream%7B%7D")
+    assert code == 200
+    assert "Content-Length" not in hdrs  # streamed, not buffered
+    found = json.loads(body)
+    assert len(found) == 50
+    assert all(f["c"] == "srv.stream" for f in found)
+
+
+def test_fetch_json_is_reference_shape(server):
+    """format=json carries the reference jsonDump fields (c,l,a,i,la,v)
+    and streams without Content-Length."""
+    _post(f"{server}/api/v0/update", b"1000000/12.5:42.25/100 srv.jshape{q=z} 2.5\n")
+    code, body, hdrs = _get(f"{server}/api/v0/fetch?selector=srv.jshape%7B%7D&format=json")
+    assert code == 200
+    assert "Content-Length" not in hdrs
+    s = json.loads(body)[0]
+    assert set(s.keys()) == {"c", "l", "a", "i", "la", "v"}
+    assert s["c"] == "srv.jshape" and s["l"] == {"q": "z"}
+    [[ts, lat, lon, elev, val]] = s["v"]
+    assert ts == 1000000 and elev == 100 and val == 2.5
+    assert abs(lat - 12.5) < 1e-6 and abs(lon - 42.25) < 1e-6

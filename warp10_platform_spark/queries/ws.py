@@ -732,3 +732,28 @@ def ws_metamatch(spark, sf_dir):
     """
     out = exec_script(spark, sf_dir, script)
     return out.select("class", "labels_key", F.col("match").alias("is_match"))
+
+
+@register("ws_pickle_roundtrip", (
+    f"WITH {PTS} "
+    "SELECT class, count(*) AS n FROM pts "
+    "WHERE class IN ('events.click', 'events.purchase') GROUP BY class"
+))
+def ws_pickle_roundtrip(spark, sf_dir):
+    """->PICKLE / PICKLE-> (TOPICKLE.java, PICKLETO.java): a data-bearing
+    map (per-class point counts) survives the pickle wire format — the
+    Python-adjacent egress a Warp 10 + Python user relies on. The
+    unpickler is the restricted data-only one (functions_ext.PICKLE->)."""
+    from warp10_platform_spark.warpscript.stack import WarpScriptStack
+
+    hi = LASTBUCKET + DAY * 366
+    st = WarpScriptStack(spark, sf_dir)
+    st.exec(
+        "{ "
+        f"'events.click' [ 'events.click' {{}} 0 {hi} ] FETCH SIZE "
+        f"'events.purchase' [ 'events.purchase' {{}} 0 {hi} ] FETCH SIZE "
+        "} ->PICKLE PICKLE->"
+    )
+    m = st.pop()
+    rows = sorted((k, int(v)) for k, v in m.items())
+    return spark.createDataFrame(rows, "class string, n long")

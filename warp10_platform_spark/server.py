@@ -184,12 +184,11 @@ class Store:
 def _fetch_response(store: Store, qs: dict):
     """(content_type, line_iterator) for /fetch.
 
-    text/tsv STREAM through ``toLocalIterator`` — the driver holds one
-    Arrow batch at a time, never the full result (the reference's fetch
-    handler streams the egress the same way; a ``collect()`` here would
-    OOM the driver on a large range at 100 TB).  json materializes by
-    nature of its structure (one object per series) — same tradeoff the
-    reference makes, where JSON egress buffers per series."""
+    ALL formats (text/tsv/json) STREAM through ``toLocalIterator`` — the
+    driver holds one Arrow batch at a time, never the full result (the
+    reference's fetch handler streams every egress format through a
+    PrintWriter the same way; a ``collect()`` here would OOM the driver
+    on a large range at 100 TB)."""
     from warp10_platform_spark.core.frame import GTSFrame
     from warp10_platform_spark.sources.gts_text import format_gts_lines
     from warp10_platform_spark.sources.write import export_tsv
@@ -206,12 +205,34 @@ def _fetch_response(store: Store, qs: dict):
     )
     df = gf.df.orderBy("class", "labels_key", "ts")
     if fmt == "json":
-        from warp10_platform_spark.__main__ import _series_json
+        # reference-faithful jsonDump field order/format, streamed one
+        # point row at a time (conformance: tests/test_conformance_goldens)
+        from warp10_platform_spark.sources.egress_json import json_dump_rows
 
-        return "application/json", iter([json.dumps(_series_json(gf, limit=None))])
+        return "application/json", json_dump_rows(df.toLocalIterator())
     lines = export_tsv(df) if fmt == "tsv" else format_gts_lines(df)
     ctype = "text/tab-separated-values" if fmt == "tsv" else "text/plain"
     return ctype, (r[0] + "\n" for r in lines.toLocalIterator())
+
+
+def _find_chunks(store: Store, qs: dict):
+    """/find response as a chunk generator: `[` obj (`,` obj)* `]`, one
+    directory row at a time via toLocalIterator — bounded driver memory
+    regardless of directory cardinality (the reference streams metadata
+    the same way, StreamingMetadataIterator.java)."""
+    from warp10_platform_spark.sources.directory import find
+
+    sel = qs.get("selector", ["~.*{}"])[0]
+    rows = find(store.directory(), sel).orderBy("class", "labels_key").toLocalIterator()
+    yield "["
+    first = True
+    for r in rows:
+        obj = json.dumps(
+            {"c": r["class"], "l": dict(r["labels"] or {}), "a": dict(r["attributes"] or {})}
+        )
+        yield obj if first else "," + obj
+        first = False
+    yield "]"
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -254,20 +275,17 @@ class _Handler(BaseHTTPRequestHandler):
                     self.wfile.write(c.encode())
                 return
             elif url.path == f"{API}/find":
-                from warp10_platform_spark.sources.directory import find
-
-                sel = qs.get("selector", ["~.*{}"])[0]
-                rows = (
-                    find(self.store.directory(), sel)
-                    .orderBy("class", "labels_key")
-                    .collect()
-                )
-                ctype, body = "application/json", json.dumps(
-                    [
-                        {"c": r["class"], "l": dict(r["labels"] or {}), "a": dict(r["attributes"] or {})}
-                        for r in rows
-                    ]
-                )
+                # STREAMED like /fetch (reference StreamingMetadataIterator:
+                # continuum/egress/StreamingMetadataIterator.java): one Arrow
+                # batch of directory rows in driver memory at a time, chunked
+                # JSON array writes — never the whole 10^7-series directory
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Connection", "close")
+                self.end_headers()
+                for chunk in _find_chunks(self.store, qs):
+                    self.wfile.write(chunk.encode())
+                return
             else:
                 return self._reply(404, "no such endpoint\n")
         except Exception as e:  # noqa: BLE001

@@ -2778,6 +2778,11 @@ def _geocover(st):
 
     res = int(st.pop())
     v = st.pop()
+    # A GeoXPShape stack value is driver-resident by contract, but cap the
+    # materialization like the reference (WarpScriptStack.DEFAULT_MAX_GEOCELLS
+    # = 10000, ATTRIBUTE_MAX_GEOCELLS 'stack.maxgeocells') so a fine-res
+    # cover over a dense frame cannot OOM the driver.
+    maxcells = int(getattr(st, "attributes", {}).get("stack.maxgeocells", 10000))
     if isinstance(v, GTSFrame):
         hh = to_geoxp_col(F.col("lat"), F.col("lon"))
         shift = 64 - 2 * res
@@ -2785,14 +2790,26 @@ def _geocover(st):
             v.df.where(F.col("lat").isNotNull())
             .select((F.shiftrightunsigned(hh, shift)).alias("p"))
             .distinct()
+            .limit(maxcells + 1)
             .collect()
         )
+        if len(cells) > maxcells:
+            raise ValueError(
+                f"GEOCOVER at resolution {res} exceeds the {maxcells}-cell limit "
+                "(stack.maxgeocells); use a coarser resolution"
+            )
         st.push(GC.GeoCells(
             ((res // 2) << 60) | ((r["p"] & ((1 << (2 * res)) - 1)) << (60 - 2 * res))
             for r in cells
         ))
     else:
-        st.push(GC.cover_shape(v, res))
+        cov = GC.cover_shape(v, res)
+        if len(cov.cells) > maxcells:
+            raise ValueError(
+                f"GEOCOVER at resolution {res} exceeds the {maxcells}-cell limit "
+                "(stack.maxgeocells); use a coarser resolution"
+            )
+        st.push(cov)
 
 
 @register("GEOSPLIT")
@@ -3212,9 +3229,40 @@ def _topickle(st):
 
 @register("PICKLE->")
 def _pickleto(st):
+    """PICKLE-> (PICKLETO.java): pickle bytes → value. Restricted
+    unpickler — only data-shaped builtins resolve (the JVM-side
+    razorvine unpickler is equally data-only); arbitrary class/callable
+    opcodes raise instead of executing."""
+    import io as _io
     import pickle as _pickle
 
-    st.push(_pickle.loads(_to_bytes(st.pop())))
+    class _DataUnpickler(_pickle.Unpickler):
+        _SAFE = {
+            ("builtins", n)
+            for n in ("list", "dict", "set", "frozenset", "tuple", "bytes", "bytearray", "complex")
+        }
+
+        def find_class(self, module, name):
+            if (module, name) in self._SAFE:
+                return getattr(__import__("builtins"), name)
+            raise _pickle.UnpicklingError(f"PICKLE-> refuses non-data global {module}.{name}")
+
+    st.push(_DataUnpickler(_io.BytesIO(_to_bytes(st.pop()))).load())
+
+
+@register("CALL", "REXEC", "REXECZ")
+def _call_stub(st):
+    """CALL (script/functions/CALL.java:47) / REXEC: external-subprogram
+    and remote-execution escape hatches. Deliberately NOT implemented —
+    both spawn processes / call remote endpoints outside the engine's
+    execution model (SURVEY §2.12 scope note; COVERAGE.md appendix) —
+    but bound so macro libraries get a precise error, not 'unknown
+    function'."""
+    raise NotImplementedError(
+        "CALL/REXEC are out of scope in this engine: they escape to external "
+        "subprocesses / remote Warp 10 instances (CALL.java:47, REXEC.java). "
+        "Express the subprogram as a macro, or run it outside the query."
+    )
 
 
 @register("->OPB64")
