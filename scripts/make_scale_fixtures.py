@@ -1,0 +1,135 @@
+"""Deterministic scale/skew fixtures (r4 verdict item 5).
+
+- sf1: 10x replication of /root/testdata/sf0.1 with consistent key
+  remapping (foreign keys shifted by the same per-copy offsets), so all
+  joins behave as a real sf=1 dataset (~6M lineitem rows). Embedding
+  vectors get a tiny deterministic per-copy perturbation on coordinate 0
+  so ANN top-k has no cross-copy ties.
+- skew: sf0.1 with two adversarial distortions: (a) one user_id (777)
+  holds ~50% of all event points (the fat-series case every per-series
+  operator must survive); (b) one document text is duplicated into ~50%
+  of doc rows (one minhash band bucket holding half the corpus — the
+  LSH-bucket explosion case).
+
+Everything is pure SQL over the source parquet (seedless, rerunnable,
+byte-stable). Output under .cache/ (never /root/testdata).
+
+Usage: python scripts/make_scale_fixtures.py [sf1|skew|all]
+"""
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1 = os.path.join(ROOT, ".cache", "sf1")
+SKEW = os.path.join(ROOT, ".cache", "skew")
+
+COPIES = 10
+# per-copy key offsets, each > 10x the sf0.1 key range of its table
+OFF = {
+    "custkey": 200_000,
+    "suppkey": 10_000,
+    "partkey": 100_000,
+    "orderkey": 10_000_000,
+    "eventid": 10_000_000,
+    "userid": 1_000_000,
+    "docid": 1_000_000,
+    "vecid": 1_000_000,
+}
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _copy_union(con, table: str, select_tpl: str) -> str:
+    return " UNION ALL ".join(select_tpl.format(c=c, src=f"read_parquet('{SRC}/{table}.parquet')") for c in range(COPIES))
+
+
+def make_sf1():
+    os.makedirs(SF1, exist_ok=True)
+    con = duckdb.connect()
+    plans = {
+        "region": f"SELECT * FROM read_parquet('{SRC}/region.parquet')",
+        "nation": f"SELECT * FROM read_parquet('{SRC}/nation.parquet')",
+        "customer": _copy_union(
+            con, "customer",
+            "SELECT c_custkey + {c} * %d AS c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM {src}"
+            % OFF["custkey"],
+        ),
+        "supplier": _copy_union(
+            con, "supplier",
+            "SELECT s_suppkey + {c} * %d AS s_suppkey, s_name, s_nationkey, s_acctbal FROM {src}" % OFF["suppkey"],
+        ),
+        "part": _copy_union(
+            con, "part",
+            "SELECT p_partkey + {c} * %d AS p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM {src}"
+            % OFF["partkey"],
+        ),
+        "orders": _copy_union(
+            con, "orders",
+            "SELECT o_orderkey + {c} * %d AS o_orderkey, o_custkey + {c} * %d AS o_custkey, "
+            "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM {src}"
+            % (OFF["orderkey"], OFF["custkey"]),
+        ),
+        "lineitem": _copy_union(
+            con, "lineitem",
+            "SELECT l_orderkey + {c} * %d AS l_orderkey, l_partkey + {c} * %d AS l_partkey, "
+            "l_suppkey + {c} * %d AS l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
+            "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate FROM {src}"
+            % (OFF["orderkey"], OFF["partkey"], OFF["suppkey"]),
+        ),
+        "events": _copy_union(
+            con, "events",
+            "SELECT event_id + {c} * %d AS event_id, ts, user_id + {c} * %d AS user_id, "
+            "event_type, value, props FROM {src}" % (OFF["eventid"], OFF["userid"]),
+        ),
+        "documents": _copy_union(
+            con, "documents",
+            "SELECT doc_id + {c} * %d AS doc_id, text, lang, source, n_chars FROM {src}" % OFF["docid"],
+        ),
+        "embeddings": _copy_union(
+            con, "embeddings",
+            "SELECT vec_id + {c} * %d AS vec_id, "
+            "list_prepend(CAST(embedding[1] + {c} * 0.001 AS FLOAT), embedding[2:]) AS embedding, "
+            "label FROM {src}" % OFF["vecid"],
+        ),
+    }
+    for t in TABLES:
+        con.execute(f"COPY ({plans[t]}) TO '{SF1}/{t}.parquet' (FORMAT PARQUET)")
+        print("sf1", t, con.execute(f"SELECT count(*) FROM read_parquet('{SF1}/{t}.parquet')").fetchone()[0])
+
+
+def make_skew():
+    os.makedirs(SKEW, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "events":
+            # half of all points collapse onto user 777: the fattest
+            # possible series skew at this scale
+            q = (
+                f"SELECT event_id, ts, CASE WHEN event_id % 2 = 0 THEN 777 ELSE user_id END AS user_id, "
+                f"event_type, value, props FROM read_parquet('{SRC}/events.parquet')"
+            )
+        elif t == "documents":
+            # half of all docs share one text: one minhash signature /
+            # LSH band bucket holds ~50% of the corpus
+            q = (
+                f"SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN "
+                f"(SELECT text FROM read_parquet('{SRC}/documents.parquet') ORDER BY doc_id LIMIT 1) "
+                f"ELSE text END AS text, lang, source, n_chars "
+                f"FROM read_parquet('{SRC}/documents.parquet')"
+            )
+        else:
+            q = f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+        con.execute(f"COPY ({q}) TO '{SKEW}/{t}.parquet' (FORMAT PARQUET)")
+        print("skew", t, con.execute(f"SELECT count(*) FROM read_parquet('{SKEW}/{t}.parquet')").fetchone()[0])
+
+
+if __name__ == "__main__":
+    what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if what in ("sf1", "all"):
+        make_sf1()
+    if what in ("skew", "all"):
+        make_skew()
