@@ -49,13 +49,21 @@ def main():
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    # Adversarial-session knobs (r4/r5 sweep): MIRROR_TZ (session
+    # timezone), MIRROR_ANSI (true/false), MIRROR_PARTS (shuffle
+    # partitions, e.g. the prime 7) — results must be invariant to all.
+    parts = os.environ.get("MIRROR_PARTS", "16")
+    builder = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
         .appName("driver-mirror")
-        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.shuffle.partitions", parts)
         .config("spark.driver.memory", "8g")
-        .getOrCreate()
     )
+    if os.environ.get("MIRROR_TZ"):
+        builder = builder.config("spark.sql.session.timeZone", os.environ["MIRROR_TZ"])
+    if os.environ.get("MIRROR_ANSI"):
+        builder = builder.config("spark.sql.ansi.enabled", os.environ["MIRROR_ANSI"])
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import duckdb
