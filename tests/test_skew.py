@@ -89,3 +89,46 @@ def test_lsh_guard_band_join_is_linear_under_skew(spark, skew_dir):
     n_docs = docs.count()
     n_sigs = sig.select(F.md5(F.array_join(F.col("sig").cast("array<string>"), ","))).distinct().count()
     assert n_sigs <= n_docs * 0.55  # the giant dup group collapsed to 1 signature
+
+
+def test_ngram_guard_preserves_pairs(spark):
+    """The identical-set guard must yield EXACTLY the naive all-pairs
+    result (ids and jaccard) on a mixed corpus of exact dups, near-dups
+    and unrelated docs — the r5 skew-fix equivalence property."""
+    from warp10_platform_spark.pipeline.dedup import _shingles, ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [base, base, base + " extra words", "something else entirely different here now", base,
+             base + " extra words"]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+
+    # naive reference: python-side all-pairs over the same shingle sets
+    sh = {r["doc_id"]: set(r["sh"]) for r in _shingles(docs, 3, "doc_id").collect()}
+    want = set()
+    for a in sh:
+        for b in sh:
+            if a < b:
+                i = len(sh[a] & sh[b])
+                j = i / (len(sh[a]) + len(sh[b]) - i)
+                if j >= 0.3:
+                    want.add((a, b, round(j, 6)))
+    assert got == want
+
+
+def test_cluster_edges_same_components(spark):
+    """cluster_edges=True feeds k-1 edges per duplicate group but the
+    connected components are identical to the full pair set."""
+    from warp10_platform_spark.pipeline.cluster import dup_clusters
+    from warp10_platform_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [base, base, base + " extra words", "different corpus content over here right now", base,
+             "different corpus content over here right away"]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    full = ngram_jaccard_pairs(docs, threshold=0.3)
+    star = ngram_jaccard_pairs(docs, threshold=0.3, cluster_edges=True)
+    cf = {(r["doc_id"], r["cluster_rep"]) for r in dup_clusters(full).collect()}
+    cs = {(r["doc_id"], r["cluster_rep"]) for r in dup_clusters(star).collect()}
+    assert cf == cs
+    assert star.count() < full.count() or full.count() <= 1

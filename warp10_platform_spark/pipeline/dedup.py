@@ -54,16 +54,51 @@ def _shingles(docs: DataFrame, n: int, id_col: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3, id_col: str = "doc_id") -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    cluster_edges: bool = False,
+) -> DataFrame:
     """Exact Jaccard ≥ threshold pairs over distinct word n-grams.
 
-    Plan: explode shingles → self equi-join on shingle (intersection
-    counts) → join per-doc sizes → filter. The equi-join shuffles on the
-    shingle value so co-shingled docs co-locate; no cartesian product.
+    Plan: identical-set guard → explode shingles over REPRESENTATIVES →
+    self equi-join on shingle (intersection counts) → join per-doc sizes
+    → filter → expand back to member pairs.
+
+    The guard (same shape as the minhash band-skew guard): byte-identical
+    docs share every shingle, so the per-shingle self-join degenerates to
+    |group|² × |shingles| under heavy duplication (a 50%-duplicate corpus
+    took the unguarded join from seconds to tens of minutes — measured on
+    the r5 skew fixture). One groupBy on the sorted-shingle-set key
+    collapses each identical group to its min-id representative; pairs
+    between reps expand back exactly (identical sets ⇒ identical
+    intersection counts ⇒ identical jaccard), and intra-group pairs are
+    jaccard = 1.0 by construction. The output SET is exactly the
+    unguarded one (property-tested).
+
+    Intra/expansion pairs are produced by distributed equi-joins on the
+    group key — never a single-row pair flatten, so one giant duplicate
+    group cannot pin one task.
+
+    cluster_edges=True returns a CONNECTIVITY-equivalent subset instead
+    of all pairs: rep↔rep pairs plus rep↔member star edges. Connected
+    components over these edges equal components over the full pair set
+    (every member is connected to its rep), while a k-duplicate group
+    contributes k-1 edges instead of k(k-1)/2 — the shape dup-clustering
+    at 100 TB needs.
     """
     sh = _shingles(_spread(docs), n, id_col)
-    e = sh.select("doc_id", F.explode("sh").alias("s"))
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    key = F.md5(F.array_join(F.array_sort("sh"), "\x01"))
+    grp = (
+        sh.groupBy(key.alias("gk"))
+        .agg(F.min("doc_id").alias("rep"), F.first("sh").alias("sh"), F.collect_list("doc_id").alias("ids"))
+        .persist()
+    )
+    rsh = grp.select(F.col("rep").alias("doc_id"), "sh")
+    e = rsh.select("doc_id", F.explode("sh").alias("s"))
+    sizes = rsh.select("doc_id", F.size("sh").alias("n"))
     a, b = e.alias("a"), e.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -74,12 +109,40 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3, id_
     j = F.col("i") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
     # no broadcast hint: sizes is one row per doc, which outgrows the
     # broadcast threshold at corpus scale; AQE broadcasts it when small.
-    return (
+    rep_pairs = (
         inter.join(na, F.col("id_a") == F.col("na.doc_id"))
         .join(nb, F.col("id_b") == F.col("nb.doc_id"))
         .where(j >= threshold)
-        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+        .select(F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), F.round(j, 6).alias("jaccard"))
     )
+    member = grp.select("rep", F.explode("ids").alias("doc_id"))
+    if cluster_edges:
+        stars = member.where(F.col("doc_id") != F.col("rep")).select(
+            F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b"), F.lit(1.0).alias("jaccard")
+        )
+        reps_out = rep_pairs.select(
+            F.col("rep_a").alias("id_a"), F.col("rep_b").alias("id_b"), "jaccard"
+        )
+        return reps_out.unionByName(stars)
+    ma, mb = member.alias("ma"), member.alias("mb")
+    expanded = (
+        rep_pairs.join(ma, F.col("ma.rep") == F.col("rep_a"))
+        .join(mb, F.col("mb.rep") == F.col("rep_b"))
+        .select(
+            F.least("ma.doc_id", "mb.doc_id").alias("id_a"),
+            F.greatest("ma.doc_id", "mb.doc_id").alias("id_b"),
+            "jaccard",
+        )
+    )
+    ia, ib = member.alias("ia"), member.alias("ib")
+    intra = (
+        ia.join(ib, (F.col("ia.rep") == F.col("ib.rep")) & (F.col("ia.doc_id") < F.col("ib.doc_id")))
+        .select(F.col("ia.doc_id").alias("id_a"), F.col("ib.doc_id").alias("id_b"))
+        .withColumn("jaccard", F.lit(1.0))
+    )
+    if threshold > 1.0:
+        intra = intra.where(F.lit(False))
+    return expanded.unionByName(intra)
 
 
 def minhash_signatures(
@@ -199,15 +262,17 @@ def minhash_lsh_pairs(
             F.greatest("ma.doc_id", "mb.doc_id").alias("id_b"),
         )
     )
-    # Intra-group pairs straight off the already-grouped member lists —
-    # groups are tiny (identical docs), so the pair-explode is free.
+    # Intra-group pairs via a distributed self-join on the signature key —
+    # NOT a single-row pair flatten: under heavy duplication one group can
+    # hold half the corpus, and a per-row HOF explode would build its
+    # k(k-1)/2 pairs inside ONE task (measured: the r5 skew fixture, 2500
+    # identical docs, pinned a single core for minutes). The equi-join
+    # spreads the same pairs across the shuffle.
+    im = grp.select("sk", F.explode("ids").alias("doc_id"))
+    ia_, ib_ = im.alias("ia"), im.alias("ib")
     intra = (
-        grp.where(F.size("ids") > 1)
-        .select(F.explode(F.expr(
-            "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), "
-            "y -> named_struct('a', least(x, y), 'b', greatest(x, y)))))"
-        )).alias("p"))
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        ia_.join(ib_, (F.col("ia.sk") == F.col("ib.sk")) & (F.col("ia.doc_id") < F.col("ib.doc_id")))
+        .select(F.col("ia.doc_id").alias("id_a"), F.col("ib.doc_id").alias("id_b"))
     )
     cands = expanded.unionByName(intra)
     # exact verify on candidates only (sh shared with the signature stage)

@@ -213,7 +213,10 @@ def doc_dup_clusters(spark, sf_dir):
     from warp10_platform_spark.pipeline.cluster import dup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    # cluster_edges: connectivity-equivalent rep+star subset — a
+    # k-duplicate group feeds k-1 edges into the components loop instead
+    # of k(k-1)/2 (identical components, r5 skew fix)
+    pairs = _dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, cluster_edges=True)
     return dup_clusters(pairs)
 
 
