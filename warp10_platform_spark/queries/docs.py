@@ -82,8 +82,13 @@ def doc_fingerprint(spark, sf_dir):
     return _text.fingerprint(docs).select("doc_id", "fingerprint")
 
 
-NGRAM_JACCARD_ORACLE = """
-WITH t AS (
+# Rep-collapsed like the engine (identical shingle sets share one
+# representative): the naive per-shingle all-pairs blows up as S·k² on a
+# duplicate-heavy corpus IN DUCKDB TOO (the r5 skew fixture hung the
+# unguarded oracle for 10+ minutes). Identical sets ⇒ identical
+# intersections, so the collapsed replay produces the identical pair set
+# — and tests/test_skew.py proves guard == naive on a mixed corpus.
+_NGRAM_REP_CTES = """t AS (
   SELECT doc_id, list_distinct([
     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
     for i in range(1, len(toks) - 1)
@@ -91,17 +96,31 @@ WITH t AS (
   FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
   WHERE len(toks) >= 3
 ),
-e AS (SELECT doc_id, unnest(sh) AS s FROM t),
-n AS (SELECT doc_id, len(sh) AS n FROM t),
+g AS (SELECT doc_id, sh, md5(array_to_string(list_sort(sh), chr(1))) AS gk FROM t),
+grps AS (SELECT gk, min(doc_id) AS rep, arg_min(sh, doc_id) AS sh, count(*) AS cnt FROM g GROUP BY gk),
+member AS (SELECT g.doc_id, r.rep, r.cnt FROM g JOIN grps r USING (gk)),
+e AS (SELECT rep AS doc_id, unnest(sh) AS s FROM grps),
+n AS (SELECT rep AS doc_id, len(sh) AS n FROM grps),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
   FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-)
-SELECT id_a, id_b, round(i * 1.0 / (na.n + nb.n - i), 6) AS jaccard
-FROM inter JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
-WHERE i * 1.0 / (na.n + nb.n - i) >= 0.3
+),
+rep_pairs AS (
+  SELECT id_a AS rep_a, id_b AS rep_b, round(i * 1.0 / (na.n + nb.n - i), 6) AS jaccard
+  FROM inter JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+  WHERE i * 1.0 / (na.n + nb.n - i) >= 0.3
+)"""
+
+NGRAM_JACCARD_ORACLE = (
+    "WITH " + _NGRAM_REP_CTES + """
+SELECT least(ma.doc_id, mb.doc_id) AS id_a, greatest(ma.doc_id, mb.doc_id) AS id_b, p.jaccard
+FROM rep_pairs p JOIN member ma ON ma.rep = p.rep_a JOIN member mb ON mb.rep = p.rep_b
+UNION ALL
+SELECT a.doc_id, b.doc_id, 1.0 AS jaccard
+FROM member a JOIN member b ON a.rep = b.rep AND a.doc_id < b.doc_id
 """
+)
 
 
 @register("doc_ngram_jaccard", NGRAM_JACCARD_ORACLE)
@@ -195,14 +214,25 @@ def doc_simhash(spark, sf_dir):
 
 
 @register("doc_dup_clusters", (
-    "WITH RECURSIVE pairs AS (" + NGRAM_JACCARD_ORACLE + "), "
-    "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
-    "          UNION SELECT id_b, id_a FROM pairs), "
+    # Transitive closure over the REP graph only (tiny), then group
+    # expansion: closure over the full pair set is k² reach rows per
+    # k-duplicate clique — the skew fixture's 2500-clique made the naive
+    # recursive CTE generate billions of join rows. Component minima are
+    # unchanged: rep = min(doc_id) of its group, so min over component
+    # reps IS min over all component members. A doc participates iff its
+    # group has >1 member (intra pairs) or its rep has a cross-group pair
+    # — exactly the docs the full pair set would label.
+    "WITH RECURSIVE " + _NGRAM_REP_CTES + ", "
+    "redges AS (SELECT rep_a AS a, rep_b AS b FROM rep_pairs "
+    "           UNION SELECT rep_b, rep_a FROM rep_pairs), "
     "reach(id, r) AS ("
-    "  SELECT a, a FROM edges GROUP BY a "
+    "  SELECT a, a FROM redges GROUP BY a "
     "  UNION "
-    "  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b) "
-    "SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id"
+    "  SELECT e.a, reach.r FROM redges e JOIN reach ON reach.id = e.b), "
+    "comp AS (SELECT id, min(r) AS crep FROM reach GROUP BY id) "
+    "SELECT m.doc_id, coalesce(c.crep, m.rep) AS cluster_rep "
+    "FROM member m LEFT JOIN comp c ON c.id = m.rep "
+    "WHERE m.cnt > 1 OR c.id IS NOT NULL"
 ))
 def doc_dup_clusters(spark, sf_dir):
     """Near-dup pairs → connected components → canonical keeper per
