@@ -53,8 +53,15 @@ def sax_words(df: DataFrame, w: int = 8, alphabet: int = 4, value_col: str = "v_
     joined = segs.join(stats, on=SERIES_KEYS).join(sq, on="gts_id")
     n = F.col("cnt").cast("double")
     mu = F.col("s1") / n
-    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
-    z = (F.col("ssum").cast("double") / F.col("scnt") - mu) / F.sqrt(var)
+    # Degenerate series (one point, or zero variance) have no z-scale:
+    # pin z = 0 → the middle letter, deterministically on both engines
+    # (unguarded, ANSI Spark raises DIVIDE_BY_ZERO — found by the r5
+    # skew mirror, where the fat-series remap left one-point series).
+    ss = F.col("s2") - F.col("s1") * F.col("s1") / n
+    z = F.when(
+        (F.col("cnt") > 1) & (ss > 0),
+        (F.col("ssum").cast("double") / F.col("scnt") - mu) / F.sqrt(ss / (n - 1)),
+    ).otherwise(F.lit(0.0))
     letter = F.lit(_ALPHA[len(bps)])
     for i in reversed(range(len(bps))):
         letter = F.when(z <= F.lit(bps[i]), F.lit(_ALPHA[i])).otherwise(letter)

@@ -110,16 +110,32 @@ def bucketizer_expr(name: str, v: Column, ts: Column, *, p: float | None = None,
         return F.kurtosis(v)
     if n in ("shannonentropy", "shannonentropy.0"):
         # -(Σ p ln p) over the value distribution (ShannonEntropy.java:33).
-        # Built from the sorted distinct-count array so the fold order is
-        # well-defined (sorted by value) and engine-reproducible.
-        pairs = F.array_sort(F.map_entries(_value_counts(v)))
-        n_tot = F.aggregate(pairs, F.lit(0).cast("long"), lambda acc, e: acc + e["value"])
-        return -F.aggregate(
-            pairs,
-            F.lit(0.0),
-            lambda acc, e: acc
-            + (e["value"].cast("double") / n_tot) * F.log(e["value"].cast("double") / n_tot),
+        # One sort + ONE linear fold over the sorted values counting equal
+        # runs — term order is ascending-by-value, engine-reproducible.
+        # (The previous map-accumulator was O(n²) with a map rebuild per
+        # element: a 1600-point bucket on the r5 skew fixture took the
+        # whole query to 1000+ s. Runs-fold: 2.7 s.)
+        arr = F.array_sort(F.collect_list(v.cast("double")))
+        n_tot = F.size(arr).cast("double")
+        term = lambda run: (run.cast("double") / n_tot) * F.log(run.cast("double") / n_tot)  # noqa: E731
+        st = F.aggregate(
+            arr,
+            F.named_struct(
+                F.lit("prev"), F.lit(None).cast("double"),
+                F.lit("run"), F.lit(0).cast("long"),
+                F.lit("acc"), F.lit(0.0),
+            ),
+            lambda acc, x: F.when(
+                acc["prev"].isNull() | (acc["prev"] == x),
+                F.named_struct(F.lit("prev"), x, F.lit("run"), acc["run"] + 1, F.lit("acc"), acc["acc"]),
+            ).otherwise(
+                F.named_struct(
+                    F.lit("prev"), x, F.lit("run"), F.lit(1).cast("long"),
+                    F.lit("acc"), acc["acc"] + term(acc["run"]),
+                )
+            ),
         )
+        return -F.when(F.size(arr) > 0, st["acc"] + term(st["run"])).otherwise(F.lit(None))
     if n == "highest":
         assert p is not None, "bucketizer.highest needs the k parameter (as p)"
         return F.slice(F.reverse(F.array_sort(F.collect_list(v))), 1, int(p))
@@ -128,27 +144,33 @@ def bucketizer_expr(name: str, v: Column, ts: Column, *, p: float | None = None,
         return F.slice(F.array_sort(F.collect_list(v)), 1, int(p))
     if n == "mode":
         # most frequent value; ties → smallest value (deterministic, unlike
-        # engine-native mode()). One pass over the count map.
-        pairs = F.array_sort(F.map_entries(_value_counts(v)))
-        best = F.aggregate(
-            pairs,
-            F.named_struct(F.lit("key"), F.lit(None).cast("double"), F.lit("value"), F.lit(0).cast("long")),
-            lambda acc, e: F.when(e["value"] > acc["value"], e).otherwise(acc),
+        # engine-native mode()). Sorted-runs fold, same shape as
+        # shannonentropy (the map accumulator was O(n²) — r5 skew fix).
+        arr = F.array_sort(F.collect_list(v.cast("double")))
+        st = F.aggregate(
+            arr,
+            F.named_struct(
+                F.lit("prev"), F.lit(None).cast("double"),
+                F.lit("run"), F.lit(0).cast("long"),
+                F.lit("bk"), F.lit(None).cast("double"),
+                F.lit("bn"), F.lit(0).cast("long"),
+            ),
+            lambda acc, x: F.when(
+                acc["prev"].isNull() | (acc["prev"] == x),
+                F.named_struct(
+                    F.lit("prev"), x, F.lit("run"), acc["run"] + 1,
+                    F.lit("bk"), acc["bk"], F.lit("bn"), acc["bn"],
+                ),
+            ).otherwise(
+                F.named_struct(
+                    F.lit("prev"), x, F.lit("run"), F.lit(1).cast("long"),
+                    F.lit("bk"), F.when(acc["run"] > acc["bn"], acc["prev"]).otherwise(acc["bk"]),
+                    F.lit("bn"), F.when(acc["run"] > acc["bn"], acc["run"]).otherwise(acc["bn"]),
+                )
+            ),
         )
-        return best["key"]
+        return F.when(st["run"] > st["bn"], st["prev"]).otherwise(st["bk"])
     raise ValueError(f"unknown bucketizer: {name}")
-
-
-def _value_counts(v: Column) -> Column:
-    """value → occurrence-count map, as one aggregate expression."""
-    return F.aggregate(
-        F.collect_list(v),
-        F.create_map().cast("map<double,long>"),
-        lambda acc, x: F.map_concat(
-            F.map_filter(acc, lambda k, _: k != x),
-            F.create_map(x, F.coalesce(F.element_at(acc, x), F.lit(0)) + 1),
-        ),
-    )
 
 
 def _sorted_array_median(s: Column) -> Column:

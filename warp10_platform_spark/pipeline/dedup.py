@@ -188,51 +188,35 @@ def minhash_lsh_pairs(
     ngram_jaccard_pairs (id_a, id_b, jaccard). portable=True swaps the
     base hash and band key for forms DuckDB reproduces exactly."""
     rows = num_hashes // bands
-    # Persist the shingle and signature frames: both feed two consumers
-    # (band join sides / candidate verify), and recomputing the per-doc
-    # hashing dominates the whole operator otherwise. The reference
-    # materializes signatures the same way; Spark evicts LRU on pressure.
-    #
-    # Measured alternative (sf0.1, local[32]): hashing each DISTINCT
-    # shingle once via an explode→distinct→join dimension table costs
-    # 2.29 s vs 1.31 s for the per-row HOF — the three extra shuffles
-    # outweigh the duplicate-hash savings at this scale. Revisit only for
-    # corpora with extreme cross-doc shingle repetition.
+    # Persist the shingle frame: it feeds signature computation AND the
+    # rep-level exact verify; recomputing per-doc hashing dominates the
+    # operator otherwise. Spark evicts LRU on pressure.
     sh = _shingles(_spread(docs), n, id_col).persist()
-    # sig feeds only the grouped guard frame below (which IS persisted),
-    # so persisting it too just added a materialization pass (measured
-    # ~-0.3 s median at sf0.1 after removal).
-    sig = minhash_signatures(docs, n, num_hashes, id_col, shingles=sh, portable=portable)
-    # ---- band-skew guard ----------------------------------------------
-    # Degenerate corpora (thousands of byte-identical docs) put the whole
-    # group on EVERY band key, making the band self-join quadratic×bands.
-    # Identical signatures agree on all bands by construction, so the band
-    # join runs over one REPRESENTATIVE per distinct signature; rep-level
-    # candidates are then expanded back to member pairs and the intra-group
-    # pairs added via a single equi-join on the signature key. The
-    # candidate SET is exactly the unguarded one (sig(a)=sig(ra) ⇒ a and
-    # ra share the same band keys), so verified output — and the DuckDB
-    # oracle — are unchanged.
-    #
-    # ONE groupBy(signature key) shuffle yields everything the guard
-    # needs — rep, the (identical-within-group) signature, and the member
-    # list — in a frame with one row per DISTINCT signature. This
-    # replaced a window-over-sk formulation that shuffled every doc row
-    # carrying its full signature and then re-shuffled for the intra
-    # pairs: −1 exchange, smaller persisted footprint, ~25% off the
-    # operator median at sf0.1.
-    sk = F.md5(F.array_join(F.col("sig").cast("array<string>"), ","))
+    # ---- identical-set guard -------------------------------------------
+    # Degenerate corpora (thousands of byte-identical docs) put whole
+    # groups on EVERY band key (quadratic×bands band join) AND make the
+    # candidate set quadratic, which the exact verify then pays per pair
+    # (the r5 skew fixture: 3.1M candidates × ~100-shingle arrays = 467 s
+    # mostly in verify). Group docs by their SORTED SHINGLE SET (one
+    # shuffle): signatures, band join and exact verify all run over one
+    # min-id representative per distinct set. Expansion is exact, not
+    # approximate — identical sets ⇒ identical signatures/band keys AND
+    # identical jaccard against any third doc, and intra-group pairs are
+    # jaccard = 1.0 by construction. Output set == the unguarded one
+    # (property-tested: test_minhash_lsh_guard_preserves_candidates).
+    gk = F.md5(F.array_join(F.array_sort("sh"), "\x01"))
     grp = (
-        sig.select("doc_id", "sig", sk.alias("sk"))
+        sh.select("doc_id", "sh", gk.alias("sk"))
         .groupBy("sk")
         .agg(
             F.min("doc_id").alias("rep"),
-            F.first("sig").alias("sig"),
+            F.first("sh").alias("sh"),
             F.collect_list("doc_id").alias("ids"),
         )
         .persist()
     )
-    reps = grp.select(F.col("rep").alias("doc_id"), "sig")
+    reps_sh = grp.select(F.col("rep").alias("doc_id"), "sh")
+    reps = minhash_signatures(docs, n, num_hashes, id_col, shingles=reps_sh, portable=portable)
     if portable:
         bh = f"array_join(slice(sig, b * {rows} + 1, {rows}), ',')"
     else:
@@ -252,40 +236,40 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b"))
         .distinct()
     )
+    # exact verify on REP pairs only (sh shared with the signature stage)
+    sa = reps_sh.select(F.col("doc_id").alias("rep_a"), F.col("sh").alias("sh_a"))
+    sb = reps_sh.select(F.col("doc_id").alias("rep_b"), F.col("sh").alias("sh_b"))
+    rep_pairs = (
+        rcands.join(sa, "rep_a")
+        .join(sb, "rep_b")
+        .withColumn("i", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("i") / (F.size("sh_a") + F.size("sh_b") - F.col("i")))
+        .where(F.col("jaccard") >= threshold)
+        .select("rep_a", "rep_b", F.round("jaccard", 6).alias("jaccard"))
+    )
     member = grp.select("rep", F.explode("ids").alias("doc_id"))
     ma, mb = member.alias("ma"), member.alias("mb")
     expanded = (
-        rcands.join(ma, F.col("ma.rep") == F.col("rep_a"))
+        rep_pairs.join(ma, F.col("ma.rep") == F.col("rep_a"))
         .join(mb, F.col("mb.rep") == F.col("rep_b"))
         .select(
             F.least("ma.doc_id", "mb.doc_id").alias("id_a"),
             F.greatest("ma.doc_id", "mb.doc_id").alias("id_b"),
+            "jaccard",
         )
     )
-    # Intra-group pairs via a distributed self-join on the signature key —
-    # NOT a single-row pair flatten: under heavy duplication one group can
-    # hold half the corpus, and a per-row HOF explode would build its
-    # k(k-1)/2 pairs inside ONE task (measured: the r5 skew fixture, 2500
-    # identical docs, pinned a single core for minutes). The equi-join
-    # spreads the same pairs across the shuffle.
-    im = grp.select("sk", F.explode("ids").alias("doc_id"))
-    ia_, ib_ = im.alias("ia"), im.alias("ib")
+    # Intra-group pairs (identical shingle sets, jaccard exactly 1.0) via
+    # a distributed self-join — never a single-row pair flatten (one dup
+    # group can hold half the corpus; r5 skew finding).
+    ia_, ib_ = member.alias("ia"), member.alias("ib")
     intra = (
-        ia_.join(ib_, (F.col("ia.sk") == F.col("ib.sk")) & (F.col("ia.doc_id") < F.col("ib.doc_id")))
+        ia_.join(ib_, (F.col("ia.rep") == F.col("ib.rep")) & (F.col("ia.doc_id") < F.col("ib.doc_id")))
         .select(F.col("ia.doc_id").alias("id_a"), F.col("ib.doc_id").alias("id_b"))
+        .withColumn("jaccard", F.lit(1.0))
     )
-    cands = expanded.unionByName(intra)
-    # exact verify on candidates only (sh shared with the signature stage)
-    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    verified = (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("i", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("jaccard", F.col("i") / (F.size("sh_a") + F.size("sh_b") - F.col("i")))
-        .where(F.col("jaccard") >= threshold)
-    )
-    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    if threshold > 1.0:
+        intra = intra.where(F.lit(False))
+    return expanded.unionByName(intra)
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", portable: bool = False) -> DataFrame:

@@ -133,8 +133,10 @@ sq AS (SELECT class, "user", CAST(sum(CAST(v AS DECIMAL(12,6)) * CAST(v AS DECIM
        FROM pts GROUP BY class, "user"),
 z AS (
   SELECT g.class, g."user", g.seg,
-         (CAST(g.ssum AS DOUBLE) / g.scnt - st.s1 / sq.cnt)
-         / sqrt((sq.s2 - st.s1 * st.s1 / sq.cnt) / (sq.cnt - 1)) AS zz
+         CASE WHEN sq.cnt > 1 AND (sq.s2 - st.s1 * st.s1 / sq.cnt) > 0
+              THEN (CAST(g.ssum AS DOUBLE) / g.scnt - st.s1 / sq.cnt)
+                   / sqrt((sq.s2 - st.s1 * st.s1 / sq.cnt) / (sq.cnt - 1))
+              ELSE 0.0 END AS zz
   FROM segs g JOIN stats st ON g.class = st.class AND g."user" = st."user"
               JOIN sq ON g.class = sq.class AND g."user" = sq."user"
 )

@@ -152,23 +152,36 @@ shing AS (
                                 for i in range(1, len(toks) - 1)]) AS sh
   FROM base WHERE len(toks) >= 3
 ),
-hs AS (SELECT doc_id, sh,
-       list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT & {_dedup._P}) AS hs FROM shing),
+-- identical-shingle-set collapse, mirroring the engine's r5 skew guard:
+-- banding + exact verify run over one representative per distinct set
+-- (identical sets => identical signatures, band keys, and jaccard)
+g AS (SELECT doc_id, sh, md5(array_to_string(list_sort(sh), chr(1))) AS gk FROM shing),
+grps AS (SELECT gk, min(doc_id) AS rep, arg_min(sh, doc_id) AS sh FROM g GROUP BY gk),
+member AS (SELECT g.doc_id, r.rep FROM g JOIN grps r USING (gk)),
+hs AS (SELECT rep AS doc_id, sh,
+       list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT & {_dedup._P}) AS hs FROM grps),
 sig AS (SELECT doc_id, sh, [{sig_terms}] AS sig FROM hs),
 banded AS (
   SELECT doc_id, b.b AS band, array_to_string(list_slice(sig, b.b * {rows} + 1, b.b * {rows} + {rows}), ',') AS bh
   FROM sig, (SELECT unnest(range(0, {bands})) AS b) b
 ),
 cands AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  SELECT DISTINCT a.doc_id AS rep_a, b.doc_id AS rep_b
   FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 ),
 verified AS (
-  SELECT id_a, id_b, len(list_intersect(sa.sh, sb.sh)) AS i, len(sa.sh) AS na, len(sb.sh) AS nb
-  FROM cands JOIN shing sa ON sa.doc_id = id_a JOIN shing sb ON sb.doc_id = id_b
+  SELECT rep_a, rep_b, len(list_intersect(sa.sh, sb.sh)) AS i, len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cands JOIN hs sa ON sa.doc_id = rep_a JOIN hs sb ON sb.doc_id = rep_b
+),
+rep_pairs AS (
+  SELECT rep_a, rep_b, round(i * 1.0 / (na + nb - i), 6) AS jaccard
+  FROM verified WHERE i * 1.0 / (na + nb - i) >= {threshold}
 )
-SELECT id_a, id_b, round(i * 1.0 / (na + nb - i), 6) AS jaccard
-FROM verified WHERE i * 1.0 / (na + nb - i) >= {threshold}
+SELECT least(ma.doc_id, mb.doc_id) AS id_a, greatest(ma.doc_id, mb.doc_id) AS id_b, p.jaccard
+FROM rep_pairs p JOIN member ma ON ma.rep = p.rep_a JOIN member mb ON mb.rep = p.rep_b
+UNION ALL
+SELECT a.doc_id, b.doc_id, 1.0 AS jaccard
+FROM member a JOIN member b ON a.rep = b.rep AND a.doc_id < b.doc_id
 """
 
 

@@ -245,7 +245,10 @@ cov AS (
                / ((qx - px) * (qx - px) + (qy - py) * (qy - py)) END, 0.0), 1.0) * (qy - py)), 2)
       <= 0.25
 )
-SELECT class, "user", count(*) AS lit FROM cov GROUP BY class, "user"
+SELECT s.class, s."user", coalesce(c.lit, 0) AS lit
+FROM (SELECT DISTINCT class, "user" FROM b) s
+LEFT JOIN (SELECT class, "user", count(*) AS lit FROM cov GROUP BY class, "user") c
+  ON s.class = c.class AND s."user" = c."user"
 """
 
 
