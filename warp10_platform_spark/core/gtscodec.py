@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import gzip
 import struct
+from decimal import Decimal
 
 NO_ELEVATION = -(1 << 63)
 
@@ -99,21 +100,64 @@ def _to_signed64(v: int) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def _bd_strip(value: Decimal) -> Decimal:
+    """BigDecimal.stripTrailingZeros: drop trailing zeros from the
+    unscaled value, adjusting the exponent (Decimal.normalize does the
+    same numeric-preserving rewrite; 600 -> 6E+2, 1.10 -> 1.1)."""
+    return value.normalize()
+
+
+def _bd_parts(value: Decimal) -> tuple[int, int]:
+    """(scale, unscaledValue) a la BigDecimal: scale = -exponent."""
+    sign, digits, exp = value.as_tuple()
+    unscaled = int("".join(map(str, digits)) or "0")
+    return -exp, -unscaled if sign else unscaled
+
+
+def _java_bitlength(n: int) -> int:
+    """BigInteger.bitLength: minimal two's-complement width sans sign."""
+    return n.bit_length() if n >= 0 else (-n - 1).bit_length()
+
+
+def parse_numeric_value(valuestr: str):
+    """GTSHelper.parseValue's numeric tail (GTSHelper.java:3544-3568 +
+    UnsafeString.isLong/mayBeDecimalDouble): plain integers parse as
+    long; a decimal of <= 15 chars containing only [0-9.+-] parses as a
+    BigDecimal (Decimal here) so the encoder can use the compact form;
+    anything else (scientific notation, NaN, long decimals) is a double.
+    This is the rule behind GTSEncoderTest.testWARP50's type alternation."""
+    s = valuestr.strip()
+    body = s[1:] if s[:1] in "+-" else s
+    if body.isdigit():
+        return int(s)
+    if len(valuestr) <= 15 and all(c.isdigit() or c in ".+-" for c in valuestr):
+        return Decimal(valuestr)
+    return float(valuestr)
+
+
 # --- per-point stream codec (GTSEncoder.addValue / GTSDecoder.next) ---
 
-def encode_gts(points, base: int = 0) -> bytes:
+def encode_gts(points, base: int = 0, first_ts_raw: bool = False) -> bytes:
     """points: iterable of (ts, value), (ts, value, elevation) or
-    (ts, value, elevation, location); value in {int, float, bool, str,
-    bytes, None(delete)}; location a signed-64 GeoXPPoint (core/geoxp.py).
+    (ts, value, elevation, location); value in {int, float, Decimal,
+    bool, str, bytes, None(delete)}; location a signed-64 GeoXPPoint
+    (core/geoxp.py). Decimal values use the reference's BigDecimal
+    compact form (scale byte + zigzag unscaled) when the stripped scale
+    fits a byte and the unscaled mantissa <= 46 bits, IEEE754 otherwise
+    (GTSEncoder.java:413-438). ``first_ts_raw`` mirrors the
+    noDeltaMetaTimestamp safe-delta mode of an encoder reloaded from
+    bytes (GTSEncoder.java:313-326): the first timestamp is written raw.
     Returns the encoded stream (GTSWrapper field 7)."""
     out = bytearray()
     last_ts = 0
     last_long = 0
     valid_last_long = False
     last_double = None
+    last_bd = None
     last_string = None
     last_elev = None
     last_loc = None
+    no_delta_ts = first_ts_raw
     for p in points:
         ts, value = p[0], p[1]
         elev = p[2] if len(p) > 2 and p[2] is not None else None
@@ -121,7 +165,11 @@ def encode_gts(points, base: int = 0) -> bytes:
         flags = 0
         # timestamp mode (encoder preference order)
         ts_payload = None  # (kind, number)
-        if base == ts:
+        if no_delta_ts:
+            flags |= TS_RAW_ABSOLUTE
+            ts_payload = ("r", ts)
+            no_delta_ts = False
+        elif base == ts:
             flags |= TS_EQUALS_BASE
         else:
             d_base, d_last = abs(ts - base), abs(ts - last_ts)
@@ -163,19 +211,42 @@ def encode_gts(points, base: int = 0) -> bytes:
                 valid_last_long = True
         elif isinstance(value, float):
             flags |= TYPE_DOUBLE
+            # lastDoubleValue is only comparable when the previous
+            # floating value was NOT a BigDecimal (GTSEncoder.java:405)
             same_nan = last_double is not None and last_double != last_double and value != value
             if last_double is not None and (value == last_double or same_nan):
                 flags |= VALUE_IDENTICAL
             else:
                 flags |= DOUBLE_IEEE754
                 val_payload = ("d", value)
-            last_double = value
+                last_double = value
+                last_bd = None
+        elif isinstance(value, Decimal):
+            flags |= TYPE_DOUBLE
+            bd = _bd_strip(value)
+            if last_bd is not None and bd == last_bd:
+                flags |= VALUE_IDENTICAL
+            else:
+                scale, unscaled = _bd_parts(bd)
+                if not (-128 <= scale <= 127) or _java_bitlength(unscaled) > 46:
+                    # scale or mantissa too wide: fall back to IEEE754
+                    flags |= DOUBLE_IEEE754
+                    val_payload = ("d", float(value))
+                    last_double = float(value)
+                    last_bd = None
+                else:
+                    val_payload = ("D", (scale, unscaled))
+                    last_bd = bd
+                    last_double = None
         elif isinstance(value, (str, bytes)):
             flags |= TYPE_STRING
             raw = value.encode("utf-8") if isinstance(value, str) else bytes(value)
             if isinstance(value, bytes):
                 flags |= STRING_BINARY
-            key = raw if isinstance(value, bytes) else value
+            # identity compares latin-1 content, so a byte[] and a String
+            # with the same ISO-8859-1 text dedup to the IDENTICAL flag
+            # while keeping their type bit (GTSEncoder.java:395-402)
+            key = value if isinstance(value, str) else value.decode("latin-1")
             if last_string is not None and key == last_string:
                 flags |= VALUE_IDENTICAL
             else:
@@ -264,6 +335,9 @@ def encode_gts(points, base: int = 0) -> bytes:
                 out += struct.pack(">q", num)
             elif kind == "d":
                 out += struct.pack(">d", num)
+            elif kind == "D":
+                out += struct.pack(">b", num[0])
+                write_svarint(out, num[1])
             else:
                 write_uvarint(out, len(num))
                 out += num
@@ -287,13 +361,16 @@ def encrypt_gts(stream: bytes, key: bytes) -> bytes:
 
 
 def decode_gts(blob: bytes, base: int = 0, with_location: bool = False,
-               key: bytes | None = None):
+               key: bytes | None = None, decimal_values: bool = False):
     """Decode a GTSEncoder stream → list of (ts, value, elevation|None),
     or (ts, value, elevation|None, location|None) when with_location.
     Handles every flag combination, including the BigDecimal compact
-    double form; encrypted sections (flag byte 0x00) are decrypted and
-    spliced in when ``key`` is given, silently skipped otherwise — the
-    GTSDecoder.next contract (GTSDecoder.java:214-262)."""
+    double form (returned as float, or as decimal.Decimal when
+    ``decimal_values`` — the reference surfaces BigDecimal vs Double
+    distinctly, GTSEncoderTest.testWARP50); encrypted sections (flag
+    byte 0x00) are decrypted and spliced in when ``key`` is given,
+    silently skipped otherwise — the GTSDecoder.next contract
+    (GTSDecoder.java:214-262)."""
     pos = 0
     n = len(blob)
     last_ts = 0
@@ -396,19 +473,29 @@ def decode_gts(blob: bytes, base: int = 0, with_location: bool = False,
                 scale = struct.unpack(">b", blob[pos : pos + 1])[0]
                 pos += 1
                 unscaled, pos = read_svarint(blob, pos)
-                # correctly-rounded: parse the exact decimal string, matching
-                # BigDecimal.valueOf(unscaled, scale).doubleValue()
-                value = float(f"{unscaled}e{-scale}")
+                if decimal_values:
+                    value = Decimal(unscaled).scaleb(-scale)
+                else:
+                    # correctly-rounded: parse the exact decimal string,
+                    # matching BigDecimal.valueOf(unscaled, scale).doubleValue()
+                    value = float(f"{unscaled}e{-scale}")
                 last_double = value
         else:  # STRING
             if flags & VALUE_IDENTICAL:
-                value = last_string
+                # re-type from the flags bit: the encoder dedups a byte[]
+                # and a String with equal latin-1 content, so IDENTICAL
+                # may switch representation (GTSDecoder.java:455,522)
+                value = (
+                    last_string.encode("latin-1", errors="replace")
+                    if flags & STRING_BINARY
+                    else last_string
+                )
             else:
                 ln, pos = read_uvarint(blob, pos)
                 raw = blob[pos : pos + ln]
                 pos += ln
                 value = bytes(raw) if flags & STRING_BINARY else raw.decode("utf-8")
-                last_string = value
+                last_string = raw.decode("latin-1") if flags & STRING_BINARY else value
         out.append((ts, value, elev, loc) if with_location else (ts, value, elev))
     return out
 
