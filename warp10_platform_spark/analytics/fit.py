@@ -777,14 +777,17 @@ def dtw_pairs(
 
 
 def correlate_lagged(a: DataFrame, b: DataFrame, lags: list[int], step_us: int,
-                     value_col: str = "v_agg") -> DataFrame:
+                     value_col: str = "v_agg", decimal_type: str = "decimal(12,6)") -> DataFrame:
     """CORRELATE (continuum/gts/CORRELATE.java): sliding cross-correlation
     — Pearson r between series a and series b shifted by each lag
     (lag * step_us on the time axis). One exploded join + grouped exact
     DECIMAL moment sums (same determinism discipline as correlate_daily);
-    no per-lag rescan of either input."""
-    av = a.select("labels_key", "ts", F.col(value_col).cast("decimal(12,6)").alias("va"))
-    bv = b.select("labels_key", "ts", F.col(value_col).cast("decimal(12,6)").alias("vb"))
+    no per-lag rescan of either input. Callers with integral inputs
+    (e.g. count series) should pass decimal_type='decimal(18,0)': DuckDB
+    multiplies DECIMAL unscaled values in INT64, so scale-6 squares
+    overflow once values pass ~3e3 (seen at sf1)."""
+    av = a.select("labels_key", "ts", F.col(value_col).cast(decimal_type).alias("va"))
+    bv = b.select("labels_key", "ts", F.col(value_col).cast(decimal_type).alias("vb"))
     lag_col = F.explode(F.array(*[F.lit(l) for l in lags])).alias("lag")
     bl = bv.select("labels_key", "ts", "vb", lag_col).withColumn(
         "ts", F.col("ts") + F.col("lag").cast("long") * F.lit(step_us)

@@ -32,8 +32,11 @@ _CLASS_DAILY = (
 
 @register("correlate_sliding", (
     f"WITH {PTS}, {DAILY}, {_CLASS_DAILY}, "
-    "a AS (SELECT ts, v::DECIMAL(12,6) AS va FROM cd WHERE class = 'events.purchase'), "
-    "b AS (SELECT ts, v::DECIMAL(12,6) AS vb FROM cd WHERE class = 'events.click'), "
+    # counts are integral: scale-0 decimals keep the moment sums exact
+    # while their squares stay inside DuckDB's INT64 unscaled arithmetic
+    # (scale-6 squares overflow at sf1 magnitudes)
+    "a AS (SELECT ts, v::DECIMAL(18,0) AS va FROM cd WHERE class = 'events.purchase'), "
+    "b AS (SELECT ts, v::DECIMAL(18,0) AS vb FROM cd WHERE class = 'events.click'), "
     "lags AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag), "
     f"j AS (SELECT lag, va, vb FROM a JOIN (SELECT lag, ts + lag * {DAY} AS ts, vb FROM b, lags) s USING (ts)), "
     "m AS (SELECT lag, count(*) AS n, "
@@ -53,7 +56,8 @@ def correlate_sliding(spark, sf_dir):
     )
     a = base.where(F.col("class") == "events.purchase")
     b = base.where(F.col("class") == "events.click")
-    out = _fit.correlate_lagged(a, b, lags=[-2, -1, 0, 1, 2], step_us=DAY, value_col="v")
+    out = _fit.correlate_lagged(a, b, lags=[-2, -1, 0, 1, 2], step_us=DAY,
+                                value_col="v", decimal_type="decimal(18,0)")
     return out.select("lag", "n", F.round("corr", 6).alias("corr"))
 
 
