@@ -67,3 +67,42 @@ def test_geocover_cap(spark, sf_dir):
     REGISTRY["GEOCOVER"](st)
     cov = st.pop()
     assert 0 < len(list(cov.cells)) <= 100
+
+
+def test_epoch_us_col_is_session_tz_independent(spark):
+    """epoch_us_col on DATE / TIMESTAMP_NTZ must not route through the
+    session timezone. Regression for the r5 adversarial-sweep find:
+    timestampdiff/timediff on NTZ operands shift by the DST gap width
+    under a zone whose gap crosses local midnight (America/Sao_Paulo,
+    2000-10-08 00:00 -> 01:00 and 1995-10-15)."""
+    from warp10_platform_spark.sources.tables import epoch_us_col
+
+    # x's minute (59) pins the INT*INT overflow class too: MINUTE(x) *
+    # 60000000 overflows int32 for minutes >= 36 under ANSI unless the
+    # term is explicitly BIGINT.
+    base = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2000-10-08 23:59:59.123456' AS x,"
+        " DATE '2000-10-08' AS d,"
+        " TIMESTAMP_NTZ '1995-10-15 00:00:00' AS y"
+    )
+    # exact expectations, computed tz-free:
+    import datetime as _dt
+
+    utc = _dt.timezone.utc
+    want = {
+        "x": int(_dt.datetime(2000, 10, 8, 23, 59, 59, 123456, tzinfo=utc).timestamp() * 1_000_000),
+        "d": int(_dt.datetime(2000, 10, 8, tzinfo=utc).timestamp() * 1_000_000),
+        "y": int(_dt.datetime(1995, 10, 15, tzinfo=utc).timestamp() * 1_000_000),
+    }
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/Sao_Paulo", "Asia/Kolkata", "Pacific/Apia"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            row = base.select(
+                epoch_us_col(base, "x").alias("x"),
+                epoch_us_col(base, "d").alias("d"),
+                epoch_us_col(base, "y").alias("y"),
+            ).collect()[0]
+            assert row.asDict() == want, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

@@ -50,9 +50,10 @@ def gts_text_typed(spark, sf_dir):
     """Value typing of the text parser (parseValue_regexp:3582-3584):
     STRING / BOOLEAN / LONG lines built from the orders table, parsed into
     the typed value columns, re-emitted with a type tag."""
-    o = load_table(spark, sf_dir, "orders").select(
+    o = load_table(spark, sf_dir, "orders")
+    o = o.select(
         F.col("o_orderkey").cast("string").alias("k"),
-        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', CAST(o_orderdate AS TIMESTAMP_NTZ))").alias("ts"),
+        epoch_us_col(o, "o_orderdate").alias("ts"),
         "o_orderstatus",
         "o_orderpriority",
         "o_orderkey",

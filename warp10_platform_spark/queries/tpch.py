@@ -116,7 +116,7 @@ def tpch_q3(spark, sf_dir):
         .select(
             "o_orderkey",
             "revenue",
-            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', CAST(o_orderdate AS TIMESTAMP_NTZ))").alias("o_orderdate_us"),
+            epoch_us_col(o, "o_orderdate").alias("o_orderdate_us"),
             "o_orderpriority",
         )
     )

@@ -42,15 +42,27 @@ def epoch_us_col(df: DataFrame, name: str = "ts"):
     Handles every shape the driver testdata has shipped: INT64
     TIMESTAMP(NANOS) (→ LONG ns under nanosAsLong), tz-less timestamp[us]
     (→ TIMESTAMP_NTZ in Spark 4), DATE, and tz'd TIMESTAMP. The NTZ/DATE
-    path measures from the NTZ epoch with timestampdiff so the result never
-    depends on spark.sql.session.timeZone (matches DuckDB epoch_us on
-    naive timestamps)."""
+    path assembles the epoch from pure field extractions (unix_date +
+    HOUR/MINUTE/fractional SECOND) because BOTH timestampdiff() and
+    timediff() on NTZ operands route through spark.sql.session.timeZone:
+    under a zone whose DST gap crosses local midnight (America/Sao_Paulo,
+    2000-10-08 00:00 → 01:00) they shift by the gap width — found by the
+    r5 adversarial-session sweep. Field extraction on NTZ/DATE is
+    calendar-only, so the result matches DuckDB epoch_us on naive
+    timestamps in every session zone."""
     dtype = dict(df.dtypes)[name]
     if dtype == "bigint":
         return F.expr(f"`{name}` DIV 1000")
-    if dtype in ("timestamp_ntz", "date"):
+    if dtype == "date":
+        return F.expr(f"unix_date(`{name}`) * 86400000000")
+    if dtype == "timestamp_ntz":
+        # every term explicitly BIGINT: MINUTE(x) * 60000000 is INT*INT
+        # (6e7 fits in int32) and overflows for minutes >= 36 under ANSI.
         return F.expr(
-            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', CAST(`{name}` AS TIMESTAMP_NTZ))"
+            f"unix_date(CAST(`{name}` AS DATE)) * 86400000000"
+            f" + CAST(HOUR(`{name}`) AS BIGINT) * 3600000000"
+            f" + CAST(MINUTE(`{name}`) AS BIGINT) * 60000000"
+            f" + CAST(date_part('SECOND', `{name}`) * 1000000 AS BIGINT)"
         )
     return F.unix_micros(F.col(name))
 
