@@ -61,6 +61,11 @@ class Frame:
 
 MacroFn = Callable[[Frame], float]
 
+# Buckets (resp. distinct ticks) batched into one Arrow group — amortizes
+# the per-group Arrow/pandas overhead while keeping group size bounded.
+_CHUNK_BUCKETS = 256
+_CHUNK_TICKS = 64
+
 _OUT_SCHEMA = StructType(
     [
         StructField("class", StringType()),
@@ -91,6 +96,14 @@ def macro_mapper(
     if (pre < 0) != (post < 0) and (pre != 0 and post != 0):
         raise ValueError(f"mixed tick/time frame not supported: pre={pre}, post={post}")
     time_mode = pre < 0 or post < 0
+
+    # Grouped-map pandas UDFs receive EVERY column of the input frame —
+    # Catalyst does not prune through FlatMapGroupsInPandas — so project
+    # to the columns run() reads before grouping, or the labels/attribute
+    # maps get shuffled and Arrow-encoded for nothing.
+    cols = ["gts_id", "class", "labels_key", "ts", value_col]
+    cols += [c for c in ("lat", "lon", "elev") if c in df.columns]
+    df = df.select(*cols)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ts").reset_index(drop=True)
@@ -150,26 +163,42 @@ def macro_bucketizer(
         (F.col("ts") <= F.lit(spec.lastbucket))
         & (F.col("ts") > F.lit(spec.lastbucket - spec.bucketspan * spec.bucketcount))
     )
-    bucketed = in_grid.withColumn("bucket_end", bucket_end_col(spec.lastbucket, spec.bucketspan))
+    bucketed = in_grid.select(
+        "gts_id", "class", "labels_key", "ts", value_col
+    ).withColumn("bucket_end", bucket_end_col(spec.lastbucket, spec.bucketspan))
+    # Shuffle key carries a CHUNK of consecutive buckets, not a single
+    # bucket: one Arrow group per (series, _CHUNK_BUCKETS buckets) keeps
+    # the per-group python/Arrow overhead amortized ~256x while still
+    # bounding group size to a constant number of buckets of ONE series
+    # (the scale-safe property the per-bucket key had; a (series, bucket)
+    # key at sf0.01 already meant tens of thousands of 1-30 row groups
+    # and dominated wall-clock).
+    bucketed = bucketed.withColumn(
+        "_chunk",
+        F.floor((F.lit(spec.lastbucket) - F.col("bucket_end")) / F.lit(spec.bucketspan * _CHUNK_BUCKETS)),
+    )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts")
-        be = int(pdf["bucket_end"].iloc[0])
-        fr = Frame(
-            tick=be,
-            ticks=pdf["ts"].to_numpy(np.int64),
-            values=pdf[value_col].to_numpy(np.float64),
-        )
+        pdf = pdf.sort_values(["bucket_end", "ts"], kind="mergesort")
+        be = pdf["bucket_end"].to_numpy(np.int64)
+        ts = pdf["ts"].to_numpy(np.int64)
+        vals = pdf[value_col].to_numpy(np.float64)
+        starts = np.flatnonzero(np.r_[True, be[1:] != be[:-1]])
+        ends = np.r_[starts[1:], len(be)]
+        out = np.empty(len(starts), dtype=np.float64)
+        for j in range(len(starts)):
+            lo, hi = int(starts[j]), int(ends[j])
+            out[j] = fn(Frame(tick=int(be[lo]), ticks=ts[lo:hi], values=vals[lo:hi]))
         return pd.DataFrame(
             {
-                "class": [pdf["class"].iloc[0]],
-                "labels_key": [pdf["labels_key"].iloc[0]],
-                "ts": [be],
-                "v_mapped": [fn(fr)],
+                "class": np.repeat(pdf["class"].iloc[0], len(starts)),
+                "labels_key": np.repeat(pdf["labels_key"].iloc[0], len(starts)),
+                "ts": be[starts],
+                "v_mapped": out,
             }
         )
 
-    return bucketed.groupBy("gts_id", "bucket_end").applyInPandas(run, schema=_OUT_SCHEMA), spec
+    return bucketed.groupBy("gts_id", "_chunk").applyInPandas(run, schema=_OUT_SCHEMA), spec
 
 
 def macro_reducer(
@@ -183,22 +212,34 @@ def macro_reducer(
     and call fn with all series' values at that tick."""
     keys = [F.element_at(F.col("labels"), k).alias(f"label_{k}") for k in by_labels]
     key_names = [f"label_{k}" for k in by_labels]
-    sel = df.select(*keys, F.col("ts"), F.col(value_col).alias("_v"))
+    # Chunk ticks by hash so one Arrow group carries ~1/_CHUNK_TICKS of an
+    # equivalence class's ticks instead of a single tick: all rows of a
+    # given tick land in the same group (correctness), per-group overhead
+    # is amortized, and group size stays a fixed fraction of the class.
+    sel = df.select(
+        *keys,
+        F.col("ts"),
+        F.col(value_col).alias("_v"),
+        F.pmod(F.xxhash64("ts"), F.lit(_CHUNK_TICKS)).alias("_chunk"),
+    )
     schema = StructType(
         [StructField(k, StringType()) for k in key_names]
         + [StructField("ts", LongType()), StructField("v_reduced", DoubleType())]
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        tick = int(pdf["ts"].iloc[0])
-        fr = Frame(
-            tick=tick,
-            ticks=pdf["ts"].to_numpy(np.int64),
-            values=pdf["_v"].to_numpy(np.float64),
-        )
-        row = {k: [pdf[k].iloc[0]] for k in key_names}
-        row["ts"] = [tick]
-        row["v_reduced"] = [fn(fr)]
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        ts = pdf["ts"].to_numpy(np.int64)
+        vals = pdf["_v"].to_numpy(np.float64)
+        starts = np.flatnonzero(np.r_[True, ts[1:] != ts[:-1]])
+        ends = np.r_[starts[1:], len(ts)]
+        out = np.empty(len(starts), dtype=np.float64)
+        for j in range(len(starts)):
+            lo, hi = int(starts[j]), int(ends[j])
+            out[j] = fn(Frame(tick=int(ts[lo]), ticks=ts[lo:hi], values=vals[lo:hi]))
+        row = {k: np.repeat(pdf[k].iloc[0], len(starts)) for k in key_names}
+        row["ts"] = ts[starts]
+        row["v_reduced"] = out
         return pd.DataFrame(row)
 
-    return sel.groupBy(*key_names, "ts").applyInPandas(run, schema=schema)
+    return sel.groupBy(*key_names, "_chunk").applyInPandas(run, schema=schema)
