@@ -269,3 +269,24 @@ def test_tpch_q19_or_brackets_push_to_both_scans(spark, sf_dir):
     pushed = " ".join(r.pushed_filters)
     assert "l_quantity" in pushed and "p_brand" in pushed
     assert r.broadcast_joins >= 1 and r.cartesian_products == 0
+
+
+def test_macro_surface_batches_groups(spark, sf_dir):
+    """The custom-aggregator surface must not hand applyInPandas one tiny
+    Arrow group per (series, bucket) / per tick: the shuffle key carries a
+    chunk (of buckets, resp. hash-chunked ticks) so per-group overhead is
+    amortized while group size stays bounded. One Exchange, chunked key."""
+    from warp10_platform_spark.functions.custom import macro_bucketizer, macro_reducer
+    from warp10_platform_spark.queries.gts import DAY, LASTBUCKET, NDAYS
+    from warp10_platform_spark.sources.tables import canonical_points
+
+    pts = canonical_points(spark, sf_dir)
+    out, _ = macro_bucketizer(pts, lambda fr: float(fr.values.sum()), DAY, LASTBUCKET, NDAYS)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "_chunk" in plan, plan  # grouping key is (gts_id, chunk-of-buckets)
+
+    red = macro_reducer(pts, lambda fr: float(fr.values.sum()), by_labels=[])
+    rplan = red._jdf.queryExecution().executedPlan().toString()
+    assert rplan.count("Exchange") == 1, rplan
+    assert "_chunk" in rplan, rplan
