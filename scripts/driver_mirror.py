@@ -69,6 +69,10 @@ def main():
     import duckdb
 
     con = duckdb.connect()
+    # At sf>=1 DuckDB's default memory limit (80% of RAM) lets the oracle
+    # buffers grow into the Spark driver's headroom; cap it so the mirror
+    # can't OOM the box mid-sweep (MIRROR_MEM to override).
+    con.execute(f"SET memory_limit='{os.environ.get('MIRROR_MEM', '24GB')}'")
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
