@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from warp10_platform_spark.core.apply import per_series_apply
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -173,7 +174,7 @@ def lowess_smooth(df: DataFrame, frac: float = 0.3, value_col: str = "v_double")
             }
         )
 
-    return df.groupBy("gts_id").applyInPandas(run, schema=schema)
+    return per_series_apply(df, run, schema, ("class", "labels_key", "ts", value_col))
 
 
 def _loess_fold(xs: list, ys: list, frac: float) -> list:
@@ -237,7 +238,7 @@ def lowess_smooth_exact(df: DataFrame, frac: float = 0.3, value_col: str = "v_do
             {"class": pdf["class"], "labels_key": pdf["labels_key"], "ts": pdf["ts"], "v_smooth": out}
         )
 
-    return df.groupBy("gts_id").applyInPandas(run, schema=schema)
+    return per_series_apply(df, run, schema, ("class", "labels_key", "ts", value_col))
 
 
 def _rloess_fold(
@@ -418,7 +419,7 @@ def rlowess_smooth(
             {"class": pdf["class"], "labels_key": pdf["labels_key"], "ts": pdf["ts"], "v_smooth": sm}
         )
 
-    return df.groupBy("gts_id").applyInPandas(run, schema=schema)
+    return per_series_apply(df, run, schema, ("class", "labels_key", "ts", value_col))
 
 
 def _ma_reflect_fold(v: list, k: int) -> list:
@@ -509,7 +510,7 @@ def stl_decompose_exact(df: DataFrame, period: int, value_col: str = "v_double",
             }
         )
 
-    return df.groupBy("gts_id").applyInPandas(run, schema=_DECOMP_SCHEMA)
+    return per_series_apply(df, run, _DECOMP_SCHEMA, ("class", "labels_key", "ts", value_col))
 
 
 def stl_decompose(df: DataFrame, period: int, value_col: str = "v_double", iterations: int = 2) -> DataFrame:
@@ -562,7 +563,7 @@ def stl_decompose(df: DataFrame, period: int, value_col: str = "v_double", itera
             }
         )
 
-    return df.groupBy("gts_id").applyInPandas(run, schema=_DECOMP_SCHEMA)
+    return per_series_apply(df, run, _DECOMP_SCHEMA, ("class", "labels_key", "ts", value_col))
 
 
 def fft_top(df: DataFrame, k: int = 3, value_col: str = "v_double") -> DataFrame:
@@ -595,7 +596,7 @@ def fft_top(df: DataFrame, k: int = 3, value_col: str = "v_double") -> DataFrame
             }
         )
 
-    return df.groupBy("gts_id").applyInPandas(run, schema=schema)
+    return per_series_apply(df, run, schema, ("class", "labels_key", "ts", value_col))
 
 
 def stl_esd_test(df: DataFrame, period: int, k: int = 5, alpha: float = 0.05, value_col: str = "v_double") -> DataFrame:
@@ -714,7 +715,7 @@ def sax_discords(df: DataFrame, word_len: int = 4, alphabet: int = 4, top: int =
             }
         )
 
-    return df.groupBy("gts_id").applyInPandas(run, schema=schema)
+    return per_series_apply(df, run, schema, ("class", "labels_key", "ts", value_col))
 
 
 def dtw_distance(a: np.ndarray, b: np.ndarray, window: int | None = None) -> float:
@@ -1052,4 +1053,4 @@ def hybrid_test_exact(
             StructField("v_outlier", DoubleType()),
         ]
     )
-    return df.groupBy("gts_id").applyInPandas(run, schema=schema)
+    return per_series_apply(df, run, schema, ("class", "labels_key", "ts", value_col))

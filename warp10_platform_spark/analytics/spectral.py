@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from warp10_platform_spark.core.apply import per_series_apply
 from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
 _FFT_SCHEMA = StructType(
@@ -58,7 +59,7 @@ def fft_full(df: DataFrame, value_col: str = "v_double", complex_out: bool = Tru
             }
         )
 
-    return df.groupBy("gts_id").applyInPandas(run, schema=_FFT_SCHEMA)
+    return per_series_apply(df, run, _FFT_SCHEMA, ("class", "labels_key", "ts", value_col))
 
 
 _IFFT_SCHEMA = StructType(
@@ -91,7 +92,7 @@ def ifft_real(df: DataFrame, re_col: str = "v_a", im_col: str = "v_b") -> DataFr
             }
         )
 
-    return df.groupBy("gts_id").applyInPandas(run, schema=_IFFT_SCHEMA)
+    return per_series_apply(df, run, _IFFT_SCHEMA, ("class", "labels_key", "ts", re_col, im_col))
 
 
 def fft_window(df: DataFrame, algorithm: str, value_col: str = "v_double") -> DataFrame:
@@ -174,7 +175,7 @@ def polyfit(df: DataFrame, degree: int, value_col: str = "v_double") -> DataFram
             }
         )
 
-    return df.groupBy("gts_id").applyInPandas(run, schema=_POLY_SCHEMA)
+    return per_series_apply(df, run, _POLY_SCHEMA, ("class", "labels_key", "ts", value_col))
 
 
 def dwtsplit(df: DataFrame, level_label: str = "level", value_col: str = "v_double") -> DataFrame:

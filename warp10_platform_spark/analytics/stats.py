@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
+from warp10_platform_spark.core.apply import per_series_apply
+
 _MAXIT, _EPS, _FPMIN = 300, 3e-16, 1e-300
 
 
@@ -181,7 +183,7 @@ def grubbs_test(
             return pdf.iloc[[i]][["class", "labels_key", "ts"]].assign(v_outlier=v[i])
         return empty
 
-    return df.groupBy("gts_id").applyInPandas(run, schema=_OUT_SCHEMA)
+    return per_series_apply(df, run, _OUT_SCHEMA, ("class", "labels_key", "ts", value_col))
 
 
 def _esd_critical(n: int, alpha: float) -> float:
@@ -246,7 +248,7 @@ def esd_test(
         sel["v_outlier"] = v[out_rows]
         return sel
 
-    return df.groupBy("gts_id").applyInPandas(run, schema=_OUT_SCHEMA)
+    return per_series_apply(df, run, _OUT_SCHEMA, ("class", "labels_key", "ts", value_col))
 
 
 def zscore_anomalies(df: DataFrame, threshold: float, use_median: bool = False, value_col: str = "v_double") -> DataFrame:
@@ -268,4 +270,4 @@ def zscore_anomalies(df: DataFrame, threshold: float, use_median: bool = False, 
         sel["v_outlier"] = v[mask]
         return sel
 
-    return df.groupBy("gts_id").applyInPandas(run, schema=_OUT_SCHEMA)
+    return per_series_apply(df, run, _OUT_SCHEMA, ("class", "labels_key", "ts", value_col))

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from warp10_platform_spark.core.apply import per_series_apply
 
 from warp10_platform_spark.core.schema import with_gts_id
 
@@ -112,7 +113,7 @@ def wrap_thrift(df: DataFrame, value_col: str = "v_double") -> DataFrame:
             }
         )
 
-    return df.groupBy("gts_id").applyInPandas(run, schema=schema)
+    return per_series_apply(df, run, schema, ("class", "labels_key", "ts", value_col, "elev", "_loc"))
 
 
 def unwrap_thrift(df: DataFrame, wrapped_col: str = "wrapped") -> DataFrame:
