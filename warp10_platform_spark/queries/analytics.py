@@ -455,6 +455,13 @@ def fft_top_bins(spark, sf_dir):
     )
 
 
+# Pairwise DTW is inherently O(K^2) in the series count, so the query
+# bounds K: only the DTW_TOPK most active purchase users (deterministic
+# total-count order, user id tie-break) enter the pair join. At sf1 the
+# unbounded pairing is 15k users = 112M pairs — a non-plan at any scale;
+# the cap keeps the demo semantics and makes the cost SF-invariant.
+DTW_TOPK = 40
+
 # DTW oracle: replay the banded DP row-by-row with a recursive CTE (the
 # LTTB precedent). Row i is built from row i-1 by a left fold over j whose
 # accumulator is the partial new row (list_reduce with DOUBLE[] elements —
@@ -465,7 +472,10 @@ DTW_ORACLE = f"""
 WITH RECURSIVE {PTS}, {DAILY},
 cd AS (SELECT "user", ts, CAST(count(*) AS DOUBLE) AS v FROM daily
        WHERE class = 'events.purchase' GROUP BY "user", ts),
-arr AS (SELECT "user", list(v ORDER BY ts) AS a FROM cd GROUP BY "user"),
+top AS (SELECT "user" FROM cd GROUP BY "user"
+        ORDER BY sum(v) DESC, "user" LIMIT {DTW_TOPK}),
+arr AS (SELECT cd."user", list(v ORDER BY ts) AS a
+        FROM cd JOIN top ON cd."user" = top."user" GROUP BY cd."user"),
 pairs AS (SELECT x."user" AS key_a, y."user" AS key_b, x.a AS va, y.a AS vb,
                  len(x.a) AS n, len(y.a) AS m,
                  greatest(3, abs(len(x.a) - len(y.a))) AS w
@@ -498,6 +508,14 @@ def dtw_daily(spark, sf_dir):
     purchases = b.df.where(F.col("class") == "events.purchase").select(
         _user(), "ts", F.col("v_agg").cast("double").alias("v_agg")
     )
+    top = (
+        purchases.groupBy("user")
+        .agg(F.sum("v_agg").alias("_n"))
+        .orderBy(F.desc("_n"), "user")
+        .limit(DTW_TOPK)
+        .select("user")
+    )
+    purchases = purchases.join(F.broadcast(top), "user")
     return _fit.dtw_pairs(purchases, value_col="v_agg", window=3, key_col="user")
 
 

@@ -129,7 +129,8 @@ def emb_ivf_topk(spark, sf_dir):
 
 @register("emb_cosine_dup", (
     """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 4000),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cos
@@ -140,8 +141,11 @@ WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.4
 def emb_cosine_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (dedup ladder, embedding
     tier): exact all-pairs baseline at cos >= 0.4; the scale path blocks
-    by LSH/IVF cell first."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    by LSH/IVF cell first. The all-pairs BASELINE runs on a bounded
+    deterministic slice (vec_id < 4000 — the full corpus at the gate SFs,
+    a fixed validation slice beyond), because an unbounded O(N^2) join is
+    exactly what the blocked siblings exist to avoid."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 4000)
     return _sim.cosine_dup_pairs(emb, threshold=0.4)
 
 

@@ -311,10 +311,14 @@ def ws_lr(spark, sf_dir):
 # Full-window DTW oracle: the script-form DTW (threshold form, DTW.java)
 # runs the unbanded DP (w = max(n, m)), so the recursive-CTE replay uses
 # that same band — otherwise identical to queries/analytics.DTW_ORACLE.
+# DTW.java's contract is TWO series (gts1 gts2 threshold DTW), so the
+# script fetches two fixed users — which also bounds the query at every
+# SF (the all-users pairing is dtw_daily's job, top-K-capped there).
 WS_DTW_ORACLE = f"""
 WITH RECURSIVE {PTS}, {DAILY},
 cd AS (SELECT "user", ts, CAST(count(*) AS DOUBLE) AS v FROM daily
-       WHERE class = 'events.purchase' GROUP BY "user", ts),
+       WHERE class = 'events.purchase' AND "user" IN ('1', '2')
+       GROUP BY "user", ts),
 arr AS (SELECT "user", list(v ORDER BY ts) AS a FROM cd GROUP BY "user"),
 pairs AS (SELECT x."user" AS key_a, y."user" AS key_b, x.a AS va, y.a AS vb,
                  len(x.a) AS n, len(y.a) AS m,
@@ -342,10 +346,13 @@ SELECT key_a, key_b, row[m + 1] AS dtw FROM dp WHERE i = n
 
 @register("ws_dtw", WS_DTW_ORACLE)
 def ws_dtw(spark, sf_dir):
-    """FETCH → BUCKETIZE → DTW via script (DTW.java threshold form):
-    pairwise warped distance between users' daily purchase profiles."""
+    """FETCH → BUCKETIZE → DTW via script (DTW.java threshold form,
+    gts1 gts2 threshold → distance): warped distance between two users'
+    daily purchase profiles — the reference's two-series contract."""
     script = f"""
-    [ 'events.purchase' {{}} {_START} {LASTBUCKET} ] FETCH
+    [ 'events.purchase' {{ 'user' '1' }} {_START} {LASTBUCKET} ] FETCH
+    [ SWAP bucketizer.count {LASTBUCKET} {DAY} {NDAYS} ] BUCKETIZE
+    [ 'events.purchase' {{ 'user' '2' }} {_START} {LASTBUCKET} ] FETCH
     [ SWAP bucketizer.count {LASTBUCKET} {DAY} {NDAYS} ] BUCKETIZE
     0 DTW
     """

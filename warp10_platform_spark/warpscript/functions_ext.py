@@ -3525,7 +3525,13 @@ def _macro_to_frame_fn(macro):
         from warp10_platform_spark.warpscript.stack import Macro as _M
         from warp10_platform_spark.warpscript.stack import WarpScriptStack as _S
 
-        st = _S(None, None)
+        # The aggregator macro's op count grows with the frame width (a
+        # reducer sees one value PER SERIES at the tick — 15k series at
+        # sf1 already brushed the default 100k budget), so seed the
+        # worker stack's limit from the data: the reference's maxops is
+        # a config knob, not a semantic bound (WarpScriptStack.java
+        # MAXOPS docs), and the driver-side default stays at 100k.
+        st = _S(None, None, max_ops=max(100_000, 64 * len(frame.values)))
         st.push([
             int(frame.tick),
             [""], [{}],
