@@ -43,6 +43,35 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# Duplicate groups up to this size explode their intra-group pairs with
+# a per-row HOF (≤ k(k-1)/2 = 2016 structs per row, distributed across
+# the many small groups); only LARGER groups — rare, but one can hold
+# half a skewed corpus (r5 skew finding) — pay the distributed self-join,
+# so neither a single task builds a quadratic pair list nor the common
+# unskewed case pays an extra shuffle.
+_INTRA_FLAT_MAX = 64
+
+
+def _intra_pairs(grp: DataFrame) -> DataFrame:
+    """(id_a, id_b) pairs within each identical-doc group (columns:
+    ids array, rep). Hybrid flatten/join on group size, see above."""
+    flat = (
+        grp.where((F.size("ids") > 1) & (F.size("ids") <= _INTRA_FLAT_MAX))
+        .select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), "
+            "y -> named_struct('a', least(x, y), 'b', greatest(x, y)))))"
+        )).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+    )
+    big = grp.where(F.size("ids") > _INTRA_FLAT_MAX).select("rep", F.explode("ids").alias("doc_id"))
+    ia, ib = big.alias("ia"), big.alias("ib")
+    joined = (
+        ia.join(ib, (F.col("ia.rep") == F.col("ib.rep")) & (F.col("ia.doc_id") < F.col("ib.doc_id")))
+        .select(F.col("ia.doc_id").alias("id_a"), F.col("ib.doc_id").alias("id_b"))
+    )
+    return flat.unionByName(joined)
+
+
 def _shingles(docs: DataFrame, n: int, id_col: str) -> DataFrame:
     """doc → distinct word n-gram shingles (array column). Docs shorter
     than n tokens are dropped (no shingle)."""
@@ -134,12 +163,7 @@ def ngram_jaccard_pairs(
             "jaccard",
         )
     )
-    ia, ib = member.alias("ia"), member.alias("ib")
-    intra = (
-        ia.join(ib, (F.col("ia.rep") == F.col("ib.rep")) & (F.col("ia.doc_id") < F.col("ib.doc_id")))
-        .select(F.col("ia.doc_id").alias("id_a"), F.col("ib.doc_id").alias("id_b"))
-        .withColumn("jaccard", F.lit(1.0))
-    )
+    intra = _intra_pairs(grp).withColumn("jaccard", F.lit(1.0))
     if threshold > 1.0:
         intra = intra.where(F.lit(False))
     return expanded.unionByName(intra)
@@ -258,15 +282,9 @@ def minhash_lsh_pairs(
             "jaccard",
         )
     )
-    # Intra-group pairs (identical shingle sets, jaccard exactly 1.0) via
-    # a distributed self-join — never a single-row pair flatten (one dup
-    # group can hold half the corpus; r5 skew finding).
-    ia_, ib_ = member.alias("ia"), member.alias("ib")
-    intra = (
-        ia_.join(ib_, (F.col("ia.rep") == F.col("ib.rep")) & (F.col("ia.doc_id") < F.col("ib.doc_id")))
-        .select(F.col("ia.doc_id").alias("id_a"), F.col("ib.doc_id").alias("id_b"))
-        .withColumn("jaccard", F.lit(1.0))
-    )
+    # Intra-group pairs (identical shingle sets, jaccard exactly 1.0):
+    # hybrid flatten/self-join on group size (_intra_pairs).
+    intra = _intra_pairs(grp).withColumn("jaccard", F.lit(1.0))
     if threshold > 1.0:
         intra = intra.where(F.lit(False))
     return expanded.unionByName(intra)
