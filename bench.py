@@ -62,6 +62,10 @@ EXTENDED = [
     "emb_lsh_topk",
     "doc_chunk_dedup",
     "doc_contamination",
+    # the rollup tier next to its raw-scan twin: bucketize_mean reads raw
+    # points, rollup_daily_profile serves the same daily grain from hourly
+    # partials (provably never scanning raw points — test_rollup.py)
+    "rollup_daily_profile",
 ]
 
 
