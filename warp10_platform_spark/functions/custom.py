@@ -97,13 +97,8 @@ def macro_mapper(
         raise ValueError(f"mixed tick/time frame not supported: pre={pre}, post={post}")
     time_mode = pre < 0 or post < 0
 
-    # Grouped-map pandas UDFs receive EVERY column of the input frame —
-    # Catalyst does not prune through FlatMapGroupsInPandas — so project
-    # to the columns run() reads before grouping, or the labels/attribute
-    # maps get shuffled and Arrow-encoded for nothing.
-    cols = ["gts_id", "class", "labels_key", "ts", value_col]
+    cols = ["class", "labels_key", "ts", value_col]
     cols += [c for c in ("lat", "lon", "elev") if c in df.columns]
-    df = df.select(*cols)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ts").reset_index(drop=True)
@@ -140,7 +135,9 @@ def macro_mapper(
             }
         )
 
-    return df.groupBy("gts_id").applyInPandas(run, schema=_OUT_SCHEMA)
+    from warp10_platform_spark.core.apply import per_series_apply
+
+    return per_series_apply(df, run, _OUT_SCHEMA, cols)
 
 
 def macro_bucketizer(
