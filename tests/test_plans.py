@@ -290,3 +290,19 @@ def test_macro_surface_batches_groups(spark, sf_dir):
     rplan = red._jdf.queryExecution().executedPlan().toString()
     assert rplan.count("Exchange") == 1, rplan
     assert "_chunk" in rplan, rplan
+
+
+def test_per_series_analytics_batch_series_per_group(spark, sf_dir):
+    """Per-series analytics shuffle a hash CHUNK of series per Arrow
+    group (core/apply.per_series_apply), not one group per series — and
+    still exactly one Exchange, with the input projected to the columns
+    the UDF reads (no labels/attributes maps in the plan)."""
+    from warp10_platform_spark.analytics.fit import lowess_smooth
+    from warp10_platform_spark.sources.tables import canonical_points
+
+    pts = canonical_points(spark, sf_dir)
+    out = lowess_smooth(pts, frac=0.3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "_schunk" in plan, plan
+    assert "attributes" not in plan, plan  # map columns pruned pre-shuffle
