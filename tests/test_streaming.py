@@ -239,3 +239,46 @@ def test_streaming_rollup_maintenance_matches_batch(spark, sf_dir, tmp_path):
         for r in read_maintained_rollup(spark, roll_dir).collect()
     }
     assert after == expect
+
+
+def test_streaming_minhash_dedup_flags_near_dups_across_batches(spark, tmp_path):
+    import json
+    import os
+
+    from warp10_platform_spark.streaming import streaming_minhash_dedup
+
+    d = tmp_path / "neardup_stream"
+    os.makedirs(d)
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    other = "completely different vocabulary about spacecraft telemetry and orbital mechanics data"
+    # batch 1: doc 1 original, doc 2 identical (within-batch dup);
+    # batch 2: doc 3 identical again (dup across the batch boundary ->
+    # needs surviving bucket state), doc 4 disjoint vocabulary (clean)
+    (d / "b1.json").write_text(
+        json.dumps({"doc_id": 1, "text": base}) + "\n" + json.dumps({"doc_id": 2, "text": base})
+    )
+    (d / "b2.json").write_text(
+        json.dumps({"doc_id": 3, "text": base}) + "\n" + json.dumps({"doc_id": 4, "text": other})
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    out = streaming_minhash_dedup(stream, sim_threshold=0.5)
+    sink = f"neardup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(sink).collect()
+    dup_docs = {r["doc_id"] for r in rows if r["is_dup"]}
+    assert dup_docs == {2, 3}
+    # identical docs agree on the full signature in every band
+    assert all(r["est_jaccard"] == 1.0 and r["rep_id"] == 1 for r in rows if r["doc_id"] in (2, 3))
+    # the clean doc never matches an earlier rep
+    assert all(not r["is_dup"] for r in rows if r["doc_id"] in (1, 4))

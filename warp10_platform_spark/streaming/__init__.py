@@ -3,6 +3,7 @@ from warp10_platform_spark.streaming.ingest import (  # noqa: F401
     streaming_bucketize,
     streaming_counter_delta,
     streaming_exact_dedup,
+    streaming_minhash_dedup,
     streaming_last,
     streaming_sessionize,
 )

@@ -213,3 +213,95 @@ def streaming_exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str
     return hashed.groupBy("h").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_minhash_dedup(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    sim_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming tier of pipeline/dedup.minhash_lsh_pairs: NEAR-dup
+    detection over a document stream.
+
+    Signatures/band keys are the batch operator's per-row HOF exprs
+    (they stream unchanged); the stateful part is keyed by
+    (band, band_hash) and keeps the FIRST-arriving doc per bucket (the
+    rep) plus its full signature. Every arriving doc is emitted once per
+    band with its bucket rep and the SIGNATURE-ESTIMATED jaccard (the
+    fraction of agreeing minhashes) — the deliberate streaming trade:
+    the batch operator's exact shingle verify would require keeping
+    every document's shingle set in state. A consumer treats a doc as a
+    near-dup when ANY of its bands reports est_jaccard >= threshold
+    against an EARLIER rep (`is_dup` carries the per-band verdict).
+
+    State size = one row per occupied (band, bucket) — the same
+    |corpus|·bands volume the batch band join shuffles, spread across
+    the state store instead of one shuffle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from warp10_platform_spark.pipeline.dedup import minhash_signatures
+
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        n=n,
+        num_hashes=num_hashes,
+    )
+    bh = f"xxhash64(cast(slice(sig, b * {rows_per_band} + 1, {rows_per_band}) AS string))"
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.expr(f"transform(sequence(0, {bands - 1}), b -> named_struct('band', b, 'bh', {bh}))")
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").cast("int").alias("band"), F.col("bb.bh").alias("bh"))
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("band", IntegerType()),
+            StructField("rep_id", LongType()),
+            StructField("est_jaccard", DoubleType()),
+            StructField("is_dup", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("rep_id", LongType()), StructField("sig", StringType())])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            rep_id, sig_s = state.get
+            rep_sig = [int(x) for x in sig_s.split(",")]
+        else:
+            rep_id, rep_sig = None, None
+        band = int(key[0])
+        rows = []
+        for pdf in pdfs:
+            for _, r in pdf.sort_values("doc_id").iterrows():
+                doc = int(r["doc_id"])
+                s = [int(x) for x in r["sig"]]
+                if rep_id is None:
+                    rep_id, rep_sig = doc, s
+                    rows.append((doc, band, doc, 1.0, False))
+                else:
+                    est = sum(a == b for a, b in zip(s, rep_sig)) / float(len(rep_sig))
+                    rows.append((doc, band, rep_id, est, bool(est >= sim_threshold and doc != rep_id)))
+        state.update((rep_id, ",".join(str(x) for x in rep_sig)))
+        yield pd.DataFrame(rows, columns=["doc_id", "band", "rep_id", "est_jaccard", "is_dup"])
+
+    return banded.groupBy("band", "bh").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
