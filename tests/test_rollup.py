@@ -188,3 +188,34 @@ def test_hll_estimate_accuracy(spark, sf_dir):
     }
     for cls, n in exact.items():
         assert abs(est[cls] - n) <= max(5, 0.26 * n), (cls, est[cls], n)
+
+
+def test_histogram_percentile_never_scans_raw_and_merges_exactly(spark, sf_dir):
+    """The histogram tier inherits both rollup properties: (a) the p95
+    query reads ONLY the materialized histogram table with rb pruning,
+    and (b) a two-batch partial merge equals the single-pass histogram
+    (the O(delta) maintenance algebra), so the served percentile is
+    merge-invariant."""
+    import __spark_entry__ as E
+
+    from warp10_platform_spark.operators.bucketize import SERIES_KEYS
+    from warp10_platform_spark.sources.rollup import histogram_partials
+
+    df = E.queries()["rollup_daily_p95_hist"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "hist_" in plan
+    assert "events.parquet" not in plan and "/points_" not in plan
+    r = plan_report(df)
+    assert r.cartesian_products == 0 and r.python_evals == 0
+    assert any("rb" in p for p in r.pushed_filters)
+
+    pts = canonical_points(spark, sf_dir)
+    cut = pts.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    one = histogram_partials(pts)
+    merged = (
+        histogram_partials(pts.where(F.col("ts") <= cut))
+        .unionByName(histogram_partials(pts.where(F.col("ts") > cut)))
+        .groupBy(*SERIES_KEYS, "rb", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert one.exceptAll(merged).count() == 0 and merged.exceptAll(one).count() == 0

@@ -142,3 +142,53 @@ def rollup_daily_distinct_values_hll(spark, sf_dir):
         "ts", F.expr(f"{LASTBUCKET}L - (({LASTBUCKET}L - rb) DIV {DAY}L) * {DAY}L")
     )
     return hll_estimate(day, ["class", "ts"]).withColumnRenamed("n_est", "n_values_est")
+
+
+# Approximate-percentile-from-histogram-partials: the oracle replays the
+# SAME histogram definition over RAW events (bin width 8.0 is binary-
+# representable, so floor((v-0)/8) is IEEE-identical across engines and
+# the whole read — cumulative counts, ceil(q*total), first-bin pick — is
+# exact integer math). A PASS proves the hourly-partial -> day-merge ->
+# percentile path equals the direct single-pass histogram, i.e. the
+# merge algebra is exact; the PERCENTILE itself is approximate with a
+# one-bin-width (8.0) bound, stated in the operator docstring.
+_P95_ORACLE = f"""
+WITH {PTS}, {DAILY},
+b AS (
+  SELECT class, "user", ts,
+         CASE WHEN v < 0.0 THEN -1 WHEN v >= 512.0 THEN 64
+              ELSE CAST(floor(v / 8.0) AS INT) END AS bin,
+         count(*) AS cnt
+  FROM daily GROUP BY 1, 2, 3, 4
+),
+c AS (
+  SELECT class, "user", ts, bin,
+         sum(cnt) OVER (PARTITION BY class, "user", ts ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY class, "user", ts) AS tot
+  FROM b
+)
+SELECT class, "user", ts, 0.0 + min(bin) * 8.0 AS v_p95
+FROM c WHERE cum >= ceil(0.95 * CAST(tot AS DOUBLE))
+GROUP BY class, "user", ts
+"""
+
+
+@register("rollup_daily_p95_hist", _P95_ORACLE)
+def rollup_daily_p95_hist(spark, sf_dir):
+    """Daily p95 per series served from HOURLY histogram partials
+    (sources/rollup.histogram_*): the mergeable approximate-percentile
+    tier. Day histograms are exact merges of hour histograms, so the
+    rollup-served percentile is IDENTICAL to a single-pass histogram
+    over raw points (the oracle) — approximation lives only in the
+    binning (<= one 8.0-wide bin), never in the merge."""
+    from warp10_platform_spark.sources.rollup import histogram_percentile, histogram_points, histogram_rebucket
+
+    h = histogram_points(spark, sf_dir, HOUR_US)
+    day = histogram_rebucket(h, DAY, LASTBUCKET, NDAYS, HOUR_US)
+    p = histogram_percentile(day, 0.95)
+    return p.select(
+        "class",
+        F.get_json_object(F.col("labels_key"), "$[0].value").alias("user"),
+        "ts",
+        F.col("v_pct").alias("v_p95"),
+    )

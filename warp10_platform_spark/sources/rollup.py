@@ -276,3 +276,101 @@ def hll_estimate(registers: DataFrame, group_cols: list) -> DataFrame:
         (e_raw <= 640.0) & (v0 > 0), F.lit(256.0) * F.log(F.lit(256.0) / v0)
     ).otherwise(e_raw)
     return s.select(*group_cols, F.floor(est).cast("long").alias("n_est"))
+
+
+# ---------------------------------------------------------------------------
+# Histogram partials: mergeable approximate-percentile tier.
+#
+# The numeric partials above reconstruct sum/mean/min/max/count/first/last
+# exactly, but percentiles need the distribution. The standard mergeable
+# answer is a fixed-grid histogram: bin = floor((v - lo) / w) clamped to
+# [-1, n_bins] (underflow/overflow), stored SPARSE — one (series, rb, bin,
+# cnt) row per occupied bin. Merging histograms is groupBy-sum (exact,
+# associative, order-free), so the tier has the same O(delta) maintenance
+# algebra as the numeric partials and the HLL registers. The percentile
+# read is DETERMINISTIC (exact integer math over counts), so a SQL oracle
+# replays it bit-for-bit; accuracy is the usual histogram bound (one bin
+# width). Pick w binary-representable (e.g. 8.0) and the binning itself
+# is IEEE-exact across engines.
+# ---------------------------------------------------------------------------
+
+
+def histogram_partials(
+    points: DataFrame,
+    span_us: int = HOUR_US,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Sparse value-histogram partials per (series, rollup bucket)."""
+    w = (hi - lo) / n_bins
+    rb = F.expr(f"((ts + {span_us - 1}L) DIV {span_us}L) * {span_us}L").alias("rb")
+    bin_ = F.expr(
+        f"CASE WHEN v_double < {lo!r}D THEN -1 "
+        f"WHEN v_double >= {hi!r}D THEN {n_bins} "
+        f"ELSE CAST(floor((v_double - {lo!r}D) / {w!r}D) AS INT) END"
+    ).alias("bin")
+    return points.groupBy(*SERIES_KEYS, rb, bin_).agg(F.count("*").alias("cnt"))
+
+
+def histogram_points(
+    spark: SparkSession,
+    sf_dir: str,
+    span_us: int = HOUR_US,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Materialized histogram-partial table (same contract as
+    rollup_points: built once under .cache/, partitioned by class)."""
+    key = _cache_key(sf_dir)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache",
+        f"hist_{span_us}_{n_bins}_{key}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        src = histogram_partials(canonical_points(spark, sf_dir), span_us, lo, hi, n_bins)
+        src.write.mode("overwrite").partitionBy("class").parquet(path)
+    return spark.read.parquet(path)
+
+
+def histogram_rebucket(
+    hist: DataFrame, span_us: int, lastbucket_us: int, bucketcount: int, rollup_span_us: int = HOUR_US
+) -> DataFrame:
+    """Merge histogram partials onto an aligned coarser grid — the same
+    alignment contract (and error behavior) as rebucket()."""
+    if span_us % rollup_span_us != 0 or lastbucket_us % rollup_span_us != 0:
+        raise ValueError("histogram grid misaligned with rollup span")
+    lo_b = lastbucket_us - span_us * bucketcount
+    win = hist.where((F.col("rb") <= lastbucket_us) & (F.col("rb") > lo_b))
+    bucket_end = F.expr(
+        f"{lastbucket_us}L - (({lastbucket_us}L - rb) DIV {span_us}L) * {span_us}L"
+    ).alias("ts")
+    return win.withColumn("ts", bucket_end).groupBy(*SERIES_KEYS, "ts", "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def histogram_percentile(
+    hist: DataFrame,
+    q: float,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 64,
+    group_cols: tuple = ("gts_id", "class", "labels_key", "ts"),
+) -> DataFrame:
+    """Approximate percentile from merged histogram rows: the LOWER EDGE
+    of the first bin (ascending) whose cumulative count reaches
+    ceil(q * total). Pure integer comparisons over counts — bit-exact
+    replayable in SQL; error <= one bin width by construction."""
+    from pyspark.sql.window import Window
+
+    w = (hi - lo) / n_bins
+    cum = F.sum("cnt").over(Window.partitionBy(*group_cols).orderBy("bin"))
+    tot = F.sum("cnt").over(Window.partitionBy(*group_cols))
+    hit = hist.select(*group_cols, "bin", "cnt").withColumn("cum", cum).withColumn("tot", tot)
+    sel = hit.where(F.col("cum") >= F.ceil(F.lit(q) * F.col("tot").cast("double"))).groupBy(
+        *group_cols
+    ).agg(F.min("bin").alias("bin"))
+    return sel.withColumn("v_pct", F.lit(lo) + F.col("bin").cast("double") * F.lit(w))
