@@ -219,3 +219,35 @@ def test_histogram_percentile_never_scans_raw_and_merges_exactly(spark, sf_dir):
         .agg(F.sum("cnt").alias("cnt"))
     )
     assert one.exceptAll(merged).count() == 0 and merged.exceptAll(one).count() == 0
+
+
+def test_serve_bucketize_approx_percentile_routing(spark, sf_dir):
+    """percentile/median requests route to the histogram tier ONLY on
+    explicit opt-in; the served value is within one bin width (8.0) of
+    the exact raw-scan percentile."""
+    from warp10_platform_spark.sources.rollup import serve_bucketize
+
+    _, route = serve_bucketize(spark, sf_dir, "percentile", DAY, LASTBUCKET, NDAYS, p=95.0)
+    assert route == "raw"
+    served, route = serve_bucketize(
+        spark, sf_dir, "percentile", DAY, LASTBUCKET, NDAYS, approx_percentile=True, p=95.0
+    )
+    assert route == "hist:3600000000"
+    # The histogram returns the LOWER EDGE of the bin holding the
+    # ceil(q*n)-th ORDER STATISTIC, so that is the comparator the
+    # one-bin-width bound is guaranteed against (the interpolating
+    # percentile can wander into a sparse-gap neighbor bin).
+    pts = canonical_points(spark, sf_dir)
+    lo = LASTBUCKET - DAY * NDAYS
+    os95 = (
+        pts.where((F.col("ts") <= LASTBUCKET) & (F.col("ts") > lo))
+        .withColumn("ts2", F.expr(f"{LASTBUCKET}L - (({LASTBUCKET}L - ts) DIV {DAY}L) * {DAY}L"))
+        .groupBy("gts_id", "ts2")
+        .agg(F.expr(
+            "array_sort(collect_list(v_double))[CAST(ceil(0.95 * size(collect_list(v_double))) AS INT) - 1]"
+        ).alias("v_os"))
+    )
+    got = {(r["gts_id"], r["ts"]): r["v_agg"] for r in served.collect()}
+    exp = {(r["gts_id"], r["ts2"]): r["v_os"] for r in os95.collect()}
+    assert set(got) == set(exp)
+    assert all(got[k] <= exp[k] < got[k] + 8.0 for k in exp)

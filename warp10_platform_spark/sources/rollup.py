@@ -178,6 +178,8 @@ def serve_bucketize(
     lastbucket_us: int,
     bucketcount: int,
     ladder: tuple[int, ...] = (DAY_US, HOUR_US),
+    approx_percentile: bool = False,
+    p: float | None = None,
 ) -> tuple[DataFrame, str]:
     """Materialized-view rewrite for BUCKETIZE: serve the grid from the
     COARSEST rollup level that can answer it (bucketizer reconstructible
@@ -197,6 +199,20 @@ def serve_bucketize(
     from warp10_platform_spark.operators.bucketize import bucketize as _raw_bucketize
 
     name = bucketizer.replace("bucketizer.", "")
+    # percentile.<q>/median route to the histogram tier ONLY on explicit
+    # opt-in — the answer is approximate (<= one bin width), and a silent
+    # approximate rewrite of an exact request would be wrong, not fast.
+    if approx_percentile and name in ("median", "percentile"):
+        q = 0.5 if name == "median" else float(p) / 100.0
+        if span_us % HOUR_US == 0 and lastbucket_us % HOUR_US == 0:
+            day = histogram_rebucket(
+                histogram_points(spark, sf_dir, HOUR_US), span_us, lastbucket_us, bucketcount, HOUR_US
+            )
+            p = histogram_percentile(day, q)
+            out = p.select(
+                *SERIES_KEYS, "ts", F.col("v_pct").alias("v_agg")
+            ).withColumn("labels", labels_from_key())
+            return out, f"hist:{HOUR_US}"
     if name in SERVABLE:
         for rspan in sorted(ladder, reverse=True):
             if span_us % rspan == 0 and lastbucket_us % rspan == 0:
@@ -212,7 +228,7 @@ def serve_bucketize(
                 )
                 return out, f"rollup:{rspan}"
     out, _spec = _raw_bucketize(
-        canonical_points(spark, sf_dir), bucketizer, span_us, lastbucket_us, bucketcount
+        canonical_points(spark, sf_dir), bucketizer, span_us, lastbucket_us, bucketcount, p=p
     )
     return out, "raw"
 
