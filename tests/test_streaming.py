@@ -282,3 +282,37 @@ def test_streaming_minhash_dedup_flags_near_dups_across_batches(spark, tmp_path)
     assert all(r["est_jaccard"] == 1.0 and r["rep_id"] == 1 for r in rows if r["doc_id"] in (2, 3))
     # the clean doc never matches an earlier rep
     assert all(not r["is_dup"] for r in rows if r["doc_id"] in (1, 4))
+
+
+def test_streaming_histogram_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """The histogram tier's foreachBatch maintenance: per-batch appended
+    sparse histogram rows, regrouped on read, equal the single-pass batch
+    histogram — so the approximate-percentile answer is identical no
+    matter how ingestion was batched."""
+    from warp10_platform_spark.sources.rollup import histogram_partials
+    from warp10_platform_spark.streaming.rollup_maint import (
+        maintain_histogram,
+        read_maintained_histogram,
+    )
+
+    pts = events_points(spark, sf_dir).where(F.col("class") == "events.purchase")
+    text_dir = str(tmp_path / "gts_text_h")
+    format_gts_lines(pts).repartition(4).write.mode("overwrite").text(text_dir)
+
+    stream = read_gts_text_stream(spark, text_dir, max_files_per_trigger=1)
+    hist_dir = str(tmp_path / "hist")
+    q = maintain_histogram(stream, hist_dir, str(tmp_path / "ckpt_h"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_pts = parse_gts_lines(spark.read.text(text_dir))
+    expect = {
+        (r["gts_id"], r["rb"], r["bin"]): r["cnt"] for r in histogram_partials(batch_pts).collect()
+    }
+    got = {
+        (r["gts_id"], r["rb"], r["bin"]): r["cnt"]
+        for r in read_maintained_histogram(spark, hist_dir).collect()
+    }
+    assert got == expect and got

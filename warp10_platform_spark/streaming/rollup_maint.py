@@ -59,3 +59,45 @@ def compact_rollup(spark: SparkSession, path: str) -> None:
     regroup-on-read input size."""
     merged = read_maintained_rollup(spark, path).localCheckpoint()
     merged.write.mode("overwrite").parquet(path)
+
+
+# ---- histogram tier: identical maintenance shape -------------------------
+
+
+def maintain_histogram(
+    points_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    span_us: int = HOUR_US,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 64,
+):
+    """Continuously-maintained histogram partials (the approximate-
+    percentile tier): per micro-batch, bin the batch's points and
+    blind-append the sparse (series, rb, bin, cnt) rows. Same
+    append/regroup-on-read algebra as the numeric partials — histogram
+    counts merge by groupBy-sum, so readers are exact regardless of how
+    ingestion was batched."""
+    from warp10_platform_spark.sources.rollup import histogram_partials
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        histogram_partials(batch_df, span_us, lo, hi, n_bins).write.mode("append").parquet(path)
+
+    writer = points_stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    return writer.trigger(availableNow=True).start()
+
+
+def read_maintained_histogram(spark: SparkSession, path: str) -> DataFrame:
+    """Appended per-batch histogram rows regrouped to one row per
+    (series, rb, bin) — feedable straight into histogram_rebucket /
+    histogram_percentile."""
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.operators.bucketize import SERIES_KEYS
+
+    return spark.read.parquet(path).groupBy(*SERIES_KEYS, "rb", "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
