@@ -316,3 +316,35 @@ def test_streaming_histogram_maintenance_matches_batch(spark, sf_dir, tmp_path):
         for r in read_maintained_histogram(spark, hist_dir).collect()
     }
     assert got == expect and got
+
+
+def test_streaming_directory_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """Directory maintenance at ingest: per-batch extent partials,
+    regrouped on read, equal the full points rebuild — FIND over the
+    maintained directory gives the same series set."""
+    from warp10_platform_spark.sources.directory import build_directory, find
+    from warp10_platform_spark.streaming.rollup_maint import (
+        maintain_directory,
+        read_maintained_directory,
+    )
+
+    pts = events_points(spark, sf_dir).where(F.col("class") == "events.purchase")
+    text_dir = str(tmp_path / "gts_text_d")
+    format_gts_lines(pts).repartition(4).write.mode("overwrite").text(text_dir)
+
+    stream = read_gts_text_stream(spark, text_dir, max_files_per_trigger=1)
+    dir_path = str(tmp_path / "directory")
+    q = maintain_directory(stream, dir_path, str(tmp_path / "ckpt_d"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_pts = parse_gts_lines(spark.read.text(text_dir))
+    cols = ["gts_id", "class", "labels_key", "first_ts", "last_ts", "n_points"]
+    expect = sorted(tuple(r) for r in build_directory(batch_pts).select(*cols).collect())
+    maint = read_maintained_directory(spark, dir_path)
+    got = sorted(tuple(r) for r in maint.select(*cols).collect())
+    assert got == expect and got
+    n_sel = find(maint, "events.purchase{}").count()
+    assert n_sel == len(got)

@@ -101,3 +101,44 @@ def read_maintained_histogram(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).groupBy(*SERIES_KEYS, "rb", "bin").agg(
         F.sum("cnt").alias("cnt")
     )
+
+
+# ---- directory tier: same algebra, series metadata ------------------------
+
+
+def maintain_directory(points_stream: DataFrame, path: str, checkpoint: str):
+    """Continuously-maintained directory (sources/directory.py promises
+    this at 100 TB): per micro-batch, append one row per touched series
+    with its batch-local extent partials (min ts / max ts / count).
+    Extents and counts merge associatively, so regroup-on-read yields
+    exactly the directory a full points rebuild would — while FIND /
+    selector resolution keep reading ~1e6 series rows, never the points."""
+    from warp10_platform_spark.sources.directory import build_directory
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        build_directory(batch_df).drop("labels").write.mode("append").parquet(path)
+
+    writer = points_stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    return writer.trigger(availableNow=True).start()
+
+
+def read_maintained_directory(spark: SparkSession, path: str) -> DataFrame:
+    """Appended per-batch directory partials regrouped to one row per
+    series — same schema and consumers as sources/directory.build_directory."""
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.core.schema import labels_from_key
+
+    return (
+        spark.read.parquet(path)
+        .groupBy("gts_id", "class", "labels_key")
+        .agg(
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+            F.sum("n_points").alias("n_points"),
+        )
+        .withColumn("labels", labels_from_key())
+        .select("gts_id", "class", "labels_key", "labels", "first_ts", "last_ts", "n_points")
+    )
