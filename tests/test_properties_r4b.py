@@ -243,3 +243,30 @@ def test_pq_codes_in_codebook_range(spark):
         (F.size("pq") != 8) | F.expr("exists(pq, x -> x < 0 OR x >= 16)")
     ).count()
     assert bad == 0
+
+
+def test_histogram_binning_is_cross_engine_exact(spark):
+    """The histogram tier's claim: floor((v - lo)/w) with binary-
+    representable lo/w is IEEE-identical in Spark and DuckDB, including
+    exact bin boundaries, negatives, underflow/overflow and subnormal
+    offsets."""
+    import duckdb
+
+    vals = (
+        [8.0 * k for k in range(-3, 70)]                    # exact boundaries
+        + [8.0 * k - 2.0 ** -40 for k in range(1, 66)]      # just below
+        + [8.0 * k + 2.0 ** -40 for k in range(0, 66)]      # just above
+        + [0.01, 489.99, 511.999999, 512.0, -0.0, 1e-300, 4.9e-324, 1e6, -1e6]
+    )
+    case = (
+        "CASE WHEN v < 0.0 THEN -1 WHEN v >= 512.0 THEN 64 "
+        "ELSE CAST(floor(v / 8.0) AS INT) END"
+    )
+    sdf = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = [r[0] for r in sdf.selectExpr(f"{case} AS b").collect()]
+    con = duckdb.connect()
+    exp = [
+        con.execute(f"SELECT {case} FROM (SELECT ?::DOUBLE AS v)", [float(v)]).fetchone()[0]
+        for v in vals
+    ]
+    assert got == exp
