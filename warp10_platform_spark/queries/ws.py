@@ -764,3 +764,26 @@ def ws_pickle_roundtrip(spark, sf_dir):
     m = st.pop()
     rows = sorted((k, int(v)) for k, v in m.items())
     return spark.createDataFrame(rows, "class string, n long")
+
+
+@register("ws_percentile_bucketize", (
+    f"WITH {PTS}, {DAILY} "
+    'SELECT class, "user", ts, round(quantile_cont(v, 0.95), 6) AS v_p95 '
+    'FROM daily GROUP BY class, "user", ts'
+))
+def ws_percentile_bucketize(spark, sf_dir):
+    """Parameterized aggregator through the script surface: `95.0
+    bucketizer.percentile` pops its parameter at CREATION, like the
+    reference's function object (PERCENTILE.java:48) — daily p95 per
+    series, exact interpolating percentile on both engines."""
+    script = f"""
+    [ '~events\\..*' {{}} {_START} {LASTBUCKET} ] FETCH
+    [ SWAP 95.0 bucketizer.percentile {LASTBUCKET} {DAY} {NDAYS} ] BUCKETIZE
+    """
+    gf = exec_script(spark, sf_dir, script)
+    return gf.df.select(
+        "class",
+        F.get_json_object("labels_key", "$[0].value").alias("user"),
+        "ts",
+        F.round("v_agg", 6).alias("v_p95"),
+    )

@@ -292,6 +292,26 @@ for _fam in ("bucketizer", "mapper", "reducer"):
         _full = f"{_fam}.{_bn}"
         REGISTRY[_full] = (lambda name: lambda st: st.push(name))(_full)
 
+# Parameterized aggregators pop their parameter at CREATION, like the
+# reference's function objects (`95.0 bucketizer.percentile` builds a
+# Percentile aggregator — PERCENTILE.java:48; same for highest/lowest's
+# k — MAXWITH/MINWITH): push a ("param_agg", name, p) tuple the GTS
+# consumers (BUCKETIZE/MAP/REDUCE) interpret.
+
+
+def _param_agg(name):
+    def f(st):
+        p = st.pop()
+        st.push(("param_agg", name, float(p)))
+
+    return f
+
+
+for _fam in ("bucketizer", "mapper", "reducer"):
+    for _bn in ("percentile", "highest", "lowest"):
+        _full = f"{_fam}.{_bn}"
+        REGISTRY[_full] = _param_agg(_full)
+
 for _opn in ("op.add", "op.sub", "op.mul", "op.div", "op.eq", "op.ne", "op.gt",
              "op.ge", "op.lt", "op.le", "op.and", "op.or", "op.mask", "op.negmask"):
     REGISTRY[_opn] = (lambda name: lambda st: st.push(name))(_opn)
@@ -507,6 +527,12 @@ def _bucketize(st):
         args[:-4], args[-4], args[-3], args[-2], args[-1]
     )
     gf = _as_frame(gts if len(gts) != 1 else gts[0])
+    if isinstance(bucketizer, tuple) and bucketizer[0] == "param_agg":
+        st.push(gf.bucketize(
+            bucketizer[1], span, lastbucket=lastbucket or None,
+            bucketcount=count or None, p=bucketizer[2],
+        ))
+        return
     if isinstance(bucketizer, tuple) and bucketizer[0] == "macrobucketizer":
         from warp10_platform_spark.functions.custom import macro_bucketizer
 
@@ -598,6 +624,8 @@ def _map(st):
         st.push(gf.delta())
     elif mapper == "mapper.rate" and pre == 1 and post == 0:
         st.push(gf.rate())
+    elif isinstance(mapper, tuple) and mapper[0] == "param_agg":
+        st.push(gf.map_aggregate(mapper[1], pre, post, p=mapper[2]))
     else:
         st.push(gf.map_aggregate(mapper, pre, post))
 
@@ -615,6 +643,9 @@ def _reduce(st):
         return
     if isinstance(reducer, tuple) and reducer[0] == "strictreducer":
         reducer = reducer[1]
+    if isinstance(reducer, tuple) and reducer[0] == "param_agg":
+        st.push(gf.reduce_(reducer[1], by_labels, p=reducer[2]))
+        return
     st.push(gf.reduce_(reducer, by_labels))
 
 
