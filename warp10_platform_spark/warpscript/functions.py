@@ -1927,6 +1927,9 @@ def _bucketize_calendar(st):
     args = st.pop()
     gts, bucketizer, unit, tz = args[:-3], args[-3], args[-2], args[-1]
     gf = _as_frame(gts if len(gts) != 1 else gts[0])
+    if isinstance(bucketizer, tuple) and bucketizer[0] == "param_agg":
+        st.push(gf.bucketize_calendar(bucketizer[1], unit, tz, p=bucketizer[2]))
+        return
     st.push(gf.bucketize_calendar(bucketizer, unit, tz))
 
 
