@@ -446,3 +446,42 @@ def test_ws_wrap_unwrap_wire_format(spark):
     a = {(r["class"], r["ts"], r["v_double"]) for r in back.df.collect()}
     b = {(r["class"], r["ts"], r["v_double"]) for r in orig.df.select("class", "ts", "v_double").collect()}
     assert a == b and len(a) > 0
+
+
+def test_repository_macro_resolution(spark, tmp_path, monkeypatch):
+    """@path/name derefs not bound on the stack resolve from the
+    configured macro repository directory (WarpScriptMacroRepository.java:
+    file <name>.mc2 leaves a macro on the stack), with nested repo-macro
+    calls, mtime-based reload, and no traversal outside the root."""
+    import os
+
+    from warp10_platform_spark.warpscript.stack import WarpScriptStack
+
+    repo = tmp_path / "macros"
+    os.makedirs(repo / "util")
+    (repo / "util" / "double.mc2").write_text("<% 2 * %>")
+    (repo / "util" / "quad.mc2").write_text("<% @util/double @util/double %>")
+    monkeypatch.setenv("WARPSCRIPT_REPOSITORY_DIRECTORY", str(repo))
+
+    st = WarpScriptStack(spark, "/root/testdata/sf0.001")
+    st.exec("21 @util/quad")
+    assert st.pop() == 84
+
+    # bound symbols shadow the repository
+    st2 = WarpScriptStack(spark, "/root/testdata/sf0.001")
+    st2.exec("<% 3 * %> 'util/double' STORE 10 @util/double")
+    assert st2.pop() == 30
+
+    # mtime reload
+    (repo / "util" / "double.mc2").write_text("<% 5 * %>")
+    os.utime(repo / "util" / "double.mc2", ns=(2**62, 2**62))
+    st3 = WarpScriptStack(spark, "/root/testdata/sf0.001")
+    st3.exec("4 @util/double")
+    assert st3.pop() == 20
+
+    # traversal refused -> unknown macro
+    import pytest
+
+    st4 = WarpScriptStack(spark, "/root/testdata/sf0.001")
+    with pytest.raises(NameError):
+        st4.exec("1 @../outside")

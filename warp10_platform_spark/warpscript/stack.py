@@ -129,6 +129,8 @@ class WarpScriptStack:
                 self.push(self.symbols[t.value])
             elif t.kind == "deref":
                 macro = self.symbols.get(t.value)
+                if macro is None:
+                    macro = self._repository_macro(t.value)
                 if not isinstance(macro, Macro):
                     raise NameError(f"line {t.lineno}: @{t.value} is not a macro")
                 self.exec_macro(macro)
@@ -154,6 +156,39 @@ class WarpScriptStack:
                 if fn is not None:
                     fn(self)
             i += 1
+
+    # ---- file-based macro repository -------------------------------
+    # The reference resolves @name derefs not found on the stack from a
+    # configured macro directory (WarpScriptMacroRepository.java:
+    # `warpscript.repository.directory`; name = relative path without
+    # the .mc2 extension, the file leaves a <% %> macro on the stack).
+    # Cached per (path, mtime) so edits reload, like the reference's
+    # refresh loop.
+    _repo_cache: dict = {}
+
+    def _repository_macro(self, name: str):
+        import os
+
+        root = os.environ.get("WARPSCRIPT_REPOSITORY_DIRECTORY")
+        if not root:
+            return None
+        path = os.path.normpath(os.path.join(root, name + ".mc2"))
+        # refuse traversal outside the repository root
+        if not path.startswith(os.path.normpath(root) + os.sep):
+            return None
+        if not os.path.isfile(path):
+            return None
+        mtime = os.stat(path).st_mtime_ns
+        hit = WarpScriptStack._repo_cache.get(path)
+        if hit is not None and hit[0] == mtime:
+            return hit[1]
+        sub = WarpScriptStack(self.spark, self.sf_dir, max_ops=self.max_ops)
+        sub.exec(open(path).read())
+        macro = sub.pop()
+        if not isinstance(macro, Macro):
+            raise TypeError(f"macro file {name}.mc2 did not leave a macro on the stack")
+        WarpScriptStack._repo_cache[path] = (mtime, macro)
+        return macro
 
     _REG_RE = re.compile(r"^(POPR|CPOPR|PUSHR|RUNR)(\d+)$")
 
