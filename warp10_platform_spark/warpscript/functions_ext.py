@@ -3261,7 +3261,8 @@ def _call_stub(st):
     raise NotImplementedError(
         "CALL/REXEC are out of scope in this engine: they escape to external "
         "subprocesses / remote Warp 10 instances (CALL.java:47, REXEC.java). "
-        "Express the subprogram as a macro, or run it outside the query."
+        "Express the subprogram as a macro — shared macros load from "
+        "WARPSCRIPT_REPOSITORY_DIRECTORY via @path/name — or run it outside the query."
     )
 
 
