@@ -348,3 +348,45 @@ def test_streaming_directory_maintenance_matches_batch(spark, sf_dir, tmp_path):
     assert got == expect and got
     n_sel = find(maint, "events.purchase{}").count()
     assert n_sel == len(got)
+
+
+def test_maintenance_write_is_idempotent_under_batch_replay(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: after a failure mid-write the
+    restarted query REPLAYS the last batch. The per-batch dynamic
+    partition overwrite must make that replay a no-op — writing the same
+    (df, batch_id) twice, and then a replay with slightly different rows
+    for the same id, yields exactly one copy with the LAST write
+    winning, never a double-counted regroup."""
+    from warp10_platform_spark.sources.rollup import rollup_partials
+    from warp10_platform_spark.streaming.rollup_maint import (
+        _write_batch,
+        read_maintained_rollup,
+    )
+
+    pts = events_points(spark, sf_dir).where(F.col("class") == "events.purchase")
+    partials = rollup_partials(pts).localCheckpoint()
+    roll_dir = str(tmp_path / "rollup_replay")
+
+    _write_batch(partials, roll_dir, 0)
+    once = {
+        (r["gts_id"], r["rb"]): (r["cnt"], r["sum_d"])
+        for r in read_maintained_rollup(spark, roll_dir).collect()
+    }
+    assert once
+
+    # Exact replay of batch 0: regrouped read unchanged (no double count).
+    _write_batch(partials, roll_dir, 0)
+    replay = {
+        (r["gts_id"], r["rb"]): (r["cnt"], r["sum_d"])
+        for r in read_maintained_rollup(spark, roll_dir).collect()
+    }
+    assert replay == once
+
+    # A distinct batch id still accumulates (this is maintenance, not a
+    # global overwrite): batch 1 with the same partials doubles counts.
+    _write_batch(partials, roll_dir, 1)
+    two = {
+        (r["gts_id"], r["rb"]): r["cnt"]
+        for r in read_maintained_rollup(spark, roll_dir).collect()
+    }
+    assert all(two[k] == 2 * once[k][0] for k in once)

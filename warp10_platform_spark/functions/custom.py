@@ -64,7 +64,19 @@ MacroFn = Callable[[Frame], float]
 # Buckets (resp. distinct ticks) batched into one Arrow group — amortizes
 # the per-group Arrow/pandas overhead while keeping group size bounded.
 _CHUNK_BUCKETS = 256
-_CHUNK_TICKS = 64
+_MIN_TICK_CHUNKS = 64
+
+
+def _tick_chunks(df: DataFrame) -> int:
+    """Tick-chunk count for macro_reducer, derived from the session's
+    shuffle parallelism (like core/apply.per_series_apply) so total
+    Arrow groups scale with the cluster instead of capping at a fixed
+    64 — per-group memory stays ~class_size/chunks as data grows."""
+    try:
+        parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        parts = 32
+    return max(_MIN_TICK_CHUNKS, parts * 4)
 
 _OUT_SCHEMA = StructType(
     [
@@ -209,15 +221,17 @@ def macro_reducer(
     and call fn with all series' values at that tick."""
     keys = [F.element_at(F.col("labels"), k).alias(f"label_{k}") for k in by_labels]
     key_names = [f"label_{k}" for k in by_labels]
-    # Chunk ticks by hash so one Arrow group carries ~1/_CHUNK_TICKS of an
+    # Chunk ticks by hash so one Arrow group carries ~1/n_chunks of an
     # equivalence class's ticks instead of a single tick: all rows of a
     # given tick land in the same group (correctness), per-group overhead
-    # is amortized, and group size stays a fixed fraction of the class.
+    # is amortized, and the chunk count scales with shuffle parallelism
+    # so per-group memory shrinks as partitions are added.
+    n_chunks = _tick_chunks(df)
     sel = df.select(
         *keys,
         F.col("ts"),
         F.col(value_col).alias("_v"),
-        F.pmod(F.xxhash64("ts"), F.lit(_CHUNK_TICKS)).alias("_chunk"),
+        F.pmod(F.xxhash64("ts"), F.lit(n_chunks)).alias("_chunk"),
     )
     schema = StructType(
         [StructField(k, StringType()) for k in key_names]

@@ -167,7 +167,9 @@ c AS (
          sum(cnt) OVER (PARTITION BY class, "user", ts) AS tot
   FROM b
 )
-SELECT class, "user", ts, 0.0 + min(bin) * 8.0 AS v_p95
+SELECT class, "user", ts,
+       CASE WHEN min(bin) < 0 OR min(bin) >= 64 THEN NULL
+            ELSE 0.0 + min(bin) * 8.0 END AS v_p95
 FROM c WHERE cum >= ceil(0.95 * CAST(tot AS DOUBLE))
 GROUP BY class, "user", ts
 """

@@ -203,13 +203,20 @@ def serve_bucketize(
     # opt-in — the answer is approximate (<= one bin width), and a silent
     # approximate rewrite of an exact request would be wrong, not fast.
     if approx_percentile and name in ("median", "percentile"):
-        q = 0.5 if name == "median" else float(p) / 100.0
+        if name == "percentile":
+            if p is None:
+                raise ValueError("bucketizer.percentile requires p (the percentile rank)")
+            q = float(p) / 100.0
+        else:
+            q = 0.5
         if span_us % HOUR_US == 0 and lastbucket_us % HOUR_US == 0:
             day = histogram_rebucket(
                 histogram_points(spark, sf_dir, HOUR_US), span_us, lastbucket_us, bucketcount, HOUR_US
             )
-            p = histogram_percentile(day, q)
-            out = p.select(
+            # v_agg is NULL when the percentile lands in a clamp bin
+            # (value outside [lo, hi)) — see histogram_percentile.
+            pct = histogram_percentile(day, q)
+            out = pct.select(
                 *SERIES_KEYS, "ts", F.col("v_pct").alias("v_agg")
             ).withColumn("labels", labels_from_key())
             return out, f"hist:{HOUR_US}"
@@ -340,10 +347,13 @@ def histogram_points(
     """Materialized histogram-partial table (same contract as
     rollup_points: built once under .cache/, partitioned by class)."""
     key = _cache_key(sf_dir)
+    # Cache key carries ALL bin-geometry parameters (span, n_bins, lo, hi)
+    # so a later call with different edges can never be served a stale
+    # table built with different bins.
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".cache",
-        f"hist_{span_us}_{n_bins}_{key}",
+        f"hist_{span_us}_{n_bins}_{lo:g}_{hi:g}_{key}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         src = histogram_partials(canonical_points(spark, sf_dir), span_us, lo, hi, n_bins)
@@ -379,7 +389,13 @@ def histogram_percentile(
     """Approximate percentile from merged histogram rows: the LOWER EDGE
     of the first bin (ascending) whose cumulative count reaches
     ceil(q * total). Pure integer comparisons over counts — bit-exact
-    replayable in SQL; error <= one bin width by construction."""
+    replayable in SQL; error <= one bin width by construction FOR
+    INTERIOR bins only. When the selected bin is a clamp bin (underflow
+    bin -1 holds every value < lo, overflow bin n_bins every value >=
+    hi), the true percentile may be arbitrarily far outside [lo, hi), so
+    v_pct is returned as NULL rather than an unbounded-error edge value
+    — callers (serve_bucketize's hist route) surface the null instead of
+    a silently wrong answer."""
     from pyspark.sql.window import Window
 
     w = (hi - lo) / n_bins
@@ -389,4 +405,9 @@ def histogram_percentile(
     sel = hit.where(F.col("cum") >= F.ceil(F.lit(q) * F.col("tot").cast("double"))).groupBy(
         *group_cols
     ).agg(F.min("bin").alias("bin"))
-    return sel.withColumn("v_pct", F.lit(lo) + F.col("bin").cast("double") * F.lit(w))
+    interior = F.lit(lo) + F.col("bin").cast("double") * F.lit(w)
+    return sel.withColumn(
+        "v_pct",
+        F.when((F.col("bin") < 0) | (F.col("bin") >= n_bins), F.lit(None).cast("double"))
+        .otherwise(interior),
+    )
