@@ -107,22 +107,28 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             target[name] = round(time.perf_counter() - t0, 3)
-    # Per-query best of the three steady passes: identical plans + warm
-    # JIT, so run-to-run spread is GC/scheduler noise — the minimum is
-    # the repeatable steady-state cost (JMH-style best-after-warmup).
-    best = {n: min(steady1[n], steady2[n], steady3[n]) for n in steady1}
-    timings = {n: best[n] for n in HEADLINE if n in best}
-    extended = {n: best[n] for n in EXTENDED if n in best}
+    # Per-query MEDIAN of the three steady passes (robust to a single
+    # GC/scheduler outlier in either direction), plus the spread
+    # (max - min) so a cross-round delta can be judged against this
+    # box's measured run-to-run variance without a re-run.
+    import statistics
+
+    samples = {n: sorted((steady1[n], steady2[n], steady3[n])) for n in steady1}
+    med = {n: round(statistics.median(v), 3) for n, v in samples.items()}
+    spread = {n: round(v[-1] - v[0], 3) for n, v in samples.items()}
+    timings = {n: med[n] for n in HEADLINE if n in med}
+    extended = {n: med[n] for n in EXTENDED if n in med}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
-                "metric": "headline-queries wall-clock (steady-state)",
+                "metric": "headline-queries wall-clock (steady-state median of 3)",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
                 "extended": extended,
+                "spread": {n: spread[n] for n in list(timings) + list(extended)},
                 "cold_value": round(sum(cold[n] for n in timings), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -12,7 +12,8 @@ and extracts scale-relevant counters from ``explain('formatted')``:
 - ``scans``          — parquet scans, and whether any scan reads a full
                        row (no ReadSchema pruning)
 
-The report is written to PLANAUDIT_r5.md sorted by (cartesian desc,
+The report is written to PLANAUDIT_r$ROUND.md (ROUND env, default 6)
+sorted by (cartesian desc,
 python_evals desc, exchanges desc) so offenders float to the top.
 A small allowlist documents queries whose counters are legitimately
 high (iterative algorithms, pandas-UDF multimodal codecs, ...).
@@ -152,7 +153,7 @@ def main() -> None:
     ok.sort(key=lambda r: (-r["cartesian"], -r["python_evals"], -r["exchanges"]))
 
     lines = [
-        "# Physical-plan audit (round 5)",
+        f"# Physical-plan audit (round {os.environ.get('ROUND', '6')})",
         "",
         f"Queries audited: {len(rows)}  (errors: {len(errors)})",
         "",
@@ -208,7 +209,7 @@ def main() -> None:
         lines += ["", "## Errors", ""]
         for r in errors:
             lines.append(f"- {r['name']}: {r['error']}")
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANAUDIT_r5.md")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), f"PLANAUDIT_r{os.environ.get('ROUND', '6')}.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"\nwrote {out}: {len(flagged)} flagged, {len(errors)} errors")

@@ -306,3 +306,66 @@ def test_per_series_analytics_batch_series_per_group(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     assert "_schunk" in plan, plan
     assert "attributes" not in plan, plan  # map columns pruned pre-shuffle
+
+
+def _scan_stats(df):
+    """Execute df and read the FileSourceScan's post-execution SQL
+    metrics (numFiles / filesSize) — the file-level EFFECT of partition
+    pruning, not just the PartitionFilters text in the plan. AQE wraps
+    the executed plan in a way that detaches leaf metrics, so callers
+    disable it around the probe."""
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    files = size = 0
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if "Scan" in leaf.nodeName():
+            mets = leaf.metrics()
+            if mets.contains("numFiles"):
+                files += mets.apply("numFiles").value()
+            if mets.contains("filesSize"):
+                size += mets.apply("filesSize").value()
+    return files, size
+
+
+def test_day_partition_pruning_reads_fewer_files_sf01(spark):
+    """File-level pruning evidence at sf0.1 (the bench scale): a 1-day
+    FETCH over the (class, day)-partitioned layout must OPEN strictly
+    fewer bytes — and no more files — than the same FETCH over the
+    class-partitioned canonical layout, and must touch only files under
+    the target day's directory. This asserts pruning's EFFECT (files and
+    bytes actually read), complementing the PartitionFilters plan-text
+    assertion above."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.sources.tables import DAY_US, canonical_points, partitioned_points
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf01, "events.parquet")):
+        import pytest
+
+        pytest.skip("sf0.1 testdata not present")
+
+    t0 = 1704844800000000 // 86_400_000_000 * DAY_US  # day-aligned instant, platform ticks
+    t1 = t0 + DAY_US - 1
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        part = partitioned_points(spark, sf01).where(
+            F.col("day").between(t0 // DAY_US, t1 // DAY_US)
+        ).where((F.col("class") == "events.purchase") & F.col("ts").between(t0, t1))
+        canon = canonical_points(spark, sf01).where(
+            (F.col("class") == "events.purchase") & F.col("ts").between(t0, t1)
+        )
+        pf, pb = _scan_stats(part.select("ts", "v_double"))
+        cf, cb = _scan_stats(canon.select("ts", "v_double"))
+        # same rows from both layouts
+        assert part.count() == canon.count() > 0
+        assert pf <= cf and pb < cb, (pf, pb, cf, cb)
+        # every file opened by the pruned scan lives under the one day dir
+        files = [r[0] for r in part.select(F.input_file_name()).distinct().collect()]
+        assert files and all(f"/day={t0 // DAY_US}/" in f for f in files), files[:3]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

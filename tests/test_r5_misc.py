@@ -36,6 +36,25 @@ def test_call_stub_raises_documented(spark, sf_dir):
             st.exec(f"'x' {fn}")
 
 
+def test_residual_names_all_bound_with_reasons(spark, sf_dir):
+    """Round-6 closure of the unbound tail: TIGER/GOST and the ten
+    platform-management names raise a NAMED out-of-scope error (never
+    'unknown function'), so any macro library referencing them fails
+    with the reason."""
+    st = _stack(spark, sf_dir)
+    for fn, frag in (
+        ("TIGER", "S-box"),
+        ("GOST", "S-box"),
+        ("TOKENINFO", "out of scope"),
+        ("WF.ADDREPO", "out of scope"),
+        ("LOGINIT", "out of scope"),
+        ("PIGSCHEMA", "out of scope"),
+        ("CAPADD", "CAPGET"),
+    ):
+        with pytest.raises(NotImplementedError, match=frag):
+            st.exec(f"'x' {fn}")
+
+
 def test_geocover_cap(spark, sf_dir):
     """A fine-resolution cover over many distinct locations trips the
     10000-cell guard (WarpScriptStack.DEFAULT_MAX_GEOCELLS) instead of

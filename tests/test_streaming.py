@@ -390,3 +390,98 @@ def test_maintenance_write_is_idempotent_under_batch_replay(spark, sf_dir, tmp_p
         for r in read_maintained_rollup(spark, roll_dir).collect()
     }
     assert all(two[k] == 2 * once[k][0] for k in once)
+
+
+def test_pluggable_socket_source_same_pipeline(spark, sf_dir, tmp_path):
+    """read_points_stream(source='socket'): the SAME parse pipeline green
+    under a second transport (the reference's Ingress consumes identical
+    GTS lines whatever delivered them). A local TCP server pushes lines;
+    the socket stream parses them into canonical points that match the
+    batch parser bit-for-bit."""
+    import socket
+    import threading
+
+    from warp10_platform_spark.streaming import read_points_stream
+
+    pts = events_points(spark, sf_dir).where(F.col("class") == "events.purchase").limit(50)
+    lines = [r["value"] for r in format_gts_lines(pts).collect()]
+    payload = ("\n".join(lines) + "\n").encode()
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def feed():
+        conn, _ = srv.accept()
+        conn.sendall(payload)
+        # keep the connection open long enough for a micro-batch to drain
+        import time as _t
+
+        _t.sleep(3)
+        conn.close()
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+
+    stream = read_points_stream(spark, source="socket", host="127.0.0.1", port=port)
+    sink = f"sock_pts_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sock"))
+        .start()
+    )
+    try:
+        deadline = 30
+        import time as _t
+
+        while deadline > 0 and spark.table(sink).count() < len(lines):
+            q.processAllAvailable()
+            _t.sleep(0.5)
+            deadline -= 1
+    finally:
+        q.stop()
+        srv.close()
+
+    got = {
+        (r["gts_id"], r["ts"], r["v_double"])
+        for r in spark.table(sink).select("gts_id", "ts", "v_double").collect()
+    }
+    want = {
+        (r["gts_id"], r["ts"], r["v_double"])
+        for r in parse_gts_lines(
+            spark.createDataFrame([(ln,) for ln in lines], "value string")
+        ).select("gts_id", "ts", "v_double").collect()
+    }
+    assert got == want and got
+
+
+def test_pluggable_rate_source_parses_through_gts_path(spark, tmp_path):
+    """read_points_stream(source='rate'): synthetic rows are rendered as
+    GTS text and flow through the shared parser — schema and class/label
+    projection identical to every other transport."""
+    from warp10_platform_spark.streaming import read_points_stream
+
+    stream = read_points_stream(spark, source="rate", rowsPerSecond=50)
+    sink = f"rate_pts_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = 20
+        while deadline > 0 and spark.table(sink).count() == 0:
+            _t.sleep(0.5)
+            deadline -= 1
+    finally:
+        q.stop()
+    rows = spark.table(sink).select("class", "labels_key", "ts", "v_long", "v_double").collect()
+    assert rows
+    assert all(r["class"] == "rate.synthetic" for r in rows)
+    assert all(r["ts"] and (r["v_long"] is not None or r["v_double"] is not None) for r in rows)

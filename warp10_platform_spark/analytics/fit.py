@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from warp10_platform_spark.core import timeunits as _tuc
 from warp10_platform_spark.core.apply import per_series_apply
 from pyspark.sql.types import (
     DoubleType,
@@ -51,11 +52,11 @@ def lr_fit(df: DataFrame, value_col: str = "v_double") -> DataFrame:
     n = F.col("n").cast("double")
     sx, sxx, sy, sxy = F.col("sx").cast("double"), F.col("sxx"), F.col("sy"), F.col("sxy")
     denom = n * sxx - sx * sx
-    slope_us = (n * sxy - sx * sy) / denom  # per µs
+    slope_us = (n * sxy - sx * sy) / denom  # per tick
     intercept = (sy - slope_us * sx) / n
     return mom.where(F.col("n") >= 2).select(
         *SERIES_KEYS,
-        (slope_us * 1_000_000.0).alias("slope"),
+        (slope_us * float(_tuc.UNITS_PER_S)).alias("slope"),
         intercept.alias("intercept"),
     )
 

@@ -31,7 +31,11 @@ from warp10_platform_spark.operators import mapper as _mapper
 from warp10_platform_spark.operators import reduce_apply as _ra
 from warp10_platform_spark.operators import reshape as _reshape
 from warp10_platform_spark.operators import sort as _sort
-from warp10_platform_spark.operators.bucketize import BucketSpec, bucketize as _bucketize
+from warp10_platform_spark.operators.bucketize import (
+    BucketSpec,
+    bucketize as _bucketize,
+    merge_bucketspecs as _merge_specs,
+)
 
 
 class GTSFrame:
@@ -200,6 +204,56 @@ class GTSFrame:
 
     def apply_op(self, other: "GTSFrame", op: str, by: list[str], broadcast_other: bool = False) -> DataFrame:
         return _ra.apply_op(self.df, other.df, op, by, value_col=self.value_col, broadcast_right=broadcast_other)
+
+    @staticmethod
+    def _canonical_eq(df: DataFrame, by: list[str], value_col: str, klass: str) -> DataFrame:
+        """Reduced/applied output (label_k..., ts, value) → canonical
+        series columns so every bucket-aware operator (FILL, MAP, ...)
+        consumes it unchanged: labels = the equivalence-class labels
+        (null/absent labels omitted, like the reference's partition
+        labels), labels_key/gts_id recomputed canonically."""
+        from warp10_platform_spark.core.schema import canonical_labels
+
+        entries = F.filter(
+            F.array(*[
+                F.struct(F.lit(k).alias("key"), F.col(f"label_{k}").alias("value"))
+                for k in by
+            ]),
+            lambda e: e["value"].isNotNull(),
+        ) if by else F.array().cast("array<struct<key:string,value:string>>")
+        out = (
+            df.withColumn("labels", F.map_from_entries(entries))
+            .withColumn("class", F.lit(klass))
+            .withColumn("labels_key", canonical_labels())
+            .withColumn("gts_id", F.xxhash64(F.col("class"), F.col("labels_key")))
+        )
+        return out.select("gts_id", "class", "labels_key", "labels", "ts", value_col)
+
+    def reduce_frame(self, reducer: str, by: list[str], p: float | None = None, klass: str = "") -> "GTSFrame":
+        """REDUCE with bucketization propagation (GTSHelper.java:
+        8196-8247): every series in this frame shares its BucketSpec, so
+        the congruence merge over the partition inputs is the spec
+        itself when bucketized, None otherwise — carried on the result
+        frame so a following FILL can scaffold the grid."""
+        out = _ra.reduce_gts(self.df, reducer, by, value_col=self.value_col, p=p)
+        spec = _merge_specs(self.bucketspec)
+        return GTSFrame(
+            self._canonical_eq(out, by, "v_reduced", klass), bucketspec=spec, value_col="v_reduced"
+        )
+
+    def apply_frame(
+        self, other: "GTSFrame", op: str, by: list[str], broadcast_other: bool = False, klass: str = ""
+    ) -> "GTSFrame":
+        """APPLY with the same congruence rule across BOTH operand
+        frames: same span + congruent lastbucket → merged spec (union
+        grid extent); anything else → unbucketized result."""
+        out = _ra.apply_op(
+            self.df, other.df, op, by, value_col=self.value_col, broadcast_right=broadcast_other
+        )
+        spec = _merge_specs(self.bucketspec, other.bucketspec)
+        return GTSFrame(
+            self._canonical_eq(out, by, "v_op", klass), bucketspec=spec, value_col="v_op"
+        )
 
     # ---- fill (requires bucketized frame) ----
 

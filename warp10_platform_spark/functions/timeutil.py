@@ -14,9 +14,14 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-US = 1
-MS = 1_000
-S = 1_000_000
+from warp10_platform_spark.core import timeunits as tu
+
+# Duration quanta in PLATFORM ticks (Constants.java:51-61): µs default,
+# rescaled when WARP10_TIME_UNITS = ms/ns. US is 0 ticks in ms mode —
+# a µs genuinely is sub-tick there (skipped in humanduration's ladder).
+US = tu.us(1)
+MS = tu.UNITS_PER_MS
+S = tu.UNITS_PER_S
 MINUTE = 60 * S
 HOUR = 3600 * S
 DAY = 86_400 * S
@@ -30,7 +35,8 @@ _DUR_RE = re.compile(
 
 
 def parse_duration(s: str) -> int:
-    """ISO8601 duration → LONG µs (DURATION.java semantics: calendar-free
+    """ISO8601 duration → LONG platform ticks (DURATION.java semantics:
+    calendar-free
     components only — P…W/D/T…H/M/S; months/years need a calendar and are
     rejected, as the reference routes those to ADDMONTHS/ADDYEARS)."""
     m = _DUR_RE.match(s)
@@ -47,17 +53,24 @@ def parse_duration(s: str) -> int:
     return int(round(total))
 
 
-def humanduration(us: int) -> str:
-    """HUMANDURATION (functions/HUMANDURATION.java:28): LONG µs → compact
-    human-readable duration, largest-unit-first, zero components skipped
-    (e.g. 95400000000 → '1d2h30m')."""
-    if us == 0:
+def humanduration(ticks: int) -> str:
+    """HUMANDURATION (functions/HUMANDURATION.java:28): LONG platform
+    ticks → compact human-readable duration, largest-unit-first, zero
+    components skipped (e.g. 95400000000 µs → '1d2h30m'). The suffix
+    ladder stops at the platform resolution (no 'us' entry in ms mode,
+    an extra 'ns' entry in ns mode)."""
+    if ticks == 0:
         return "0"
-    sign = "-" if us < 0 else ""
-    us = abs(us)
+    sign = "-" if ticks < 0 else ""
+    ticks = abs(ticks)
+    ladder = [(WEEK, "w"), (DAY, "d"), (HOUR, "h"), (MINUTE, "m"), (S, "s"), (MS, "ms")]
+    if tu.TIME_UNIT in ("us", "ns"):
+        ladder.append((US, "us"))
+    if tu.TIME_UNIT == "ns":
+        ladder.append((1, "ns"))
     out = []
-    for unit, suffix in ((WEEK, "w"), (DAY, "d"), (HOUR, "h"), (MINUTE, "m"), (S, "s"), (MS, "ms"), (US, "us")):
-        q, us = divmod(us, unit)
+    for unit, suffix in ladder:
+        q, ticks = divmod(ticks, unit)
         if q:
             out.append(f"{q}{suffix}")
     return sign + "".join(out)
@@ -66,27 +79,31 @@ def humanduration(us: int) -> str:
 _EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
-def tz_wall_ntz(ts_us: Column, tz: str) -> Column:
-    """LONG µs instant → TIMESTAMP_NTZ carrying the wall-clock fields in
-    `tz`. Session-timezone-independent by construction: NTZ arithmetic
-    from the epoch plus convert_timezone never consults the session tz —
-    unlike field extraction on a plain TIMESTAMP, which silently renders
-    in whatever zone the session happens to use."""
-    utc = F.timestamp_add("MICROSECOND", ts_us, F.expr(_EPOCH_NTZ))
+def tz_wall_ntz(ts: Column, tz: str) -> Column:
+    """LONG platform-tick instant → TIMESTAMP_NTZ carrying the
+    wall-clock fields in `tz`. Session-timezone-independent by
+    construction: NTZ arithmetic from the epoch plus convert_timezone
+    never consults the session tz — unlike field extraction on a plain
+    TIMESTAMP, which silently renders in whatever zone the session
+    happens to use. (Sub-µs precision in ns mode does not survive the
+    NTZ round-trip — calendar fields never need it.)"""
+    utc = F.timestamp_add("MICROSECOND", tu.col_units_to_us(ts), F.expr(_EPOCH_NTZ))
     if tz == "UTC":
         return utc
     return F.convert_timezone(F.lit("UTC"), F.lit(tz), utc)
 
 
 def wall_ntz_to_us(ntz: Column, tz: str) -> Column:
-    """Inverse of tz_wall_ntz: NTZ wall clock in `tz` → LONG µs instant."""
+    """Inverse of tz_wall_ntz: NTZ wall clock in `tz` → LONG
+    platform-tick instant (µs by default, scaled with the session unit)."""
     utc = ntz if tz == "UTC" else F.convert_timezone(F.lit(tz), F.lit("UTC"), ntz)
-    return F.timestamp_diff("MICROSECOND", F.expr(_EPOCH_NTZ), utc)
+    return tu.col_us_to_units(F.timestamp_diff("MICROSECOND", F.expr(_EPOCH_NTZ), utc))
 
 
 def tselements(ts: Column, tz: str = "UTC") -> Column:
     """TSELEMENTS (TSELEMENTS.java): tick → [year, month, day, hour,
-    minute, second, microseconds] in tz, as an array<long>."""
+    minute, second, sub-second PLATFORM TICKS] in tz, as an array<long>
+    (the reference emits the sub-second remainder in the session unit)."""
     t = tz_wall_ntz(ts, tz)
     return F.array(
         F.year(t).cast("long"),
@@ -95,12 +112,13 @@ def tselements(ts: Column, tz: str = "UTC") -> Column:
         F.hour(t).cast("long"),
         F.minute(t).cast("long"),
         F.second(t).cast("long"),
-        (ts % 1_000_000).cast("long"),
+        (ts % tu.UNITS_PER_S).cast("long"),
     )
 
 
 def from_tselements(year: Column, month: Column, day: Column, hour: Column,
-                    minute: Column, second: Column, micros: Column, tz: str = "UTC") -> Column:
-    """->TSELEMENTS inverse: calendar fields in tz → LONG µs tick."""
+                    minute: Column, second: Column, subsec: Column, tz: str = "UTC") -> Column:
+    """->TSELEMENTS inverse: calendar fields (+ sub-second platform
+    ticks) in tz → LONG platform tick."""
     t = F.make_timestamp_ntz(year, month, day, hour, minute, second)
-    return wall_ntz_to_us(t, tz) + micros
+    return wall_ntz_to_us(t, tz) + subsec

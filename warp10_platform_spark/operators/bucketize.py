@@ -24,6 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from warp10_platform_spark.core import timeunits as tu
 from warp10_platform_spark.core.schema import labels_from_key
 
 # One canonical aggregation expression per bucketizer name, over a numeric
@@ -67,8 +68,8 @@ def bucketizer_expr(name: str, v: Column, ts: Column, *, p: float | None = None,
         return F.var_pop(v)
     if n == "delta":
         return F.max_by(v, ts) - F.min_by(v, ts)
-    if n == "rate":  # delta per second; ts is LONG µs; null for 1-point buckets
-        return F.try_divide(F.max_by(v, ts) - F.min_by(v, ts), (F.max(ts) - F.min(ts)) / F.lit(1_000_000.0))
+    if n == "rate":  # delta per second; ts is LONG platform ticks; null for 1-point buckets
+        return F.try_divide(F.max_by(v, ts) - F.min_by(v, ts), (F.max(ts) - F.min(ts)) / F.lit(float(tu.UNITS_PER_S)))
     if n == "rms":
         return F.sqrt(F.avg(v * v))
     if n == "product":
@@ -188,6 +189,28 @@ class BucketSpec:
     lastbucket: int
     bucketspan: int
     bucketcount: int
+
+
+def merge_bucketspecs(*specs: "BucketSpec | None") -> "BucketSpec | None":
+    """REDUCE/APPLY bucketization-congruence rule (GTSHelper.java:
+    8196-8247): the result is bucketized iff EVERY input is bucketized
+    with the same bucketspan and congruent lastbucket values
+    (lastbucket % span equal across inputs). The merged spec covers the
+    union of the input grids: lastbucket = max(lastbucket_i),
+    startbucket = min(lastbucket_i - bucketcount_i * span), bucketcount
+    = (lastbucket - startbucket) / span. Any violation → None
+    (unbucketized result), exactly the reference's fallback."""
+    if not specs or any(s is None for s in specs):
+        return None
+    span = specs[0].bucketspan
+    if any(s.bucketspan != span for s in specs):
+        return None
+    phase = specs[0].lastbucket % span
+    if any(s.lastbucket % span != phase for s in specs):
+        return None
+    lastbucket = max(s.lastbucket for s in specs)
+    startbucket = min(s.lastbucket - s.bucketcount * s.bucketspan for s in specs)
+    return BucketSpec(lastbucket, span, (lastbucket - startbucket) // span)
 
 
 def bucket_end_col(lastbucket: int, span: int) -> Column:

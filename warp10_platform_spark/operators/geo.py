@@ -13,6 +13,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from warp10_platform_spark.core import timeunits as tu
+
 EARTH_RADIUS_M = 6_371_000.0
 
 
@@ -52,7 +54,7 @@ def hspeed(df: DataFrame, out_col: str = "speed_ms") -> DataFrame:
     """HSPEED as a mapper: instantaneous speed m/s over the previous
     segment (VSPEED is the same window over elev)."""
     w = _w()
-    dt_s = (F.col("ts") - F.lag("ts", 1).over(w)) / F.lit(1_000_000.0)
+    dt_s = (F.col("ts") - F.lag("ts", 1).over(w)) / F.lit(float(tu.UNITS_PER_S))
     return segment_dist(df).withColumn(out_col, F.col("seg_m") / dt_s)
 
 
@@ -129,7 +131,7 @@ def vspeed(df: DataFrame, out_col: str = "vspeed_ms") -> DataFrame:
     """VSPEED: vertical speed m/s over the previous segment."""
     w = _w()
     dz = (F.col("elev") - F.lag("elev", 1).over(w)).cast("double")
-    dt_s = (F.col("ts") - F.lag("ts", 1).over(w)) / F.lit(1_000_000.0)
+    dt_s = (F.col("ts") - F.lag("ts", 1).over(w)) / F.lit(float(tu.UNITS_PER_S))
     return df.withColumn(out_col, dz / dt_s)
 
 

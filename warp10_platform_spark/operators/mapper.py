@@ -24,6 +24,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from warp10_platform_spark.core import timeunits as tu
+
 from warp10_platform_spark.operators.bucketize import bucketizer_expr
 
 SERIES_KEYS = ["gts_id", "class", "labels_key"]
@@ -67,7 +69,7 @@ def map_aggregate(
     if n == "delta":  # sum of deltas over frame == last - first
         expr = F.last(v).over(w) - F.first(v).over(w)
     elif n == "rate":
-        dt = (F.last(ts).over(w) - F.first(ts).over(w)) / F.lit(1_000_000.0)
+        dt = (F.last(ts).over(w) - F.first(ts).over(w)) / F.lit(float(tu.UNITS_PER_S))
         expr = (F.last(v).over(w) - F.first(v).over(w)) / dt
     elif n == "csum":
         expr = F.sum(v).over(Window.partitionBy("gts_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0))
@@ -150,7 +152,9 @@ def _utc_wall(c):
     the SESSION timezone, so year(timestamp_micros(ts)) silently changes
     meaning under a non-UTC session; NTZ arithmetic from the epoch is
     session-independent by construction."""
-    return F.timestamp_add("MICROSECOND", c, F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"))
+    return F.timestamp_add(
+        "MICROSECOND", tu.col_units_to_us(c), F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
+    )
 
 
 _UNARY = {
@@ -172,7 +176,7 @@ _UNARY = {
     "mapper.tick": lambda c: c,            # MapperTick.java:29 (value := tick; ts col routed)
     "mapper.datetime": lambda c: F.concat(  # MapperDateTime.java: tick → ISO-8601 UTC string
         F.date_format(_utc_wall(c), "yyyy-MM-dd'T'HH:mm:ss"),
-        F.format_string(".%06dZ", F.pmod(c, F.lit(1_000_000))),
+        F.format_string(f".%0{tu.SUBSEC_DIGITS}dZ", F.pmod(c, F.lit(tu.UNITS_PER_S))),
     ),
     "mapper.year": lambda c: F.year(_utc_wall(c)),
     "mapper.month": lambda c: F.month(_utc_wall(c)),
@@ -292,7 +296,7 @@ def map_rate_prev(df: DataFrame, value_col: str = "v_double", out_col: str = "v_
     """mapper.rate over previous tick: delta / Δt-seconds (Rate.java:33)."""
     w = series_window()
     dv = F.col(value_col) - F.lag(value_col, 1).over(w)
-    dt = (F.col("ts") - F.lag("ts", 1).over(w)) / F.lit(1_000_000.0)
+    dt = (F.col("ts") - F.lag("ts", 1).over(w)) / F.lit(float(tu.UNITS_PER_S))
     return df.withColumn(out_col, dv / dt)
 
 

@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from warp10_platform_spark.core import timeunits as tu
+
 SERIES_KEYS = ["gts_id", "class", "labels_key"]
 
 
@@ -163,7 +165,7 @@ def integrate(df: DataFrame, value_col: str = "v_double", out_col: str = "v_int"
     representable doubles so the quantization itself is engine-portable."""
     w = _w()
     v, ts = F.col(value_col), F.col("ts")
-    seg = (v + F.lag(value_col, 1).over(w)) / 2.0 * ((ts - F.lag("ts", 1).over(w)) / F.lit(1_000_000.0))
+    seg = (v + F.lag(value_col, 1).over(w)) / 2.0 * ((ts - F.lag("ts", 1).over(w)) / F.lit(float(tu.UNITS_PER_S)))
     seg_q = F.round(seg * 1_000_000).cast("long")
     cum = Window.partitionBy("gts_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
     total = F.sum(seg_q).over(cum) / F.lit(1_000_000.0)

@@ -44,3 +44,4 @@ from warp10_platform_spark.queries import ws  # noqa: E402,F401
 from warp10_platform_spark.queries import rollup  # noqa: E402,F401
 from warp10_platform_spark.queries import robust  # noqa: E402,F401
 from warp10_platform_spark.queries import tpch2  # noqa: E402,F401
+from warp10_platform_spark.queries import timeunits_q  # noqa: E402,F401

@@ -27,6 +27,8 @@ from warp10_platform_spark.analytics import fit as _fit
 from warp10_platform_spark.analytics import sax as _sax
 from warp10_platform_spark.analytics import stats as _stats
 from warp10_platform_spark.queries import register
+from warp10_platform_spark.core import timeunits as tu
+UPS = float(tu.UNITS_PER_S)
 from warp10_platform_spark.queries.gts import DAILY, DAY, LASTBUCKET, NDAYS, PTS, _bucketized
 from warp10_platform_spark.sources.tables import canonical_points, events_points
 
@@ -49,7 +51,7 @@ mom AS (
   FROM b GROUP BY class, "user"
 )
 SELECT class, "user",
-       round((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx) * 1000000.0, 6) + 0.0 AS slope,
+       round((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx) * {UPS}, 6) + 0.0 AS slope,
        round((sy - (n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n, 6) + 0.0 AS intercept
 FROM mom WHERE n >= 2
 """

@@ -19,13 +19,16 @@ from warp10_platform_spark.sources.directory import (
     find,
     findstats,
 )
+from warp10_platform_spark.core import timeunits as tu
 from warp10_platform_spark.sources.tables import canonical_points, events_points
 
 TZ = "Europe/Paris"
 
+# Unit-aware: ticks → µs for make_timestamp, back to ticks via the
+# session epoch extractor (core/timeunits).
 CAL_TRUNC = (
-    "epoch_us(timezone('{tz}', date_trunc('{unit}', "
-    "timezone('{tz}', make_timestamp(ts)::TIMESTAMPTZ))))"
+    tu.DUCK_EPOCH_FN + "(timezone('{tz}', date_trunc('{unit}', "
+    "timezone('{tz}', make_timestamp(" + tu.duck_units_to_us("ts") + ")::TIMESTAMPTZ))))"
 )
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from warp10_platform_spark.core.frame import GTSFrame
 from warp10_platform_spark.functions import macro_bucketizer, macro_mapper, macro_reducer
 from warp10_platform_spark.queries import register
+from warp10_platform_spark.core import timeunits as tu
 from warp10_platform_spark.queries.gts import DAILY, DAY, LASTBUCKET, NDAYS, PTS, _bucketized_decimal_mean
 from warp10_platform_spark.sources.tables import canonical_points, events_points
 
@@ -25,18 +26,18 @@ def _wmean(fr) -> float:
     num = 0.0
     den = 0.0
     for t, v in zip(fr.ticks, fr.values):
-        w = 1.0 / (1.0 + abs(float(t - fr.tick)) / 1_000_000.0)
+        w = 1.0 / (1.0 + abs(float(t - fr.tick)) / float(tu.UNITS_PER_S))
         num += w * v
         den += w
     return num / den
 
 
 _WMEAN_TERMS_NUM = " + ".join(
-    f"COALESCE((1.0 / (1.0 + abs(CAST({o}_ts - ts AS DOUBLE)) / 1000000.0)) * {o}_v, 0.0)"
+    f"COALESCE((1.0 / (1.0 + abs(CAST({o}_ts - ts AS DOUBLE)) / {float(tu.UNITS_PER_S)})) * {o}_v, 0.0)"
     for o in ("m2", "m1", "c0", "p1", "p2")
 )
 _WMEAN_TERMS_DEN = " + ".join(
-    f"COALESCE(1.0 / (1.0 + abs(CAST({o}_ts - ts AS DOUBLE)) / 1000000.0), 0.0)"
+    f"COALESCE(1.0 / (1.0 + abs(CAST({o}_ts - ts AS DOUBLE)) / {float(tu.UNITS_PER_S)}), 0.0)"
     for o in ("m2", "m1", "c0", "p1", "p2")
 )
 
@@ -111,7 +112,7 @@ def _np_slope(fr) -> float:
     the numpy-vectorized custom-mapper example (LR per window)."""
     if len(fr.ticks) < 2:
         return float("nan")
-    x = (fr.ticks - fr.tick) / 1e6
+    x = (fr.ticks - fr.tick) / float(tu.UNITS_PER_S)
     xm = x.mean()
     ym = fr.values.mean()
     den = float(((x - xm) ** 2).sum())
@@ -123,7 +124,7 @@ def _np_slope(fr) -> float:
 MACRO_SLOPE_ORACLE = f"""
 WITH {PTS},
 s AS (SELECT class, "user", ts,
-             regr_slope(v, CAST(ts - {LASTBUCKET} AS DOUBLE) / 1000000.0)
+             regr_slope(v, CAST(ts - {LASTBUCKET} AS DOUBLE) / {float(tu.UNITS_PER_S)})
                OVER (PARTITION BY class, "user" ORDER BY ts ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sl
       FROM pts)
 SELECT class, "user", ts, round(sl, 6) + 0.0 AS v_mapped FROM s"""

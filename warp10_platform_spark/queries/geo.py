@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from warp10_platform_spark.operators import geo as _geo
 from warp10_platform_spark.queries import register
+from warp10_platform_spark.core import timeunits as tu
 from warp10_platform_spark.queries.gts import PTS
 from warp10_platform_spark.sources import write as _write
 from warp10_platform_spark.sources.tables import canonical_points, events_points
@@ -63,7 +64,7 @@ def geo_hdist(spark, sf_dir):
     "b AS (SELECT * FROM c WHERE lat BETWEEN -40 AND 40 AND lon BETWEEN -90 AND 90), "
     'l AS (SELECT class, "user", ts, lat, lon, lag(lat) OVER w AS plat, lag(lon) OVER w AS plon, '
     '      lag(ts) OVER w AS pts_ FROM b WINDOW w AS (PARTITION BY class, "user" ORDER BY ts)) '
-    f'SELECT class, "user", ts, round({_HAV_SQL} / ((ts - pts_) / 1000000.0), 3) AS speed_ms '
+    f'SELECT class, "user", ts, round({_HAV_SQL} / ((ts - pts_) / {float(tu.UNITS_PER_S)}), 3) AS speed_ms '
     "FROM l WHERE plat IS NOT NULL"
 ))
 def geo_speed_bbox(spark, sf_dir):
@@ -119,12 +120,12 @@ def update_lww(spark, sf_dir):
 
 @register("delete_selector", (
     f"WITH {PTS} SELECT class, \"user\", ts, v AS v_double FROM pts "
-    "WHERE NOT (class = 'events.purchase' AND ts >= 1704844800000000 AND ts <= 1705708800000000)"
+    f"WHERE NOT (class = 'events.purchase' AND ts >= {tu.us(1704844800000000)} AND ts <= {tu.us(1705708800000000)})"
 ))
 def delete_selector(spark, sf_dir):
     """DELETE (DELETE.java:50): erase purchase points in a time range;
     survivors returned (anti-predicate pushed to the scan)."""
-    out = _write.delete(canonical_points(spark, sf_dir), "events.purchase{}", 1704844800000000, 1705708800000000)
+    out = _write.delete(canonical_points(spark, sf_dir), "events.purchase{}", tu.us(1704844800000000), tu.us(1705708800000000))
     return out.select(
         "class", F.element_at("labels", F.lit("user")).alias("user"), "ts", "v_double"
     )

@@ -18,16 +18,21 @@ from warp10_platform_spark.operators import sort as _sort
 from warp10_platform_spark.queries import register
 from warp10_platform_spark.sources.tables import canonical_points, events_points
 
-DAY = 86_400_000_000
-HOUR = 3_600_000_000
-LASTBUCKET = 1_706_659_200_000_000  # 2024-01-31T00:00:00Z in µs
+from warp10_platform_spark.core import timeunits as tu
+
+# Grid constants in platform ticks (µs default; exact rescale under
+# WARP10_TIME_UNITS=ms/ns — every constant is ms-aligned).
+DAY = tu.us(86_400_000_000)
+HOUR = tu.us(3_600_000_000)
+LASTBUCKET = tu.us(1_706_659_200_000_000)  # 2024-01-31T00:00:00Z
 NDAYS = 31
 
-# Shared oracle CTE: the events→points projection (sources/tables.py twin).
-PTS = """pts AS (
+# Shared oracle CTE: the events→points projection (sources/tables.py twin);
+# the epoch extractor flips with the session unit.
+PTS = f"""pts AS (
   SELECT 'events.' || event_type AS class,
          CAST(user_id AS VARCHAR) AS "user",
-         epoch_us(ts) AS ts,
+         {tu.duck_epoch('ts')} AS ts,
          value AS v
   FROM events
 )"""
@@ -60,7 +65,7 @@ def _out(df, value_col, alias, ndigits=None):
 @register(
     "fetch_range",
     f"WITH {PTS} SELECT class, \"user\", ts, v AS v_double FROM pts "
-    "WHERE class = 'events.purchase' AND ts >= 1704844800000000 AND ts <= 1705708800000000",
+    f"WHERE class = 'events.purchase' AND ts >= {tu.us(1704844800000000)} AND ts <= {tu.us(1705708800000000)}",
 )
 def fetch_range(spark, sf_dir):
     """FETCH (FETCH.java:99): selector + time range over the CANONICAL
@@ -68,14 +73,14 @@ def fetch_range(spark, sf_dir):
     range lands in PushedFilters (the 100 TB scan shape)."""
     from warp10_platform_spark.sources.tables import canonical_points
 
-    gf = GTSFrame.fetch(canonical_points(spark, sf_dir), "events.purchase{}", 1704844800000000, 1705708800000000)
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir), "events.purchase{}", tu.us(1704844800000000), tu.us(1705708800000000))
     return _out(gf.df, "v_double", "v_double")
 
 
 @register(
     "fetch_range_daypruned",
     f"WITH {PTS} SELECT class, \"user\", ts, v AS v_double FROM pts "
-    "WHERE class = 'events.purchase' AND ts >= 1704844800000000 AND ts <= 1705708800000000",
+    f"WHERE class = 'events.purchase' AND ts >= {tu.us(1704844800000000)} AND ts <= {tu.us(1705708800000000)}",
 )
 def fetch_range_daypruned(spark, sf_dir):
     """Same FETCH as fetch_range but over the (class, day)-partitioned
@@ -85,7 +90,7 @@ def fetch_range_daypruned(spark, sf_dir):
     class AND day, asserted in tests/test_plans.py."""
     from warp10_platform_spark.sources.tables import DAY_US, partitioned_points
 
-    t0, t1 = 1704844800000000, 1705708800000000
+    t0, t1 = tu.us(1704844800000000), tu.us(1705708800000000)
     pts = partitioned_points(spark, sf_dir).where(
         F.col("day").between(t0 // DAY_US, t1 // DAY_US)
     )
@@ -252,6 +257,36 @@ def gts_bucketize_reduce(spark, sf_dir):
     return gf.reduce_("reducer.max", by=["user"])
 
 
+@register("reduce_fill_previous", (
+    f"WITH {PTS}, {DAILY}, "
+    'b AS (SELECT "user", ts, count(*) AS v FROM daily GROUP BY "user", ts), '
+    f"g AS (SELECT u.\"user\", gs.ts FROM (SELECT DISTINCT \"user\" FROM b) u "
+    f"     CROSS JOIN (SELECT unnest(generate_series({LASTBUCKET - (NDAYS - 1) * DAY}, {LASTBUCKET}, {DAY})) AS ts) gs), "
+    'j AS (SELECT g."user", g.ts, b.v FROM g LEFT JOIN b ON b."user" = g."user" AND b.ts = g.ts) '
+    'SELECT "user", ts, last_value(v IGNORE NULLS) OVER ('
+    '  PARTITION BY "user" ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled '
+    "FROM j"
+))
+def reduce_fill_previous(spark, sf_dir):
+    """REDUCE → FILLPREVIOUS — the pipeline that REQUIRES the
+    bucketization-congruence rule (GTSHelper.java:8196-8247): the daily
+    per-series counts are bucketized, reduce_frame propagates the merged
+    BucketSpec onto the per-user reduced series, and FILL scaffolds its
+    grid from that spec (it refuses unbucketized frames). Days where a
+    user has no event in ANY class are materialized and previous-filled;
+    leading gaps stay null, matching the reference's filler.previous."""
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).bucketize(
+        "bucketizer.count", DAY, LASTBUCKET, NDAYS
+    )
+    red = gf.reduce_frame("reducer.sum", by=["user"])
+    filled = red.fillprevious()
+    return filled.df.select(
+        F.element_at(F.col("labels"), "user").alias("user"),
+        "ts",
+        F.col("v_reduced").alias("v_filled"),
+    )
+
+
 # ---------- MAP (window mappers) ----------
 
 @register("map_delta", (
@@ -266,7 +301,7 @@ def map_delta(spark, sf_dir):
 
 @register("map_rate", (
     f"WITH {PTS} SELECT class, \"user\", ts, round(v_mapped, 6) + 0.0 AS v_mapped FROM ("
-    '  SELECT class, "user", ts, (v - lag(v) OVER w) / ((ts - lag(ts) OVER w) / 1000000.0) AS v_mapped '
+    f'  SELECT class, "user", ts, (v - lag(v) OVER w) / ((ts - lag(ts) OVER w) / {float(tu.UNITS_PER_S)}) AS v_mapped '
     '  FROM pts WINDOW w AS (PARTITION BY class, "user" ORDER BY ts)'
     ") WHERE v_mapped IS NOT NULL"
 ))
@@ -298,7 +333,7 @@ def map_csum(spark, sf_dir):
 
 @register("map_time_range_sum", (
     f"WITH {PTS} SELECT class, \"user\", ts, CAST(round(sum(v::DECIMAL(28,10)) OVER ("
-    '  PARTITION BY class, "user" ORDER BY ts RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW'
+    f'  PARTITION BY class, "user" ORDER BY ts RANGE BETWEEN {tu.us(3600000000)} PRECEDING AND CURRENT ROW'
     "), 6) AS DOUBLE) AS v_mapped FROM pts"
 ))
 def map_time_range_sum(spark, sf_dir):
@@ -357,7 +392,7 @@ def fill_previous(spark, sf_dir):
 
 @register("sessionize", (
     f"WITH {PTS}, "
-    "g AS (SELECT class, \"user\", ts, CASE WHEN ts - lag(ts) OVER w > 3600000000 THEN 1 ELSE 0 END AS brk "
+    f"g AS (SELECT class, \"user\", ts, CASE WHEN ts - lag(ts) OVER w > {tu.us(3600000000)} THEN 1 ELSE 0 END AS brk "
     '  FROM pts WINDOW w AS (PARTITION BY class, "user" ORDER BY ts)), '
     "s AS (SELECT class, \"user\", ts, CAST(sum(brk) OVER (PARTITION BY class, \"user\" ORDER BY ts "
     "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g) "
@@ -392,7 +427,7 @@ def tickindex(spark, sf_dir):
 
 
 @register("timeshift", (
-    f"WITH {PTS} SELECT class, \"user\", ts + 3600000000 AS ts, v AS v_double FROM pts"
+    f"WITH {PTS} SELECT class, \"user\", ts + {tu.us(3600000000)} AS ts, v AS v_double FROM pts"
 ))
 def timeshift(spark, sf_dir):
     gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).timeshift(HOUR)
@@ -441,7 +476,7 @@ def compact_quantized(spark, sf_dir):
 
 @register("integrate", (
     f"WITH {PTS}, m AS (SELECT class, \"user\", ts, "
-    "  (v + lag(v) OVER w) / 2.0 * ((ts - lag(ts) OVER w) / 1000000.0) AS seg "
+    f"  (v + lag(v) OVER w) / 2.0 * ((ts - lag(ts) OVER w) / {float(tu.UNITS_PER_S)}) AS seg "
     '  FROM pts WINDOW w AS (PARTITION BY class, "user" ORDER BY ts)) '
     'SELECT class, "user", ts, coalesce(sum(CAST(round(seg * 1000000) AS BIGINT)) OVER (PARTITION BY class, "user" ORDER BY ts '
     "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000000.0, 0.0) AS v_int FROM m"

@@ -12,7 +12,8 @@ from pyspark.sql import functions as F
 from warp10_platform_spark.queries import register
 from warp10_platform_spark.queries.gts import PTS
 from warp10_platform_spark.sources.gts_text import format_gts_lines, parse_gts_lines
-from warp10_platform_spark.sources.tables import canonical_points, epoch_us_col, events_points, load_table
+from warp10_platform_spark.core import timeunits as tu
+from warp10_platform_spark.sources.tables import canonical_points, epoch_ticks_col, events_points, load_table
 
 
 @register(
@@ -30,9 +31,9 @@ def gts_text_roundtrip(spark, sf_dir):
     )
 
 
-TYPED_ORACLE = """
+TYPED_ORACLE = f"""
 WITH base AS (
-  SELECT o_orderkey::VARCHAR AS k, epoch_us(o_orderdate) AS ts,
+  SELECT o_orderkey::VARCHAR AS k, {tu.duck_epoch('o_orderdate')} AS ts,
          o_orderstatus, o_orderpriority, o_orderkey
   FROM orders
 )
@@ -53,7 +54,7 @@ def gts_text_typed(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     o = o.select(
         F.col("o_orderkey").cast("string").alias("k"),
-        epoch_us_col(o, "o_orderdate").alias("ts"),
+        epoch_ticks_col(o, "o_orderdate").alias("ts"),
         "o_orderstatus",
         "o_orderpriority",
         "o_orderkey",

@@ -12,6 +12,7 @@ from warp10_platform_spark.functions.custom import macro_mapper
 from warp10_platform_spark.operators import geo as _geo
 from warp10_platform_spark.operators.mapper import dotproduct_mapper
 from warp10_platform_spark.queries import register
+from warp10_platform_spark.core import timeunits as tu
 from warp10_platform_spark.queries.custom import _wmean
 from warp10_platform_spark.queries.gts import DAILY, DAY, LASTBUCKET, NDAYS, PTS, _bucketized
 from warp10_platform_spark.queries.geo import _LAT_SQL, _LON_SQL, _with_coords
@@ -135,12 +136,12 @@ def dotproduct_smooth(spark, sf_dir):
     "      FROM pts WINDOW win AS (PARTITION BY class, \"user\" ORDER BY ts)) "
     "SELECT class, \"user\", ts, round(("
     + " + ".join(
-        f"(1.0 / (1.0 + abs(CAST({o}_ts - ts AS DOUBLE)) / 1000000.0)) * {o}_v"
+        f"(1.0 / (1.0 + abs(CAST({o}_ts - ts AS DOUBLE)) / {float(tu.UNITS_PER_S)})) * {o}_v"
         for o in ("m2", "m1", "c0", "p1", "p2")
     )
     + ") / ("
     + " + ".join(
-        f"1.0 / (1.0 + abs(CAST({o}_ts - ts AS DOUBLE)) / 1000000.0)" for o in ("m2", "m1", "c0", "p1", "p2")
+        f"1.0 / (1.0 + abs(CAST({o}_ts - ts AS DOUBLE)) / {float(tu.UNITS_PER_S)})" for o in ("m2", "m1", "c0", "p1", "p2")
     )
     + "), 6) AS v_mapped FROM w WHERE m2_ts IS NOT NULL AND p2_ts IS NOT NULL"
 ))
@@ -187,7 +188,7 @@ def map_csum_chunked(spark, sf_dir):
     single-window csum bit-for-bit (same oracle as map_csum)."""
     from warp10_platform_spark.operators.mapper import map_csum_chunked as _csum
 
-    WEEK = 7 * 86_400_000_000
+    WEEK = tu.us(7 * 86_400_000_000)
     pts = canonical_points(spark, sf_dir).withColumn("v_double", F.col("v_double").cast("decimal(28,10)"))
     out = _csum(pts, WEEK)
     return out.select(
@@ -201,10 +202,10 @@ def map_csum_chunked(spark, sf_dir):
 @register("map_imposed_ticks", (
     f"WITH {PTS}, "
     "series AS (SELECT DISTINCT class, \"user\" FROM pts), "
-    "ticks AS (SELECT unnest([1704844800000000, 1705449600000000, 1706054400000000]) AS t), "
+    f"ticks AS (SELECT unnest([{tu.us(1704844800000000)}, {tu.us(1705449600000000)}, {tu.us(1706054400000000)}]) AS t), "
     "g AS (SELECT s.class, s.\"user\", k.t FROM series s, ticks k) "
     "SELECT g.class, g.\"user\", g.t AS ts, "
-    "  CAST(round(coalesce(sum(p.v::DECIMAL(28,10)) FILTER (WHERE p.ts >= g.t - 86400000000 AND p.ts <= g.t), 0), 6) AS DOUBLE) AS v_mapped "
+    f"  CAST(round(coalesce(sum(p.v::DECIMAL(28,10)) FILTER (WHERE p.ts >= g.t - {tu.us(86400000000)} AND p.ts <= g.t), 0), 6) AS DOUBLE) AS v_mapped "
     "FROM g LEFT JOIN pts p ON p.class = g.class AND p.\"user\" = g.\"user\" "
     "GROUP BY g.class, g.\"user\", g.t"
 ))
@@ -213,10 +214,10 @@ def map_imposed_ticks(spark, sf_dir):
     sum evaluated at three explicit ticks per series."""
     from warp10_platform_spark.operators.mapper import map_at_ticks
 
-    DAY_US = 86_400_000_000
+    DAY_US = tu.us(86_400_000_000)
     pts = canonical_points(spark, sf_dir).withColumn("v_double", F.col("v_double").cast("decimal(28,10)"))
     out = map_at_ticks(
-        pts, "sum", [1704844800000000, 1705449600000000, 1706054400000000], pre_us=DAY_US, post_us=0
+        pts, "sum", [tu.us(1704844800000000), tu.us(1705449600000000), tu.us(1706054400000000)], pre_us=DAY_US, post_us=0
     )
     return out.select(
         "class",

@@ -11,6 +11,7 @@ from warp10_platform_spark.core.frame import GTSFrame
 from warp10_platform_spark.core.schema import labels_from_key
 from warp10_platform_spark.operators import reduce_apply as _ra
 from warp10_platform_spark.queries import register
+from warp10_platform_spark.core import timeunits as tu
 from warp10_platform_spark.queries.gts import DAILY, DAY, LASTBUCKET, NDAYS, PTS, _bucketized
 from warp10_platform_spark.sources.tables import canonical_points, events_points
 
@@ -89,8 +90,8 @@ def chunk_label(spark, sf_dir):
 
 @register("time_extract", (
     f"WITH {PTS} SELECT class, \"user\", ts, "
-    "year(make_timestamp(ts)) AS y, month(make_timestamp(ts)) AS m, "
-    "dayofmonth(make_timestamp(ts)) AS d, hour(make_timestamp(ts)) AS h "
+    f"year(make_timestamp({tu.duck_units_to_us('ts')})) AS y, month(make_timestamp({tu.duck_units_to_us('ts')})) AS m, "
+    f"dayofmonth(make_timestamp({tu.duck_units_to_us('ts')})) AS d, hour(make_timestamp({tu.duck_units_to_us('ts')})) AS h "
     "FROM pts"
 ))
 def time_extract(spark, sf_dir):
@@ -152,7 +153,7 @@ def bucketize_argminmax(spark, sf_dir):
     'SELECT class, "user", ts, '
     "array_to_string(list(CAST(v AS VARCHAR) ORDER BY CAST(v AS VARCHAR)), ',') AS joined, "
     "arg_max(v, raw_ts) - arg_min(v, raw_ts) AS delta, "
-    "round((arg_max(v, raw_ts) - arg_min(v, raw_ts)) / ((max(raw_ts) - min(raw_ts)) / 1000000.0), 6) AS rate "
+    f"round((arg_max(v, raw_ts) - arg_min(v, raw_ts)) / ((max(raw_ts) - min(raw_ts)) / {float(tu.UNITS_PER_S)}), 6) AS rate "
     'FROM daily GROUP BY class, "user", ts HAVING max(raw_ts) > min(raw_ts)'
 ))
 def bucketize_join_delta_rate(spark, sf_dir):
@@ -287,6 +288,9 @@ UNION ALL
 SELECT p.class, p.ts, p.v AS v_double
 FROM pts p JOIN s ON s.class = p.class WHERE s.n <= 24
 """
+# epoch extractor flips with the session time unit (core/timeunits)
+LTTB_ORACLE = LTTB_ORACLE.replace("epoch_us(ts)", tu.duck_epoch("ts"))
+
 
 
 @register("lttb_downsample", LTTB_ORACLE)

@@ -17,8 +17,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from warp10_platform_spark.functions.timeutil import humanduration, parse_duration
+from warp10_platform_spark.core import timeunits as tu
 from warp10_platform_spark.queries import register
-from warp10_platform_spark.sources.tables import epoch_us_col, load_table
+from warp10_platform_spark.sources.tables import epoch_ticks_col, epoch_us_col, load_table
 
 
 # ---------- BigDecimal suite (BD* — exact decimal arithmetic) ----------
@@ -53,21 +54,21 @@ def bd_decimal_suite(spark, sf_dir):
 # ---------- TSELEMENTS / FROMTSELEMENTS in a named timezone ----------
 
 @register("tselements_tz", (
-    "WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events WHERE event_id % 101 = 0), "
-    "loc AS (SELECT event_id, us, "
-    "               timezone('America/New_York', make_timestamptz(us)) AS lt FROM e) "
-    "SELECT event_id, us, "
-    "       year(lt) AS y, month(lt) AS mo, day(lt) AS d, "
-    "       hour(lt) AS h, minute(lt) AS mi, second(lt) AS s, "
-    "       us % 1000000 AS micros "
-    "FROM loc"
+    f"WITH e AS (SELECT event_id, {tu.duck_epoch('ts')} AS us FROM events WHERE event_id % 101 = 0), "
+    f"loc AS (SELECT event_id, us, "
+    f"               timezone('America/New_York', make_timestamptz({tu.duck_units_to_us('us')})) AS lt FROM e) "
+    f"SELECT event_id, us, "
+    f"       year(lt) AS y, month(lt) AS mo, day(lt) AS d, "
+    f"       hour(lt) AS h, minute(lt) AS mi, second(lt) AS s, "
+    f"       us % {tu.UNITS_PER_S} AS micros "
+    f"FROM loc"
 ))
 def tselements_tz(spark, sf_dir):
     """TSELEMENTS (functions/TSELEMENTS.java:36): µs timestamp →
     [Y, M, D, h, m, s, µs] decomposed in a named timezone
     (America/New_York), the reference's tz-aware calendar splitter."""
     ev = load_table(spark, sf_dir, "events")
-    ts_us = epoch_us_col(ev, "ts")
+    ts_us = epoch_ticks_col(ev, "ts")
     from warp10_platform_spark.functions.timeutil import tz_wall_ntz
 
     e = ev.select("event_id", ts_us.alias("us")).where(F.col("event_id") % 101 == 0)
@@ -82,7 +83,7 @@ def tselements_tz(spark, sf_dir):
         F.hour(lt).alias("h"),
         F.minute(lt).alias("mi"),
         F.second(lt).alias("s"),
-        (F.col("us") % 1_000_000).alias("micros"),
+        (F.col("us") % tu.UNITS_PER_S).alias("micros"),
     )
 
 
@@ -94,7 +95,7 @@ _SHIFT_US = parse_duration(_ISO)  # oracle hardcodes the expected µs: an
 
 
 @register("duration_shift", (
-    f"SELECT event_id, epoch_us(ts) + {_SHIFT_US} AS ts_shifted, "
+    f"SELECT event_id, {tu.duck_epoch('ts')} + {_SHIFT_US} AS ts_shifted, "
     f"       CAST({_SHIFT_US} AS BIGINT) AS span_us, "
     f"       '{humanduration(_SHIFT_US)}' AS human "
     "FROM events WHERE event_id % 101 = 0"
@@ -105,7 +106,7 @@ def duration_shift(spark, sf_dir):
     to platform µs, shift every tick, render human-readable. The oracle's
     literal 95400000000 / '1d2h30m' pins the parser to the spec."""
     ev = load_table(spark, sf_dir, "events")
-    ts_us = epoch_us_col(ev, "ts")
+    ts_us = epoch_ticks_col(ev, "ts")
     span = parse_duration(_ISO)
     return (
         ev.where(F.col("event_id") % 101 == 0)

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from warp10_platform_spark.analytics import fit as _fit
 from warp10_platform_spark.operators import reshape as _reshape
 from warp10_platform_spark.queries import register
+from warp10_platform_spark.core import timeunits as tu
 from warp10_platform_spark.queries.gts import DAILY, DAY, LASTBUCKET, NDAYS, PTS, _bucketized, _bucketized_decimal_mean
 from warp10_platform_spark.sources.tables import canonical_points, events_points
 
@@ -165,7 +166,7 @@ def dwt_haar(spark, sf_dir):
     "last5 AS (SELECT class, \"user\", ts, "
     "                 row_number() OVER (PARTITION BY class, \"user\" ORDER BY ts DESC, event_id DESC) AS rn "
     "          FROM (SELECT class, \"user\", ts, event_id FROM (SELECT 'events.' || event_type AS class, "
-    "                CAST(user_id AS VARCHAR) AS \"user\", epoch_us(ts) AS ts, event_id FROM events) q)), "
+    f"                CAST(user_id AS VARCHAR) AS \"user\", {tu.duck_epoch('ts')} AS ts, event_id FROM events) q)), "
     "t3 AS (SELECT class, \"user\", ts, max(ts) OVER (PARTITION BY class, \"user\") AS mx FROM pts) "
     "SELECT a.class, a.\"user\" AS user, a.n_last5, b.n_3d FROM "
     "(SELECT class, \"user\", count(*) AS n_last5 FROM last5 WHERE rn <= 5 GROUP BY class, \"user\") a "

@@ -18,6 +18,7 @@ from warp10_platform_spark.core.frame import GTSFrame
 from warp10_platform_spark.operators import fill as _fill
 from warp10_platform_spark.operators import sort as _sort
 from warp10_platform_spark.queries import register
+from warp10_platform_spark.core import timeunits as tu
 from warp10_platform_spark.queries.gts import DAY, LASTBUCKET, NDAYS, PTS, _bucketized
 from warp10_platform_spark.sources.tables import canonical_points, events_points
 
@@ -334,7 +335,7 @@ def fetch_step_timestep(spark, sf_dir):
 @register("mapper_scalar_coverage", (
     f"WITH {PTS} "
     'SELECT class, "user", ts, ts AS v_tick, '
-    "strftime(make_timestamp(ts), '%Y-%m-%dT%H:%M:%S') || printf('.%06dZ', ts % 1000000) AS v_dt, "
+    f"strftime(make_timestamp({tu.duck_units_to_us('ts')}), '%Y-%m-%dT%H:%M:%S') || printf('.%0{tu.SUBSEC_DIGITS}dZ', ts % {tu.UNITS_PER_S}) AS v_dt, "
     "CASE WHEN v > 0.5 THEN 1 WHEN v < 0.5 THEN -1 ELSE 0 END AS v_cmp "
     "FROM pts WHERE class = 'events.purchase'"
 ))

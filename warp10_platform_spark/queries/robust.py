@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 
 from warp10_platform_spark.analytics import fit as _fit
 from warp10_platform_spark.queries import register
+from warp10_platform_spark.core import timeunits as tu
+EPOCH_TS = tu.duck_epoch('ts')
 from warp10_platform_spark.queries.analytics import _E_LAM
 from warp10_platform_spark.queries.gts import DAILY, HOUR, LASTBUCKET, PTS, _bucketized
 from warp10_platform_spark.queries.stl_oracle import _iteration
@@ -215,7 +217,7 @@ alive{r} AS MATERIALIZED (SELECT {kal}, al.ts, al.v FROM {prev} al LEFT JOIN can
 
 
 _HYBRID_BASE = f"""
-WITH pts AS (SELECT 'events.' || event_type AS class, 'all' AS "user", epoch_us(ts) AS ts FROM events),
+WITH pts AS (SELECT 'events.' || event_type AS class, 'all' AS "user", {EPOCH_TS} AS ts FROM events),
 hh AS (SELECT class, "user", {LASTBUCKET} - (({LASTBUCKET} - ts) // {HOUR}) * {HOUR} AS ts FROM pts
        WHERE ts <= {LASTBUCKET} AND ts > {LASTBUCKET} - {H_WIN} * {HOUR}),
 cd AS (SELECT class, "user", ts, CAST(count(*) AS DOUBLE) AS y0 FROM hh GROUP BY class, "user", ts),

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from warp10_platform_spark.queries import register
+from warp10_platform_spark.core import timeunits as tu
 from warp10_platform_spark.queries.gts import DAILY, DAY, LASTBUCKET, NDAYS, PTS
 from warp10_platform_spark.warpscript import exec_script
 
@@ -126,13 +127,13 @@ def ws_apply_gt(spark, sf_dir):
     return out.select("label_user", "ts", "v_op")
 
 
-HOUR_US = 3_600_000_000
+HOUR_US = tu.us(3_600_000_000)
 
 
 @register("ws_lmap_timeshift_merge", (
     f"WITH {PTS} "
     'SELECT class, "user", pts.ts + o.off AS ts, round(v, 6) AS v '
-    "FROM pts CROSS JOIN (SELECT unnest([0, 3600000000, 7200000000]) AS off) o "
+    f"FROM pts CROSS JOIN (SELECT unnest([0, {tu.us(3600000000)}, {tu.us(7200000000)}]) AS off) o "
     "WHERE class = 'events.purchase'"
 ))
 def ws_lmap_timeshift_merge(spark, sf_dir):
@@ -141,7 +142,7 @@ def ws_lmap_timeshift_merge(spark, sf_dir):
     the functional-list surface driving lazy frame ops: three shifted
     plans union into ONE Catalyst plan, no job until collect."""
     script = f"""
-    [ 'events.purchase' {{}} 0 2000000000000000 ] FETCH 'g' STORE
+    [ 'events.purchase' {{}} 0 {tu.us(2000000000000000)} ] FETCH 'g' STORE
     [ 0 1 2 ] <% {HOUR_US} * 'off' STORE $g $off TIMESHIFT %> false LMAP
     MERGE
     """

@@ -34,6 +34,7 @@ import json
 import os
 import threading
 import time
+from warp10_platform_spark.core import timeunits as _tuc
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -70,7 +71,7 @@ class Store:
         lines = [ln for ln in text.splitlines() if ln.strip()]
         if not lines:
             return 0
-        now_us = int(time.time() * 1_000_000)
+        now_us = int(time.time() * _tuc.UNITS_PER_S)
         pts = parse(self.spark, lines, default_ts=now_us)
         with self._lock:
             self._n_appends += 1
@@ -318,8 +319,27 @@ class _Handler(BaseHTTPRequestHandler):
                             "X-Warp10-Error-Line": "0",
                         },
                     )
-                body = json.dumps([_jsonable(v, None, False) for v in reversed(st.stack)])
-                ctype = "application/json"
+                # STREAMED like /fetch: one stack level rendered and
+                # written at a time, so a huge stack (e.g. several
+                # million-point GTS levels) never holds its full JSON in
+                # driver memory at once — the reference's /exec writes
+                # through StackUtils.toJSON with the same property. An
+                # error mid-stream can only truncate (status already
+                # sent), exactly the /fetch contract above.
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Connection", "close")
+                self.send_header(
+                    "X-Warp10-Elapsed", str(int((time.perf_counter() - t0) * 1e6))
+                )
+                self.end_headers()
+                self.wfile.write(b"[")
+                for i, v in enumerate(reversed(st.stack)):
+                    if i:
+                        self.wfile.write(b",")
+                    self.wfile.write(json.dumps(_jsonable(v, None, False)).encode())
+                self.wfile.write(b"]")
+                return
             elif url.path == f"{API}/update":
                 n = self.store.append_update(self._body())
                 return self._reply(200, "", headers={"X-Warp10-Ingested": str(n)})
@@ -345,9 +365,6 @@ class _Handler(BaseHTTPRequestHandler):
             return self._reply(
                 500, "", headers={"X-Warp10-Error-Message": f"{type(e).__name__}: {e}"[:900]}
             )
-        self._reply(
-            200, body, ctype, {"X-Warp10-Elapsed": str(int((time.perf_counter() - t0) * 1e6))}
-        )
 
 
 def make_server(spark, sf_dir: str, store_dir: str, port: int = 0) -> ThreadingHTTPServer:

@@ -38,11 +38,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from warp10_platform_spark.core import timeunits as tu
 from warp10_platform_spark.core.schema import labels_from_key
 from warp10_platform_spark.operators.bucketize import SERIES_KEYS
 from warp10_platform_spark.sources.tables import _cache_key, canonical_points
 
-HOUR_US = 3_600_000_000
+# One hour in platform ticks (µs default; scales with WARP10_TIME_UNITS).
+HOUR_US = tu.us(3_600_000_000)
 
 def _partials():
     # Built lazily: Column construction needs a live SparkContext.

@@ -17,6 +17,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from warp10_platform_spark.core import timeunits as tu
+
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -67,12 +69,26 @@ def epoch_us_col(df: DataFrame, name: str = "ts"):
     return F.unix_micros(F.col(name))
 
 
+def epoch_ticks_col(df: DataFrame, name: str = "ts"):
+    """Column `name` → LONG platform-tick epoch, in the SESSION time
+    unit (core/timeunits, Constants.java:551-567): µs by default, ms/ns
+    when WARP10_TIME_UNITS says so. Same dtype dispatch and the same
+    timezone-independence guarantees as epoch_us_col; every arithmetic
+    path is exact integer scaling of the µs assembly (the ns source
+    dtype short-circuits to avoid a lossy ns→µs→ns round trip)."""
+    dtype = dict(df.dtypes)[name]
+    if dtype == "bigint" and tu.TIME_UNIT == "ns":
+        # source physical type IS ns (nanosAsLong): native, no rescale.
+        return F.col(name)
+    return tu.col_us_to_units(epoch_us_col(df, name))
+
+
 def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table → canonical points DataFrame (one GTS per
-    (event_type, user_id)). epoch_us_col keeps the LONG-µs time axis
-    exact (Constants.java default time unit)."""
+    (event_type, user_id)). epoch_ticks_col keeps the LONG time axis
+    exact in the session unit (Constants.java:51-61; µs default)."""
     ev = load_table(spark, sf_dir, "events")
-    ts_us = epoch_us_col(ev, "ts")
+    ts_us = epoch_ticks_col(ev, "ts")
     # labels_key is built by direct concat, not canonical_labels(): the
     # projection's label map is statically {user: digits}, so the canonical
     # JSON is a fixed template (no escaping, no sort needed) — this is what
@@ -110,11 +126,13 @@ def _cache_key(sf_dir: str, table: str = "events") -> str:
     import hashlib
 
     p = os.path.join(sf_dir, f"{table}.parquet")
+    # TIME_UNIT is part of the signature: a ns/ms session must never be
+    # served a µs-tick materialized layout (or vice versa).
     try:
         st = os.stat(p)
-        sig = f"{sf_dir}|{table}|{st.st_size}|{int(st.st_mtime)}"
+        sig = f"{sf_dir}|{table}|{st.st_size}|{int(st.st_mtime)}|{tu.TIME_UNIT}"
     except OSError:
-        sig = f"{sf_dir}|{table}"
+        sig = f"{sf_dir}|{table}|{tu.TIME_UNIT}"
     return hashlib.md5(sig.encode()).hexdigest()[:10]
 
 
@@ -135,11 +153,13 @@ def canonical_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-# DuckDB-side equivalent of events_points, for oracle SQL construction.
-EVENTS_POINTS_SQL = """
+# DuckDB-side equivalent of events_points, for oracle SQL construction —
+# the epoch extractor flips with the session unit so both engines put the
+# SAME integers on the time axis.
+EVENTS_POINTS_SQL = f"""
 SELECT 'events.' || event_type AS class,
        CAST(user_id AS VARCHAR) AS "user",
-       epoch_us(ts) AS ts,
+       {tu.duck_epoch('ts')} AS ts,
        value AS v_double,
        event_id
 FROM events
@@ -199,7 +219,7 @@ def _attach_bucketed(spark, src_df, name, path, key, sort_cols, buckets):
     return spark.table(name)
 
 
-DAY_US = 86_400_000_000
+DAY_US = tu.us(86_400_000_000)  # one day in platform ticks (µs default)
 
 
 def partitioned_points(spark: SparkSession, sf_dir: str) -> DataFrame:

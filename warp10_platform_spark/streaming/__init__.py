@@ -1,5 +1,6 @@
 from warp10_platform_spark.streaming.ingest import (  # noqa: F401
     read_gts_text_stream,
+    read_points_stream,
     streaming_bucketize,
     streaming_counter_delta,
     streaming_exact_dedup,

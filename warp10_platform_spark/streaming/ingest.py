@@ -22,17 +22,80 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from warp10_platform_spark.core import timeunits as _tuc
+
 from warp10_platform_spark.sources.gts_text import parse_gts_lines
 
 
 def read_gts_text_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """Streaming ingest of GTS text files dropped into `path` — the
     engine's StandaloneIngressHandler analog. Returns the canonical
-    (unbounded) points DataFrame."""
-    reader = spark.readStream.format("text")
+    (unbounded) points DataFrame. (Thin wrapper over the pluggable
+    read_points_stream, kept for the established call sites.)"""
+    opts = {}
     if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return parse_gts_lines(reader.load(path))
+        opts["maxFilesPerTrigger"] = max_files_per_trigger
+    return read_points_stream(spark, source="file", path=path, **opts)
+
+
+def read_points_stream(spark: SparkSession, source: str = "file", **options) -> DataFrame:
+    """Pluggable ingest source → ONE parse/watermark/append pipeline,
+    mirroring the reference's Ingress→Store topology (continuum/ingress/
+    Ingress.java consumes the same GTS text lines whatever transport
+    delivered them). Every source yields a `value` STRING column of GTS
+    text lines, fed to the same parse_gts_lines projection the batch
+    path uses — one parser, any transport:
+
+    - ``file``:   options path (required), maxFilesPerTrigger — drop-dir
+      ingest, the StandaloneIngressHandler analog; exactly-once via file
+      tracking.
+    - ``socket``: options host, port — the push-transport analog (Plasma
+      / direct TCP feeds); at-most-once (no replay), test/dev transport.
+    - ``rate``:   options rowsPerSecond (default 10) — synthetic load
+      generator; rows are rendered AS GTS text lines first so the parser
+      path is exercised end-to-end.
+    - ``kafka``:  options kafka.bootstrap.servers, subscribe, ... passed
+      through verbatim; value bytes CAST to STRING. Wired but untestable
+      in this sandbox (no broker, and the spark-sql-kafka package is not
+      baked in) — on a real cluster add the connector jar and this path
+      is the production Ingress transport (partitions = ingest
+      parallelism, offsets = replay cursor).
+    """
+    if source == "file":
+        path = options.pop("path")
+        reader = spark.readStream.format("text")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        lines = reader.load(path)
+    elif source == "socket":
+        reader = spark.readStream.format("socket")
+        reader = reader.option("host", options.pop("host", "127.0.0.1"))
+        reader = reader.option("port", options.pop("port"))
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        lines = reader.load()
+    elif source == "rate":
+        reader = spark.readStream.format("rate").option(
+            "rowsPerSecond", options.pop("rowsPerSecond", 10)
+        )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        # render rate rows as GTS text so the shared parser handles them
+        lines = reader.load().select(
+            F.concat(
+                _tuc.col_us_to_units(F.unix_micros("timestamp")).cast("long").cast("string"),
+                F.lit("// rate.synthetic{src=rate} "),
+                F.col("value").cast("string"),
+            ).alias("value")
+        )
+    elif source == "kafka":
+        reader = spark.readStream.format("kafka")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        lines = reader.load().select(F.col("value").cast("string").alias("value"))
+    else:
+        raise ValueError(f"unknown streaming source {source!r}: file|socket|rate|kafka")
+    return parse_gts_lines(lines)
 
 
 def streaming_bucketize(
@@ -48,8 +111,8 @@ def streaming_bucketize(
 
     Emits (class, labels_key, bucket_end_us, count/sum/min/max/mean).
     """
-    with_event_time = points.withColumn("event_time", F.timestamp_micros(F.col("ts")))
-    win = F.window("event_time", f"{span_us} microseconds")
+    with_event_time = points.withColumn("event_time", F.timestamp_micros(_tuc.col_units_to_us(F.col("ts"))))
+    win = F.window("event_time", f"{_tuc.units_to_us(span_us)} microseconds")
     agg = (
         with_event_time.withWatermark("event_time", watermark_delay)
         .groupBy(F.col("class"), F.col("labels_key"), win.alias("w"))
@@ -64,7 +127,7 @@ def streaming_bucketize(
     return agg.select(
         "class",
         "labels_key",
-        F.unix_micros(F.col("w.end")).alias("bucket_end"),
+        _tuc.col_us_to_units(F.unix_micros(F.col("w.end"))).alias("bucket_end"),
         "v_count",
         "v_sum",
         "v_min",
@@ -82,7 +145,7 @@ def streaming_sessionize(
     """Continuous TIMESPLIT: event-time session windows per series —
     a session closes after `gap` of quiet, exactly the batch operator's
     semantics but incremental (state bounded by the watermark)."""
-    with_event_time = points.withColumn("event_time", F.timestamp_micros(F.col("ts")))
+    with_event_time = points.withColumn("event_time", F.timestamp_micros(_tuc.col_units_to_us(F.col("ts"))))
     return (
         with_event_time.withWatermark("event_time", watermark_delay)
         .groupBy(F.col("class"), F.col("labels_key"), F.session_window("event_time", gap).alias("w"))
@@ -90,8 +153,8 @@ def streaming_sessionize(
         .select(
             "class",
             "labels_key",
-            F.unix_micros(F.col("w.start")).alias("session_start"),
-            F.unix_micros(F.col("w.end")).alias("session_end"),
+            _tuc.col_us_to_units(F.unix_micros(F.col("w.start"))).alias("session_start"),
+            _tuc.col_us_to_units(F.unix_micros(F.col("w.end"))).alias("session_end"),
             "n_points",
             "v_sum",
         )
@@ -138,7 +201,7 @@ def streaming_counter_delta(points: DataFrame, watermark_delay: str = "1 minute"
         state.update((last_ts, last_v))
         yield pd.DataFrame(rows, columns=["gts_id", "class", "labels_key", "ts", "v_delta"])
 
-    with_event_time = points.withColumn("event_time", F.timestamp_micros(F.col("ts")))
+    with_event_time = points.withColumn("event_time", F.timestamp_micros(_tuc.col_units_to_us(F.col("ts"))))
     return (
         with_event_time.withWatermark("event_time", watermark_delay)
         .groupBy("gts_id")
@@ -160,7 +223,7 @@ def streaming_last(points: DataFrame, watermark_delay: str = "1 minute", value_c
     """Continuous last-value view per series (the reference's
     'last tick' directory/plasma use case): max_by over event time in
     update mode."""
-    with_event_time = points.withColumn("event_time", F.timestamp_micros(F.col("ts")))
+    with_event_time = points.withColumn("event_time", F.timestamp_micros(_tuc.col_units_to_us(F.col("ts"))))
     return (
         with_event_time.withWatermark("event_time", watermark_delay)
         .groupBy("class", "labels_key")

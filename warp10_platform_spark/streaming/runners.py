@@ -16,6 +16,7 @@ the scheduling decision the reference script makes inline.
 from __future__ import annotations
 
 import time
+from warp10_platform_spark.core import timeunits as _tuc
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,7 +51,7 @@ def every(
 def runner_at(epoch_us: int, now_us: int | None = None) -> int:
     """RUNNERAT (functions/RUNNERAT.java:29): µs to wait until the given
     absolute tick (0 if already past)."""
-    now = int(time.time() * 1_000_000) if now_us is None else now_us
+    now = int(time.time() * _tuc.UNITS_PER_S) if now_us is None else now_us
     return max(0, epoch_us - now)
 
 

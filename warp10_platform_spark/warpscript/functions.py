@@ -14,6 +14,7 @@ from typing import Callable
 
 from pyspark.sql import functions as F
 
+from warp10_platform_spark.core import timeunits as _tuc
 from warp10_platform_spark.core.frame import GTSFrame
 from warp10_platform_spark.sources.tables import events_points
 
@@ -260,22 +261,24 @@ REGISTRY["TODOUBLE"] = lambda st: st.push(float(st.pop()))
 REGISTRY["TOSTRING"] = lambda st: st.push(str(st.pop()))
 
 
-# ---------- time units & now (Constants.java µs time unit) ----------
+# ---------- time units & now (Constants.java:51-61 — session unit) ----------
 
-_US = 1
+_US = _tuc.us(1)
 _UNITS = {
-    "w": 7 * 86_400_000_000,
-    "d": 86_400_000_000,
-    "h": 3_600_000_000,
-    "m": 60_000_000,
-    "s": 1_000_000,
-    "ms": 1_000,
-    "us": 1,
+    "w": 7 * 86_400 * _tuc.UNITS_PER_S,
+    "d": 86_400 * _tuc.UNITS_PER_S,
+    "h": 3_600 * _tuc.UNITS_PER_S,
+    "m": 60 * _tuc.UNITS_PER_S,
+    "s": _tuc.UNITS_PER_S,
+    "ms": _tuc.UNITS_PER_MS,
+    "us": _tuc.us(1),
 }
+if _tuc.TIME_UNIT == "ns":
+    _UNITS["ns"] = 1
 for _name, _mult in _UNITS.items():
     REGISTRY[_name] = (lambda mult: lambda st: st.push(st.pop() * mult))(_mult)
 
-REGISTRY["NOW"] = lambda st: st.push(int(_time.time() * 1_000_000))
+REGISTRY["NOW"] = lambda st: st.push(int(_time.time() * _tuc.UNITS_PER_S))
 
 
 # ---------- aggregator / op / filter name tokens ----------
@@ -352,7 +355,7 @@ def _as_frame(v) -> GTSFrame:
 
 
 def _ts_param(v, now_us: int) -> int:
-    """FETCH time param: long µs | ISO8601 string | 'now'
+    """FETCH time param: long platform ticks | ISO8601 string | 'now'
     (FETCH.java PARAM_END/PARAM_START handling)."""
     if isinstance(v, int):
         return v
@@ -364,7 +367,8 @@ def _ts_param(v, now_us: int) -> int:
     dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
-    return int(dt.timestamp() * 1_000_000)
+    # integer-exact: whole seconds in ticks + the µs field rescaled
+    return int(dt.replace(microsecond=0).timestamp()) * _tuc.UNITS_PER_S + _tuc.us(dt.microsecond)
 
 
 def _fetch_map(st, params: dict):
@@ -377,7 +381,7 @@ def _fetch_map(st, params: dict):
 
     from warp10_platform_spark.core.selector import selector_predicate, to_selector
 
-    now_us = int(_t.time() * 1_000_000)
+    now_us = int(_t.time() * _tuc.UNITS_PER_S)
     params = dict(params)
 
     # ---- targeting --------------------------------------------------
@@ -1302,9 +1306,10 @@ def _iso8601(st):
     """µs timestamp → ISO-8601 UTC string (ISO8601.java)."""
     from datetime import datetime, timezone
 
-    us = st.pop()
-    dt = datetime.fromtimestamp(us / 1_000_000, tz=timezone.utc)
-    st.push(dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{us % 1_000_000:06d}Z")
+    ticks = st.pop()
+    dt = datetime.fromtimestamp(ticks // _tuc.UNITS_PER_S, tz=timezone.utc)
+    sub = ticks % _tuc.UNITS_PER_S
+    st.push(dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{sub:0{_tuc.SUBSEC_DIGITS}d}Z")
 
 
 @register("DURATION")
@@ -1331,11 +1336,11 @@ def _tselements(st):
 
     top = st.pop()
     if isinstance(top, str):
-        tz, us = ZoneInfo(top), st.pop()
+        tz, ticks = ZoneInfo(top), st.pop()
     else:
-        tz, us = timezone.utc, top
-    dt = datetime.fromtimestamp(us // 1_000_000, tz=tz)
-    st.push([dt.year, dt.month, dt.day, dt.hour, dt.minute, dt.second, us % 1_000_000])
+        tz, ticks = timezone.utc, top
+    dt = datetime.fromtimestamp(ticks // _tuc.UNITS_PER_S, tz=tz)
+    st.push([dt.year, dt.month, dt.day, dt.hour, dt.minute, dt.second, ticks % _tuc.UNITS_PER_S])
 
 
 # ---------- additional GTS bindings (engine operators already built) ----------
@@ -1601,8 +1606,8 @@ def _clonereverse(st):
 
 # ---------- calendar arithmetic (UTC, platform µs) ----------
 
-REGISTRY["MSTU"] = lambda st: st.push(1_000)      # µs per ms (time unit consts)
-REGISTRY["STU"] = lambda st: st.push(1_000_000)   # µs per s
+REGISTRY["MSTU"] = lambda st: st.push(_tuc.UNITS_PER_MS)  # ticks per ms (Constants.java:51)
+REGISTRY["STU"] = lambda st: st.push(_tuc.UNITS_PER_S)     # ticks per s (Constants.java:56)
 
 
 @register("ADDDURATION")
@@ -1620,8 +1625,8 @@ def _calendar_add(field: str):
     def inner(st):
         n = st.pop()
         ts = st.pop()
-        micros = ts % 1_000_000
-        d = _dt.datetime.fromtimestamp(ts // 1_000_000, _dt.timezone.utc)
+        subsec = ts % _tuc.UNITS_PER_S
+        d = _dt.datetime.fromtimestamp(ts // _tuc.UNITS_PER_S, _dt.timezone.utc)
         if field == "days":
             d = d + _dt.timedelta(days=n)
         elif field == "months":
@@ -1633,7 +1638,7 @@ def _calendar_add(field: str):
             d = d.replace(year=year, month=mo, day=day)
         else:
             d = d.replace(year=d.year + n)
-        st.push(int(d.timestamp()) * 1_000_000 + micros)
+        st.push(int(d.timestamp()) * _tuc.UNITS_PER_S + subsec)
 
     return inner
 
@@ -1652,9 +1657,9 @@ def _tselements_build(st):
     h = el[3] if len(el) > 3 else 0
     mi = el[4] if len(el) > 4 else 0
     s = el[5] if len(el) > 5 else 0
-    us = el[6] if len(el) > 6 else 0
+    sub = el[6] if len(el) > 6 else 0
     dt = _dt.datetime(y, mo, d, h, mi, s, tzinfo=_dt.timezone.utc)
-    st.push(int(dt.timestamp()) * 1_000_000 + us)
+    st.push(int(dt.timestamp()) * _tuc.UNITS_PER_S + sub)
 
 
 # ---------- symbols / SNAPSHOT ----------

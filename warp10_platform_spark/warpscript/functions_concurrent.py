@@ -18,6 +18,8 @@ documented deviation; the mutex-held write discipline IS enforced.
 
 from __future__ import annotations
 
+from warp10_platform_spark.core import timeunits as _tuc
+
 import threading
 from concurrent.futures import ThreadPoolExecutor
 
@@ -132,7 +134,7 @@ def _mutex(st):
     top = st.pop()
     timeout_s = None
     if isinstance(top, int) and not isinstance(top, bool):
-        timeout_s = top / 1_000_000.0
+        timeout_s = top / float(_tuc.UNITS_PER_S)
         top = st.pop()
     if not isinstance(top, str):
         raise TypeError("MUTEX expects a mutex name")

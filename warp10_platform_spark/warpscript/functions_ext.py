@@ -25,6 +25,7 @@ from decimal import ROUND_CEILING, ROUND_FLOOR, ROUND_HALF_EVEN, ROUND_HALF_UP, 
 
 from pyspark.sql import functions as F
 
+from warp10_platform_spark.core import timeunits as _tuc
 from warp10_platform_spark.core.frame import GTSFrame
 from warp10_platform_spark.warpscript.functions import (
     REGISTRY,
@@ -2155,21 +2156,21 @@ REGISTRY["WSSTACK"] = lambda st: st.push(list(st.stack))
 
 @register("TOTIMESTAMP")
 def _totimestamp(st):
-    """'iso8601' TOTIMESTAMP → platform µs (TOTIMESTAMP.java)."""
+    """'iso8601' TOTIMESTAMP → platform ticks (TOTIMESTAMP.java)."""
     from datetime import datetime, timezone
 
     s = str(st.pop()).replace("Z", "+00:00")
     dt = datetime.fromisoformat(s)
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
-    st.push(int(dt.timestamp() * 1_000_000))
+    st.push(int(dt.replace(microsecond=0).timestamp()) * _tuc.UNITS_PER_S + _tuc.us(dt.microsecond))
 
 
 @register("AGO")
 def _ago(st):
     import time as _t
 
-    st.push(int(_t.time() * 1_000_000) - int(st.pop()))
+    st.push(int(_t.time() * _tuc.UNITS_PER_S) - int(st.pop()))
 
 
 # ---- Shamir secret sharing (TOSSSS.java / SSSSTO.java) -------------
@@ -3248,6 +3249,45 @@ def _pickleto(st):
             raise _pickle.UnpicklingError(f"PICKLE-> refuses non-data global {module}.{name}")
 
     st.push(_DataUnpickler(_io.BytesIO(_to_bytes(st.pop()))).load())
+
+
+@register("TIGER", "GOST")
+def _unverifiable_digest_stub(st):
+    """TIGER / GOST digests: deliberately NOT implemented — no
+    independent implementation exists in this environment to validate
+    their S-box tables (OpenSSL 3.5 ships neither, even in legacy), and
+    an unverifiable hash is worse than an absent one (COVERAGE.md
+    appendix). Bound so scripts get a precise error."""
+    raise NotImplementedError(
+        "TIGER/GOST are out of scope: their S-box tables cannot be "
+        "independently validated in this environment. Use SHA256/SHA1/MD5/"
+        "KECCAK or the HMAC tier instead."
+    )
+
+
+def _platform_mgmt_stub(name: str, why: str):
+    def stub(st):
+        raise NotImplementedError(f"{name} is out of scope in this engine: {why}")
+    return stub
+
+
+# Server-administration / deployment names (COVERAGE.md appendix):
+# bound as precise raising stubs so macro libraries that reference them
+# fail with the reason, never with 'unknown function'.
+for _nm, _why in (
+    ("CAPADD", "capability decoding from auth TOKENs is token-service administration; "
+               "CAPGET/CAPCHECK/CAPDEL/CAPEXPORT over the capabilities map ARE implemented"),
+    ("TOKENINFO", "token introspection belongs to the deployment's token service"),
+    ("WF.ADDREPO", "WarpFleet repository management is deployment administration"),
+    ("WF.GETREPOS", "WarpFleet repository management is deployment administration"),
+    ("WF.SETREPOS", "WarpFleet repository management is deployment administration"),
+    ("WFON", "WarpFleet resolver toggling is deployment administration"),
+    ("WFOFF", "WarpFleet resolver toggling is deployment administration"),
+    ("LOGINIT", "server log-subsystem initialization, not query semantics"),
+    ("GETHOOK", "egress hook inspection is server administration"),
+    ("PIGSCHEMA", "Hadoop/Pig integration is replaced by native DataFrame I/O"),
+):
+    REGISTRY[_nm] = _platform_mgmt_stub(_nm, _why)
 
 
 @register("CALL", "REXEC", "REXECZ")
@@ -4560,7 +4600,7 @@ def _every(st):
     def fire(spark, tick):
         st.exec_macro(macro)
 
-    st.push(_ev(st.spark, fire, interval=f"{max(1, period_us // 1_000_000)} seconds"))
+    st.push(_ev(st.spark, fire, interval=f"{max(1, period_us // _tuc.UNITS_PER_S)} seconds"))
 
 
 # ---------- round-5 tranche (registration side effects) ----------

@@ -10,6 +10,7 @@ and PGPINFO yields the per-key info map keyed by key id.
 """
 
 from __future__ import annotations
+from warp10_platform_spark.core import timeunits as _tuc
 
 from warp10_platform_spark.functions import pgp as P
 from warp10_platform_spark.warpscript.functions import REGISTRY, register
@@ -147,7 +148,7 @@ def _pgpsign(st):
         raise TypeError("PGPSIGN invalid content to sign, expected STRING or BYTES.")
     when = None
     if isinstance(params.get("date"), int):
-        when = params["date"] // 1_000_000  # µs → s
+        when = params["date"] // _tuc.UNITS_PER_S  # ticks → s
     if detached:
         out = P.sign_detached(priv, keyid, bytes(data), digest, when)
         kind = "SIGNATURE"
@@ -229,7 +230,7 @@ def _pgpencrypt(st):
         raise TypeError("PGPENCRYPT expects data to encrypt to be STRING or BYTES.")
     when = None
     if isinstance(params.get("date"), int):
-        when = params["date"] // 1_000_000
+        when = params["date"] // _tuc.UNITS_PER_S
     out = P.encrypt(pub, bytes(data), str(params.get("alg", "AES_256")),
                     throw_keyid=throw_keyid, when=when)
     st.push(P.armor("MESSAGE", out) if do_armor else out)

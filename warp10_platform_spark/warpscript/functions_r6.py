@@ -15,6 +15,7 @@ plumbing and the any-input dispatch.
 
 from __future__ import annotations
 
+from warp10_platform_spark.core import timeunits as _tuc
 from warp10_platform_spark.warpscript.functions import REGISTRY, register
 
 
@@ -195,7 +196,7 @@ def _notbefore(st):
 
     top = st.pop()
     instant = _instant_of(st, top)
-    if int(time.time() * 1_000_000) < instant:
+    if int(time.time() * _tuc.UNITS_PER_S) < instant:
         raise RuntimeError(f"Current time is before '{top}'")
 
 
@@ -207,7 +208,7 @@ def _notafter(st):
 
     top = st.pop()
     instant = _instant_of(st, top)
-    if int(time.time() * 1_000_000) > instant:
+    if int(time.time() * _tuc.UNITS_PER_S) > instant:
         raise RuntimeError(f"NOTAFTER failed because the current time is after '{top}'")
 
 

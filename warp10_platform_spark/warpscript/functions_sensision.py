@@ -20,6 +20,7 @@ from __future__ import annotations
 import threading
 import time
 
+from warp10_platform_spark.core import timeunits as _tuc
 from warp10_platform_spark.warpscript.functions import register
 
 _LOCK = threading.Lock()
@@ -48,7 +49,7 @@ def _fmt(cls, labels, value, ts_us) -> str:
 
 
 def _now_us() -> int:
-    return int(time.time() * 1_000_000)
+    return int(time.time() * _tuc.UNITS_PER_S)
 
 
 def _args3(st, name):
