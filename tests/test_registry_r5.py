@@ -155,10 +155,10 @@ def test_welford_and_join_aliases(stack):
     # reducer.sd.welford == reducer.sd on the same points
     st.exec("'g' STORE [ [ $g ] [] reducer.sd.welford ] REDUCE")
     red = st.pop()
-    [r] = red.select("v_reduced").collect()
+    [r] = red.df.select("v_reduced").collect()
     assert abs(r["v_reduced"] - 2.0 ** 0.5) < 1e-12
     st.exec("[ [ $g ] [] reducer.join.urlencoded ] REDUCE")
-    [r] = st.pop().select("v_reduced").collect()
+    [r] = st.pop().df.select("v_reduced").collect()
     assert r["v_reduced"] == "1.0,3.0"
 
 

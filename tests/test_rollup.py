@@ -251,3 +251,34 @@ def test_serve_bucketize_approx_percentile_routing(spark, sf_dir):
     exp = {(r["gts_id"], r["ts2"]): r["v_os"] for r in os95.collect()}
     assert set(got) == set(exp)
     assert all(got[k] <= exp[k] < got[k] + 8.0 for k in exp)
+
+
+def test_serve_bucketize_sd_var_moment_tier(spark, sf_dir):
+    """sd/var joined the servable set via the s1q/s2q moment partials:
+    a daily sd grid routes to the rollup (never the raw scan) and agrees
+    with the raw-path stddev within the documented 1e-6-quantization
+    bound; the sample form is NULL for 1-point buckets on BOTH paths."""
+    import math
+
+    from warp10_platform_spark.operators.bucketize import bucketize as raw_bucketize
+    from warp10_platform_spark.sources.rollup import serve_bucketize
+
+    for name in ("sd", "var", "sd.pop", "var.pop"):
+        _, route = serve_bucketize(spark, sf_dir, name, DAY, LASTBUCKET, NDAYS)
+        assert route == f"rollup:{DAY}", name
+
+    served, _ = serve_bucketize(spark, sf_dir, "sd", DAY, LASTBUCKET, NDAYS)
+    raw, _ = raw_bucketize(canonical_points(spark, sf_dir), "sd", DAY, LASTBUCKET, NDAYS)
+    cols = ["class", "labels_key", "ts", "v_agg"]
+    got = {tuple(r[:3]): r[3] for r in _rows(served, cols)}
+    exp = {tuple(r[:3]): r[3] for r in _rows(raw, cols)}
+    assert set(got) == set(exp) and got
+    nulls = 0
+    for k, e in exp.items():
+        g = got[k]
+        if e is None or g is None:
+            assert e is None and g is None, (k, g, e)
+            nulls += 1
+            continue
+        # quantization at 1e-6 of the VALUE → sd error bounded well under 1e-4
+        assert math.isclose(float(g), float(e), rel_tol=1e-6, abs_tol=1e-4), (k, g, e)

@@ -221,13 +221,14 @@ def test_streaming_rollup_maintenance_matches_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
 
+    cols = ("cnt", "sum_d", "min_v", "max_v", "first", "last", "s1q", "s2q")
     batch_pts = parse_gts_lines(spark.read.text(text_dir))
     expect = {
-        (r["gts_id"], r["rb"]): (r["cnt"], r["sum_d"], r["min_v"], r["max_v"], r["first"], r["last"])
+        (r["gts_id"], r["rb"]): tuple(r[c] for c in cols)
         for r in rollup_partials(batch_pts).collect()
     }
     got = {
-        (r["gts_id"], r["rb"]): (r["cnt"], r["sum_d"], r["min_v"], r["max_v"], r["first"], r["last"])
+        (r["gts_id"], r["rb"]): tuple(r[c] for c in cols)
         for r in read_maintained_rollup(spark, roll_dir).collect()
     }
     assert got == expect and got
@@ -235,7 +236,7 @@ def test_streaming_rollup_maintenance_matches_batch(spark, sf_dir, tmp_path):
     # Compaction rewrites the append pile; readers see identical results.
     compact_rollup(spark, roll_dir)
     after = {
-        (r["gts_id"], r["rb"]): (r["cnt"], r["sum_d"], r["min_v"], r["max_v"], r["first"], r["last"])
+        (r["gts_id"], r["rb"]): tuple(r[c] for c in cols)
         for r in read_maintained_rollup(spark, roll_dir).collect()
     }
     assert after == expect

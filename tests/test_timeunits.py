@@ -103,3 +103,67 @@ def test_col_conversions_exact_at_epoch_ns_magnitude(spark, reload_units):
     row2 = spark.range(1).selectExpr(f"{ts_us}L AS u")
     got_ms = row2.select(m.col_us_to_units(row2["u"]).alias("ms")).collect()[0]["ms"]
     assert got_ms == ts_us // 1000
+
+
+def test_ns_mode_end_to_end_oracle_subprocess(sf_dir):
+    """End-to-end unit flip INSIDE the test suite: a fresh process with
+    WARP10_TIME_UNITS=ns runs a representative GTS-tier slice (fetch,
+    daily bucketize, calendar bucketize, the unit probe, duration shift)
+    against DuckDB oracles generated from the same constant. Keeps the
+    unit threading regression-guarded by pytest alone — the full 240-
+    query proof is the per-round MIRROR_ns/MIRROR_ms ledgers."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, WARP10_TIME_UNITS="ns")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "driver_mirror.py"), sf_dir,
+         "fetch_range", "bucketize_mean", "bucketize_calendar_daily",
+         "time_units_probe", "duration_shift"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=repo,
+    )
+    tail = out.stdout.strip().splitlines()
+    assert any("TOTAL pass=5 fail=0 err=0" in ln for ln in tail), out.stdout[-2000:] + out.stderr[-2000:]
+
+
+def test_unit_suffixes_reference_semantics_subprocess():
+    """Unit-suffix functions follow unary/UNIT.java exactly:
+    tick = Math.round(v * factor_ms * TIME_UNITS_PER_MS), with
+    fractional factors for sub-ms suffixes — `3 ns` is 0 in us mode but
+    3 in ns mode, `1 us` is 0 in ms mode, and `ps` exists in all modes.
+    Runs in subprocesses so each mode gets its baked constants."""
+    import os
+    import subprocess
+    import sys
+
+    prog = (
+        "import sys; sys.path.insert(0, '.');\n"
+        "from warp10_platform_spark.warpscript.functions import REGISTRY\n"
+        "import warp10_platform_spark.warpscript.functions_ext\n"
+        "class St(list):\n"
+        "    push = list.append\n"
+        "    def pop(self): return list.pop(self)\n"
+        "st = St()\n"
+        "import json, os\n"
+        "out = {}\n"
+        "for v, name in [(3, 'ns'), (1, 'us'), (1.5, 's'), (2, 'h'), (1, 'ps')]:\n"
+        "    st.push(v); REGISTRY[name](st); out[f'{v}{name}'] = st.pop()\n"
+        "print(json.dumps(out))\n"
+    )
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    expect = {
+        "us": {"3ns": 0, "1us": 1, "1.5s": 1_500_000, "2h": 7_200_000_000, "1ps": 0},
+        "ms": {"3ns": 0, "1us": 0, "1.5s": 1_500, "2h": 7_200_000, "1ps": 0},
+        "ns": {"3ns": 3, "1us": 1_000, "1.5s": 1_500_000_000, "2h": 7_200_000_000_000, "1ps": 0},
+    }
+    for unit, want in expect.items():
+        env = dict(os.environ, WARP10_TIME_UNITS=unit)
+        out = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                             text=True, timeout=120, env=env, cwd=repo)
+        assert out.returncode == 0, out.stderr[-1500:]
+        got = json.loads(out.stdout.strip().splitlines()[-1])
+        assert got == want, (unit, got, want)

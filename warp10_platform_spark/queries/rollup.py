@@ -54,6 +54,43 @@ def rollup_daily_profile(spark, sf_dir):
     )
 
 
+_SD_ORACLE = f"""
+WITH {PTS}, {DAILY},
+q AS (SELECT class, "user", ts, CAST(round(v * 1000000) AS BIGINT) AS vq FROM daily),
+m AS (SELECT class, "user", ts,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(vq AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(vq AS DECIMAL(19,0)) * CAST(vq AS DECIMAL(19,0))) AS DOUBLE) AS s2
+      FROM q GROUP BY class, "user", ts)
+SELECT class, "user", ts,
+       round(CASE WHEN n > 1
+             THEN sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0) / 1e12)
+             END, 6) AS v_sd
+FROM m
+"""
+
+
+@register("rollup_daily_sd", _SD_ORACLE)
+def rollup_daily_sd(spark, sf_dir):
+    """Daily per-series SD served from HOURLY moment partials (n, Σxq,
+    Σxq² with xq = round(v·1e6)) — variance joins the rollup-servable set
+    because the three moments merge by plain sums. The oracle replays the
+    IDENTICAL quantized computation over raw events: all-integer until
+    the final double expression, so hour→day merge exactness is proven
+    bit-for-bit; the sd itself differs from raw-double sd only by the
+    1e-6 quantization (bounded, documented in sources/rollup.SERVABLE)."""
+    from warp10_platform_spark.sources.rollup import _var_expr
+
+    ro = rollup_points(spark, sf_dir, HOUR_US)
+    df = rebucket(ro, DAY, LASTBUCKET, NDAYS, HOUR_US)
+    return df.select(
+        "class",
+        F.element_at(F.col("labels"), "user").alias("user"),
+        "ts",
+        F.round(F.sqrt(_var_expr(pop=False)), 6).alias("v_sd"),
+    )
+
+
 _INCR_ORACLE = (
     f"WITH {PTS}, {DAILY} "
     'SELECT class, "user", ts, '

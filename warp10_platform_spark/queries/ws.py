@@ -78,7 +78,11 @@ def ws_reduce_sum(spark, sf_dir):
     [ SWAP 1 ->LIST [ 'user' ] reducer.sum ] REDUCE
     """
     out = exec_script(spark, sf_dir, script)
-    return out.select("label_user", "ts", F.col("v_reduced").cast("long").alias("v_reduced"))
+    return out.df.select(
+        F.element_at(F.col("labels"), "user").alias("label_user"),
+        "ts",
+        F.col("v_reduced").cast("long").alias("v_reduced"),
+    )
 
 
 @register("ws_fillprevious", (
@@ -103,6 +107,39 @@ def ws_fillprevious(spark, sf_dir):
     return _out(gf.df, "v_agg", "v_agg").withColumn("v_agg", F.col("v_agg").cast("double"))
 
 
+@register("ws_reduce_fillprevious", (
+    f"WITH {PTS}, {DAILY}, "
+    'b AS (SELECT "user", ts, count(*) AS v FROM daily '
+    "      WHERE class IN ('events.purchase', 'events.click') GROUP BY \"user\", ts), "
+    f'g AS (SELECT u."user", gs.ts FROM (SELECT DISTINCT "user" FROM b) u '
+    f"     CROSS JOIN (SELECT unnest(generate_series({LASTBUCKET - (NDAYS - 1) * DAY}, {LASTBUCKET}, {DAY})) AS ts) gs), "
+    'j AS (SELECT g."user", g.ts, b.v FROM g LEFT JOIN b ON b."user" = g."user" AND b.ts = g.ts) '
+    'SELECT "user" AS label_user, ts, last_value(v IGNORE NULLS) OVER ('
+    '  PARTITION BY "user" ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled '
+    "FROM j"
+))
+def ws_reduce_fillprevious(spark, sf_dir):
+    """BUCKETIZE → REDUCE → FILLPREVIOUS entirely in-script: only works
+    because the REDUCE binding applies the bucketization-congruence rule
+    (GTSHelper.java:8196-8247) and carries the merged BucketSpec on the
+    stack — FILLPREVIOUS refuses an unbucketized frame. Missing days per
+    user are materialized and previous-filled; leading gaps stay null."""
+    script = f"""
+    <% 'c' STORE [ $c {{}} {_START} {LASTBUCKET} ] FETCH %> 'fetchclass' STORE
+    [ 'events.purchase' 'events.click' ] <% @fetchclass %> FOREACH
+    2 ->LIST
+    [ SWAP bucketizer.count {LASTBUCKET} {DAY} {NDAYS} ] BUCKETIZE
+    [ SWAP 1 ->LIST [ 'user' ] reducer.sum ] REDUCE
+    FILLPREVIOUS
+    """
+    out = exec_script(spark, sf_dir, script)
+    return out.df.select(
+        F.element_at(F.col("labels"), "user").alias("label_user"),
+        "ts",
+        F.col("v_reduced").alias("v_filled"),
+    )
+
+
 @register("ws_apply_gt", (
     f"WITH {PTS}, {DAILY}, "
     'c AS (SELECT class, "user", ts, count(*) AS n FROM daily GROUP BY class, "user", ts), '
@@ -124,7 +161,9 @@ def ws_apply_gt(spark, sf_dir):
     [ $a 1 ->LIST $b 1 ->LIST [ 'user' ] op.gt ] APPLY
     """
     out = exec_script(spark, sf_dir, script)
-    return out.select("label_user", "ts", "v_op")
+    return out.df.select(
+        F.element_at(F.col("labels"), "user").alias("label_user"), "ts", "v_op"
+    )
 
 
 HOUR_US = tu.us(3_600_000_000)
@@ -173,7 +212,11 @@ def ws_relabel_reduce_grp(spark, sf_dir):
     [ SWAP 1 ->LIST [ 'grp' ] reducer.sum ] REDUCE
     """
     out = exec_script(spark, sf_dir, script)
-    return out.select("label_grp", "ts", F.col("v_reduced").cast("long").alias("v_reduced"))
+    return out.df.select(
+        F.element_at(F.col("labels"), "grp").alias("label_grp"),
+        "ts",
+        F.col("v_reduced").cast("long").alias("v_reduced"),
+    )
 
 
 @register("ws_scalar_mapper_chain", (

@@ -48,6 +48,14 @@ HOUR_US = tu.us(3_600_000_000)
 
 def _partials():
     # Built lazily: Column construction needs a live SparkContext.
+    # s1q/s2q: sum and sum-of-squares of the 1e-6-QUANTIZED value
+    # (micro-unit BIGINT → DECIMAL accumulation). Quantize-then-square is
+    # the cross-engine trick: DECIMAL(28,10)² would overflow precision 38
+    # (Spark silently drops scale, DuckDB errors — divergent), while the
+    # integer path is exact, order-independent and portable. These two
+    # columns put sd/var into the servable set: variance merges by plain
+    # sums (n, Σx, Σx²), the textbook mergeable-moment partial.
+    vq = F.expr("CAST(round(v_double * 1000000) AS BIGINT)")
     return [
         F.count("v_double").alias("cnt"),
         F.sum(F.col("v_double").cast("decimal(28,10)")).alias("sum_d"),
@@ -55,6 +63,8 @@ def _partials():
         F.max("v_double").alias("max_v"),
         F.min(F.struct("ts", F.col("v_double").alias("v"))).alias("first"),
         F.max(F.struct("ts", F.col("v_double").alias("v"))).alias("last"),
+        F.sum(vq.cast("decimal(38,0)")).alias("s1q"),
+        F.sum((vq.cast("decimal(19,0)") * vq.cast("decimal(19,0)")).cast("decimal(38,0)")).alias("s2q"),
     ]
 
 
@@ -66,6 +76,8 @@ def _merge_aggs():
         F.max("max_v").alias("max_v"),
         F.min("first").alias("first"),
         F.max("last").alias("last"),
+        F.sum("s1q").alias("s1q"),
+        F.sum("s2q").alias("s2q"),
     ]
 
 
@@ -93,7 +105,7 @@ def rollup_points(spark: SparkSession, sf_dir: str, span_us: int = HOUR_US) -> D
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".cache",
-        f"rollup_{span_us}_{key}",
+        f"rollup_{span_us}_{key}_v2",  # v2: +s1q/s2q moment partials
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         if span_us != HOUR_US and span_us % HOUR_US == 0:
@@ -159,7 +171,30 @@ def rebucket(
 # Bucketizers the rollup partials can reconstruct. Everything else
 # (median/percentile/sd/entropy/...) needs the raw distribution and
 # routes to the raw scan.
-SERVABLE = {"sum", "mean", "min", "max", "count", "first", "last"}
+SERVABLE = {
+    "sum", "mean", "min", "max", "count", "first", "last",
+    # moment tier (s1q/s2q partials): sd/var of the 1e-6-quantized
+    # values — exact merge algebra, value error bounded by the
+    # quantization (|v_sd - sd| <= ~1e-6), documented in rebucket callers.
+    "sd", "sd.pop", "var", "var.pop",
+}
+
+
+def _var_expr(pop: bool):
+    """Variance from merged moment partials (n, Σxq, Σxq²), xq = round(
+    v·1e6): all-integer until the final double ops, so the expression is
+    IEEE-identical cross-engine. Sample form is NULL for n < 2
+    (stddev_samp semantics); max(·, 0) clamps FP negatives near zero."""
+    n = F.col("cnt").cast("double")
+    s1 = F.col("s1q").cast("double")
+    s2 = F.col("s2q").cast("double")
+    num = s2 - s1 * s1 / n
+    denom = n if pop else (n - 1)
+    v = F.greatest(num / denom, F.lit(0.0)) / F.lit(1e12)
+    if pop:
+        return v
+    return F.when(F.col("cnt") > 1, v)
+
 
 _PROJECT = {
     "sum": lambda: F.col("sum_d").cast("double"),
@@ -169,6 +204,10 @@ _PROJECT = {
     "count": lambda: F.col("cnt"),
     "first": lambda: F.col("first.v"),
     "last": lambda: F.col("last.v"),
+    "var": lambda: _var_expr(pop=False),
+    "var.pop": lambda: _var_expr(pop=True),
+    "sd": lambda: F.sqrt(_var_expr(pop=False)),
+    "sd.pop": lambda: F.sqrt(_var_expr(pop=True)),
 }
 
 

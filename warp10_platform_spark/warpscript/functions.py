@@ -264,19 +264,42 @@ REGISTRY["TOSTRING"] = lambda st: st.push(str(st.pop()))
 # ---------- time units & now (Constants.java:51-61 — session unit) ----------
 
 _US = _tuc.us(1)
-_UNITS = {
-    "w": 7 * 86_400 * _tuc.UNITS_PER_S,
-    "d": 86_400 * _tuc.UNITS_PER_S,
-    "h": 3_600 * _tuc.UNITS_PER_S,
-    "m": 60 * _tuc.UNITS_PER_S,
-    "s": _tuc.UNITS_PER_S,
-    "ms": _tuc.UNITS_PER_MS,
-    "us": _tuc.us(1),
+# Unit-suffix functions (script/unary/UNIT.java, registered at
+# WarpScriptLib.java:2268-2276): tick = Math.round(v * factor_ms *
+# TIME_UNITS_PER_MS), factor in ms per named unit — fractional for
+# sub-ms suffixes, so `3 ns` is 0 in us mode and 3 in ns mode, and a
+# DOUBLE operand (1.5 s) lands on a LONG tick exactly like the
+# reference (Math.round = floor(x + 0.5), not banker's rounding).
+_UNIT_FACTORS_MS = {
+    "w": 7.0 * 24 * 60 * 60 * 1000,
+    "d": 24.0 * 60 * 60 * 1000,
+    "h": 60.0 * 60 * 1000,
+    "m": 60.0 * 1000,
+    "s": 1000.0,
+    "ms": 1.0,
+    "us": 0.001,
+    "ns": 0.000001,
+    "ps": 0.000000001,
 }
-if _tuc.TIME_UNIT == "ns":
-    _UNITS["ns"] = 1
-for _name, _mult in _UNITS.items():
-    REGISTRY[_name] = (lambda mult: lambda st: st.push(st.pop() * mult))(_mult)
+
+
+def _unit_fn(factor: float):
+    def fn(st):
+        v = st.pop()
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise TypeError("unit suffix can only operate on numeric values")
+        st.push(int(_math_floor(float(v) * factor * _tuc.UNITS_PER_MS + 0.5)))
+    return fn
+
+
+def _math_floor(x: float) -> float:
+    import math
+
+    return math.floor(x)
+
+
+for _name, _factor in _UNIT_FACTORS_MS.items():
+    REGISTRY[_name] = _unit_fn(_factor)
 
 REGISTRY["NOW"] = lambda st: st.push(int(_time.time() * _tuc.UNITS_PER_S))
 
@@ -647,18 +670,23 @@ def _reduce(st):
         return
     if isinstance(reducer, tuple) and reducer[0] == "strictreducer":
         reducer = reducer[1]
+    # GTSFrame result with the bucketization-congruence rule applied
+    # (GTSHelper.java:8196-8247): a bucketized input propagates its spec
+    # onto the reduced series, so the reference pipeline
+    # BUCKETIZE → REDUCE → FILLPREVIOUS works in-script.
     if isinstance(reducer, tuple) and reducer[0] == "param_agg":
-        st.push(gf.reduce_(reducer[1], by_labels, p=reducer[2]))
+        st.push(gf.reduce_frame(reducer[1], by_labels, p=reducer[2]))
         return
-    st.push(gf.reduce_(reducer, by_labels))
+    st.push(gf.reduce_frame(reducer, by_labels))
 
 
 @register("APPLY")
 def _apply(st):
-    """[ [gts_a] [gts_b] [label …] op ] APPLY (APPLY.java:40)."""
+    """[ [gts_a] [gts_b] [label …] op ] APPLY (APPLY.java:40) — result
+    frame carries the congruence-merged BucketSpec of both operands."""
     args = st.pop()
     a, b, by_labels, op = args[0], args[1], args[2], args[3]
-    st.push(_as_frame(a).apply_op(_as_frame(b), op, by_labels))
+    st.push(_as_frame(a).apply_frame(_as_frame(b), op, by_labels))
 
 
 @register("FILTER")

@@ -1020,16 +1020,8 @@ REGISTRY["e"] = lambda st: st.push(_math.e)
 REGISTRY["pi"] = lambda st: st.push(_math.pi)
 
 
-def _mk_unit(factor_ms):
-    # UNIT (unary/UNIT.java): tick = Math.round(x * factor * units-per-ms)
-    def fn(st):
-        st.push(int(_math.floor(float(st.pop()) * factor_ms * 1000.0 + 0.5)))
-
-    return fn
-
-
-REGISTRY["ns"] = _mk_unit(0.000001)
-REGISTRY["ps"] = _mk_unit(0.000000001)
+# ns/ps unit suffixes now register centrally in functions.py with the
+# session-unit-aware UNIT semantics (unary/UNIT.java).
 
 
 @register("NPDF")
