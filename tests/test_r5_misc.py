@@ -125,3 +125,15 @@ def test_epoch_us_col_is_session_tz_independent(spark):
             assert row.asDict() == want, tz
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_timebox_budget_in_platform_ticks(spark, sf_dir):
+    """TIMEBOX's budget is PLATFORM TICKS (`1 s` pushes STU ticks), so
+    the elapsed check must scale with the session unit — a generous
+    10-second budget admits a trivial macro, a 1-tick budget trips."""
+    st = _stack(spark, sf_dir)
+    st.exec("<% 1 2 + %> 10 s TIMEBOX")
+    assert st.pop() == 3
+    with pytest.raises(TimeoutError):
+        # 1 tick (1 µs default): even a trivial macro overruns
+        st.exec("<% 1 2 + DROP 0 'i' STORE <% $i 2000 < %> <% $i 1 + 'i' STORE %> WHILE %> 1 TIMEBOX")

@@ -263,11 +263,19 @@ def test_serve_bucketize_sd_var_moment_tier(spark, sf_dir):
     from warp10_platform_spark.operators.bucketize import bucketize as raw_bucketize
     from warp10_platform_spark.sources.rollup import serve_bucketize
 
+    # OPT-IN routing, like the histogram-percentile tier: without the
+    # flag an sd request is exact and must scan raw.
     for name in ("sd", "var", "sd.pop", "var.pop"):
         _, route = serve_bucketize(spark, sf_dir, name, DAY, LASTBUCKET, NDAYS)
+        assert route == "raw", name
+        _, route = serve_bucketize(
+            spark, sf_dir, name, DAY, LASTBUCKET, NDAYS, approx_moments=True
+        )
         assert route == f"rollup:{DAY}", name
 
-    served, _ = serve_bucketize(spark, sf_dir, "sd", DAY, LASTBUCKET, NDAYS)
+    served, _ = serve_bucketize(
+        spark, sf_dir, "sd", DAY, LASTBUCKET, NDAYS, approx_moments=True
+    )
     raw, _ = raw_bucketize(canonical_points(spark, sf_dir), "sd", DAY, LASTBUCKET, NDAYS)
     cols = ["class", "labels_key", "ts", "v_agg"]
     got = {tuple(r[:3]): r[3] for r in _rows(served, cols)}

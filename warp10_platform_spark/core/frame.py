@@ -212,7 +212,7 @@ class GTSFrame:
         consumes it unchanged: labels = the equivalence-class labels
         (null/absent labels omitted, like the reference's partition
         labels), labels_key/gts_id recomputed canonically."""
-        from warp10_platform_spark.core.schema import canonical_labels
+        from warp10_platform_spark.core.schema import with_gts_id
 
         entries = F.filter(
             F.array(*[
@@ -221,11 +221,10 @@ class GTSFrame:
             ]),
             lambda e: e["value"].isNotNull(),
         ) if by else F.array().cast("array<struct<key:string,value:string>>")
-        out = (
-            df.withColumn("labels", F.map_from_entries(entries))
-            .withColumn("class", F.lit(klass))
-            .withColumn("labels_key", canonical_labels())
-            .withColumn("gts_id", F.xxhash64(F.col("class"), F.col("labels_key")))
+        out = with_gts_id(
+            df.withColumn("labels", F.map_from_entries(entries)).withColumn(
+                "class", F.lit(klass)
+            )
         )
         return out.select("gts_id", "class", "labels_key", "labels", "ts", value_col)
 

@@ -58,13 +58,14 @@ _SD_ORACLE = f"""
 WITH {PTS}, {DAILY},
 q AS (SELECT class, "user", ts, CAST(round(v * 1000000) AS BIGINT) AS vq FROM daily),
 m AS (SELECT class, "user", ts,
-             CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(CAST(vq AS DECIMAL(38,0))) AS DOUBLE) AS s1,
-             CAST(sum(CAST(vq AS DECIMAL(19,0)) * CAST(vq AS DECIMAL(19,0))) AS DOUBLE) AS s2
+             count(*) AS n,
+             sum(CAST(vq AS HUGEINT)) AS s1,
+             sum(CAST(vq AS HUGEINT) * vq) AS s2
       FROM q GROUP BY class, "user", ts)
 SELECT class, "user", ts,
        round(CASE WHEN n > 1
-             THEN sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0) / 1e12)
+             THEN sqrt(greatest(CAST(s2 * n - s1 * s1 AS DOUBLE)
+                                / (CAST(n AS DOUBLE) * (n - 1)), 0.0) / 1e12)
              END, 6) AS v_sd
 FROM m
 """
@@ -77,8 +78,11 @@ def rollup_daily_sd(spark, sf_dir):
     because the three moments merge by plain sums. The oracle replays the
     IDENTICAL quantized computation over raw events: all-integer until
     the final double expression, so hour→day merge exactness is proven
-    bit-for-bit; the sd itself differs from raw-double sd only by the
-    1e-6 quantization (bounded, documented in sources/rollup.SERVABLE)."""
+    bit-for-bit (the numerator n·Σxq²−(Σxq)² is exact DECIMAL on the
+    Spark side and exact HUGEINT in the oracle — identical integers,
+    one double rounding each); the sd itself differs from raw-double sd
+    by the 1e-6 quantization, the reason serve_bucketize only takes
+    this route on approx_moments=True (sources/rollup.MOMENT_SERVABLE)."""
     from warp10_platform_spark.sources.rollup import _var_expr
 
     ro = rollup_points(spark, sf_dir, HOUR_US)

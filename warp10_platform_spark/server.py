@@ -323,9 +323,30 @@ class _Handler(BaseHTTPRequestHandler):
                 # written at a time, so a huge stack (e.g. several
                 # million-point GTS levels) never holds its full JSON in
                 # driver memory at once — the reference's /exec writes
-                # through StackUtils.toJSON with the same property. An
-                # error mid-stream can only truncate (status already
-                # sent), exactly the /fetch contract above.
+                # through StackUtils.toJSON with the same property.
+                # Error contract: the TOP level (the result frame, where
+                # Spark materialization failures land) is rendered
+                # BEFORE the status line, so those still produce a clean
+                # 500 + X-Warp10-Error headers; a failure on a deeper
+                # level mid-stream can only TRUNCATE the body — never
+                # write a second status line into it.
+                levels = list(reversed(st.stack))
+                try:
+                    first = (
+                        json.dumps(_jsonable(levels[0], None, False)).encode()
+                        if levels else b""
+                    )
+                except Exception as e:  # noqa: BLE001
+                    return self._reply(
+                        500,
+                        "",
+                        headers={
+                            "X-Warp10-Error-Message": f"{type(e).__name__}: {e}"[:900],
+                            "X-Warp10-Error-Line": "0",
+                        },
+                    )
+                # elapsed includes execution AND the dominant (top-level)
+                # materialization, like the reference's eager stack.
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Connection", "close")
@@ -333,12 +354,17 @@ class _Handler(BaseHTTPRequestHandler):
                     "X-Warp10-Elapsed", str(int((time.perf_counter() - t0) * 1e6))
                 )
                 self.end_headers()
-                self.wfile.write(b"[")
-                for i, v in enumerate(reversed(st.stack)):
-                    if i:
+                try:
+                    self.wfile.write(b"[" + first)
+                    for v in levels[1:]:
                         self.wfile.write(b",")
-                    self.wfile.write(json.dumps(_jsonable(v, None, False)).encode())
-                self.wfile.write(b"]")
+                        self.wfile.write(json.dumps(_jsonable(v, None, False)).encode())
+                    self.wfile.write(b"]")
+                except Exception:  # noqa: BLE001
+                    # mid-stream failure: truncate and close — the 200
+                    # status is already on the wire, a second status
+                    # line would corrupt the body.
+                    self.close_connection = True
                 return
             elif url.path == f"{API}/update":
                 n = self.store.append_update(self._body())

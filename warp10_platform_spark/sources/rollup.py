@@ -171,25 +171,38 @@ def rebucket(
 # Bucketizers the rollup partials can reconstruct. Everything else
 # (median/percentile/sd/entropy/...) needs the raw distribution and
 # routes to the raw scan.
-SERVABLE = {
-    "sum", "mean", "min", "max", "count", "first", "last",
-    # moment tier (s1q/s2q partials): sd/var of the 1e-6-quantized
-    # values — exact merge algebra, value error bounded by the
-    # quantization (|v_sd - sd| <= ~1e-6), documented in rebucket callers.
-    "sd", "sd.pop", "var", "var.pop",
-}
+# Bucketizers the partials reconstruct EXACTLY (same value the raw scan
+# would produce, modulo FP reassociation on sum/mean).
+SERVABLE = {"sum", "mean", "min", "max", "count", "first", "last"}
+
+# Moment tier (s1q/s2q partials): sd/var of the 1e-6-QUANTIZED values.
+# The merge algebra is exact (plain sums) and the variance numerator is
+# computed in exact integer arithmetic (n·Σxq² − (Σxq)², DECIMAL —
+# no catastrophic cancellation), but the VALUE is approximate in two
+# documented ways: (a) quantization — values with |v| ≲ 5e-7 collapse
+# to xq = 0, so a sub-quantum series serves sd = 0 while its true sd is
+# nonzero; (b) the quantized sd differs from the raw-double sd by up to
+# ~1e-6 in value units. Like the histogram-percentile tier, routing is
+# therefore OPT-IN (serve_bucketize(approx_moments=True)): a silent
+# approximate rewrite of an exact request would be wrong, not fast.
+MOMENT_SERVABLE = {"sd", "sd.pop", "var", "var.pop"}
 
 
 def _var_expr(pop: bool):
     """Variance from merged moment partials (n, Σxq, Σxq²), xq = round(
-    v·1e6): all-integer until the final double ops, so the expression is
-    IEEE-identical cross-engine. Sample form is NULL for n < 2
-    (stddev_samp semantics); max(·, 0) clamps FP negatives near zero."""
-    n = F.col("cnt").cast("double")
-    s1 = F.col("s1q").cast("double")
-    s2 = F.col("s2q").cast("double")
-    num = s2 - s1 * s1 / n
-    denom = n if pop else (n - 1)
+    v·1e6). num = n·Σxq² − (Σxq)² stays in DECIMAL(38,0) — exact integer,
+    no cancellation — then ONE double rounding at the end, so the
+    expression is IEEE-identical cross-engine (the DuckDB twin computes
+    the same integer in HUGEINT). Exactness holds while n·Σxq² < 10^38:
+    at vq ≤ 5.2e8 that is ~10^14 points per bucket, far beyond any
+    series-bucket. Sample form is NULL for n < 2 (stddev_samp
+    semantics)."""
+    n = F.col("cnt").cast("decimal(38,0)")
+    s1 = F.col("s1q")
+    s2 = F.col("s2q")
+    num = (s2 * n - s1 * s1).cast("double")
+    nd = F.col("cnt").cast("double")
+    denom = nd * nd if pop else nd * (nd - 1)
     v = F.greatest(num / denom, F.lit(0.0)) / F.lit(1e12)
     if pop:
         return v
@@ -220,6 +233,7 @@ def serve_bucketize(
     bucketcount: int,
     ladder: tuple[int, ...] = (DAY_US, HOUR_US),
     approx_percentile: bool = False,
+    approx_moments: bool = False,
     p: float | None = None,
 ) -> tuple[DataFrame, str]:
     """Materialized-view rewrite for BUCKETIZE: serve the grid from the
@@ -261,7 +275,8 @@ def serve_bucketize(
                 *SERIES_KEYS, "ts", F.col("v_pct").alias("v_agg")
             ).withColumn("labels", labels_from_key())
             return out, f"hist:{HOUR_US}"
-    if name in SERVABLE:
+    servable = SERVABLE | (MOMENT_SERVABLE if approx_moments else set())
+    if name in servable:
         for rspan in sorted(ladder, reverse=True):
             if span_us % rspan == 0 and lastbucket_us % rspan == 0:
                 merged = rebucket(

@@ -284,18 +284,16 @@ _UNIT_FACTORS_MS = {
 
 
 def _unit_fn(factor: float):
+    import math
+
+    floor = math.floor
+
     def fn(st):
         v = st.pop()
         if isinstance(v, bool) or not isinstance(v, (int, float)):
             raise TypeError("unit suffix can only operate on numeric values")
-        st.push(int(_math_floor(float(v) * factor * _tuc.UNITS_PER_MS + 0.5)))
+        st.push(int(floor(float(v) * factor * _tuc.UNITS_PER_MS + 0.5)))
     return fn
-
-
-def _math_floor(x: float) -> float:
-    import math
-
-    return math.floor(x)
 
 
 for _name, _factor in _UNIT_FACTORS_MS.items():

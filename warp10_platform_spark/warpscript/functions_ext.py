@@ -3052,12 +3052,12 @@ def _timebox(st):
     after execution and overruns raise (documented soft enforcement)."""
     import time as _time
 
-    budget_us = int(st.pop())
+    budget_ticks = int(st.pop())
     macro = st.pop()
     t0 = _time.time()
     st.exec_macro(macro)
-    if (_time.time() - t0) * 1e6 > budget_us:
-        raise TimeoutError(f"TIMEBOX budget {budget_us} µs exceeded")
+    if (_time.time() - t0) * _tuc.UNITS_PER_S > budget_ticks:
+        raise TimeoutError(f"TIMEBOX budget {budget_ticks} ticks exceeded")
 
 
 @register("ERROR")
