@@ -94,6 +94,7 @@ ALLOW = {
     "ws_macroreducer_spread": _MACRO,
     "strict_wmean": _MACRO,
     "mfilter_series": _MACRO,
+    "fill_trend_daily": _PANDAS_PER_SERIES + " (model filler: per-series least-squares fit over present points)",
     "wrap_thrift_roundtrip": _CODEC,
     "ws_encoder_roundtrip": _CODEC,
 }

@@ -287,7 +287,51 @@ def reduce_fill_previous(spark, sf_dir):
     )
 
 
-# ---------- MAP (window mappers) ----------
+@register("fill_trend_daily", (
+    f"WITH {PTS}, {DAILY}, "
+    'b AS (SELECT class, "user", ts, CAST(count(*) AS DOUBLE) AS v FROM daily GROUP BY class, "user", ts), '
+    'series AS (SELECT DISTINCT class, "user" FROM b), '
+    f'grid AS (SELECT s.class, s."user", g.ts FROM series s, '
+    f"  (SELECT unnest(generate_series({LASTBUCKET - (NDAYS - 1) * DAY}, {LASTBUCKET}, {DAY})) AS ts) g), "
+    'j AS (SELECT grid.class, grid."user", grid.ts, b.v FROM grid '
+    '  LEFT JOIN b ON b.class = grid.class AND b."user" = grid."user" AND b.ts = grid.ts), '
+    'mo AS (SELECT class, "user", count(v) AS n, avg(CAST(ts AS DOUBLE)) AS xm, avg(v) AS ym '
+    '  FROM j WHERE v IS NOT NULL GROUP BY class, "user"), '
+    'cen AS (SELECT j.class, j."user", '
+    '    sum((j.ts - mo.xm) * (j.v - mo.ym)) AS sxy, sum((j.ts - mo.xm) * (j.ts - mo.xm)) AS sxx '
+    '  FROM j JOIN mo ON mo.class = j.class AND mo."user" = j."user" '
+    '  WHERE j.v IS NOT NULL GROUP BY j.class, j."user") '
+    'SELECT j.class, j."user", j.ts, '
+    '  round(CASE WHEN j.v IS NOT NULL THEN j.v '
+    '        WHEN mo.n >= 2 THEN mo.ym + (CASE WHEN cen.sxx > 0 THEN cen.sxy / cen.sxx ELSE 0.0 END) * (j.ts - mo.xm) '
+    '        END, 6) AS v_filled '
+    'FROM j JOIN mo ON mo.class = j.class AND mo."user" = j."user" '
+    '  JOIN cen ON cen.class = j.class AND cen."user" = j."user"'
+))
+def fill_trend_daily(spark, sf_dir):
+    """filler.trend (FillerTrend.java) oracled end-to-end: daily counts
+    per series, missing grid buckets filled with the per-series
+    least-squares line over the PRESENT points (centered moments — the
+    expanded n·Σxy−ΣxΣy form cancels catastrophically at epoch-µs x
+    magnitudes). Series with <2 present points keep nulls, and present
+    buckets pass through unchanged, exactly the reference filler."""
+    from warp10_platform_spark.operators import fill as _fill
+
+    gf = GTSFrame.fetch(canonical_points(spark, sf_dir)).bucketize(
+        "bucketizer.count", DAY, LASTBUCKET, NDAYS
+    )
+    df = gf.df.withColumn("v_agg", F.col("v_agg").cast("double"))
+    scaffolded = _fill.scaffold(df, gf.bucketspec)
+    filled = _fill.fill_trend(scaffolded, "v_agg")
+    return filled.select(
+        "class",
+        F.element_at(F.col("labels"), "user").alias("user"),
+        "ts",
+        F.round("v_agg", 6).alias("v_filled"),
+    )
+
+
+# ---------- MAP (window mappers) ----------# ---------- MAP (window mappers) ----------
 
 @register("map_delta", (
     f"WITH {PTS} SELECT class, \"user\", ts, v_mapped FROM ("
