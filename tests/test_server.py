@@ -174,3 +174,22 @@ def test_fetch_json_is_reference_shape(server):
     [[ts, lat, lon, elev, val]] = s["v"]
     assert ts == 1000000 and elev == 100 and val == 2.5
     assert abs(lat - 12.5) < 1e-6 and abs(lon - 42.25) < 1e-6
+
+
+def test_streaming_endpoints_fail_clean_before_first_byte(server):
+    """Plan-time failures on the STREAMING endpoints must produce a
+    clean 500 + X-Warp10-Error headers, never a 200 whose body carries a
+    second status line: the first chunk (where the Spark job actually
+    starts) is pulled BEFORE the status is sent."""
+    # /fetch with an unparsable selector fails during response build
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(f"{server}/api/v0/fetch?selector=%7Bunclosed")
+    assert ei.value.code == 500
+    assert ei.value.headers.get("X-Warp10-Error-Message")
+
+    # /exec whose top-of-stack frame fails at materialization: a FETCH
+    # against a nonexistent column forced through a bad script — use an
+    # exec-time failure instead (MSGFAIL-style): division by zero string
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{server}/api/v0/exec", b"'boom' MSGFAIL")
+    assert ei.value.code == 500

@@ -264,38 +264,40 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if url.path == f"{API}/fetch":
                 ctype, chunks = _fetch_response(self.store, qs)
-                self.send_response(200)
-                self.send_header("Content-Type", ctype)
-                self.send_header("Connection", "close")
-                self.end_headers()
-                # close-delimited streaming body: one Arrow batch in
-                # driver memory at a time; an error mid-stream can only
-                # truncate (status already sent) — the reference's
-                # streaming egress has the same property
-                for c in chunks:
-                    self.wfile.write(c.encode())
-                return
             elif url.path == f"{API}/find":
                 # STREAMED like /fetch (reference StreamingMetadataIterator:
                 # continuum/egress/StreamingMetadataIterator.java): one Arrow
                 # batch of directory rows in driver memory at a time, chunked
                 # JSON array writes — never the whole 10^7-series directory
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Connection", "close")
-                self.end_headers()
-                for chunk in _find_chunks(self.store, qs):
-                    self.wfile.write(chunk.encode())
-                return
+                ctype, chunks = "application/json", _find_chunks(self.store, qs)
             else:
                 return self._reply(404, "no such endpoint\n")
+            # Pull the FIRST chunk before the status line: the Spark job
+            # actually starts on that first next(), so scan/plan failures
+            # still produce a clean 500 with error headers. After the 200
+            # is on the wire a failure can only TRUNCATE the body (never
+            # write a second status line into it) — the reference's
+            # streaming egress has the same contract.
+            it = iter(chunks)
+            try:
+                first = next(it)
+            except StopIteration:
+                first = ""
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Connection", "close")
+            self.end_headers()
+            try:
+                self.wfile.write(first.encode())
+                for c in it:
+                    self.wfile.write(c.encode())
+            except Exception:  # noqa: BLE001
+                self.close_connection = True
+            return
         except Exception as e:  # noqa: BLE001
             return self._reply(
                 500, "", headers={"X-Warp10-Error-Message": f"{type(e).__name__}: {e}"[:900]}
             )
-        self._reply(
-            200, body, ctype, {"X-Warp10-Elapsed": str(int((time.perf_counter() - t0) * 1e6))}
-        )
 
     def do_POST(self):  # noqa: N802
         url = urllib.parse.urlparse(self.path)
@@ -351,7 +353,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Connection", "close")
                 self.send_header(
-                    "X-Warp10-Elapsed", str(int((time.perf_counter() - t0) * 1e6))
+                    "X-Warp10-Elapsed", str(int((time.perf_counter() - t0) * 1e9))
                 )
                 self.end_headers()
                 try:
