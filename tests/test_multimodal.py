@@ -147,12 +147,78 @@ def test_wav_unsupported_format_is_explicit():
     from warp10_platform_spark.multimodal.media import decode_wav
 
     hdr = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
-           + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)  # IEEE float
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 0x11, 1, 8000, 4000, 1, 4)  # IMA ADPCM
            + b"data" + struct.pack("<I", 0))
     with pytest.raises(NotImplementedError):
         decode_wav(hdr)
     with pytest.raises(ValueError):
         decode_wav(b"nonsense bytes")
+
+
+def _wav(tag, bits, rate, channels, payload, subformat=None):
+    import struct
+
+    if subformat is None:
+        fmt = struct.pack("<IHHIIHH", 16, tag, channels, rate,
+                          rate * channels * max(bits, 8) // 8,
+                          channels * max(bits, 8) // 8, bits)
+    else:  # WAVE_FORMAT_EXTENSIBLE: cbSize=22, SubFormat GUID leads with the tag
+        guid = struct.pack("<H", subformat) + b"\x00\x00" + bytes.fromhex(
+            "000010800080009aa500389b71")[:12]
+        fmt = struct.pack("<IHHIIHHHHI", 40, tag, channels, rate,
+                          rate * channels * max(bits, 8) // 8,
+                          channels * max(bits, 8) // 8, bits, 22, bits, 0) + guid
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) - 4 + 8 + len(payload))
+            + b"WAVE" + b"fmt " + fmt[:4] + fmt[4:]
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+
+
+def test_wav_float_and_wide_pcm():
+    import struct
+
+    import numpy as np
+
+    from warp10_platform_spark.multimodal.media import decode_wav
+
+    f = np.array([0.0, 0.5, -1.0, 1.0], dtype="<f4")
+    sig, rate, ch = decode_wav(_wav(3, 32, 16000, 1, f.tobytes()))
+    assert list(sig) == [0, 16384, -32767, 32767] and rate == 16000 and ch == 1
+
+    f64 = np.array([0.25, -0.25], dtype="<f8")
+    sig, _, _ = decode_wav(_wav(3, 64, 8000, 1, f64.tobytes()))
+    assert list(sig) == [8192, -8192]
+
+    # 24-bit PCM: two samples, +1 and -(2^23)
+    p24 = b"\x01\x00\x00" + b"\x00\x00\x80"
+    sig, _, _ = decode_wav(_wav(1, 24, 8000, 1, p24))
+    assert list(sig) == [1, -(1 << 23)]
+
+    p32 = struct.pack("<ii", 7, -(1 << 31))
+    sig, _, _ = decode_wav(_wav(1, 32, 8000, 1, p32))
+    assert list(sig) == [7, -(1 << 31)]
+
+
+def test_wav_g711_and_extensible():
+    from warp10_platform_spark.multimodal.media import (
+        _g711_alaw_table, _g711_ulaw_table, decode_wav)
+
+    # canonical G.711 anchor points (Sun g711.c ulaw2linear/alaw2linear)
+    ut = _g711_ulaw_table()
+    assert ut[0xFF] == 0 and ut[0x7F] == 0  # both zero codes
+    assert ut[0x00] == -32124 and ut[0x80] == 32124  # max magnitude pair
+    at = _g711_alaw_table()
+    assert at[0x55] == -8 and at[0xD5] == 8  # zero-adjacent pair
+    assert at[0x2A] == -32256 and at[0xAA] == 32256  # max magnitude pair
+
+    sig, rate, ch = decode_wav(_wav(7, 8, 8000, 1, bytes([0x00, 0x80, 0xFF])))
+    assert list(sig) == [-32124, 32124, 0] and rate == 8000
+
+    sig, _, _ = decode_wav(_wav(6, 8, 8000, 1, bytes([0x55, 0xD5])))
+    assert list(sig) == [-8, 8]
+
+    # extensible container resolving to mu-law through the SubFormat GUID
+    sig, _, _ = decode_wav(_wav(0xFFFE, 8, 8000, 1, bytes([0x00]), subformat=7))
+    assert list(sig) == [-32124]
 
 
 def test_attach_wav_audio_is_real_wav(spark, sf_dir):
@@ -199,6 +265,29 @@ def test_gif_animated_roundtrip():
     assert len(out) == len(frames)
     for a, b in zip(frames, out):
         assert (a == b).all()
+
+
+def test_gif_interlaced_frame_deinterlaces():
+    import numpy as np
+
+    from warp10_platform_spark.multimodal.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(17)
+    frame = rng.integers(0, 256, (13, 4), dtype=np.uint8)
+    # store rows in GIF89a 4-pass interlace order and flip the
+    # image-descriptor interlace flag; decode must restore display order
+    order = np.concatenate([
+        np.arange(0, 13, 8), np.arange(4, 13, 8),
+        np.arange(2, 13, 4), np.arange(1, 13, 2),
+    ])
+    gif = bytearray(encode_gif([frame[order]]))
+    # sole image descriptor sits after header+LSD+GCT (781 bytes) and the
+    # netscape/GCE extensions; search past the palette (which contains 0x2c)
+    desc = gif.index(b"\x2c", 781)
+    assert gif[desc + 9] == 0
+    gif[desc + 9] = 0x40
+    out = decode_gif(bytes(gif))
+    assert len(out) == 1 and (out[0] == frame).all()
 
 
 def test_gif_transparency_composites_over_previous():

@@ -219,8 +219,7 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
             n = 2 << (iflags & 0x07)
             lct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
             pos += 3 * n
-        if iflags & 0x40:
-            raise NotImplementedError("interlaced GIF frames not supported")
+        interlaced = bool(iflags & 0x40)
         min_code = data[pos]
         pos += 1
         blocks = bytearray()
@@ -232,6 +231,17 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
         idx = np.frombuffer(
             lzw_decode(bytes(blocks), min_code)[: fw * fh], dtype=np.uint8
         ).reshape(fh, fw)
+        if interlaced:
+            # GIF89a 4-pass interlace: rows are stored pass-by-pass
+            # (every 8th from 0, every 8th from 4, every 4th from 2,
+            # every 2nd from 1); re-scatter them to display order.
+            order = np.concatenate([
+                np.arange(0, fh, 8), np.arange(4, fh, 8),
+                np.arange(2, fh, 4), np.arange(1, fh, 2),
+            ])
+            out = np.empty_like(idx)
+            out[order] = idx
+            idx = out
         if disposal == 3:
             prev_canvas = canvas.copy()
         gray = lct[:, 0][idx] if lct is not None else idx

@@ -362,9 +362,38 @@ def encode_wav_pcm16(samples, rate: int = 8000) -> bytes:
     return hdr + s
 
 
+def _g711_ulaw_table() -> "np.ndarray":
+    """ITU-T G.711 µ-law byte → 16-bit linear PCM (the standard
+    bias-33 segment expansion; matches the canonical CCITT tables)."""
+    u = np.arange(256, dtype=np.int64) ^ 0xFF  # wire bytes are complemented
+    sign = u >> 7
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign == 1, -mag, mag)
+
+
+def _g711_alaw_table() -> "np.ndarray":
+    """ITU-T G.711 A-law byte → 16-bit linear PCM (even-bit inversion
+    then segment expansion)."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    sign = a & 0x80  # per G.711 A-law, sign bit SET means positive
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(sign != 0, mag, -mag)
+
+
+_WAV_TAG_PCM, _WAV_TAG_FLOAT, _WAV_TAG_ALAW, _WAV_TAG_ULAW = 1, 3, 6, 7
+_WAV_TAG_EXTENSIBLE = 0xFFFE
+
+
 def decode_wav(content: bytes):
     """RIFF/WAVE → (samples int64 ndarray [mono-collapsed], rate,
-    channels). PCM (format tag 1) at 8 or 16 bits; anything else raises
+    channels). Supports PCM (tag 1) at 8/16/24/32 bits, IEEE float
+    (tag 3) at 32/64 bits (scaled to the 16-bit range), G.711 A-law
+    (tag 6) and µ-law (tag 7), and WAVE_FORMAT_EXTENSIBLE (0xFFFE,
+    resolved through the SubFormat GUID). Anything else raises
     NotImplementedError with the format named."""
     if content[:4] != _RIFF or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
@@ -377,18 +406,39 @@ def decode_wav(content: bytes):
         body = content[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            if fmt[0] == _WAV_TAG_EXTENSIBLE and clen >= 26:
+                # cbSize at 16:18, then wValidBits/dwChannelMask/SubFormat
+                # GUID; the real format tag is the GUID's first 2 bytes.
+                (subtag,) = struct.unpack("<H", body[24:26])
+                fmt = (subtag,) + fmt[1:]
         elif cid == b"data":
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     tag, channels, rate, _byterate, _block, bits = fmt
-    if tag != 1 or bits not in (8, 16):
-        raise NotImplementedError(f"WAV format tag {tag} / {bits}-bit not supported (PCM 8/16 only)")
-    if bits == 16:
+    if tag == _WAV_TAG_PCM and bits == 16:
         sig = np.frombuffer(data, dtype="<i2").astype(np.int64)
-    else:
+    elif tag == _WAV_TAG_PCM and bits == 8:
         sig = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    elif tag == _WAV_TAG_PCM and bits == 24:
+        raw = np.frombuffer(data[: len(data) - len(data) % 3], dtype=np.uint8).reshape(-1, 3)
+        u = raw[:, 0].astype(np.int64) | (raw[:, 1].astype(np.int64) << 8) | (raw[:, 2].astype(np.int64) << 16)
+        sig = np.where(u >= 1 << 23, u - (1 << 24), u)
+    elif tag == _WAV_TAG_PCM and bits == 32:
+        sig = np.frombuffer(data, dtype="<i4").astype(np.int64)
+    elif tag == _WAV_TAG_FLOAT and bits in (32, 64):
+        f = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8")
+        sig = np.rint(np.clip(f, -1.0, 1.0) * 32767.0).astype(np.int64)
+    elif tag == _WAV_TAG_ALAW and bits in (8, 0):
+        sig = _g711_alaw_table()[np.frombuffer(data, dtype=np.uint8)]
+    elif tag == _WAV_TAG_ULAW and bits in (8, 0):
+        sig = _g711_ulaw_table()[np.frombuffer(data, dtype=np.uint8)]
+    else:
+        raise NotImplementedError(
+            f"WAV format tag {tag} / {bits}-bit not supported "
+            "(PCM 8/16/24/32, float 32/64, A-law, mu-law)"
+        )
     if channels > 1:
         sig = sig[: len(sig) - len(sig) % channels].reshape(-1, channels).mean(axis=1).astype(np.int64)
     return sig, rate, channels
