@@ -222,6 +222,21 @@ def test_script_encode_decode_and_size():
     assert st.pop() == 8 and st.pop() == 8
 
 
+def test_script_pencode_jpeg_format():
+    import numpy as np
+
+    from warp10_platform_spark.multimodal.jpeg import decode_jpeg
+
+    st = _st()
+    st.exec("{ 'format' 'jpeg' } 16 16 '2D' PGraphics 128 Pbackground SWAP Pencode")
+    url = st.pop()
+    assert url.startswith("data:image/jpeg;base64,")
+    img = decode_jpeg(base64.b64decode(url.split(",", 1)[1]))
+    assert img.shape == (16, 16, 3)
+    # flat gray 128 canvas is DC-only → decodes back to exactly 128
+    assert int(np.abs(img.astype(int) - 128).max()) == 0
+
+
 def test_script_math_and_curves():
     st = _st()
     st.exec("4 4 '2D' PGraphics "

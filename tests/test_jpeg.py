@@ -52,15 +52,60 @@ def test_deterministic_bytes():
     assert encode_jpeg_gray(img) == encode_jpeg_gray(img)
 
 
-def test_rejects_progressive_and_bad_input():
+def test_rejects_lossless_and_bad_input():
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01")
     img = _blocky(np.random.RandomState(1))
     data = bytearray(encode_jpeg_gray(img))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
+    data[i + 1] = 0xC3  # flip SOF0 → SOF3 (lossless)
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(data))
+
+
+def test_progressive_reconstructs_identically_to_baseline():
+    """SOF2 with spectral selection + successive approximation must land
+    on the same quantized coefficients as SOF0, hence identical pixels."""
+    from warp10_platform_spark.multimodal.jpeg import encode_jpeg_gray_progressive
+
+    rng = np.random.default_rng(3)
+    for h, w in ((8, 8), (16, 40), (48, 24)):
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg_gray(img))
+        prog_bytes = encode_jpeg_gray_progressive(img)
+        assert b"\xff\xc2" in prog_bytes and prog_bytes.count(b"\xff\xda") == 6
+        assert (decode_jpeg(prog_bytes) == base).all()
+    # flat image: the AC scans are pure EOB runs spanning every block
+    flat = np.full((32, 48), 160, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg_gray_progressive(flat)) == flat).all()
+    # smooth gradient: long zero runs exercise ZRL in first + refine scans
+    g = np.clip(np.add.outer(np.arange(64) * 2, np.arange(96)), 0, 255).astype(np.uint8)
+    assert (decode_jpeg(encode_jpeg_gray_progressive(g)) ==
+            decode_jpeg(encode_jpeg_gray(g))).all()
+
+
+def test_restart_intervals_roundtrip():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg_gray(img))
+    for ri in (1, 2, 7):
+        data = encode_jpeg_gray(img, restart_interval=ri)
+        assert b"\xff\xdd" in data and b"\xff\xd0" in data
+        assert (decode_jpeg(data) == base).all()
+
+
+def test_color_encoder_roundtrip():
+    from warp10_platform_spark.multimodal.jpeg import encode_jpeg_color
+
+    smooth = np.zeros((20, 30, 3), dtype=np.uint8)
+    smooth[..., :] = (96, 160, 64)
+    dec = decode_jpeg(encode_jpeg_color(smooth))
+    assert dec.shape == (20, 30, 3)  # odd dims: padded to blocks, cropped back
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 3
+    rng = np.random.default_rng(5)
+    noisy = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_color(noisy))
+    assert out.shape == noisy.shape
 
 
 def test_odd_dimensions_rejected_on_encode():

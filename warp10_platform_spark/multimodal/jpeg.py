@@ -1,12 +1,14 @@
-"""Baseline JPEG codec — stdlib + numpy, no imaging library.
+"""JPEG codec — stdlib + numpy, no imaging library.
 
-Implements the subset of ISO/IEC 10918-1 (baseline sequential DCT,
-8-bit) needed for real multimodal pipelines: marker parsing, the
-standard Annex-K quantization and Huffman tables, DC prediction,
-run-length AC coding, zigzag, float IDCT/DCT, byte stuffing, grayscale
-and YCbCr 4:4:4 / 4:2:0 color. Progressive scans, restart intervals,
-arithmetic coding, and 12-bit precision raise (explicitly — not
-silently wrong).
+Implements the subset of ISO/IEC 10918-1 needed for real multimodal
+pipelines: marker parsing, the standard Annex-K quantization and
+Huffman tables, DC prediction, run-length AC coding, zigzag, float
+IDCT/DCT, byte stuffing, grayscale and YCbCr 4:4:4 / 4:2:0 color,
+baseline (SOF0) and extended-sequential (SOF1) frames, PROGRESSIVE
+(SOF2) frames with spectral selection + successive approximation
+(DC/AC first + refinement scans, EOB runs), and restart intervals
+(DRI/RSTn) in both modes. Arithmetic coding and 12-bit precision
+raise (explicitly — not silently wrong).
 
 The reference platform renders JPEG through javax.imageio (Pencode.java)
 rather than its own codec; this module exists so the multimodal tier's
@@ -38,6 +40,17 @@ QUANT_LUMA = np.array([
     [72, 92, 95, 98, 112, 100, 103, 99],
 ], dtype=np.int32)
 
+QUANT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
 # (bits, values) per the spec's typical tables
 DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 DC_LUMA_VALS = list(range(12))
@@ -58,6 +71,14 @@ AC_LUMA_VALS = [
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
+
+# Progressive AC table: the typical sequential tables carry no EOBn
+# (n>0) symbols, so progressive scans declare this flat 9-bit table in
+# DHT instead — 176 symbols = EOB0..EOB14, ZRL, and every (run,size)
+# with size 1..10. All codes 9 bits, none all-ones (spec C.2 constraint).
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = ([r << 4 for r in range(15)] + [0xF0]
+                + [(r << 4) | s for r in range(16) for s in range(1, 11)])
 
 ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -135,6 +156,13 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-pad per spec
         return bytes(self.buf)
 
+    def restart(self, n: int) -> None:
+        """1-pad to a byte boundary and emit RSTn (markers aren't stuffed)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes((0xFF, 0xD0 + (n & 7)))
+
 
 class _BitReader:
     def __init__(self, data: bytes):
@@ -177,6 +205,16 @@ class _BitReader:
                 return sym
         raise ValueError("invalid Huffman code")
 
+    def sync_restart(self) -> None:
+        """Byte-align and consume an RSTn marker (spec F.2.1.3.1)."""
+        self.acc = 0
+        self.nbits = 0
+        if (self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            self.pos += 2
+        else:
+            raise ValueError("expected restart marker")
+
 
 def _magnitude(v: int):
     """DC/AC magnitude category encoding (spec F.1.2.1): (size, bits)."""
@@ -198,41 +236,198 @@ def _extend(bits: int, size: int) -> int:
 
 # -------------------------------------------------------------- encoder
 
-def encode_jpeg_gray(img: np.ndarray) -> bytes:
+def _quantize_plane(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(h, w) int plane [0,255], multiple-of-8 dims → (by, bx, 64)
+    zigzag-ordered quantized DCT coefficients (vectorized over blocks)."""
+    h, w = plane.shape
+    by, bx = h // 8, w // 8
+    blocks = plane.astype(np.float64).reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+    coef = np.einsum("ux,ijxy,vy->ijuv", _A, blocks, _A)
+    q = np.round(coef / qt).astype(np.int64)
+    return q.reshape(by, bx, 64)[:, :, ZIGZAG]
+
+
+def _encode_block_sequential(bw, zz, pred, dc_codes, ac_codes) -> int:
+    """Entropy-code one zigzag block (spec F.1.2); returns the new DC
+    predictor."""
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    size, bits = _magnitude(diff)
+    code, length = dc_codes[size]
+    bw.write(code, length)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return pred
+
+
+def _dqt_segment(tq: int, qt: np.ndarray) -> bytes:
+    qz = qt.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+    return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + qz
+
+
+def _dht_segments() -> bytes:
+    out = bytearray()
+    dht = bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    dht = bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    return bytes(out)
+
+
+_JFIF = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+
+def encode_jpeg_gray(img: np.ndarray, restart_interval: int = 0) -> bytes:
     """8-bit grayscale baseline JPEG with the Annex-K luminance tables.
     Dimensions must be multiples of 8 (no edge replication — keeps the
-    codec exact on block-constant inputs)."""
+    codec exact on block-constant inputs). ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every that-many MCUs."""
     h, w = img.shape
     if h % 8 or w % 8:
         raise ValueError("encode_jpeg_gray needs multiple-of-8 dimensions")
-    img = img.astype(np.int32)
+    zz = _quantize_plane(img, QUANT_LUMA)
 
     dc_codes = _build_code_table(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_codes = _build_code_table(AC_LUMA_BITS, AC_LUMA_VALS)
     bw = _BitWriter()
     pred = 0
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            block = img[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
-            coef = _fdct(block)
-            q = np.round(coef / QUANT_LUMA).astype(np.int64)
-            zz = q.reshape(-1)[ZIGZAG]
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
+    mcu = 0
+    rst = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                pred = 0
+            pred = _encode_block_sequential(bw, zz[by, bx], pred, dc_codes, ac_codes)
+            mcu += 1
+    entropy = bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _JFIF
+    out += _dqt_segment(0, QUANT_LUMA)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    out += _dht_segments()
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_color(rgb: np.ndarray) -> bytes:
+    """8-bit RGB → baseline YCbCr 4:4:4 JPEG (Annex-K luma + chroma
+    quant tables; the typical luminance Huffman tables shared by all
+    components, which is valid — tables are whatever DHT declares).
+    Arbitrary dimensions: edges are replicated to the block grid and
+    the decoder crops back to the SOF dimensions."""
+    h, w = rgb.shape[:2]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if (ph, pw) != (h, w):
+        rgb = np.pad(rgb, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    # ITU-R BT.601 forward transform (JFIF full-range)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [np.clip(np.round(p), 0, 255) for p in (y, cb, cr)]
+    qts = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
+    zzs = [_quantize_plane(p, qt) for p, qt in zip(planes, qts)]
+
+    dc_codes = _build_code_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _build_code_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci in range(3):  # interleaved 4:4:4 MCU = one block each
+                preds[ci] = _encode_block_sequential(
+                    bw, zzs[ci][by, bx], preds[ci], dc_codes, ac_codes)
+    entropy = bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += _JFIF
+    out += _dqt_segment(0, QUANT_LUMA)
+    out += _dqt_segment(1, QUANT_CHROMA)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes((1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    out += _dht_segments()
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3) + bytes((1, 0x00, 2, 0x00, 3, 0x00)) + b"\x00\x3f\x00"
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---- progressive encoder (spec Annex G; scan script: DC first at Al=1,
+# AC bands 1-5 / 6-63 first at Al=1, then DC + AC refinement to Al=0) ----
+
+def _emit_eobrun(bw, ac_codes, eobrun: int) -> int:
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, length = ac_codes[nbits << 4]
+        bw.write(code, length)
+        if nbits:
+            bw.write(eobrun & ((1 << nbits) - 1), nbits)
+    return 0
+
+
+def _encode_scan_dc_first(bw, zzs, dc_codes, al: int) -> None:
+    pred = 0
+    for by in range(zzs.shape[0]):
+        for bx in range(zzs.shape[1]):
+            v = int(zzs[by, bx, 0]) >> al
+            diff = v - pred
+            pred = v
             size, bits = _magnitude(diff)
             code, length = dc_codes[size]
             bw.write(code, length)
             if size:
                 bw.write(bits, size)
+
+
+def _encode_scan_dc_refine(bw, zzs, al: int) -> None:
+    for by in range(zzs.shape[0]):
+        for bx in range(zzs.shape[1]):
+            bw.write((int(zzs[by, bx, 0]) >> al) & 1, 1)
+
+
+def _encode_scan_ac_first(bw, zzs, ac_codes, ss: int, se: int, al: int) -> None:
+    """Spectral-selection first scan with cross-block EOB runs
+    (spec G.1.2.2; sign-magnitude point transform)."""
+    eobrun = 0
+    for by in range(zzs.shape[0]):
+        for bx in range(zzs.shape[1]):
+            zz = zzs[by, bx]
             run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
+            for k in range(ss, se + 1):
+                t = int(zz[k])
+                v = (abs(t) >> al) * (1 if t >= 0 else -1)
                 if v == 0:
                     run += 1
                     continue
+                eobrun = _emit_eobrun(bw, ac_codes, eobrun)
                 while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
+                    code, length = ac_codes[0xF0]
                     bw.write(code, length)
                     run -= 16
                 size, bits = _magnitude(v)
@@ -240,33 +435,236 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
                 bw.write(code, length)
                 bw.write(bits, size)
                 run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]  # EOB
-                bw.write(code, length)
-    entropy = bw.flush()
+            if run > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _emit_eobrun(bw, ac_codes, eobrun)
+    _emit_eobrun(bw, ac_codes, eobrun)
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    qz = QUANT_LUMA.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qz
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+
+def _encode_scan_ac_refine(bw, zzs, ac_codes, ss: int, se: int, al: int) -> None:
+    """Successive-approximation AC refinement (spec G.1.2.3). EOB runs
+    are flushed per block so correction bits never buffer across blocks
+    (valid, marginally less compressed than libjpeg-style BE buffering)."""
+    for by in range(zzs.shape[0]):
+        for bx in range(zzs.shape[1]):
+            zz = zzs[by, bx]
+            absv = [abs(int(zz[k])) >> al for k in range(64)]
+            eob = 0  # last newly-significant index; 0 = none
+            for k in range(ss, se + 1):
+                if absv[k] == 1:
+                    eob = k
+            run = 0
+            pending: list[int] = []  # correction bits since the last symbol
+            for k in range(ss, se + 1):
+                a = absv[k]
+                if a == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                    for bit in pending:
+                        bw.write(bit, 1)
+                    pending = []
+                if a > 1:  # history coefficient → one correction bit
+                    pending.append((abs(int(zz[k])) >> al) & 1)
+                    continue
+                # newly significant at this Al
+                code, length = ac_codes[(run << 4) | 1]
+                bw.write(code, length)
+                bw.write(1 if int(zz[k]) > 0 else 0, 1)
+                for bit in pending:
+                    bw.write(bit, 1)
+                pending = []
+                run = 0
+            if run > 0 or pending:
+                code, length = ac_codes[0x00]  # EOB (run of 1)
+                bw.write(code, length)
+                for bit in pending:
+                    bw.write(bit, 1)
+
+
+def encode_jpeg_gray_progressive(img: np.ndarray) -> bytes:
+    """8-bit grayscale PROGRESSIVE (SOF2) JPEG: 6-scan script with
+    spectral selection and one successive-approximation level
+    (DC first Al=1 → AC 1-5 first Al=1 → AC 6-63 first Al=1 →
+    DC refine → AC 1-5 refine → AC 6-63 refine). Reconstructs to the
+    same pixels as the baseline encoding of the same image (identical
+    quantized coefficients)."""
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg_gray_progressive needs multiple-of-8 dimensions")
+    zzs = _quantize_plane(img, QUANT_LUMA)
+    dc_codes = _build_code_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _build_code_table(PROG_AC_BITS, PROG_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += _JFIF
+    out += _dqt_segment(0, QUANT_LUMA)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
     dht = bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
-    dht = bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
+    dht = bytes([0x10]) + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS)
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
-    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
-    out += entropy
-    out += b"\xff\xd9"  # EOI
+
+    def sos(ss, se, ah, al, body):
+        return (b"\xff\xda" + struct.pack(">HB", 8, 1)
+                + bytes((1, 0x00, ss, se, (ah << 4) | al)) + body)
+
+    bw = _BitWriter(); _encode_scan_dc_first(bw, zzs, dc_codes, 1)
+    out += sos(0, 0, 0, 1, bw.flush())
+    bw = _BitWriter(); _encode_scan_ac_first(bw, zzs, ac_codes, 1, 5, 1)
+    out += sos(1, 5, 0, 1, bw.flush())
+    bw = _BitWriter(); _encode_scan_ac_first(bw, zzs, ac_codes, 6, 63, 1)
+    out += sos(6, 63, 0, 1, bw.flush())
+    bw = _BitWriter(); _encode_scan_dc_refine(bw, zzs, 0)  # bit Al=0 of DC
+    out += sos(0, 0, 1, 0, bw.flush())
+    bw = _BitWriter(); _encode_scan_ac_refine(bw, zzs, ac_codes, 1, 5, 0)
+    out += sos(1, 5, 1, 0, bw.flush())
+    bw = _BitWriter(); _encode_scan_ac_refine(bw, zzs, ac_codes, 6, 63, 0)
+    out += sos(6, 63, 1, 0, bw.flush())
+    out += b"\xff\xd9"
     return bytes(out)
 
 
 # -------------------------------------------------------------- decoder
 
+def _decode_block_sequential(br, zz, dc_tbl, ac_tbl, pred: int) -> int:
+    """Baseline entropy decode of one block into zigzag array ``zz``;
+    returns the new DC predictor."""
+    size = br.read_symbol(dc_tbl)
+    diff = _extend(br.read_bits(size), size)
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = br.read_symbol(ac_tbl)
+        run, size = rs >> 4, rs & 0xF
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC index overflow")
+        zz[k] = _extend(br.read_bits(size), size)
+        k += 1
+    return pred
+
+
+def _decode_dc_first(br, zz, dc_tbl, pred: int, al: int) -> int:
+    size = br.read_symbol(dc_tbl)
+    pred += _extend(br.read_bits(size), size)
+    zz[0] = pred << al
+    return pred
+
+
+def _decode_dc_refine(br, zz, al: int) -> None:
+    if br.read_bit():
+        zz[0] |= 1 << al
+
+
+def _decode_ac_first(br, zz, ac_tbl, ss, se, al, eobrun: int) -> int:
+    """Spectral-selection first scan for one block (spec G.2/F.2.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.read_symbol(ac_tbl)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run < 15:  # EOBn
+                eobrun = (1 << run) + (br.read_bits(run) if run else 0) - 1
+                break
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > se:
+            raise ValueError("AC index overflow in progressive scan")
+        zz[k] = _extend(br.read_bits(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _refine_nonzero(br, zz, k: int, p1: int) -> None:
+    """Append one correction bit to an already-nonzero coefficient
+    (spec G.1.2.3: a 1-bit grows the magnitude by 2^Al toward its sign)."""
+    if br.read_bit():
+        c = int(zz[k])
+        if (c & p1) == 0:
+            zz[k] = c + (p1 if c >= 0 else -p1)
+
+
+def _decode_ac_refine(br, zz, ac_tbl, ss, se, al, eobrun: int) -> int:
+    """Successive-approximation AC refinement for one block."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.read_symbol(ac_tbl)
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run < 15:  # EOBn — correct the rest of the band below
+                    eobrun = (1 << run) + (br.read_bits(run) if run else 0)
+                    break
+                # ZRL: skip 16 zero-history slots — 15 via the walk's
+                # countdown plus the final unconditional k += 1 below
+                val = 0
+            else:
+                if size != 1:
+                    raise ValueError("invalid refinement symbol")
+                val = p1 if br.read_bit() else -p1
+            # walk: correct nonzero-history coefs, count down zero-history
+            while k <= se:
+                if zz[k] != 0:
+                    _refine_nonzero(br, zz, k, p1)
+                    k += 1
+                elif run == 0:
+                    break
+                else:
+                    run -= 1
+                    k += 1
+            if val != 0 and k <= se:
+                zz[k] = val
+            k += 1  # consume the placement slot (16th zero for ZRL)
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                _refine_nonzero(br, zz, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _entropy_segment_end(data: bytes, start: int) -> int:
+    """End offset of an entropy-coded segment: first FF xx that is not
+    a stuffed 00 or an RSTn."""
+    p = start
+    n = len(data)
+    while p < n:
+        if data[p] == 0xFF and p + 1 < n:
+            nxt = data[p + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return n
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG → (h, w) uint8 gray or (h, w, 3) uint8 RGB.
-    Supports 1-component and 3-component YCbCr with 1x1 (4:4:4) or
-    2x2-luma (4:2:0) sampling; raises on progressive / restart /
-    arithmetic / 12-bit streams."""
+    """JPEG → (h, w) uint8 gray or (h, w, 3) uint8 RGB. Supports
+    baseline/extended-sequential (SOF0/SOF1) and progressive (SOF2)
+    frames, 1-component and 3-component YCbCr with 1x1 (4:4:4) or
+    2x2-luma (4:2:0) sampling, restart intervals, EOB runs; raises on
+    arithmetic coding / hierarchical / 12-bit streams.
+
+    Two stages: every scan entropy-decodes into per-component zigzag
+    coefficient arrays; reconstruction then dequantizes and runs one
+    vectorized IDCT over all blocks."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -274,8 +672,79 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
-    scan = None
-    entropy_start = None
+    progressive = False
+    ri = 0
+    coefs: dict[int, np.ndarray] = {}
+    preds: dict[int, int] = {}
+    mcux = mcuy = hmax = vmax = 0
+
+    def run_scan(scan, ss, se, ah, al, entropy: bytes) -> None:
+        br = _BitReader(entropy)
+        eobrun = 0
+        for cid in preds:
+            if any(s["id"] == cid for s in scan):
+                preds[cid] = 0
+        comps_by_id = {c["id"]: c for c in frame["comps"]}
+        interleaved = len(scan) > 1
+        if interleaved:
+            units = []  # (cid, dc_tbl_id, ac_tbl_id, block_y, block_x) per MCU template
+            for s in scan:
+                c = comps_by_id[s["id"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        units.append((s, c, by, bx))
+            n_mcu = mcux * mcuy
+            for m in range(n_mcu):
+                if ri and m and m % ri == 0:
+                    br.sync_restart()
+                    for s in scan:
+                        preds[s["id"]] = 0
+                    eobrun = 0
+                my, mx = divmod(m, mcux)
+                for s, c, by, bx in units:
+                    zz = coefs[c["id"]][my * c["v"] + by, mx * c["h"] + bx]
+                    if not progressive:
+                        preds[c["id"]] = _decode_block_sequential(
+                            br, zz, huff_dc[s["dc"]], huff_ac[s["ac"]], preds[c["id"]])
+                    elif ss == 0 and ah == 0:
+                        preds[c["id"]] = _decode_dc_first(
+                            br, zz, huff_dc[s["dc"]], preds[c["id"]], al)
+                    elif ss == 0:
+                        _decode_dc_refine(br, zz, al)
+                    else:
+                        raise ValueError("progressive AC scans must be non-interleaved")
+        else:
+            s = scan[0]
+            c = comps_by_id[s["id"]]
+            # non-interleaved: the component's own block grid (spec A.2.2)
+            cw = -(-(frame["w"] * c["h"]) // hmax)
+            ch = -(-(frame["h"] * c["v"]) // vmax)
+            bw_ = -(-cw // 8)
+            bh_ = -(-ch // 8)
+            n = 0
+            for by in range(bh_):
+                for bx in range(bw_):
+                    if ri and n and n % ri == 0:
+                        br.sync_restart()
+                        preds[c["id"]] = 0
+                        eobrun = 0
+                    zz = coefs[c["id"]][by, bx]
+                    if not progressive:
+                        preds[c["id"]] = _decode_block_sequential(
+                            br, zz, huff_dc[s["dc"]], huff_ac[s["ac"]], preds[c["id"]])
+                    elif ss == 0 and ah == 0:
+                        preds[c["id"]] = _decode_dc_first(
+                            br, zz, huff_dc[s["dc"]], preds[c["id"]], al)
+                    elif ss == 0:
+                        _decode_dc_refine(br, zz, al)
+                    elif ah == 0:
+                        eobrun = _decode_ac_first(
+                            br, zz, huff_ac[s["ac"]], ss, se, al, eobrun)
+                    else:
+                        eobrun = _decode_ac_refine(
+                            br, zz, huff_ac[s["ac"]], ss, se, al, eobrun)
+                    n += 1
+
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -307,7 +776,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + n])
                 (huff_ac if tc else huff_dc)[th] = _build_decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             prec, fh, fw, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -316,75 +786,51 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, samp, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential (SOF0) supported")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            for c in comps:
+                coefs[c["id"]] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+                preds[c["id"]] = 0
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "lossless / arithmetic / hierarchical JPEG unsupported "
+                "(SOF0/SOF1 sequential and SOF2 progressive only)")
         elif marker == 0xDD:  # DRI
-            if struct.unpack(">H", seg[:2])[0] != 0:
-                raise NotImplementedError("restart intervals unsupported")
+            ri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append({"id": cs, "dc": tables >> 4, "ac": tables & 0xF})
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             entropy_start = pos + seglen
-            break
+            end = _entropy_segment_end(data, entropy_start)
+            run_scan(scan, ss, se, ahal >> 4, ahal & 0xF, data[entropy_start:end])
+            pos = end
+            continue
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None:
         raise ValueError("missing SOF/SOS")
-    # locate EOI to bound the entropy stream
-    end = data.rfind(b"\xff\xd9")
-    if end < 0:
-        end = len(data)
-    br = _BitReader(data[entropy_start:end])
 
-    comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-frame["w"] // (8 * hmax))
-    mcuy = -(-frame["h"] // (8 * vmax))
+    # ---- reconstruction: dequantize + one vectorized IDCT per component
     planes = {}
-    for c in comps:
-        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-        planes[c["id"]] = np.zeros((ph, pw), dtype=np.float64)
-    preds = {c["id"]: 0 for c in comps}
-    sc_by_id = {s["id"]: s for s in scan}
-
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for c in comps:
-                s = sc_by_id[c["id"]]
-                dc_tbl, ac_tbl = huff_dc[s["dc"]], huff_ac[s["ac"]]
-                qt = quant[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = br.read_symbol(dc_tbl)
-                        diff = _extend(br.read_bits(size), size)
-                        preds[c["id"]] += diff
-                        zz[0] = preds[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = br.read_symbol(ac_tbl)
-                            run, size = rs >> 4, rs & 0xF
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            zz[k] = _extend(br.read_bits(size), size)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[ZIGZAG] = zz * qt.reshape(-1)[ZIGZAG]
-                        block = _idct(coef.reshape(8, 8)) + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+    for c in frame["comps"]:
+        zz = coefs[c["id"]].astype(np.float64)
+        qt_zz = quant[c["tq"]].reshape(-1)[ZIGZAG].astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[..., ZIGZAG] = zz * qt_zz
+        by, bx = nat.shape[0], nat.shape[1]
+        blocks = np.einsum("ux,ijuv,vy->ijxy", _A, nat.reshape(by, bx, 8, 8), _A)
+        # assemble plane from (by, bx, 8, 8)
+        planes[c["id"]] = blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
 
     h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
     if len(comps) == 1:
         out = np.clip(np.round(planes[comps[0]["id"]][:h, :w]), 0, 255)
         return out.astype(np.uint8)

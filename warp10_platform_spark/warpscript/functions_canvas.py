@@ -109,9 +109,20 @@ def _pencode(st):
         top = st.pop()
     if not isinstance(top, PImage):
         raise TypeError("Pencode operates on a PGRAPHICS or PIMAGE instance")
-    fmt = str((chunks or {}).get("format", "png"))
+    fmt = str((chunks or {}).get("format", "png")).lower()
+    if fmt in ("jpeg", "jpg"):
+        import numpy as _np
+
+        from warp10_platform_spark.multimodal.jpeg import encode_jpeg_color
+
+        argb = top.pix.astype(_np.uint32)
+        rgb = _np.stack([(argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF],
+                        axis=-1).astype(_np.uint8)
+        jpg = encode_jpeg_color(rgb)
+        st.push("data:image/jpeg;base64," + _b64.b64encode(jpg).decode("ascii"))
+        return
     if fmt != "png":
-        raise NotImplementedError("Pencode: only format 'png' is implemented (no JPEG encoder)")
+        raise NotImplementedError("Pencode: formats are 'png' and 'jpeg'")
     png = top.encode_png(_norm_chunks(chunks))
     st.push("data:image/png;base64," + _b64.b64encode(png).decode("ascii"))
 
