@@ -294,6 +294,63 @@ def test_script_3d_wireframe():
     assert _rgb_count(pg, 0x000000) > 40  # edges drawn
 
 
+def test_3d_perspective_magnifies_near_geometry():
+    """The default camera maps z=0 1:1 to pixels; geometry translated
+    toward the eye (z>0) must cover MORE pixels."""
+    from warp10_platform_spark.canvas.core import PCanvas
+
+    def area(z):
+        pg = PCanvas(64, 64, "3D")
+        pg.style.stroke_on = False
+        pg.style.fill_color = 0xFFFF0000
+        pg.translate(32, 32, z)
+        pg.begin_shape("QUADS")
+        for vx, vy in ((-10, -10), (10, -10), (10, 10), (-10, 10)):
+            pg.vertex(vx, vy, 0.0)
+        pg.end_shape()
+        return int(((pg.pix >> 16) & 0xFF == 0xFF).sum())
+
+    a0, a_near, a_far = area(0.0), area(20.0), area(-20.0)
+    assert abs(a0 - 400) <= 42  # ~20x20 at z=0 (1:1 mapping)
+    assert a_near > a0 > a_far > 0
+
+
+def test_3d_zbuffer_occlusion():
+    """A nearer face drawn SECOND must overwrite, and a farther face
+    drawn second must NOT overwrite — true depth test, not paint order."""
+    from warp10_platform_spark.canvas.core import PCanvas
+
+    def draw(first_z, first_col, second_z, second_col):
+        pg = PCanvas(32, 32, "3D")
+        pg.style.stroke_on = False
+        for z, col in ((first_z, first_col), (second_z, second_col)):
+            pg.style.fill_color = col
+            pg.begin_shape("QUADS")
+            for vx, vy in ((6, 6), (26, 6), (26, 26), (6, 26)):
+                pg.vertex(vx, vy, z)
+            pg.end_shape()
+        return int(pg.pix[16, 16])
+
+    # nearer (z=5) drawn second wins
+    assert draw(0.0, 0xFF0000FF, 5.0, 0xFF00FF00) == 0xFF00FF00
+    # farther (z=-5) drawn second loses — the first fill is kept
+    assert draw(0.0, 0xFF0000FF, -5.0, 0xFF00FF00) == 0xFF0000FF
+
+
+def test_3d_filled_box_occludes_back_faces():
+    from warp10_platform_spark.canvas.core import PCanvas
+
+    pg = PCanvas(48, 48, "3D")
+    pg.style.stroke_on = False
+    pg.style.fill_color = 0xFFFFFFFF
+    pg.translate(24, 24, 0)
+    pg.rotate_y(0.5)
+    pg.rotate_x(0.3)
+    pg.box(20.0)
+    filled = int(((pg.pix >> 24) & 0xFF == 0xFF).sum())
+    assert filled > 350  # a solid silhouette, not a wireframe
+
+
 def test_script_clip_and_blendmode():
     st = _st()
     st.exec("16 16 '2D' PGraphics 0 Pbackground PnoStroke "

@@ -16,10 +16,13 @@ Reference contracts mirrored (io.warp10.script.processing.*):
                  curveVertex, contours (holes via even-odd parity),
                  endShape(CLOSE)
   transforms   — 4x4 matrix stack, rotate/scale/shear/translate (+X/Y/Z
-                 rotations; rendering projects orthographically — the
-                 reference's 3D renderer needs OpenGL and is unavailable
-                 headless, so 3D here is wireframe-orthographic,
-                 documented)
+                 rotations). '3D' canvases render through Processing's
+                 default perspective camera (fov 60°, eye over the
+                 center, z=0 plane 1:1 with pixels) with a software
+                 z-buffer: box/sphere/3D vertex shapes rasterize filled
+                 faces with inverse-depth occlusion; strokes draw
+                 projected on top (the reference's P3D is OpenGL;
+                 this is a headless software rasterizer)
   typography   — built-in 5x7 bitmap font (font5x7.py), textAlign/
                  textSize/textLeading/textWidth/ascent/descent
 """
@@ -391,6 +394,17 @@ class PCanvas(PImage):
         self.clip_rect: tuple[float, float, float, float] | None = None
         self._shape = None  # active beginShape state
         self.pix[:] = np.uint32(0x00000000)  # transparent like PGraphics
+        # True P3D: Processing's default perspective camera — fov 60°,
+        # eye at (w/2, h/2, (h/2)/tan(30°)) looking down -z, so the z=0
+        # plane maps 1:1 to screen pixels; nearer-z occludes via an
+        # inverse-depth buffer (0 = empty, larger = nearer).
+        self.is3d = "3" in str(kind)
+        if self.is3d:
+            self._eye_z = (self.height / 2.0) / math.tan(math.pi / 6.0)
+            self._zinv = np.zeros((self.height, self.width), dtype=np.float64)
+        else:
+            self._eye_z = None
+            self._zinv = None
 
     # ---------------- color model ----------------
 
@@ -516,7 +530,10 @@ class PCanvas(PImage):
         self.style = self._style_stack.pop()
 
     def _xf(self, pts):
-        """Model → device: apply the 4x4, project orthographically."""
+        """Model → device: apply the 4x4; 2D projects orthographically,
+        3D through the default perspective camera."""
+        if self.is3d:
+            return self._xf3(pts)[0]
         arr = np.asarray(pts, dtype=np.float64)
         if arr.ndim == 1:
             arr = arr[None, :]
@@ -526,6 +543,64 @@ class PCanvas(PImage):
         hom[:, 3] = 1.0
         dev = hom @ self.matrix.T
         return dev[:, :2]
+
+    def _xf3(self, pts):
+        """Model → (screen xy, inverse view depth). The z=0 plane maps
+        1:1 to pixels; points nearer the eye magnify (sx = cx +
+        (x-cx)·ez/(ez-z))."""
+        arr = np.asarray(pts, dtype=np.float64)
+        if arr.ndim == 1:
+            arr = arr[None, :]
+        n = arr.shape[0]
+        hom = np.zeros((n, 4))
+        hom[:, : arr.shape[1]] = arr
+        hom[:, 3] = 1.0
+        dev = hom @ self.matrix.T
+        cx, cy = self.width / 2.0, self.height / 2.0
+        near = self._eye_z / 10.0  # Processing's default near plane
+        depth = np.maximum(self._eye_z - dev[:, 2], near)
+        s = self._eye_z / depth
+        out = np.empty((n, 2))
+        out[:, 0] = cx + (dev[:, 0] - cx) * s
+        out[:, 1] = cy + (dev[:, 1] - cy) * s
+        return out, 1.0 / depth
+
+    def _fill_triangle_z(self, xy: np.ndarray, zinv: np.ndarray, color: int) -> None:
+        """Z-buffered triangle fill: barycentric rasterization with
+        screen-linear interpolation of 1/depth (projectively exact for
+        planar faces). Nearer fragments overwrite."""
+        g = self._grid(float(xy[:, 0].min()), float(xy[:, 1].min()),
+                       float(xy[:, 0].max()), float(xy[:, 1].max()))
+        if g is None:
+            return
+        ix0, iy0, xs, ys = g
+        (x0, y0), (x1, y1), (x2, y2) = xy
+        area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+        if abs(area) < 1e-12:
+            return
+        w0 = ((x1 - xs) * (y2 - ys) - (x2 - xs) * (y1 - ys)) / area
+        w1 = ((x2 - xs) * (y0 - ys) - (x0 - xs) * (y2 - ys)) / area
+        w2 = 1.0 - w0 - w1
+        mask = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+        if not mask.any():
+            return
+        frag = w0 * zinv[0] + w1 * zinv[1] + w2 * zinv[2]
+        h, w = mask.shape
+        zwin = self._zinv[iy0 : iy0 + h, ix0 : ix0 + w]
+        win = mask & (frag > zwin)
+        if not win.any():
+            return
+        zwin[win] = frag[win]
+        pwin = self.pix[iy0 : iy0 + h, ix0 : ix0 + w]
+        pwin[win] = np.uint32(color & 0xFFFFFFFF)
+
+    def _fill_faces_z(self, faces, color: int) -> None:
+        """faces: iterable of model-space vertex rings (≥3 verts each);
+        fan-triangulated, z-buffer filled."""
+        for ring in faces:
+            xy, zi = self._xf3(ring)
+            for i in range(1, len(ring) - 1):
+                self._fill_triangle_z(xy[[0, i, i + 1]], zi[[0, i, i + 1]], color)
 
     def _is_axis_aligned(self) -> bool:
         m = self.matrix
@@ -886,7 +961,10 @@ class PCanvas(PImage):
     def vertex(self, x: float, y: float, z: float = 0.0) -> None:
         if self._shape is None:
             raise ValueError("vertex outside beginShape")
-        self._shape["verts"].append((float(x), float(y)))
+        if self.is3d:
+            self._shape["verts"].append((float(x), float(y), float(z)))
+        else:
+            self._shape["verts"].append((float(x), float(y)))
         self._shape["curve"] = []
 
     def curve_vertex(self, x: float, y: float) -> None:
@@ -936,6 +1014,42 @@ class PCanvas(PImage):
         holes = [h for tag_h in sh["contours"] if isinstance(tag_h, tuple)
                  for h in [tag_h[1]]]
         st = self.style
+        if self.is3d:
+            # 3D shape path: z-buffered fills, perspective-projected
+            # strokes (curve/bezier vertices arrive as 2-tuples at z=0)
+            v3 = [(v[0], v[1], v[2] if len(v) > 2 else 0.0) for v in verts]
+            if kind == "POINTS":
+                for p in v3:
+                    self.point(*p)
+                return
+            if kind == "LINES":
+                for i in range(0, len(v3) - 1, 2):
+                    self.line(v3[i][0], v3[i][1], v3[i][2],
+                              v3[i + 1][0], v3[i + 1][1], v3[i + 1][2])
+                return
+            if kind == "TRIANGLES":
+                g3 = [v3[i : i + 3] for i in range(0, len(v3) - 2, 3)]
+            elif kind == "TRIANGLE_STRIP":
+                g3 = [v3[i : i + 3] for i in range(len(v3) - 2)]
+            elif kind == "TRIANGLE_FAN":
+                g3 = [[v3[0], v3[i], v3[i + 1]] for i in range(1, len(v3) - 1)]
+            elif kind == "QUADS":
+                g3 = [v3[i : i + 4] for i in range(0, len(v3) - 3, 4)]
+            elif kind == "QUAD_STRIP":
+                g3 = [[v3[i], v3[i + 1], v3[i + 3], v3[i + 2]]
+                      for i in range(0, len(v3) - 3, 2)]
+            else:  # POLYGON (holes unsupported in 3D)
+                g3 = [v3] if len(v3) >= 3 else []
+            if st.fill_on:
+                self._fill_faces_z([g for g in g3 if len(g) >= 3], st.fill_color)
+            if st.stroke_on:
+                for g in g3:
+                    if len(g) >= 2:
+                        dev = self._xf(g)
+                        self._stroke_polyline_device(
+                            dev, st.stroke_color,
+                            closed=close or len(g) >= 3)
+            return
         if kind == "POINTS":
             for p in verts:
                 self.point(*p)
@@ -981,22 +1095,50 @@ class PCanvas(PImage):
         if h is None:
             h = d = w
         hw, hh, hd = w / 2.0, h / 2.0, d / 2.0
-        corners = [
+        c = [
             (sx * hw, sy * hh, sz * hd)
             for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)
         ]
+        st = self.style
+        if self.is3d and st.fill_on:
+            # 6 quads, z-buffered (corner index bit order: x=4, y=2, z=1)
+            faces = [
+                [c[0], c[1], c[3], c[2]], [c[4], c[5], c[7], c[6]],  # x=∓
+                [c[0], c[1], c[5], c[4]], [c[2], c[3], c[7], c[6]],  # y=∓
+                [c[0], c[2], c[6], c[4]], [c[1], c[3], c[7], c[5]],  # z=∓
+            ]
+            self._fill_faces_z(faces, st.fill_color)
         edges = [
             (0, 1), (0, 2), (0, 4), (3, 1), (3, 2), (3, 7),
             (5, 1), (5, 4), (5, 7), (6, 2), (6, 4), (6, 7),
         ]
-        dev = self._xf(corners)
-        col = self.style.stroke_color if self.style.stroke_on else self.style.fill_color
-        for i, j in edges:
-            self._stroke_polyline_device(np.array([dev[i], dev[j]]), col, closed=False)
+        if st.stroke_on or not st.fill_on:
+            dev = self._xf(c)
+            col = st.stroke_color if st.stroke_on else st.fill_color
+            for i, j in edges:
+                self._stroke_polyline_device(np.array([dev[i], dev[j]]), col, closed=False)
 
     def sphere(self, r: float) -> None:
         n = max(4, self.style.sphere_detail)
-        col = self.style.stroke_color if self.style.stroke_on else self.style.fill_color
+        st = self.style
+
+        def pt(i, k):  # latitude k ∈ [0, n/2], longitude i ∈ [0, n)
+            phi = math.pi * k / (n // 2)
+            th = _TWO_PI * i / n
+            return (r * math.sin(phi) * math.cos(th),
+                    r * math.cos(phi),
+                    r * math.sin(phi) * math.sin(th))
+
+        if self.is3d and st.fill_on:
+            faces = []
+            for k in range(n // 2):
+                for i in range(n):
+                    quad = [pt(i, k), pt(i + 1, k), pt(i + 1, k + 1), pt(i, k + 1)]
+                    faces.append(quad)
+            self._fill_faces_z(faces, st.fill_color)
+            if not st.stroke_on:
+                return
+        col = st.stroke_color if st.stroke_on else st.fill_color
         for k in range(1, 4):  # 3 latitude rings + 2 meridians, wireframe
             phi = math.pi * k / 4.0
             ring = [

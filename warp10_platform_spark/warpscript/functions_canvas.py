@@ -85,8 +85,8 @@ def _pg_fn(name, arities, fn, result=False):
 @register("PGraphics")
 def _pgraphics(st):
     """width height '2D'|'3D' PGraphics (rendering/PGraphics.java):
-    push a fresh canvas. 3D renders orthographic wireframe here (the
-    reference needs OpenGL for 3D and fails headless)."""
+    push a fresh canvas. 3D renders through the default perspective
+    camera with a software z-buffer (the reference's P3D is OpenGL)."""
     kind = str(st.pop())
     if not (kind.startswith("2D") or kind.startswith("3D")):
         raise ValueError("PGraphics expects a type ('2D' or '3D')")
