@@ -60,6 +60,8 @@ ALLOW = {
     "media_image_dhash": "multimodal codecs are Arrow-batched mapInPandas by design",
     "media_png_dhash": "multimodal codecs are Arrow-batched mapInPandas by design",
     "media_jpeg_dhash": "multimodal codecs are Arrow-batched mapInPandas by design",
+    "media_jpeg_progressive": "multimodal codecs are Arrow-batched mapInPandas by design",
+    "media_wav_g711_features": "multimodal codecs are Arrow-batched mapInPandas by design",
     "media_audio_features": "multimodal codecs are Arrow-batched mapInPandas by design",
     "media_wav_features": "multimodal codecs are Arrow-batched mapInPandas by design",
     "media_frame_sample": "multimodal codecs are Arrow-batched mapInPandas by design",

@@ -84,6 +84,38 @@ def test_progressive_reconstructs_identically_to_baseline():
             decode_jpeg(encode_jpeg_gray(g))).all()
 
 
+def test_progressive_equals_baseline_property():
+    """Property: for ANY 8-bit image, the 6-scan progressive encoding
+    decodes to exactly the pixels of the baseline encoding (both modes
+    reconstruct the same quantized coefficient array)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from warp10_platform_spark.multimodal.jpeg import encode_jpeg_gray_progressive
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 4), st.integers(1, 4),
+        st.integers(0, 2**32 - 1),
+        st.sampled_from(["noise", "flat", "gradient", "blocky"]),
+    )
+    def prop(bh, bw, seed, kind):
+        rng = np.random.default_rng(seed)
+        h, w = bh * 8, bw * 8
+        if kind == "noise":
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        elif kind == "flat":
+            img = np.full((h, w), int(rng.integers(0, 256)), dtype=np.uint8)
+        elif kind == "gradient":
+            img = ((np.add.outer(np.arange(h), np.arange(w)) * 255) // max(h + w - 2, 1)).astype(np.uint8)
+        else:
+            img = (rng.integers(0, 16, (bh, bw), dtype=np.uint8) * 17).repeat(8, 0).repeat(8, 1)
+        assert (decode_jpeg(encode_jpeg_gray_progressive(img))
+                == decode_jpeg(encode_jpeg_gray(img))).all()
+
+    prop()
+
+
 def test_restart_intervals_roundtrip():
     rng = np.random.default_rng(4)
     img = rng.integers(0, 256, (24, 40), dtype=np.uint8)

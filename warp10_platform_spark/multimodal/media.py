@@ -465,6 +465,28 @@ def attach_wav_audio(docs: DataFrame, id_col: str = "doc_id", rate: int = 8000,
     )
 
 
+def attach_wav_audio_g711(docs: DataFrame, id_col: str = "doc_id",
+                          rate: int = 8000, n_hashes: int = 4) -> DataFrame:
+    """documents → media rows carrying REAL G.711 µ-law WAV bytes
+    (format tag 7, 8-bit): the 16·n_hashes payload bytes are an md5
+    chain of the text — one µ-law code per byte — built entirely with
+    JVM exprs, so a SQL oracle can replay the ITU G.711 expansion
+    (sign/exponent/mantissa bit fields) sample by sample."""
+    nbytes = 16 * n_hashes
+    hdr = (
+        _RIFF + struct.pack("<I", 36 + nbytes) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 7, 1, rate, rate, 1, 8)
+        + b"data" + struct.pack("<I", nbytes)
+    )
+    payload = F.concat(*[F.unhex(F.md5(F.concat(F.col("text"), F.lit(str(i))))) for i in range(n_hashes)])
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("audio/wav").alias("media_type"),
+        F.lit(rate).alias("sample_rate"),
+        F.concat(F.lit(hdr).cast("binary"), payload).alias("content"),
+    )
+
+
 def wav_features(media: DataFrame) -> DataFrame:
     """Real-codec audio features: decode the WAV container, then RMS
     (exact integer moments, double assembly) and sign zero-crossings of
@@ -500,14 +522,20 @@ def wav_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(run, schema=schema)
 
 
-def attach_jpeg_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """documents → media rows carrying REAL JPEG bytes from the baseline
+def attach_jpeg_images(docs: DataFrame, id_col: str = "doc_id",
+                       progressive: bool = False,
+                       restart_interval: int = 0) -> DataFrame:
+    """documents → media rows carrying REAL JPEG bytes from the own
     codec (multimodal/jpeg.py): each doc's 4x4 md5-pixel image expands
     to a 32x32 block-constant gray image whose levels are quantized to
     multiples of 16 — the DC quantizer of the Annex-K table — so the
     lossy codec round-trips EXACTLY and the SQL oracle can replay pixel
-    math with no codec (see jpeg.py determinism note)."""
-    from warp10_platform_spark.multimodal.jpeg import encode_jpeg_gray
+    math with no codec (see jpeg.py determinism note).
+    ``progressive=True`` emits SOF2 6-scan streams (spectral selection +
+    successive approximation); ``restart_interval`` adds DRI/RSTn —
+    both reconstruct the same pixels, so the same oracle verifies them."""
+    from warp10_platform_spark.multimodal.jpeg import (
+        encode_jpeg_gray, encode_jpeg_gray_progressive)
 
     schema = StructType(
         [
@@ -526,7 +554,10 @@ def attach_jpeg_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for px in pdf["px"]:
                 base = (np.frombuffer(bytes(px), dtype=np.uint8).reshape(4, 4) // 16) * 16
                 img = np.repeat(np.repeat(base, 8, 0), 8, 1)
-                content.append(encode_jpeg_gray(img))
+                if progressive:
+                    content.append(encode_jpeg_gray_progressive(img))
+                else:
+                    content.append(encode_jpeg_gray(img, restart_interval=restart_interval))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

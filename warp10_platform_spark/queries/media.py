@@ -340,6 +340,67 @@ def media_jpeg_dhash(spark, sf_dir):
     return dhash_images(media, resize_to=(4, 4))
 
 
+@register("media_jpeg_progressive", (
+    f"SELECT doc_id AS media_id, CAST({_jpeg_dhash_sql()} AS BIGINT) AS dhash FROM documents"
+))
+def media_jpeg_progressive(spark, sf_dir):
+    """PROGRESSIVE (SOF2) JPEG end-to-end through the own codec: each
+    doc's image is encoded as a 6-scan progressive stream (DC/AC first
+    + successive-approximation refinement, EOB runs) and decoded through
+    the full multi-scan coefficient-accumulation path. The pixel
+    construction is the same block-constant DC-grid image as
+    media_jpeg_dhash, so the identical SQL oracle verifies it — any
+    progressive scan-decode bug (band bookkeeping, refinement bits,
+    EOBRUN) breaks the hash."""
+    from warp10_platform_spark.multimodal import attach_jpeg_images, dhash_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_jpeg_images(docs, progressive=True)
+    return dhash_images(media, resize_to=(4, 4))
+
+
+def _g711_sample(link: str, k: int) -> str:
+    """ITU G.711 µ-law expansion of md5 byte k, replayed in SQL:
+    u = byte XOR 0xFF; mag = ((mant·8 + 132) << exp) - 132; ±by sign."""
+    b = f"('0x' || substr(md5(text || '{link}'), {2 * k + 1}, 2))::BIGINT"
+    u = f"xor({b}, 255)"
+    mag = f"((({u}) % 16) * 8 + 132) * (1 << ((({u}) // 16) % 8)) - 132"
+    return f"((CASE WHEN ({u}) >= 128 THEN -1 ELSE 1 END) * ({mag}))"
+
+
+def _g711_oracle() -> str:
+    samples = ", ".join(_g711_sample(str(i), k) for i in range(4) for k in range(16))
+    return f"""
+WITH s AS (SELECT doc_id, [{samples}] AS sig FROM documents),
+m AS (
+  SELECT doc_id, len(sig) AS n,
+         list_sum(sig) AS s1,
+         list_sum(list_transform(sig, x -> x * x)) AS s2,
+         list_sum(list_transform(range(1, len(sig)),
+                  i -> CASE WHEN (sig[i] < 0) != (sig[i + 1] < 0) THEN 1 ELSE 0 END)) AS zc
+  FROM s
+)
+SELECT doc_id AS media_id, 8000 AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+       sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / n) AS rms,
+       CAST(zc AS BIGINT) AS zero_crossings
+FROM m
+"""
+
+
+@register("media_wav_g711_features", _g711_oracle())
+def media_wav_g711_features(spark, sf_dir):
+    """G.711 µ-law WAV end-to-end through the own codec: format-tag-7
+    8-bit containers whose payload bytes are an md5 chain, decoded
+    through the RIFF walk + the µ-law segment-expansion table, then the
+    same RMS/zero-crossing features as media_wav_features. The oracle
+    replays the G.711 bit-field expansion per sample in SQL — any table
+    or container bug breaks every row."""
+    from warp10_platform_spark.multimodal.media import attach_wav_audio_g711, wav_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_features(attach_wav_audio_g711(docs, rate=8000, n_hashes=4))
+
+
 @register("media_gif_frame_sample", _frames_oracle())
 def media_gif_frame_sample(spark, sf_dir):
     """REAL video-container path: each doc becomes a 4-frame animated
