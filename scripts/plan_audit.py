@@ -54,6 +54,7 @@ ALLOW = {
     "emb_sq8_topk": "broadcast of the tiny query-code set only; SQ8 shrinks per-pair cost, corpus never replicated",
     "emb_pq_topk": "broadcast of the tiny query-table set only; ADC is 8 lookups per pair, corpus never replicated",
     "emb_pq_trained_topk": "same pq_topk engine, offline-trained codebook literals",
+    "emb_pq_rerank_topk": "ADC shortlist (broadcast tiny query side) + exact rerank of |Q|*20 rows only",
     "emb_lsh_multitable_topk": "broadcast of the tiny query side only; candidates via (table,bucket) equi-join, O(N*L)",
     "doc_dup_clusters": "iterative min-label propagation: one shuffle per round by design",
     "media_image_dedup": "multimodal codecs are Arrow-batched mapInPandas by design (no JVM codec)",

@@ -30,6 +30,9 @@ FLOORS = {
     "emb_sq8_topk": 0.80,
     "emb_pq_trained_topk": 0.10,
     "emb_pq_topk": 0.03,
+    # PQ shortlist + exact rerank: measured 0.733 (trained cb, shortlist
+    # 20) — must beat the pure-ADC path by a wide margin
+    "emb_pq_rerank_topk": 0.45,
 }
 
 

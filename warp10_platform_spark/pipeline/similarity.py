@@ -278,6 +278,36 @@ def pq_topk(queries: DataFrame, candidates: DataFrame, codebook, topk: int = 3) 
     )
 
 
+def pq_rerank_topk(queries: DataFrame, candidates: DataFrame, codebook,
+                   topk: int = 3, shortlist: int = 10) -> DataFrame:
+    """PQ shortlist + EXACT rerank (the FAISS 'refine' pattern): ADC
+    scores the whole corpus through m-byte codes, keeps `shortlist`
+    candidates per query, then rescores ONLY those with the exact
+    full-precision cosine. Recall recovers toward exact while the
+    full-vector read is |Q|·shortlist rows instead of the corpus — at
+    100 TB the corpus is scanned once as codes (m bytes/vector) and the
+    float vectors are fetched by id for the shortlist only (semi-join
+    pushdown). Deterministic end-to-end: the ADC shortlist ranks on
+    round(sim, 6) with id tie-break, so the oracle replays both stages."""
+    short = pq_topk(queries, candidates, codebook, topk=shortlist).select("qid", "nid")
+    cn = with_norm(candidates).where(F.col("norm") > 0).select(
+        F.col("vec_id").alias("nid"), F.col("v").alias("cv"), F.col("norm").alias("cn"))
+    qn = with_norm(queries).where(F.col("norm") > 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn"))
+    dot = F.expr(_DOT.format(a="qv", b="cv"))
+    exact = (
+        short.join(cn, "nid")
+        .join(F.broadcast(qn), "qid")
+        .withColumn("sim", F.round(dot / (F.col("qn") * F.col("cn")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= topk)
+        .select("qid", "nid", "sim")
+    )
+
+
 def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95, id_col: str = "vec_id") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the embedding tier of the
     dedup ladder): exact all-pairs baseline — id_a < id_b, cos ≥ t.

@@ -225,14 +225,17 @@ def emb_sq8_topk(spark, sf_dir):
     return _sim.sq8_topk(queries, emb, k=3)
 
 
-def _pq_topk_oracle(dim: int = 64, m: int = 8, k: int = 16, topk: int = 3) -> str:
+def _pq_topk_oracle(dim: int = 64, m: int = 8, k: int = 16, topk: int = 3,
+                    cb=None) -> str:
     """DuckDB replica of pq_topk: identical codebook literals, identical
     argmin (ORDER BY d, c == Spark's struct compare), and fold-order
     parity — Spark's `e0 + e1 + ...` left-assoc chain is DuckDB
     list_reduce seeded with the first element, while Spark's
-    aggregate(.., 0D, ..) fold is list_reduce with a prepended 0.0."""
-    cb = _sim.pq_codebook(dim, m, k)
-    sub = dim // m
+    aggregate(.., 0D, ..) fold is list_reduce with a prepended 0.0.
+    Pass ``cb`` to oracle a non-default (e.g. trained) codebook."""
+    cb = cb if cb is not None else _sim.pq_codebook(dim, m, k)
+    m = len(cb)
+    sub = len(cb[0][0])
     rows = []
     for mi in range(m):
         for ci, c in enumerate(cb[mi]):
@@ -292,6 +295,44 @@ def emb_pq_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return _sim.pq_topk(queries, emb, _sim.pq_codebook(64, 8, 16), topk=3)
+
+
+def _pq_rerank_oracle(topk: int = 3, shortlist: int = 20) -> str:
+    """DuckDB replica of pq_rerank_topk: the full ADC stage (trained
+    codebook) shortlists `shortlist` ids per query, then the exact
+    cosine reranks the shortlist only."""
+    base = _pq_topk_oracle(topk=shortlist, cb=_sim.pq_codebook_trained())
+    # reuse the CTE chain up to `s` (ADC sims); swap the final SELECT
+    head, _, _ = base.rpartition("SELECT qid, nid, sim FROM (")
+    return f"""{head.rstrip()},
+short AS (
+  SELECT qid, nid FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk FROM s
+  ) WHERE rk <= {shortlist}
+),
+ex AS (
+  SELECT sh.qid, sh.nid,
+         round(list_dot_product(q.qv, e.v) / (q.qn * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+  FROM short sh JOIN q ON sh.qid = q.qid JOIN e ON sh.nid = e.vec_id
+  WHERE sqrt(list_dot_product(e.v, e.v)) > 0
+)
+SELECT qid, nid, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk FROM ex
+) WHERE rk <= {topk}
+"""
+
+
+@register("emb_pq_rerank_topk", _pq_rerank_oracle())
+def emb_pq_rerank_topk(spark, sf_dir):
+    """PQ shortlist + exact rerank (FAISS 'refine'): ADC over 8-byte
+    codes (trained codebook) shortlists 20 candidates/query, exact
+    cosine rescores only those. Recall@3 vs brute: 0.73 measured vs the
+    pure-ADC 0.33 (floor pinned in tests/test_ann_recall.py), while the
+    full-precision vectors are read for |Q|·20 rows, not the corpus —
+    the standard compression-with-recall-recovery pattern at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return _sim.pq_rerank_topk(queries, emb, _sim.pq_codebook_trained(), topk=3, shortlist=20)
 
 
 def _lsh_multitable_oracle(dim: int = 64, num_planes: int = 4, num_tables: int = 4, k: int = 3) -> str:
