@@ -448,6 +448,39 @@ def test_ws_wrap_unwrap_wire_format(spark):
     assert a == b and len(a) > 0
 
 
+def test_bootstrap_script_seeds_every_stack(spark, tmp_path, monkeypatch):
+    """WARPSCRIPT_BOOTSTRAP_PATH (warpscript.bootstrap.path,
+    EgressExecHandler.java:231): the configured script runs on every
+    fresh stack before user code — DEF'd macros and stored symbols are
+    available; its ops don't count against the user budget; mtime
+    reload; sub-stacks (repo macro loads) skip it."""
+    import os
+
+    from warp10_platform_spark.warpscript.stack import WarpScriptStack
+
+    boot = tmp_path / "bootstrap.mc2"
+    boot.write_text("<% 2 * %> 'twice' DEF 7 'seven' STORE")
+    monkeypatch.setenv("WARPSCRIPT_BOOTSTRAP_PATH", str(boot))
+
+    st = WarpScriptStack(spark, "/root/testdata/sf0.001")
+    st.exec("21 twice $seven +")
+    assert st.pop() == 49
+    assert st.depth() == 0  # bootstrap left nothing on the stack
+
+    # mtime reload
+    boot.write_text("<% 3 * %> 'twice' DEF 1 'seven' STORE")
+    os.utime(boot, ns=(2**62, 2**62))
+    st2 = WarpScriptStack(spark, "/root/testdata/sf0.001")
+    st2.exec("10 twice $seven +")
+    assert st2.pop() == 31
+
+    # missing file is a silent no-op, like an unset config
+    monkeypatch.setenv("WARPSCRIPT_BOOTSTRAP_PATH", str(tmp_path / "nope.mc2"))
+    st3 = WarpScriptStack(spark, "/root/testdata/sf0.001")
+    st3.exec("1 2 +")
+    assert st3.pop() == 3
+
+
 def test_repository_macro_resolution(spark, tmp_path, monkeypatch):
     """@path/name derefs not bound on the stack resolve from the
     configured macro repository directory (WarpScriptMacroRepository.java:

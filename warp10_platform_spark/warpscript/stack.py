@@ -57,7 +57,8 @@ class MapMark(Mark):
 
 
 class WarpScriptStack:
-    def __init__(self, spark, sf_dir: str, max_ops: int = 100_000, max_depth: int = 1000):
+    def __init__(self, spark, sf_dir: str, max_ops: int = 100_000, max_depth: int = 1000,
+                 bootstrap: bool = True):
         import uuid as _uuid
 
         from warp10_platform_spark.warpscript.functions import REGISTRY
@@ -78,6 +79,31 @@ class WarpScriptStack:
         from warp10_platform_spark.warpscript import stackps as _sp
 
         _sp.register_stack(self)
+        if bootstrap:
+            self._run_bootstrap()
+
+    # ---- bootstrap script (EgressExecHandler.java:231 stack.exec(
+    # BOOTSTRAP); Configuration.java warpscript.bootstrap.path) -------
+    # The configured script runs on every fresh stack before user code,
+    # seeding symbols/DEF'd macros; source is cached per (path, mtime)
+    # like the reference's BOOTSTRAP_PERIOD reload. Sub-stacks (macro
+    # repository loads, the bootstrap run itself) skip it.
+    _bootstrap_cache: tuple | None = None
+
+    def _run_bootstrap(self) -> None:
+        import os
+
+        path = os.environ.get("WARPSCRIPT_BOOTSTRAP_PATH")
+        if not path or not os.path.isfile(path):
+            return
+        mtime = os.stat(path).st_mtime_ns
+        hit = WarpScriptStack._bootstrap_cache
+        if hit is None or hit[0] != (path, mtime):
+            with open(path) as f:
+                WarpScriptStack._bootstrap_cache = ((path, mtime), f.read())
+        self.exec(WarpScriptStack._bootstrap_cache[1])
+        # bootstrap cost does not count against the user's ops budget
+        self._ops = 0
 
     # -- stack primitives -------------------------------------------------
     def push(self, v: Any) -> None:
@@ -182,7 +208,7 @@ class WarpScriptStack:
         hit = WarpScriptStack._repo_cache.get(path)
         if hit is not None and hit[0] == mtime:
             return hit[1]
-        sub = WarpScriptStack(self.spark, self.sf_dir, max_ops=self.max_ops)
+        sub = WarpScriptStack(self.spark, self.sf_dir, max_ops=self.max_ops, bootstrap=False)
         sub.exec(open(path).read())
         macro = sub.pop()
         if not isinstance(macro, Macro):
