@@ -337,6 +337,61 @@ def test_3d_zbuffer_occlusion():
     assert draw(0.0, 0xFF0000FF, -5.0, 0xFF00FF00) == 0xFF0000FF
 
 
+def test_3d_background_clears_depth_buffer():
+    """Pbackground must reset the z-buffer: geometry drawn after a
+    clear cannot be occluded by pre-clear depth."""
+    from warp10_platform_spark.canvas.core import PCanvas
+
+    pg = PCanvas(32, 32, "3D")
+    pg.style.stroke_on = False
+    pg.style.fill_color = 0xFF0000FF
+    pg.begin_shape("QUADS")
+    for vx, vy in ((6, 6), (26, 6), (26, 26), (6, 26)):
+        pg.vertex(vx, vy, 10.0)  # near
+    pg.end_shape()
+    pg.background(0)
+    pg.style.fill_color = 0xFF00FF00
+    pg.begin_shape("QUADS")
+    for vx, vy in ((6, 6), (26, 6), (26, 26), (6, 26)):
+        pg.vertex(vx, vy, 0.0)  # farther than the pre-clear quad
+    pg.end_shape()
+    assert int(pg.pix[16, 16]) == 0xFF00FF00
+
+
+def test_3d_bezier_vertex_and_behind_camera():
+    from warp10_platform_spark.canvas.core import PCanvas
+
+    pg = PCanvas(32, 32, "3D")
+    pg.begin_shape()
+    pg.vertex(2, 2, 0)
+    pg.bezier_vertex(10, 2, 10, 10, 2, 10)  # must not crash on 3-tuple verts
+    pg.end_shape()
+
+    # a fill entirely behind the camera must draw NOTHING (no phantom)
+    pg2 = PCanvas(32, 32, "3D")
+    pg2.style.stroke_on = False
+    pg2.style.fill_color = 0xFFFF0000
+    pg2.translate(16, 16, 2.0 * pg2._eye_z)
+    pg2.begin_shape("QUADS")
+    for vx, vy in ((-5, -5), (5, -5), (5, 5), (-5, 5)):
+        pg2.vertex(vx, vy, 0.0)
+    pg2.end_shape()
+    assert int(((pg2.pix >> 16) & 0xFF == 0xFF).sum()) == 0
+
+
+def test_2d_box_wireframe_without_stroke_still_draws():
+    """2D Pbox with fill-only (noStroke) keeps the historical
+    wireframe-in-fill-color behavior."""
+    from warp10_platform_spark.canvas.core import PCanvas
+
+    pg = PCanvas(48, 48, "2D")
+    pg.style.stroke_on = False
+    pg.style.fill_color = 0xFF123456
+    pg.translate(24, 24)
+    pg.box(20.0)
+    assert int((pg.pix == 0xFF123456).sum()) > 20
+
+
 def test_3d_filled_box_occludes_back_faces():
     from warp10_platform_spark.canvas.core import PCanvas
 

@@ -533,7 +533,7 @@ class PCanvas(PImage):
         """Model → device: apply the 4x4; 2D projects orthographically,
         3D through the default perspective camera."""
         if self.is3d:
-            return self._xf3(pts)[0]
+            return self._xf3(pts)[0]  # strokes use the near-clamped xy
         arr = np.asarray(pts, dtype=np.float64)
         if arr.ndim == 1:
             arr = arr[None, :]
@@ -545,9 +545,12 @@ class PCanvas(PImage):
         return dev[:, :2]
 
     def _xf3(self, pts):
-        """Model → (screen xy, inverse view depth). The z=0 plane maps
-        1:1 to pixels; points nearer the eye magnify (sx = cx +
-        (x-cx)·ez/(ez-z))."""
+        """Model → (screen xy, inverse view depth, behind-camera flag).
+        The z=0 plane maps 1:1 to pixels; points nearer the eye magnify
+        (sx = cx + (x-cx)·ez/(ez-z)). Points at or behind the near
+        plane are flagged; fills skip triangles touching them (strokes
+        keep the near-clamped projection — documented stand-in for true
+        frustum clipping)."""
         arr = np.asarray(pts, dtype=np.float64)
         if arr.ndim == 1:
             arr = arr[None, :]
@@ -558,17 +561,20 @@ class PCanvas(PImage):
         dev = hom @ self.matrix.T
         cx, cy = self.width / 2.0, self.height / 2.0
         near = self._eye_z / 10.0  # Processing's default near plane
-        depth = np.maximum(self._eye_z - dev[:, 2], near)
+        raw = self._eye_z - dev[:, 2]
+        behind = raw <= near
+        depth = np.maximum(raw, near)
         s = self._eye_z / depth
         out = np.empty((n, 2))
         out[:, 0] = cx + (dev[:, 0] - cx) * s
         out[:, 1] = cy + (dev[:, 1] - cy) * s
-        return out, 1.0 / depth
+        return out, 1.0 / depth, behind
 
     def _fill_triangle_z(self, xy: np.ndarray, zinv: np.ndarray, color: int) -> None:
         """Z-buffered triangle fill: barycentric rasterization with
         screen-linear interpolation of 1/depth (projectively exact for
-        planar faces). Nearer fragments overwrite."""
+        planar faces). Nearer fragments win; painting goes through
+        _paint so blend mode and exact clip match the 2D primitives."""
         g = self._grid(float(xy[:, 0].min()), float(xy[:, 1].min()),
                        float(xy[:, 0].max()), float(xy[:, 1].max()))
         if g is None:
@@ -582,6 +588,9 @@ class PCanvas(PImage):
         w1 = ((x2 - xs) * (y0 - ys) - (x0 - xs) * (y2 - ys)) / area
         w2 = 1.0 - w0 - w1
         mask = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+        if self.clip_rect is not None:  # exact clip, same test as _paint
+            cx0, cy0, cx1, cy1 = self.clip_rect
+            mask = mask & (xs >= cx0) & (xs < cx1) & (ys >= cy0) & (ys < cy1)
         if not mask.any():
             return
         frag = w0 * zinv[0] + w1 * zinv[1] + w2 * zinv[2]
@@ -591,16 +600,19 @@ class PCanvas(PImage):
         if not win.any():
             return
         zwin[win] = frag[win]
-        pwin = self.pix[iy0 : iy0 + h, ix0 : ix0 + w]
-        pwin[win] = np.uint32(color & 0xFFFFFFFF)
+        self._paint(ix0, iy0, win, color)
 
     def _fill_faces_z(self, faces, color: int) -> None:
         """faces: iterable of model-space vertex rings (≥3 verts each);
-        fan-triangulated, z-buffer filled."""
+        fan-triangulated, z-buffer filled. Triangles with any vertex at
+        or behind the near plane are dropped (no phantom projections)."""
         for ring in faces:
-            xy, zi = self._xf3(ring)
+            xy, zi, behind = self._xf3(ring)
             for i in range(1, len(ring) - 1):
-                self._fill_triangle_z(xy[[0, i, i + 1]], zi[[0, i, i + 1]], color)
+                idx = [0, i, i + 1]
+                if behind[idx].any():
+                    continue
+                self._fill_triangle_z(xy[idx], zi[idx], color)
 
     def _is_axis_aligned(self) -> bool:
         m = self.matrix
@@ -745,6 +757,8 @@ class PCanvas(PImage):
         c = args[0] if len(args) == 1 and isinstance(args[0], PImage) else None
         if c is not None:
             self.pix[:] = c.resized(self.width, self.height).pix
+            if self._zinv is not None:
+                self._zinv[:] = 0.0
             return
         col = self.color(*args)
         # background is always opaque in Processing unless alpha given
@@ -753,9 +767,13 @@ class PCanvas(PImage):
         ):
             col |= 0xFF000000
         self.pix[:] = np.uint32(col & 0xFFFFFFFF)
+        if self._zinv is not None:  # background clears depth (Processing)
+            self._zinv[:] = 0.0
 
     def clear(self) -> None:
         self.pix[:] = np.uint32(0)
+        if self._zinv is not None:
+            self._zinv[:] = 0.0
 
     def point(self, x: float, y: float, z: float = 0.0) -> None:
         if not self.style.stroke_on:
@@ -985,7 +1003,7 @@ class PCanvas(PImage):
     def bezier_vertex(self, x2, y2, x3, y3, x4, y4) -> None:
         if self._shape is None or not self._shape["verts"]:
             raise ValueError("bezierVertex needs a prior vertex")
-        x1, y1 = self._shape["verts"][-1]
+        x1, y1 = self._shape["verts"][-1][:2]  # 3D verts carry z
         n = self.style.bezier_detail
         for i in range(1, n + 1):
             t = i / n
@@ -997,7 +1015,7 @@ class PCanvas(PImage):
     def quadratic_vertex(self, cx, cy, x3, y3) -> None:
         if self._shape is None or not self._shape["verts"]:
             raise ValueError("quadraticVertex needs a prior vertex")
-        x1, y1 = self._shape["verts"][-1]
+        x1, y1 = self._shape["verts"][-1][:2]
         # elevate quadratic to cubic
         self.bezier_vertex(
             x1 + 2.0 / 3.0 * (cx - x1), y1 + 2.0 / 3.0 * (cy - y1),
@@ -1046,9 +1064,11 @@ class PCanvas(PImage):
                 for g in g3:
                     if len(g) >= 2:
                         dev = self._xf(g)
+                        # triangle/quad groups are rings; POLYGON honors
+                        # endShape(CLOSE) exactly like the 2D path
                         self._stroke_polyline_device(
                             dev, st.stroke_color,
-                            closed=close or len(g) >= 3)
+                            closed=close if kind == "POLYGON" else len(g) >= 3)
             return
         if kind == "POINTS":
             for p in verts:
@@ -1112,7 +1132,9 @@ class PCanvas(PImage):
             (0, 1), (0, 2), (0, 4), (3, 1), (3, 2), (3, 7),
             (5, 1), (5, 4), (5, 7), (6, 2), (6, 4), (6, 7),
         ]
-        if st.stroke_on or not st.fill_on:
+        # edges: whenever stroking, and always when no z-fill happened
+        # (2D canvases keep the historical wireframe-in-fill-color)
+        if st.stroke_on or not (self.is3d and st.fill_on):
             dev = self._xf(c)
             col = st.stroke_color if st.stroke_on else st.fill_color
             for i, j in edges:

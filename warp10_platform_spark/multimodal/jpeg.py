@@ -95,14 +95,6 @@ for _u in range(8):
         _A[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
 
 
-def _fdct(block: np.ndarray) -> np.ndarray:
-    return _A @ block @ _A.T
-
-
-def _idct(coef: np.ndarray) -> np.ndarray:
-    return _A.T @ coef @ _A
-
-
 def _build_code_table(bits, vals):
     """(bits, vals) → {symbol: (code, length)} (canonical Huffman,
     spec figure C.1/C.2 procedure)."""

@@ -65,7 +65,10 @@ def _ceval(st):
         idx, macro = idx_macro
         if aborted.is_set():
             raise RuntimeError("Early abort.")
-        sub = WarpScriptStack(st.spark, st.sf_dir)
+        # bootstrap=False: the parent stack already ran it, and its
+        # context copy below is the worker's whole inheritance — a
+        # re-run would waste ops and could leave values on the stack
+        sub = WarpScriptStack(st.spark, st.sf_dir, bootstrap=False)
         sub.symbols = dict(st.symbols)  # context copy (stack.save/restore)
         if "defs" in st.__dict__:
             sub.defs = dict(st.defs)
