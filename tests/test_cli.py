@@ -56,3 +56,17 @@ def test_cli_example_scripts(spark, capsys):
         assert main([s, "--sf-dir", "/root/testdata/sf0.001", "--limit", "3"]) == 0, s
         out = json.loads(capsys.readouterr().out)
         assert isinstance(out, list) and out, s
+
+
+def test_cli_interactive_repl(spark, capsys, monkeypatch):
+    """--interactive: lines exec on ONE persistent stack, an error mid-
+    session reports and the session continues, EOF prints the final
+    stack as the /exec JSON payload."""
+    import io
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("1 2 +\nNOSUCHFN\n'x' STORE\n$x 10 *\n"))
+    assert main(["--interactive", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    cap = capsys.readouterr()
+    assert "NOSUCHFN" in cap.err  # error reported, session survived
+    out = json.loads(cap.out.splitlines()[-1])
+    assert out == [30]  # 3 stored as x despite the failing line, then 3*10

@@ -116,7 +116,13 @@ def main(argv: list[str] | None = None) -> int:
         prog="python -m warp10_platform_spark",
         description="Run a WarpScript file against the parquet lake (the /exec surface).",
     )
-    ap.add_argument("script", help="WarpScript file, or '-' for stdin")
+    ap.add_argument("script", nargs="?", default=None,
+                    help="WarpScript file, or '-' for stdin (omit with -i)")
+    ap.add_argument(
+        "--interactive", "-i", action="store_true",
+        help="line-by-line REPL on one persistent stack (the reference's "
+             "interactive mode); on EOF the final stack prints as JSON",
+    )
     ap.add_argument(
         "--sf-dir",
         default=None,
@@ -130,7 +136,8 @@ def main(argv: list[str] | None = None) -> int:
     import os
 
     sf_dir = args.sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    text = sys.stdin.read() if args.script == "-" else open(args.script).read()
+    if args.script is None and not args.interactive:
+        ap.error("a script is required unless --interactive is given")
 
     from warp10_platform_spark.session import get_spark
     from warp10_platform_spark.warpscript import WarpScriptStack
@@ -138,6 +145,33 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("warp10-platform-spark-exec")
     spark.sparkContext.setLogLevel("ERROR")
     st = WarpScriptStack(spark, sf_dir)
+
+    if args.interactive:
+        # Reference interactive mode: each line execs on the SAME stack
+        # (errors report and the session continues); EOF prints the
+        # final stack as the /exec JSON payload.
+        tty = sys.stdin.isatty()
+        while True:
+            try:
+                line = input("ws> " if tty else "")
+            except EOFError:
+                break
+            if not line.strip():
+                continue
+            try:
+                st.exec(line)
+                if tty:
+                    print(f"[depth {len(st.stack)}]")
+            except Exception as e:  # noqa: BLE001
+                print(
+                    json.dumps({"error": f"{type(e).__name__}: {e}", "stack_depth": len(st.stack)}),
+                    file=sys.stderr,
+                )
+        response = [_jsonable(v, args.limit, args.explain) for v in reversed(st.stack)]
+        print(json.dumps(response, indent=2 if args.pretty else None))
+        return 0
+
+    text = sys.stdin.read() if args.script == "-" else open(args.script).read()
     try:
         st.exec(text)
     except Exception as e:  # noqa: BLE001
