@@ -116,6 +116,21 @@ def test_progressive_equals_baseline_property():
     prop()
 
 
+def test_color_progressive_equals_color_baseline():
+    """Interleaved progressive DC scans (the spec's only interleaved
+    progressive form) + per-component AC scans reconstruct exactly the
+    baseline color pixels."""
+    from warp10_platform_spark.multimodal.jpeg import (
+        encode_jpeg_color, encode_jpeg_color_progressive)
+
+    rng = np.random.default_rng(13)
+    for shape in ((16, 16, 3), (24, 31, 3)):
+        rgb = rng.integers(0, 256, shape, dtype=np.uint8)
+        prog_bytes = encode_jpeg_color_progressive(rgb)
+        assert b"\xff\xc2" in prog_bytes and prog_bytes.count(b"\xff\xda") == 8
+        assert (decode_jpeg(prog_bytes) == decode_jpeg(encode_jpeg_color(rgb))).all()
+
+
 def test_restart_intervals_roundtrip():
     rng = np.random.default_rng(4)
     img = rng.integers(0, 256, (24, 40), dtype=np.uint8)

@@ -397,6 +397,33 @@ def _encode_scan_dc_first(bw, zzs, dc_codes, al: int) -> None:
                 bw.write(bits, size)
 
 
+def _encode_scan_dc_first_interleaved(bw, zzs_list, dc_codes, al: int) -> None:
+    """Interleaved (multi-component) progressive DC first scan: MCU
+    order, one block per component per MCU (1x1 sampling), per-component
+    DC predictors — the spec's only interleaved progressive scan kind."""
+    preds = [0] * len(zzs_list)
+    by_n, bx_n = zzs_list[0].shape[0], zzs_list[0].shape[1]
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for ci, zzs in enumerate(zzs_list):
+                v = int(zzs[by, bx, 0]) >> al
+                diff = v - preds[ci]
+                preds[ci] = v
+                size, bits = _magnitude(diff)
+                code, length = dc_codes[size]
+                bw.write(code, length)
+                if size:
+                    bw.write(bits, size)
+
+
+def _encode_scan_dc_refine_interleaved(bw, zzs_list, al: int) -> None:
+    by_n, bx_n = zzs_list[0].shape[0], zzs_list[0].shape[1]
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for zzs in zzs_list:
+                bw.write((int(zzs[by, bx, 0]) >> al) & 1, 1)
+
+
 def _encode_scan_dc_refine(bw, zzs, al: int) -> None:
     for by in range(zzs.shape[0]):
         for bx in range(zzs.shape[1]):
@@ -517,6 +544,58 @@ def encode_jpeg_gray_progressive(img: np.ndarray) -> bytes:
     out += sos(1, 5, 1, 0, bw.flush())
     bw = _BitWriter(); _encode_scan_ac_refine(bw, zzs, ac_codes, 6, 63, 0)
     out += sos(6, 63, 1, 0, bw.flush())
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_color_progressive(rgb: np.ndarray) -> bytes:
+    """RGB → PROGRESSIVE (SOF2) YCbCr 4:4:4 JPEG: interleaved DC scans
+    over all three components (the spec's only interleaved progressive
+    form) + per-component AC first/refine scans. Reconstructs to the
+    same pixels as encode_jpeg_color of the same image."""
+    h, w = rgb.shape[:2]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if (ph, pw) != (h, w):
+        rgb = np.pad(rgb, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [np.clip(np.round(p), 0, 255) for p in (y, cb, cr)]
+    qts = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
+    zzs = [_quantize_plane(p, qt) for p, qt in zip(planes, qts)]
+    dc_codes = _build_code_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _build_code_table(PROG_AC_BITS, PROG_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += _JFIF
+    out += _dqt_segment(0, QUANT_LUMA)
+    out += _dqt_segment(1, QUANT_CHROMA)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes((1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    dht = bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    dht = bytes([0x10]) + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+
+    def sos_multi(ss, se, ah, al, body):
+        return (b"\xff\xda" + struct.pack(">HB", 12, 3)
+                + bytes((1, 0x00, 2, 0x00, 3, 0x00, ss, se, (ah << 4) | al)) + body)
+
+    def sos_one(cid, ss, se, ah, al, body):
+        return (b"\xff\xda" + struct.pack(">HB", 8, 1)
+                + bytes((cid, 0x00, ss, se, (ah << 4) | al)) + body)
+
+    bw = _BitWriter(); _encode_scan_dc_first_interleaved(bw, zzs, dc_codes, 1)
+    out += sos_multi(0, 0, 0, 1, bw.flush())
+    for ci in range(3):  # AC scans are non-interleaved per spec
+        bw = _BitWriter(); _encode_scan_ac_first(bw, zzs[ci], ac_codes, 1, 63, 1)
+        out += sos_one(ci + 1, 1, 63, 0, 1, bw.flush())
+    bw = _BitWriter(); _encode_scan_dc_refine_interleaved(bw, zzs, 0)  # bit Al=0
+    out += sos_multi(0, 0, 1, 0, bw.flush())
+    for ci in range(3):
+        bw = _BitWriter(); _encode_scan_ac_refine(bw, zzs[ci], ac_codes, 1, 63, 0)
+        out += sos_one(ci + 1, 1, 63, 1, 0, bw.flush())
     out += b"\xff\xd9"
     return bytes(out)
 
