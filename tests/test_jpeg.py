@@ -131,6 +131,28 @@ def test_color_progressive_equals_color_baseline():
         assert (decode_jpeg(prog_bytes) == decode_jpeg(encode_jpeg_color(rgb))).all()
 
 
+def test_color_420_subsampled_roundtrip():
+    """4:2:0 (luma 2x2, chroma box-downsampled): the decoder's
+    subsampled interleaved MCU walk + chroma upsampling, previously
+    claimed but only reachable via external streams."""
+    from warp10_platform_spark.multimodal.jpeg import encode_jpeg_color_420
+
+    smooth = np.zeros((24, 40, 3), dtype=np.uint8)
+    smooth[..., :] = (96, 160, 64)
+    data = encode_jpeg_color_420(smooth)
+    assert b"\x22" in data[: data.index(b"\xff\xc4")]  # SOF carries 2x2 luma
+    dec = decode_jpeg(data)
+    assert dec.shape == (24, 40, 3)  # non-multiple-of-16: padded + cropped
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 3
+
+    g = np.zeros((32, 32, 3), dtype=np.uint8)
+    g[..., 0] = np.arange(32)[:, None] * 8
+    g[..., 1] = np.arange(32)[None, :] * 8
+    g[..., 2] = 128
+    d2 = decode_jpeg(encode_jpeg_color_420(g))
+    assert float(np.abs(d2.astype(int) - g.astype(int)).mean()) < 6.0
+
+
 def test_restart_intervals_roundtrip():
     rng = np.random.default_rng(4)
     img = rng.integers(0, 256, (24, 40), dtype=np.uint8)

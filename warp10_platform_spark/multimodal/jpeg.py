@@ -370,6 +370,52 @@ def encode_jpeg_color(rgb: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_color_420(rgb: np.ndarray) -> bytes:
+    """8-bit RGB → baseline YCbCr 4:2:0 JPEG (luma 2x2 sampling, chroma
+    box-downsampled 2x): MCU = 4 Y blocks + 1 Cb + 1 Cr. Exercises the
+    decoder's subsampled interleaved path and chroma upsampling."""
+    h, w = rgb.shape[:2]
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16  # MCU = 16x16 pixels
+    if (ph, pw) != (h, w):
+        rgb = np.pad(rgb, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    y = np.clip(np.round(y), 0, 255)
+    # chroma: 2x2 box average then round (the standard downsample)
+    cb = np.clip(np.round(cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))), 0, 255)
+    cr = np.clip(np.round(cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))), 0, 255)
+    zy = _quantize_plane(y, QUANT_LUMA)
+    zcb = _quantize_plane(cb, QUANT_CHROMA)
+    zcr = _quantize_plane(cr, QUANT_CHROMA)
+
+    dc_codes = _build_code_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _build_code_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(ph // 16):
+        for mx in range(pw // 16):
+            for by, bx in ((0, 0), (0, 1), (1, 0), (1, 1)):  # 4 luma blocks
+                preds[0] = _encode_block_sequential(
+                    bw, zy[my * 2 + by, mx * 2 + bx], preds[0], dc_codes, ac_codes)
+            preds[1] = _encode_block_sequential(bw, zcb[my, mx], preds[1], dc_codes, ac_codes)
+            preds[2] = _encode_block_sequential(bw, zcr[my, mx], preds[2], dc_codes, ac_codes)
+    entropy = bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += _JFIF
+    out += _dqt_segment(0, QUANT_LUMA)
+    out += _dqt_segment(1, QUANT_CHROMA)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes((1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))  # Y 2x2, chroma 1x1
+    out += _dht_segments()
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3) + bytes((1, 0x00, 2, 0x00, 3, 0x00)) + b"\x00\x3f\x00"
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---- progressive encoder (spec Annex G; scan script: DC first at Al=1,
 # AC bands 1-5 / 6-63 first at Al=1, then DC + AC refinement to Al=0) ----
 
