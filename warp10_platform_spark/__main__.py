@@ -121,7 +121,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--interactive", "-i", action="store_true",
         help="line-by-line REPL on one persistent stack (the reference's "
-             "interactive mode); on EOF the final stack prints as JSON",
+             "interactive mode, continuum/egress/EgressInteractiveHandler"
+             ".java); on EOF the final stack prints as JSON",
     )
     ap.add_argument(
         "--sf-dir",
@@ -147,9 +148,11 @@ def main(argv: list[str] | None = None) -> int:
     st = WarpScriptStack(spark, sf_dir)
 
     if args.interactive:
-        # Reference interactive mode: each line execs on the SAME stack
-        # (errors report and the session continues); EOF prints the
-        # final stack as the /exec JSON payload.
+        # Reference interactive mode (EgressInteractiveHandler.java —
+        # telnet REPL over one MemoryWarpScriptStack, BootstrapManager
+        # seeding): each line execs on the SAME stack (errors report and
+        # the session continues); EOF prints the final stack as the
+        # /exec JSON payload.
         tty = sys.stdin.isatty()
         while True:
             try:
