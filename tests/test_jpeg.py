@@ -131,6 +131,20 @@ def test_color_progressive_equals_color_baseline():
         assert (decode_jpeg(prog_bytes) == decode_jpeg(encode_jpeg_color(rgb))).all()
 
 
+def test_progressive_restart_intervals_roundtrip():
+    """RSTn inside progressive scans: DC predictor AND EOB-run reset at
+    each marker across all six scans — decodes identically to baseline."""
+    from warp10_platform_spark.multimodal.jpeg import encode_jpeg_gray_progressive
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg_gray(img))
+    for ri in (1, 3):
+        data = encode_jpeg_gray_progressive(img, restart_interval=ri)
+        assert b"\xff\xdd" in data and b"\xff\xd0" in data
+        assert (decode_jpeg(data) == base).all()
+
+
 def test_color_420_subsampled_roundtrip():
     """4:2:0 (luma 2x2, chroma box-downsampled): the decoder's
     subsampled interleaved MCU walk + chroma upsampling, previously

@@ -429,10 +429,16 @@ def _emit_eobrun(bw, ac_codes, eobrun: int) -> int:
     return 0
 
 
-def _encode_scan_dc_first(bw, zzs, dc_codes, al: int) -> None:
+def _encode_scan_dc_first(bw, zzs, dc_codes, al: int, ri: int = 0) -> None:
     pred = 0
+    n = 0
+    rst = 0
     for by in range(zzs.shape[0]):
         for bx in range(zzs.shape[1]):
+            if ri and n and n % ri == 0:
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                pred = 0
             v = int(zzs[by, bx, 0]) >> al
             diff = v - pred
             pred = v
@@ -441,6 +447,7 @@ def _encode_scan_dc_first(bw, zzs, dc_codes, al: int) -> None:
             bw.write(code, length)
             if size:
                 bw.write(bits, size)
+            n += 1
 
 
 def _encode_scan_dc_first_interleaved(bw, zzs_list, dc_codes, al: int) -> None:
@@ -470,18 +477,34 @@ def _encode_scan_dc_refine_interleaved(bw, zzs_list, al: int) -> None:
                 bw.write((int(zzs[by, bx, 0]) >> al) & 1, 1)
 
 
-def _encode_scan_dc_refine(bw, zzs, al: int) -> None:
+def _encode_scan_dc_refine(bw, zzs, al: int, ri: int = 0) -> None:
+    n = 0
+    rst = 0
     for by in range(zzs.shape[0]):
         for bx in range(zzs.shape[1]):
+            if ri and n and n % ri == 0:
+                bw.restart(rst)
+                rst = (rst + 1) & 7
             bw.write((int(zzs[by, bx, 0]) >> al) & 1, 1)
+            n += 1
 
 
-def _encode_scan_ac_first(bw, zzs, ac_codes, ss: int, se: int, al: int) -> None:
+def _encode_scan_ac_first(bw, zzs, ac_codes, ss: int, se: int, al: int,
+                          ri: int = 0) -> None:
     """Spectral-selection first scan with cross-block EOB runs
-    (spec G.1.2.2; sign-magnitude point transform)."""
+    (spec G.1.2.2; sign-magnitude point transform). A restart interval
+    flushes any pending EOB run before each RSTn (runs cannot span a
+    restart, F.2.1.3.1)."""
     eobrun = 0
+    n_mcu = 0
+    rst = 0
     for by in range(zzs.shape[0]):
         for bx in range(zzs.shape[1]):
+            if ri and n_mcu and n_mcu % ri == 0:
+                eobrun = _emit_eobrun(bw, ac_codes, eobrun)
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+            n_mcu += 1
             zz = zzs[by, bx]
             run = 0
             for k in range(ss, se + 1):
@@ -507,12 +530,20 @@ def _encode_scan_ac_first(bw, zzs, ac_codes, ss: int, se: int, al: int) -> None:
     _emit_eobrun(bw, ac_codes, eobrun)
 
 
-def _encode_scan_ac_refine(bw, zzs, ac_codes, ss: int, se: int, al: int) -> None:
+def _encode_scan_ac_refine(bw, zzs, ac_codes, ss: int, se: int, al: int,
+                           ri: int = 0) -> None:
     """Successive-approximation AC refinement (spec G.1.2.3). EOB runs
     are flushed per block so correction bits never buffer across blocks
-    (valid, marginally less compressed than libjpeg-style BE buffering)."""
+    (valid, marginally less compressed than libjpeg-style BE buffering);
+    that also makes restart insertion a pure marker emission."""
+    n_mcu = 0
+    rst = 0
     for by in range(zzs.shape[0]):
         for bx in range(zzs.shape[1]):
+            if ri and n_mcu and n_mcu % ri == 0:
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+            n_mcu += 1
             zz = zzs[by, bx]
             absv = [abs(int(zz[k])) >> al for k in range(64)]
             eob = 0  # last newly-significant index; 0 = none
@@ -551,19 +582,21 @@ def _encode_scan_ac_refine(bw, zzs, ac_codes, ss: int, se: int, al: int) -> None
                     bw.write(bit, 1)
 
 
-def encode_jpeg_gray_progressive(img: np.ndarray) -> bytes:
+def encode_jpeg_gray_progressive(img: np.ndarray, restart_interval: int = 0) -> bytes:
     """8-bit grayscale PROGRESSIVE (SOF2) JPEG: 6-scan script with
     spectral selection and one successive-approximation level
     (DC first Al=1 → AC 1-5 first Al=1 → AC 6-63 first Al=1 →
     DC refine → AC 1-5 refine → AC 6-63 refine). Reconstructs to the
     same pixels as the baseline encoding of the same image (identical
-    quantized coefficients)."""
+    quantized coefficients). ``restart_interval`` emits DRI + RSTn
+    inside every scan (EOB runs flushed before each marker)."""
     h, w = img.shape
     if h % 8 or w % 8:
         raise ValueError("encode_jpeg_gray_progressive needs multiple-of-8 dimensions")
     zzs = _quantize_plane(img, QUANT_LUMA)
     dc_codes = _build_code_table(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_codes = _build_code_table(PROG_AC_BITS, PROG_AC_VALS)
+    ri = restart_interval
 
     out = bytearray(b"\xff\xd8")
     out += _JFIF
@@ -573,22 +606,24 @@ def encode_jpeg_gray_progressive(img: np.ndarray) -> bytes:
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
     dht = bytes([0x10]) + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS)
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
 
     def sos(ss, se, ah, al, body):
         return (b"\xff\xda" + struct.pack(">HB", 8, 1)
                 + bytes((1, 0x00, ss, se, (ah << 4) | al)) + body)
 
-    bw = _BitWriter(); _encode_scan_dc_first(bw, zzs, dc_codes, 1)
+    bw = _BitWriter(); _encode_scan_dc_first(bw, zzs, dc_codes, 1, ri)
     out += sos(0, 0, 0, 1, bw.flush())
-    bw = _BitWriter(); _encode_scan_ac_first(bw, zzs, ac_codes, 1, 5, 1)
+    bw = _BitWriter(); _encode_scan_ac_first(bw, zzs, ac_codes, 1, 5, 1, ri)
     out += sos(1, 5, 0, 1, bw.flush())
-    bw = _BitWriter(); _encode_scan_ac_first(bw, zzs, ac_codes, 6, 63, 1)
+    bw = _BitWriter(); _encode_scan_ac_first(bw, zzs, ac_codes, 6, 63, 1, ri)
     out += sos(6, 63, 0, 1, bw.flush())
-    bw = _BitWriter(); _encode_scan_dc_refine(bw, zzs, 0)  # bit Al=0 of DC
+    bw = _BitWriter(); _encode_scan_dc_refine(bw, zzs, 0, ri)  # bit Al=0 of DC
     out += sos(0, 0, 1, 0, bw.flush())
-    bw = _BitWriter(); _encode_scan_ac_refine(bw, zzs, ac_codes, 1, 5, 0)
+    bw = _BitWriter(); _encode_scan_ac_refine(bw, zzs, ac_codes, 1, 5, 0, ri)
     out += sos(1, 5, 1, 0, bw.flush())
-    bw = _BitWriter(); _encode_scan_ac_refine(bw, zzs, ac_codes, 6, 63, 0)
+    bw = _BitWriter(); _encode_scan_ac_refine(bw, zzs, ac_codes, 6, 63, 0, ri)
     out += sos(6, 63, 1, 0, bw.flush())
     out += b"\xff\xd9"
     return bytes(out)
