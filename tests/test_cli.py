@@ -70,3 +70,33 @@ def test_cli_interactive_repl(spark, capsys, monkeypatch):
     assert "NOSUCHFN" in cap.err  # error reported, session survived
     out = json.loads(cap.out.splitlines()[-1])
     assert out == [30]  # 3 stored as x despite the failing line, then 3*10
+
+
+def test_cli_interactive_multiline(spark, capsys, monkeypatch):
+    """Multi-line constructs buffer until complete (the reference REPL
+    keeps MemoryWarpScriptStack parser state across lines): a <% %>
+    macro and a <' '> multiline string each spanning lines exec as one
+    fragment, not per-line."""
+    import io
+
+    monkeypatch.setattr("sys.stdin", io.StringIO(
+        "<%\n  2 *\n%>\n'dbl' STORE\n21 @dbl\n<'\nhello\nworld\n'>\n"
+    ))
+    assert main(["--interactive", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    cap = capsys.readouterr()
+    out = json.loads(cap.out.splitlines()[-1])
+    assert out == ["hello\nworld", 42]
+
+
+def test_cli_interactive_with_script(spark, capsys, monkeypatch, tmp_path):
+    """-i plus a script argument execs the script first, then the REPL
+    opens on the resulting stack (the r6 advice: don't silently ignore
+    the script)."""
+    import io
+
+    p = tmp_path / "seed.mc2"
+    p.write_text("<% 3 + %> 'add3' STORE")
+    monkeypatch.setattr("sys.stdin", io.StringIO("4 @add3\n"))
+    assert main(["--interactive", str(p), "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert out == [7]

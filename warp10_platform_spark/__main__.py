@@ -152,17 +152,48 @@ def main(argv: list[str] | None = None) -> int:
         # telnet REPL over one MemoryWarpScriptStack, BootstrapManager
         # seeding): each line execs on the SAME stack (errors report and
         # the session continues); EOF prints the final stack as the
-        # /exec JSON payload.
+        # /exec JSON payload. A script argument execs first, then the
+        # REPL opens on the resulting stack (like `python -i script.py`).
+        from warp10_platform_spark.warpscript.tokenizer import incomplete
+
+        if args.script is not None:
+            if args.script == "-":
+                ap.error("cannot combine --interactive with a stdin script ('-')")
+            st.exec(open(args.script).read())
         tty = sys.stdin.isatty()
+        buf: list[str] = []
         while True:
+            # Multi-line constructs buffer until lexically complete —
+            # the reference REPL keeps parser state across lines and its
+            # prompt reports isInMultiline/macroDepth the same way.
+            if tty:
+                if buf:
+                    pending, depth, in_ml = incomplete("\n".join(buf))
+                    prompt = f"ws{'*' if in_ml else '|'}{depth or ''}> "
+                else:
+                    prompt = "ws> "
+            else:
+                prompt = ""
             try:
-                line = input("ws> " if tty else "")
+                line = input(prompt)
             except EOFError:
                 break
-            if not line.strip():
+            if not line.strip() and not buf:
                 continue
+            buf.append(line)
+            fragment = "\n".join(buf)
             try:
-                st.exec(line)
+                pending, _depth, _ml = incomplete(fragment)
+            except SyntaxError as e:
+                buf.clear()
+                print(json.dumps({"error": f"SyntaxError: {e}", "stack_depth": len(st.stack)}),
+                      file=sys.stderr)
+                continue
+            if pending:
+                continue
+            buf.clear()
+            try:
+                st.exec(fragment)
                 if tty:
                     print(f"[depth {len(st.stack)}]")
             except Exception as e:  # noqa: BLE001
@@ -170,6 +201,9 @@ def main(argv: list[str] | None = None) -> int:
                     json.dumps({"error": f"{type(e).__name__}: {e}", "stack_depth": len(st.stack)}),
                     file=sys.stderr,
                 )
+        if buf:
+            print(json.dumps({"error": "SyntaxError: EOF inside open macro/multiline construct",
+                              "stack_depth": len(st.stack)}), file=sys.stderr)
         response = [_jsonable(v, args.limit, args.explain) for v in reversed(st.stack)]
         print(json.dumps(response, indent=2 if args.pretty else None))
         return 0

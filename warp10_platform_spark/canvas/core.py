@@ -398,7 +398,7 @@ class PCanvas(PImage):
         # eye at (w/2, h/2, (h/2)/tan(30°)) looking down -z, so the z=0
         # plane maps 1:1 to screen pixels; nearer-z occludes via an
         # inverse-depth buffer (0 = empty, larger = nearer).
-        self.is3d = "3" in str(kind)
+        self.is3d = str(kind).startswith("3D")
         if self.is3d:
             self._eye_z = (self.height / 2.0) / math.tan(math.pi / 6.0)
             self._zinv = np.zeros((self.height, self.width), dtype=np.float64)

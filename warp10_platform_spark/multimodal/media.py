@@ -473,9 +473,11 @@ def attach_wav_audio_g711(docs: DataFrame, id_col: str = "doc_id",
     JVM exprs, so a SQL oracle can replay the ITU G.711 expansion
     (sign/exponent/mantissa bit fields) sample by sample."""
     nbytes = 16 * n_hashes
+    # Non-PCM formats require the 18-byte fmt chunk (cbSize=0 appended) —
+    # RIFF/WAVE spec; strict decoders reject a 16-byte fmt for tag 7.
     hdr = (
-        _RIFF + struct.pack("<I", 36 + nbytes) + b"WAVE"
-        + b"fmt " + struct.pack("<IHHIIHH", 16, 7, 1, rate, rate, 1, 8)
+        _RIFF + struct.pack("<I", 38 + nbytes) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHHH", 18, 7, 1, rate, rate, 1, 8, 0)
         + b"data" + struct.pack("<I", nbytes)
     )
     payload = F.concat(*[F.unhex(F.md5(F.concat(F.col("text"), F.lit(str(i))))) for i in range(n_hashes)])

@@ -92,6 +92,34 @@ def tokenize(script: str) -> list[Token]:
     return tokens
 
 
+def incomplete(script: str) -> tuple[bool, int, bool]:
+    """REPL line-buffering support (EgressInteractiveHandler.java — the
+    reference REPL keeps MemoryWarpScriptStack parser state across lines
+    and its prompt reports isInMultiline/macroDepth): decide whether a
+    buffered fragment is lexically complete enough to exec.
+
+    Returns ``(is_incomplete, macro_depth, in_multiline)`` where
+    incomplete means an open ``<% %>`` macro capture, an unterminated
+    ``<' '>`` multiline string, or an open ``/* */`` block comment.
+    Hard lexical errors (newline inside a single-line string) re-raise —
+    those can never be completed by more input."""
+    try:
+        toks = tokenize(script)
+    except SyntaxError as e:
+        msg = str(e)
+        if "unterminated multiline string" in msg or "unterminated block comment" in msg:
+            return True, 0, "multiline string" in msg
+        raise
+    depth = 0
+    for t in toks:
+        if t.kind == "stmt":
+            if t.value == "<%":
+                depth += 1
+            elif t.value == "%>" and depth > 0:
+                depth -= 1
+    return depth > 0, depth, False
+
+
 def _classify(word: str, lineno: int) -> Token:
     if word in ("true", "T", "TRUE"):
         return Token("bool", True, lineno)
