@@ -97,6 +97,10 @@ ALLOW = {
     "ws_macroreducer_spread": _MACRO,
     "strict_wmean": _MACRO,
     "mfilter_series": _MACRO,
+    "mfilter_distributed": (
+        "executor-side filter-macro evaluation by design: mapInPandas over "
+        "the DISTINCT identities only (not points), survivors left-semi-join"
+    ),
     "fill_trend_daily": _PANDAS_PER_SERIES + " (model filler: per-series least-squares fit over present points)",
     "wrap_thrift_roundtrip": _CODEC,
     "ws_encoder_roundtrip": _CODEC,
@@ -157,7 +161,7 @@ def main() -> None:
     ok.sort(key=lambda r: (-r["cartesian"], -r["python_evals"], -r["exchanges"]))
 
     lines = [
-        f"# Physical-plan audit (round {os.environ.get('ROUND', '6')})",
+        f"# Physical-plan audit (round {os.environ.get('ROUND', '7')})",
         "",
         f"Queries audited: {len(rows)}  (errors: {len(errors)})",
         "",
@@ -213,7 +217,7 @@ def main() -> None:
         lines += ["", "## Errors", ""]
         for r in errors:
             lines.append(f"- {r['name']}: {r['error']}")
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), f"PLANAUDIT_r{os.environ.get('ROUND', '6')}.md")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), f"PLANAUDIT_r{os.environ.get('ROUND', '7')}.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"\nwrote {out}: {len(flagged)} flagged, {len(errors)} errors")

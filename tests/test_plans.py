@@ -369,3 +369,58 @@ def test_day_partition_pruning_reads_fewer_files_sf01(spark):
         assert files and all(f"/day={t0 // DAY_US}/" in f for f in files), files[:3]
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_macrofilter_distributed_above_cap(spark, sf_dir, monkeypatch):
+    """Above the cardinality cap, MACROFILTER must NOT collect the
+    identity set to the driver: the macro ships to executors
+    (MapInPandas over the distinct identities) and survivors semi-join
+    back. Asserted three ways: plan shape, a collect spy bounding the
+    driver probe at cap+1 rows, and value parity with the driver path."""
+    from pyspark.sql import DataFrame
+
+    import warp10_platform_spark.warpscript.functions as WF
+    from warp10_platform_spark.warpscript.stack import WarpScriptStack
+
+    script = (
+        "[ '~events\\..*' {} 0 1706659200000000 ] FETCH "
+        "[ SWAP [] <% 0 GET DUP 0 GET 'cls' STORE 1 GET 'user' GET TOLONG "
+        "2 % 0 == $cls 'events.error' != AND %> MACROFILTER ] FILTER"
+    )
+    st = WarpScriptStack(spark, sf_dir)
+    st.exec(script)
+    expect = sorted(map(tuple, st.pop().df.select("class", "labels_key").distinct().collect()))
+
+    cap = 1
+    monkeypatch.setattr(WF, "MACROFILTER_MAXIDS", cap)
+    collected = []
+    orig = DataFrame.collect
+    monkeypatch.setattr(DataFrame, "collect", lambda self: collected.append(r := orig(self)) or r)
+    st2 = WarpScriptStack(spark, sf_dir)
+    st2.exec(script)
+    gf = st2.pop()
+    assert all(len(rows) <= cap + 1 for rows in collected), "unbounded driver collect above cap"
+    plan = gf.df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "MapInPandas" in plan
+    monkeypatch.undo()
+    assert sorted(map(tuple, gf.df.select("class", "labels_key").distinct().collect())) == expect
+
+
+def test_macrofilter_unbounded_fallback_refused(spark, sf_dir, monkeypatch):
+    """A legacy 2-tuple macrofilter spec (no shippable tokens) above the
+    cap raises instead of silently evaluating a truncated identity set."""
+    import pytest
+
+    import warp10_platform_spark.warpscript.functions as WF
+    from warp10_platform_spark.core.frame import GTSFrame
+    from warp10_platform_spark.sources.tables import canonical_points
+
+    monkeypatch.setattr(WF, "MACROFILTER_MAXIDS", 1)
+    st = type("S", (), {"pop": None, "push": None, "symbols": {}})()
+    gf = GTSFrame(canonical_points(spark, sf_dir), None, "v_double")
+    stack = []
+    st.pop = stack.pop
+    st.push = stack.append
+    stack.append([gf, [], ("macrofilter", lambda ids, s: [])])
+    with pytest.raises(RuntimeError, match="WARP10_MACROFILTER_MAXIDS"):
+        WF._filter(st)

@@ -486,3 +486,70 @@ def test_pluggable_rate_source_parses_through_gts_path(spark, tmp_path):
     assert rows
     assert all(r["class"] == "rate.synthetic" for r in rows)
     assert all(r["ts"] and (r["v_long"] is not None or r["v_double"] is not None) for r in rows)
+
+
+def test_pluggable_kafka_shaped_source_same_pipeline(spark, sf_dir, tmp_path):
+    """Protocol-level Kafka double (continuum/ingress/Ingress.java
+    topology): GTS text lines re-encoded into the EXACT Kafka source
+    schema (key/value binary, topic/partition/offset/timestamp/
+    timestampType) stream through the SAME value-decode + parse +
+    watermark + append pipeline the broker path uses; the hourly
+    bucketize output must match the batch twin bit-for-bit. The
+    broker-only delta (offset/rebalance management) is owned by Spark's
+    kafka source."""
+    import uuid as _uuid
+
+    from warp10_platform_spark.streaming.ingest import (
+        KAFKA_SOURCE_SCHEMA,
+        read_points_stream,
+    )
+
+    pts = events_points(spark, sf_dir).where(F.col("class") == "events.purchase")
+    text_dir = str(tmp_path / "kafka_text")
+    format_gts_lines(pts).write.mode("overwrite").text(text_dir)
+
+    stream = read_points_stream(spark, source="kafka-shaped", path=text_dir, topic="gts-in")
+    assert stream.isStreaming
+    agg = streaming_bucketize(stream, HOUR)
+
+    sink = f"kafka_shaped_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.table(sink)
+    batch = streaming_bucketize(parse_gts_lines(spark.read.text(text_dir)), HOUR)
+    got_rows = {(r["class"], r["labels_key"], r["bucket_end"]): (r["v_count"], r["v_sum"]) for r in got.collect()}
+    batch_rows = {(r["class"], r["labels_key"], r["bucket_end"]): (r["v_count"], r["v_sum"]) for r in batch.collect()}
+    assert got_rows
+    for k, v in got_rows.items():
+        assert batch_rows[k] == v
+
+    # The double emits the documented Kafka source schema verbatim —
+    # a drift here would mean the test no longer covers the broker path.
+    from pyspark.sql.types import _parse_datatype_string
+
+    shaped = (
+        spark.read.text(text_dir)
+        .select(
+            F.lit(None).cast("binary").alias("key"),
+            F.encode(F.col("value"), "UTF-8").alias("value"),
+            F.lit("gts-in").alias("topic"),
+            F.spark_partition_id().alias("partition"),
+            F.abs(F.xxhash64(F.col("value"))).alias("offset"),
+            F.current_timestamp().alias("timestamp"),
+            F.lit(0).alias("timestampType"),
+        )
+    )
+    want = _parse_datatype_string(KAFKA_SOURCE_SCHEMA)
+    assert [(f.name, f.dataType) for f in shaped.schema] == [
+        (f.name, f.dataType) for f in want
+    ]  # nullability differs on literals; names+types are the contract

@@ -177,6 +177,32 @@ def mfilter_series(spark, sf_dir):
     )
 
 
+@register("mfilter_distributed", (
+    f"WITH {PTS} "
+    'SELECT class, "user", ts, v AS v_double FROM pts '
+    "WHERE CAST(\"user\" AS BIGINT) % 2 = 0 AND class <> 'events.error'"
+))
+def mfilter_distributed(spark, sf_dir):
+    """Distributed MACROFILTER (MACROFILTER.java): the filter macro ships
+    to the executors — mapInPandas over the distinct series identities
+    runs a Spark-less WarpScript stack per Arrow batch, survivors come
+    back through a left-semi-join (the above-cardinality-cap path of
+    FILTER, forced directly). Macro: keep even-user series of any class
+    except events.error — integer/string decisions the SQL oracle
+    replays exactly."""
+    from warp10_platform_spark.warpscript.functions import macrofilter_semijoin
+    from warp10_platform_spark.warpscript.tokenizer import tokenize
+
+    toks = tokenize(
+        "0 GET DUP 0 GET 'cls' STORE 1 GET 'user' GET TOLONG 2 % 0 == "
+        "$cls 'events.error' != AND"
+    )
+    out = macrofilter_semijoin(canonical_points(spark, sf_dir), toks)
+    return out.select(
+        "class", F.element_at("labels", F.lit("user")).alias("user"), "ts", "v_double"
+    )
+
+
 # A WKT fence with a HOLE: pentagon outer ring, square inner ring, over the
 # synthesized lat/lon domain. The oracle's ray cast is generated from the
 # SAME ring literals by rings_contains_sql — term-for-term identical

@@ -55,11 +55,17 @@ def read_points_stream(spark: SparkSession, source: str = "file", **options) -> 
       generator; rows are rendered AS GTS text lines first so the parser
       path is exercised end-to-end.
     - ``kafka``:  options kafka.bootstrap.servers, subscribe, ... passed
-      through verbatim; value bytes CAST to STRING. Wired but untestable
-      in this sandbox (no broker, and the spark-sql-kafka package is not
-      baked in) — on a real cluster add the connector jar and this path
-      is the production Ingress transport (partitions = ingest
-      parallelism, offsets = replay cursor).
+      through verbatim; value bytes decoded to STRING. The broker
+      transport itself needs the spark-sql-kafka connector jar (not
+      baked into this sandbox) — on a real cluster this path is the
+      production Ingress transport (partitions = ingest parallelism,
+      offsets = replay cursor).
+    - ``kafka-shaped``: options path, topic — protocol-level test double
+      for the kafka branch: a file-backed stream re-encoded into the
+      exact Kafka source schema (KAFKA_SOURCE_SCHEMA), decoded by the
+      SAME _from_kafka_rows projection the broker path uses. Everything
+      downstream of the broker executes verbatim; the broker-only delta
+      is offset/rebalance management, owned by Spark's kafka source.
     """
     if source == "file":
         path = options.pop("path")
@@ -92,10 +98,56 @@ def read_points_stream(spark: SparkSession, source: str = "file", **options) -> 
         reader = spark.readStream.format("kafka")
         for k, v in options.items():
             reader = reader.option(k, v)
-        lines = reader.load().select(F.col("value").cast("string").alias("value"))
+        lines = _from_kafka_rows(reader.load())
+    elif source == "kafka-shaped":
+        # Protocol-level Kafka double (r6 verdict ask #2): a file-backed
+        # stream re-encoded into the EXACT Kafka source schema
+        # (key/value binary, topic/partition/offset/timestamp/
+        # timestampType — KAFKA_SOURCE_SCHEMA), then pushed through the
+        # SAME _from_kafka_rows value-decode the broker path uses. The
+        # decode + parse + watermark + append pipeline therefore executes
+        # in tests exactly as it would against a broker; the broker-only
+        # delta is offset/rebalance management, which Spark's kafka
+        # source owns (continuum/ingress/Ingress.java's consumer-group
+        # topology — partitions = ingest parallelism, offsets = replay
+        # cursor).
+        path = options.pop("path")
+        topic = options.pop("topic", "gts-ingress")
+        reader = spark.readStream.format("text")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        raw = reader.load(path)
+        shaped = raw.select(
+            F.lit(None).cast("binary").alias("key"),
+            F.encode(F.col("value"), "UTF-8").alias("value"),
+            F.lit(topic).alias("topic"),
+            F.spark_partition_id().alias("partition"),
+            # surrogate offset: content hash (monotonically_increasing_id is
+            # not allowed on streaming frames; a broker assigns real offsets)
+            F.abs(F.xxhash64(F.col("value"))).alias("offset"),
+            F.current_timestamp().alias("timestamp"),
+            F.lit(0).alias("timestampType"),
+        )
+        lines = _from_kafka_rows(shaped)
     else:
-        raise ValueError(f"unknown streaming source {source!r}: file|socket|rate|kafka")
+        raise ValueError(f"unknown streaming source {source!r}: file|socket|rate|kafka|kafka-shaped")
     return parse_gts_lines(lines)
+
+
+# The Spark kafka source's fixed output schema (structured-streaming-
+# kafka-integration docs) — the kafka-shaped double emits exactly this.
+KAFKA_SOURCE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def _from_kafka_rows(kafka_df: DataFrame) -> DataFrame:
+    """Post-load projection shared by the real kafka source and the
+    kafka-shaped test double: Kafka value bytes → UTF-8 GTS text lines.
+    One code path, so the tested double exercises the exact expressions
+    the broker path runs."""
+    return kafka_df.select(F.decode(F.col("value"), "UTF-8").alias("value"))
 
 
 def streaming_bucketize(

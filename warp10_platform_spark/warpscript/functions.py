@@ -687,13 +687,84 @@ def _apply(st):
     st.push(_as_frame(a).apply_frame(_as_frame(b), op, by_labels))
 
 
+MACROFILTER_MAXIDS: int | None = None
+"""Driver-side MACROFILTER cardinality cap; None → $WARP10_MACROFILTER_MAXIDS
+(default 10000). At or below the cap the macro evaluates over a bounded
+driver collect of the distinct identities (reference-faithful —
+MACROFILTER.java also sees metadata on the stack); above it the macro
+ships to the executors (r6 verdict: collect+isin is a driver bottleneck
+and a giant IN-list at a 10^7-series directory)."""
+
+
+def _macrofilter_cap() -> int:
+    import os
+
+    if MACROFILTER_MAXIDS is not None:
+        return MACROFILTER_MAXIDS
+    return int(os.environ.get("WARP10_MACROFILTER_MAXIDS", "10000"))
+
+
+def _picklable_symbols(symbols: dict) -> dict:
+    """Snapshot of the driver stack's symbol table that survives pickling
+    to executors (scalars, lists/maps, Macros); lazy frames and other
+    driver-bound values are dropped — a shipped filter macro referencing
+    one fails executor-side with a clear NameError-style message."""
+    import pickle
+
+    out = {}
+    for k, v in symbols.items():
+        try:
+            pickle.dumps(v)
+        except Exception:  # noqa: BLE001 — py4j/DataFrame handles
+            continue
+        out[k] = v
+    return out
+
+
+def macrofilter_semijoin(df, tokens, symbols: dict | None = None):
+    """Distributed MACROFILTER (MACROFILTER.java): evaluate the filter
+    macro over the DISTINCT series identities ON THE EXECUTORS — a
+    mapInPandas over the directory partitions runs a Spark-less
+    WarpScript stack per Arrow batch — then left-semi-join the surviving
+    identities back onto the points. No driver collect, no IN-list: the
+    shuffle carries only (class, labels_key) survivor pairs, so the plan
+    holds at a 10^7-series directory where the driver path cannot."""
+    import json as _json
+
+    ids = df.select("class", "labels_key").distinct()
+    toks = list(tokens)
+    syms = dict(symbols or {})
+
+    def run(batches):
+        import numpy as np
+
+        from warp10_platform_spark.warpscript.stack import Macro, WarpScriptStack
+
+        wst = WarpScriptStack(None, "", bootstrap=False)
+        wst.symbols.update(syms)
+        macro = Macro(toks)
+        for pdf in batches:
+            keep = []
+            for cls, lk in zip(pdf["class"].tolist(), pdf["labels_key"].tolist()):
+                labels = {e["key"]: e["value"] for e in _json.loads(lk or "[]")}
+                wst._ops = 0  # fresh ops budget per identity, like a fresh stack
+                wst.stack.clear()
+                wst.push([[cls, labels]])
+                wst.exec_macro(macro)
+                keep.append(bool(wst.pop()))
+            yield pdf[np.array(keep, dtype=bool)]
+
+    kept = ids.mapInPandas(run, schema=ids.schema)
+    return df.join(kept, ["class", "labels_key"], "left_semi")
+
+
 @register("FILTER")
 def _filter(st):
     """[ [gts…] [label …] filterspec ] FILTER (FILTER.java:39)."""
     args = st.pop()
     gf = _as_frame(args[0])
     spec = args[-1]
-    name, param = spec
+    name, param = spec[0], spec[1]
     if name == "filter.byclass":
         st.push(gf.filter_byclass(param))
     elif name == "filter.bylabels":
@@ -708,23 +779,40 @@ def _filter(st):
         mn, mx = param
         st.push(gf.filter_bysize(mn, mx))
     elif name == "macrofilter":
-        # evaluate the macro over the DISTINCT series identities (small,
-        # driver-side like the reference), then semi-join the survivors
+        # Two-tier strategy: a bounded probe (cap+1 rows max) decides
+        # whether the distinct-identity set is small enough to evaluate
+        # driver-side; above the cap the macro ships to the executors
+        # and survivors come back through a left-semi-join.
         import json as _json
 
-        idents = [
-            (r["class"],
-             {e["key"]: e["value"] for e in _json.loads(r["labels_key"] or "[]")},
-             (r["class"], r["labels_key"]))
-            for r in gf.df.select("class", "labels_key").distinct().collect()
-        ]
-        kept = set(param(idents, st))
-        if not kept:
-            st.push(GTSFrame(gf.df.limit(0), gf.bucketspec, gf.value_col))
+        cap = _macrofilter_cap()
+        tokens = spec[2] if len(spec) > 2 else None
+        probe = gf.df.select("class", "labels_key").distinct().limit(cap + 1).collect()
+        if len(probe) > cap:
+            if tokens is None:
+                raise RuntimeError(
+                    f"MACROFILTER: more than {cap} distinct series "
+                    "(WARP10_MACROFILTER_MAXIDS) and no shippable macro — "
+                    "refusing the unbounded driver-side evaluation"
+                )
+            st.push(GTSFrame(
+                macrofilter_semijoin(gf.df, tokens, _picklable_symbols(st.symbols)),
+                gf.bucketspec, gf.value_col,
+            ))
         else:
-            key_col = F.concat_ws("\x00", F.col("class"), F.col("labels_key"))
-            keys = [c + "\x00" + lk for c, lk in kept]
-            st.push(GTSFrame(gf.df.where(key_col.isin(keys)), gf.bucketspec, gf.value_col))
+            idents = [
+                (r["class"],
+                 {e["key"]: e["value"] for e in _json.loads(r["labels_key"] or "[]")},
+                 (r["class"], r["labels_key"]))
+                for r in probe
+            ]
+            kept = set(param(idents, st))
+            if not kept:
+                st.push(GTSFrame(gf.df.limit(0), gf.bucketspec, gf.value_col))
+            else:
+                key_col = F.concat_ws("\x00", F.col("class"), F.col("labels_key"))
+                keys = [c + "\x00" + lk for c, lk in kept]
+                st.push(GTSFrame(gf.df.where(key_col.isin(keys)), gf.bucketspec, gf.value_col))
     else:
         raise ValueError(f"unknown filter {name}")
 

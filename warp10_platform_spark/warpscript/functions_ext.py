@@ -3631,7 +3631,10 @@ def _macrofilter(st):
                 keep.append(tag)
         return keep
 
-    st.push(("macrofilter", fn))
+    # Tokens ride along so FILTER can ship the macro to executors above
+    # the cardinality cap (functions.macrofilter_semijoin) instead of
+    # evaluating driver-side.
+    st.push(("macrofilter", fn, tokens))
 
 
 # ---- series accessors (VALUES.java, LOCATIONS.java, ELEVATIONS.java,
