@@ -193,3 +193,111 @@ def test_streaming_endpoints_fail_clean_before_first_byte(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(f"{server}/api/v0/exec", b"'boom' MSGFAIL")
     assert ei.value.code == 500
+
+
+# ---- WebSocket parity (RFC 6455; StandalonePlasmaHandler.java,
+#      StandaloneStreamUpdateHandler.java) -----------------------------
+
+class _WSClient:
+    """Minimal stdlib test client: HTTP Upgrade + masked client frames."""
+
+    def __init__(self, server_url, path):
+        import base64 as _b64
+        import os as _os
+        import socket as _socket
+        import urllib.parse as _up
+
+        from warp10_platform_spark import websocket as ws
+
+        u = _up.urlparse(server_url)
+        self.sock = _socket.create_connection((u.hostname, u.port), timeout=30)
+        self.rf = self.sock.makefile("rb")
+        self.wf = self.sock.makefile("wb")
+        key = _b64.b64encode(_os.urandom(16)).decode()
+        self.wf.write(
+            (
+                f"GET {path} HTTP/1.1\r\nHost: {u.hostname}:{u.port}\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        self.wf.flush()
+        status = self.rf.readline().decode()
+        assert " 101 " in status, status
+        hdrs = {}
+        while True:
+            ln = self.rf.readline().decode().strip()
+            if not ln:
+                break
+            k, _, v = ln.partition(":")
+            hdrs[k.strip().lower()] = v.strip()
+        assert hdrs["sec-websocket-accept"] == ws.accept_key(key)
+        self._ws = ws
+
+    def send(self, text):
+        self._ws.write_frame(self.wf, text.encode(), self._ws.OP_TEXT, mask=True)
+
+    def recv(self):
+        parts = []
+        while True:
+            fin, op, payload = self._ws.read_frame(self.rf)
+            if op == self._ws.OP_CLOSE:
+                return None
+            if op in (self._ws.OP_PING, self._ws.OP_PONG):
+                continue
+            parts.append(payload)
+            if fin:
+                return b"".join(parts).decode()
+
+    def close(self):
+        self._ws.write_frame(self.wf, b"\x03\xe8", self._ws.OP_CLOSE, mask=True)
+        self.sock.close()
+
+
+def test_websocket_streamupdate_verbs_and_ingest(server):
+    """/streamupdate over WS: verb acks carry the reference's
+    'OK <seqno> <VERB>' shape; GTS lines ingest through the same store
+    as POST /update and come back from /fetch."""
+    c = _WSClient(server, "/api/v0/streamupdate")
+    c.send("NOOP")
+    assert c.recv() == "OK 0 NOOP"
+    c.send("TOKEN any")
+    assert c.recv() == "OK 1 TOKEN"
+    c.send("ONERROR message")
+    assert c.recv() == "OK 2 ONERROR"
+    c.send("1704844800000000// ws.temp{site=eu-1} 21.5")
+    # no ack for measurements (reference behavior); verify via fetch
+    import time as _time
+
+    deadline = _time.time() + 60
+    body = ""
+    while _time.time() < deadline and "ws.temp" not in body:
+        _, body, _ = _get(
+            f"{server}/api/v0/fetch?selector=ws.temp%7B%7D&start=0&end=1804844800000000"
+        )
+        if "ws.temp" not in body:
+            _time.sleep(0.5)
+    assert "ws.temp{site=eu-1} 21.5" in body
+    c.close()
+
+
+def test_websocket_plasma_subscribe_push(server):
+    """Plasma pub-sub over WS: SUBSCRIBE <TOKEN> <SELECTOR>, then an
+    ingest (here via a second /streamupdate WS) pushes ONLY the
+    selector-matched points to the subscriber as GTS text."""
+    sub = _WSClient(server, "/api/v0/plasma")
+    sub.send("SUBSCRIBE anytoken plasma.metric{dc=eu}")
+    sub.send("SUBSCRIBE anytoken {")  # malformed selector → KO
+    assert sub.recv().startswith("KO ")
+
+    pub = _WSClient(server, "/api/v0/streamupdate")
+    pub.send(
+        "1704844800000000// plasma.metric{dc=eu} 1\n"
+        "1704844800000001// plasma.metric{dc=us} 2\n"
+        "1704844800000002// plasma.other{dc=eu} 3"
+    )
+    got = sub.recv()
+    assert "plasma.metric{dc=eu} 1" in got
+    assert "dc=us" not in got and "plasma.other" not in got
+    pub.close()
+    sub.close()

@@ -128,6 +128,47 @@ def selector_predicate(
     return pred
 
 
+def matches(
+    selector: "str | Selector",
+    cls: str,
+    labels: dict[str, str] | None,
+    attributes: dict[str, str] | None = None,
+) -> bool:
+    """Driver-side twin of selector_predicate for ONE metadata row —
+    Plasma subscription matching (StandalonePlasmaHandler.java routes
+    subscriptions through the same fetch SELECTOR_RE +
+    parseLabelsSelectors). Clause semantics mirror the Column compiler
+    above exactly; used per ingested line, never in a query plan."""
+    sel = parse_selector(selector) if isinstance(selector, str) else selector
+    labels = labels or {}
+    attributes = attributes or {}
+    if sel.class_exact is not None:
+        if cls != sel.class_exact:
+            return False
+    elif sel.class_regex not in (".*", None):
+        if re.match(_anchor(sel.class_regex), cls) is None:
+            return False
+
+    def clause_ok(src: dict[str, str], key: str, op: str, val: str) -> bool:
+        v = src.get(key)
+        if op == "=":
+            if val == "":
+                # empty exact value matches absent label too (reference)
+                return v is None or v == ""
+            return v == val
+        if val == ".*":
+            return True if key == "" else v is not None
+        return v is not None and re.match(_anchor(val), v) is not None
+
+    for key, op, val in sel.labels:
+        if not clause_ok(labels, key, op, val):
+            return False
+    for key, op, val in sel.attributes:
+        if not clause_ok(attributes, key, op, val):
+            return False
+    return True
+
+
 def metamatch_predicate(
     selector: str | Selector,
     class_col: str = "class",

@@ -43,6 +43,77 @@ from pyspark.sql import DataFrame, functions as F
 API = "/api/v0"
 
 
+class PlasmaHub:
+    """In-process Plasma pub-sub (standalone topology): /update and
+    /streamupdate ingests publish their GTS text lines; each plasma WS
+    session holds selector subscriptions and receives matching lines as
+    TEXT frames (StandalonePlasmaHandler.java's OUTPUT_FORMAT.TEXT push).
+
+    Scale note: this is the reference's STANDALONE wiring (ingress and
+    plasma in one process). The distributed reference fans out through
+    Kafka plasma topics (continuum/plasma/PlasmaBackEnd.java →
+    PlasmaFrontEnd.java); on a cluster the same hub contract would sit
+    behind the kafka / kafka-shaped streaming source instead."""
+
+    def __init__(self):
+        import re as _re
+
+        from warp10_platform_spark.sources.gts_text import GTS_LINE_RE
+
+        self._lock = threading.Lock()
+        self._subs: dict[int, tuple] = {}  # id(conn) -> (conn, [(raw, Selector)])
+        self._line_re = _re.compile(GTS_LINE_RE)
+
+    def register(self, conn) -> None:
+        with self._lock:
+            self._subs[id(conn)] = (conn, [])
+
+    def deregister(self, conn) -> None:
+        with self._lock:
+            self._subs.pop(id(conn), None)
+
+    def subscribe(self, conn, raw: str, sel) -> None:
+        with self._lock:
+            self._subs[id(conn)][1].append((raw, sel))
+
+    def unsubscribe(self, conn, raw: str) -> None:
+        with self._lock:
+            entry = self._subs.get(id(conn))
+            if entry:
+                entry[1][:] = [(r, s) for (r, s) in entry[1] if r != raw]
+
+    def publish(self, text: str) -> None:
+        """Push every ingested line to the subscribers whose selectors
+        match its (class, labels) — driver-side matching via the same
+        clause semantics the fetch predicate compiles (selector.matches)."""
+        from warp10_platform_spark.core.selector import matches
+
+        with self._lock:
+            subs = list(self._subs.values())
+        if not subs:
+            return
+        parsed = []
+        for ln in text.splitlines():
+            ln = ln.strip()
+            m = self._line_re.match(ln)
+            if not m:
+                continue
+            labels = dict(
+                kv.split("=", 1) for kv in (m.group(7) or "").split(",") if "=" in kv
+            )
+            parsed.append((ln, m.group(6), labels))
+        for conn, sels in subs:
+            out = [
+                ln for (ln, cls, labels) in parsed
+                if any(matches(s, cls, labels) for (_r, s) in sels)
+            ]
+            if out:
+                try:
+                    conn.send_text("\n".join(out) + "\n")
+                except Exception:  # noqa: BLE001 — dead peer
+                    self.deregister(conn)
+
+
 class Store:
     """Mutable overlay on the immutable base lake.
 
@@ -58,6 +129,7 @@ class Store:
         os.makedirs(os.path.join(store_dir, "buffer"), exist_ok=True)
         self._lock = threading.Lock()
         self._n_appends = 0
+        self.hub = PlasmaHub()
         # a prior checkpoint() may have produced an owned base snapshot
         bases = sorted(
             d for d in os.listdir(store_dir) if d.startswith("base_")
@@ -77,6 +149,9 @@ class Store:
             self._n_appends += 1
             sub = os.path.join(self.dir, "buffer", f"b{self._n_appends:06d}")
         pts.write.mode("overwrite").parquet(sub)
+        # committed → push to Plasma subscribers (the reference's
+        # StandaloneIngressHandler also publishes post-store)
+        self.hub.publish(text)
         # count what actually parsed (the reference 500s on bad lines;
         # we report the accepted count in a header instead)
         return self.spark.read.parquet(sub).count()
@@ -257,9 +332,106 @@ class _Handler(BaseHTTPRequestHandler):
         n = int(self.headers.get("Content-Length") or 0)
         return self.rfile.read(n).decode()
 
+    # ---- WebSocket endpoints (RFC 6455 over the same listener) -------
+    def _ws_upgrade(self, url) -> bool:
+        """Handle a websocket Upgrade request; True if it was one."""
+        if (self.headers.get("Upgrade") or "").lower() != "websocket":
+            return False
+        from warp10_platform_spark import websocket as ws
+
+        key = self.headers.get("Sec-WebSocket-Key")
+        if not key or url.path not in (f"{API}/plasma", f"{API}/streamupdate"):
+            self._reply(400, "bad websocket request\n")
+            return True
+        self.send_response(101, "Switching Protocols")
+        self.send_header("Upgrade", "websocket")
+        self.send_header("Connection", "Upgrade")
+        self.send_header("Sec-WebSocket-Accept", ws.accept_key(key))
+        self.end_headers()
+        self.wfile.flush()
+        conn = ws.WSConnection(self.rfile, self.wfile)
+        try:
+            if url.path == f"{API}/plasma":
+                self._plasma_session(conn)
+            else:
+                self._streamupdate_session(conn)
+        finally:
+            self.close_connection = True
+        return True
+
+    def _plasma_session(self, conn) -> None:
+        """Plasma pub-sub (StandalonePlasmaHandler.java:163-230):
+        ``[UN]SUBSCRIBE <TOKEN> <SELECTOR>`` messages manage the
+        session's selector set; matching ingested points push back as
+        GTS text frames. Tokens are accepted but not enforced (this
+        engine runs tokenless, like the reference with a no-op token
+        filter); errors reply ``KO <reason>`` like the reference."""
+        from warp10_platform_spark.core.selector import parse_selector
+
+        hub = self.store.hub
+        hub.register(conn)
+        try:
+            while True:
+                msg = conn.recv_message()
+                if msg is None:
+                    break
+                toks = msg.split()
+                if not toks:
+                    continue
+                if toks[0] in ("SUBSCRIBE", "UNSUBSCRIBE"):
+                    if len(toks) < 3:
+                        conn.send_text("KO Invalid subscription selector.")
+                        continue
+                    raw = toks[2]
+                    try:
+                        sel = parse_selector(raw)
+                    except ValueError:
+                        conn.send_text("KO Invalid subscription selector.")
+                        continue
+                    if toks[0] == "SUBSCRIBE":
+                        hub.subscribe(conn, raw, sel)
+                    else:
+                        hub.unsubscribe(conn, raw)
+                else:
+                    conn.send_text("KO Invalid verb.")
+        finally:
+            hub.deregister(conn)
+
+    def _streamupdate_session(self, conn) -> None:
+        """Persistent-socket ingest (StandaloneStreamUpdateHandler.java:
+        150-200): TOKEN/CLEARTOKEN/NOOP/ONERROR verbs ack ``OK <seqno>
+        <VERB>``; any other message is GTS text lines fed to the same
+        store path as POST /update. ONERROR message|close picks whether
+        a failed update replies with an error frame or closes the
+        socket (the reference default: close)."""
+        seqno = 0
+        errormsg = False
+        while True:
+            msg = conn.recv_message()
+            if msg is None:
+                break
+            head = msg.split(None, 1)[0] if msg.strip() else ""
+            if head in ("TOKEN", "CLEARTOKEN", "NOOP", "ONERROR"):
+                toks = msg.split()
+                if head == "ONERROR" and len(toks) > 1:
+                    errormsg = toks[1].lower() == "message"
+                conn.send_text(f"OK {seqno} {head}")
+                seqno += 1
+            else:
+                try:
+                    self.store.append_update(msg)
+                except Exception as e:  # noqa: BLE001
+                    if errormsg:
+                        conn.send_text(f"ERROR {type(e).__name__}: {e}"[:900])
+                    else:
+                        conn.close(1011, "update failed")
+                        break
+
     def do_GET(self):  # noqa: N802
         url = urllib.parse.urlparse(self.path)
         qs = urllib.parse.parse_qs(url.query)
+        if self._ws_upgrade(url):
+            return
         t0 = time.perf_counter()
         try:
             if url.path == f"{API}/fetch":
