@@ -70,10 +70,32 @@ EXTENDED = [
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="bench.py")
+    ap.add_argument(
+        "--runs", type=int, default=3,
+        help="steady-state passes per query; the reported statistic is the "
+             "per-query MEDIAN of these (default 3) — making the artifact's "
+             "sample count explicit (r6 verdict ask #8)",
+    )
+    args = ap.parse_args()
+
+    # Startup budget (r6 verdict ask #7): time the Python import of the
+    # bench's query set (lazy, index-driven — only the owning modules
+    # load) and the Spark session bring-up, reported under "startup".
+    t_imp0 = time.perf_counter()
     from warp10_platform_spark.queries import QUERIES
+
+    for _name in HEADLINE + EXTENDED + ["map_delta"]:
+        QUERIES[_name]
+    t_imports = time.perf_counter() - t_imp0
+
     from warp10_platform_spark.session import get_spark
 
+    t_sess0 = time.perf_counter()
     spark = get_spark("warp10-platform-spark-bench")
+    t_session = time.perf_counter() - t_sess0
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm-up: JVM JIT + parquet footers + Arrow path, one query per
@@ -92,10 +114,8 @@ def main() -> None:
         bucketed_fact(spark, SF_DIR, tbl, key).limit(1).count()
 
     cold: dict[str, float] = {}
-    steady1: dict[str, float] = {}
-    steady2: dict[str, float] = {}
-    steady3: dict[str, float] = {}
-    for target in (cold, steady1, steady2, steady3):
+    steadies: list[dict[str, float]] = [{} for _ in range(max(1, args.runs))]
+    for target in [cold] + steadies:
         # Drop persisted intermediates built by the previous pass (minhash
         # signatures etc.) so the steady-state pass measures full compute
         # with warm JIT, not cached-frame reads.
@@ -107,13 +127,13 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             target[name] = round(time.perf_counter() - t0, 3)
-    # Per-query MEDIAN of the three steady passes (robust to a single
+    # Per-query MEDIAN of the steady passes (robust to a single
     # GC/scheduler outlier in either direction), plus the spread
     # (max - min) so a cross-round delta can be judged against this
     # box's measured run-to-run variance without a re-run.
     import statistics
 
-    samples = {n: sorted((steady1[n], steady2[n], steady3[n])) for n in steady1}
+    samples = {n: sorted(s[n] for s in steadies) for n in steadies[0]}
     med = {n: round(statistics.median(v), 3) for n, v in samples.items()}
     spread = {n: round(v[-1] - v[0], 3) for n, v in samples.items()}
     timings = {n: med[n] for n in HEADLINE if n in med}
@@ -123,13 +143,20 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline-queries wall-clock (steady-state median of 3)",
+                "metric": (
+                    f"headline-queries wall-clock (steady-state median of {len(steadies)})"
+                ),
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
                 "extended": extended,
                 "spread": {n: spread[n] for n in list(timings) + list(extended)},
                 "cold_value": round(sum(cold[n] for n in timings), 3),
+                "runs": len(steadies),
+                "startup": {
+                    "imports_sec": round(t_imports, 3),
+                    "session_sec": round(t_session, 3),
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
