@@ -2,7 +2,11 @@
 
 - sf1: 10x replication of /root/testdata/sf0.1 with consistent key
   remapping (foreign keys shifted by the same per-copy offsets), so all
-  joins behave as a real sf=1 dataset (~6M lineitem rows). Embedding
+  joins behave as a real sf=1 dataset (~6M lineitem rows).
+- sf10: the same construction with 100 copies (~60M lineitem / ~10M
+  events) — the r6 verdict's ask #6 decade, for pinning per-query
+  scaling exponents across sf0.1/sf1/sf10. Key offsets exceed each
+  table's sf0.1 key range, so 100 offset multiples stay disjoint. Embedding
   vectors get a tiny deterministic per-copy perturbation on coordinate 0
   so ANN top-k has no cross-copy ties.
 - skew: sf0.1 with two adversarial distortions: (a) one user_id (777)
@@ -14,7 +18,7 @@
 Everything is pure SQL over the source parquet (seedless, rerunnable,
 byte-stable). Output under .cache/ (never /root/testdata).
 
-Usage: python scripts/make_scale_fixtures.py [sf1|skew|all]
+Usage: python scripts/make_scale_fixtures.py [sf1|sf10|skew|all]
 """
 
 import os
@@ -25,6 +29,7 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF1 = os.path.join(ROOT, ".cache", "sf1")
+SF10 = os.path.join(ROOT, ".cache", "sf10")
 SKEW = os.path.join(ROOT, ".cache", "skew")
 
 COPIES = 10
@@ -43,12 +48,12 @@ OFF = {
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def _copy_union(con, table: str, select_tpl: str) -> str:
-    return " UNION ALL ".join(select_tpl.format(c=c, src=f"read_parquet('{SRC}/{table}.parquet')") for c in range(COPIES))
+def _copy_union(con, table: str, select_tpl: str, copies: int = COPIES) -> str:
+    return " UNION ALL ".join(select_tpl.format(c=c, src=f"read_parquet('{SRC}/{table}.parquet')") for c in range(copies))
 
 
-def make_sf1():
-    os.makedirs(SF1, exist_ok=True)
+def make_sf1(copies: int = COPIES, out: str = SF1, label: str = "sf1"):
+    os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     plans = {
         "region": f"SELECT * FROM read_parquet('{SRC}/region.parquet')",
@@ -56,49 +61,51 @@ def make_sf1():
         "customer": _copy_union(
             con, "customer",
             "SELECT c_custkey + {c} * %d AS c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM {src}"
-            % OFF["custkey"],
+            % OFF["custkey"], copies=copies,
         ),
         "supplier": _copy_union(
             con, "supplier",
             "SELECT s_suppkey + {c} * %d AS s_suppkey, s_name, s_nationkey, s_acctbal FROM {src}" % OFF["suppkey"],
+            copies=copies,
         ),
         "part": _copy_union(
             con, "part",
             "SELECT p_partkey + {c} * %d AS p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM {src}"
-            % OFF["partkey"],
+            % OFF["partkey"], copies=copies,
         ),
         "orders": _copy_union(
             con, "orders",
             "SELECT o_orderkey + {c} * %d AS o_orderkey, o_custkey + {c} * %d AS o_custkey, "
             "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM {src}"
-            % (OFF["orderkey"], OFF["custkey"]),
+            % (OFF["orderkey"], OFF["custkey"]), copies=copies,
         ),
         "lineitem": _copy_union(
             con, "lineitem",
             "SELECT l_orderkey + {c} * %d AS l_orderkey, l_partkey + {c} * %d AS l_partkey, "
             "l_suppkey + {c} * %d AS l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
             "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate FROM {src}"
-            % (OFF["orderkey"], OFF["partkey"], OFF["suppkey"]),
+            % (OFF["orderkey"], OFF["partkey"], OFF["suppkey"]), copies=copies,
         ),
         "events": _copy_union(
             con, "events",
             "SELECT event_id + {c} * %d AS event_id, ts, user_id + {c} * %d AS user_id, "
-            "event_type, value, props FROM {src}" % (OFF["eventid"], OFF["userid"]),
+            "event_type, value, props FROM {src}" % (OFF["eventid"], OFF["userid"]), copies=copies,
         ),
         "documents": _copy_union(
             con, "documents",
             "SELECT doc_id + {c} * %d AS doc_id, text, lang, source, n_chars FROM {src}" % OFF["docid"],
+            copies=copies,
         ),
         "embeddings": _copy_union(
             con, "embeddings",
             "SELECT vec_id + {c} * %d AS vec_id, "
             "list_prepend(CAST(embedding[1] + {c} * 0.001 AS FLOAT), embedding[2:]) AS embedding, "
-            "label FROM {src}" % OFF["vecid"],
+            "label FROM {src}" % OFF["vecid"], copies=copies,
         ),
     }
     for t in TABLES:
-        con.execute(f"COPY ({plans[t]}) TO '{SF1}/{t}.parquet' (FORMAT PARQUET)")
-        print("sf1", t, con.execute(f"SELECT count(*) FROM read_parquet('{SF1}/{t}.parquet')").fetchone()[0])
+        con.execute(f"COPY ({plans[t]}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+        print(label, t, con.execute(f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0])
 
 
 def make_skew():
@@ -131,5 +138,8 @@ if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     if what in ("sf1", "all"):
         make_sf1()
+    if what == "sf10":
+        # not in "all": ~25x the sf1 build cost, generated on demand
+        make_sf1(copies=100, out=SF10, label="sf10")
     if what in ("skew", "all"):
         make_skew()

@@ -189,11 +189,14 @@ def minhash_signatures(
     sh = shingles if shingles is not None else _shingles(docs, n, id_col)
     h = (_MD5_64 if portable else _XX64).format(x="s")
     hashed = sh.select("doc_id", F.expr(f"transform(sh, s -> ({h}) & {_P}L)").alias("hs"))
-    sig_exprs = [
-        F.expr(f"array_min(transform(hs, h -> (h * {a}L + {b}L) % {_P}L))").alias(f"mh_{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    return hashed.select("doc_id", F.array(*sig_exprs).alias("sig"))
+    # ONE expr for the whole signature array (not num_hashes separate
+    # F.expr columns): plan-construction cost at the driver is py4j/
+    # analysis round-trips per expression, and this query's bench number
+    # was ~40 % plan build (r6 verdict ask #5 — profiled r7).
+    sig = "array(" + ", ".join(
+        f"array_min(transform(hs, h -> (h * {a}L + {b}L) % {_P}L))" for a, b in coeffs
+    ) + ")"
+    return hashed.select("doc_id", F.expr(sig).alias("sig"))
 
 
 def minhash_lsh_pairs(
