@@ -13,10 +13,16 @@ comparable). This script:
    and the measured drift band (spread of same-code totals across pairs),
 4. writes the whole thing to BENCH_AB_r{ROUND}.json.
 
-Usage: python scripts/bench_ab.py [--pairs 3] [--baseline <commit>]
+Usage: python scripts/bench_ab.py [--pairs 4] [--baseline <commit>]
        (SPARK_GRAFT_SF_DIR selects the fixture; default sf0.1)
 
 Run on an otherwise-idle box: concurrent Spark work inflates either side.
+
+Use an EVEN pair count (default 4). The r7 session measured a consistent
+POSITION effect: the first run of each pair is slower than the second
+regardless of which code runs (page-cache / JVM-slot state left by the
+previous pair) — with an odd pair count the orders don't balance and the
+paired median absorbs the position bias instead of cancelling it.
 """
 
 from __future__ import annotations
@@ -50,7 +56,7 @@ def run_bench(workdir: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser(prog="bench_ab.py")
-    ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--pairs", type=int, default=4)
     ap.add_argument("--baseline", default=DEFAULT_BASELINE)
     ap.add_argument("--worktree", default="/tmp/bench_ab_baseline")
     args = ap.parse_args()

@@ -203,6 +203,50 @@ def test_minhash_lsh_guard_preserves_candidates(spark):
     assert {(0, 1), (0, 4), (1, 4)} <= lsh
 
 
+def test_simhash_guard_preserves_pairs(spark):
+    """The identical-fingerprint guard (rep-level segment blocking +
+    expansion, r7) must emit exactly the unguarded pair set: a mixed
+    corpus with exact dups (hamming 0 intra-group), near-dups (small
+    hamming cross-group) and unrelated docs."""
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.pipeline.dedup import simhash, simhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [base, base, base + " extra", "completely different words entirely here now", base,
+             base + " more", "other unrelated text goes here instead"]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in simhash_pairs(docs, radius=3).collect()}
+    # unguarded reference: plain a<b self-join over fingerprints
+    fp = simhash(docs)
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    want = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"), ham.alias("hamming"))
+        .where(F.col("hamming") <= 3).collect()
+    }
+    assert got == want and {(0, 1, 0), (0, 4, 0), (1, 4, 0)} <= got
+
+
+def test_simhash_all_dup_corpus_guarded(spark):
+    """A corpus of byte-identical docs must segment-join over ONE
+    representative and still emit every pair at hamming 0."""
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.pipeline.dedup import simhash_pairs
+
+    n = 120
+    dup = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta eta theta").alias("text"),
+    )
+    out = simhash_pairs(dup).collect()
+    assert len(out) == n * (n - 1) // 2
+    assert all(r["hamming"] == 0 and r["id_a"] < r["id_b"] for r in out)
+
+
 from hypothesis import given, settings
 from hypothesis import strategies as st_
 
