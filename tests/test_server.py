@@ -301,3 +301,54 @@ def test_websocket_plasma_subscribe_push(server):
     assert "dc=us" not in got and "plasma.other" not in got
     pub.close()
     sub.close()
+
+
+def test_websocket_frame_codec_roundtrip_property():
+    """RFC 6455 codec property: masked/unmasked frames of every length
+    class (7-bit, 16-bit, 64-bit) round-trip bit-exactly, and fragmented
+    messages reassemble — no server needed, pure codec."""
+    import io
+    import random
+
+    from warp10_platform_spark import websocket as ws
+
+    rng = random.Random(7)
+    for ln in (0, 1, 125, 126, 127, 65535, 65536, 70000):
+        payload = bytes(rng.randrange(256) for _ in range(min(ln, 4096))) * (1 if ln <= 4096 else 1)
+        payload = (payload * ((ln // max(1, len(payload))) + 1))[:ln] if ln else b""
+        for mask in (False, True):
+            buf = io.BytesIO()
+            ws.write_frame(buf, payload, ws.OP_BINARY, mask=mask)
+            buf.seek(0)
+            fin, op, got = ws.read_frame(buf)
+            assert fin and op == ws.OP_BINARY and got == payload, (ln, mask)
+    # fragmentation: text split across CONT frames + interleaved ping
+    buf = io.BytesIO()
+    part1, part2, part3 = b"hello ", b"fragmented ", b"world"
+    buf.write(bytes([ws.OP_TEXT, 0x80 | len(part1)]) + bytes(4) + part1)  # FIN=0, masked zero-key
+    ws.write_frame(buf, b"ping!", ws.OP_PING)
+    buf.write(bytes([ws.OP_CONT, 0x80 | len(part2)]) + bytes(4) + part2)  # FIN=0
+    buf.write(bytes([0x80 | ws.OP_CONT, 0x80 | len(part3)]) + bytes(4) + part3)  # FIN=1
+    buf.seek(0)
+    out = io.BytesIO()
+    conn = ws.WSConnection(buf, out)
+    assert conn.recv_message() == "hello fragmented world"
+    out.seek(0)
+    fin, op, pong = ws.read_frame(out)
+    assert op == ws.OP_PONG and pong == b"ping!"  # auto-pong carried payload
+
+
+def test_websocket_streamupdate_attr_verbs(server):
+    """DELTAON/ATTRSKIP verbs must not fall through to measurement
+    parsing: ATTRSKIPON/OFF are accepted silently, DELTAON errors with
+    the reference's message (ONERROR message mode keeps the socket open)."""
+    c = _WSClient(server, "/api/v0/streamupdate")
+    c.send("ONERROR message")
+    assert c.recv().startswith("OK ")
+    c.send("ATTRSKIPON")
+    c.send("ATTRSKIPOFF")
+    c.send("DELTAON")
+    assert "Delta update of attributes is disabled." in c.recv()
+    c.send("NOOP")  # socket still alive after the error reply
+    assert c.recv().endswith("NOOP")
+    c.close()

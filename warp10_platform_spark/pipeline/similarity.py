@@ -325,6 +325,45 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95, id_col: str = "vec_
     )
 
 
+def semantic_dedup(df: DataFrame, centroids: list[list[float]], threshold: float = 0.85,
+                   id_col: str = "vec_id", col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540 — cluster, then deduplicate WITHIN clusters): coarse-
+    quantize the corpus to IVF cells (literal centroids, JVM argmin, no
+    shuffle), then inside each cell drop every vector that has a
+    smaller-id neighbor at cosine ≥ threshold (greedy min-id keep —
+    deterministic, single pass, no iteration). Returns one row per input
+    vector: (vec_id, ivf_cell, kept).
+
+    Scale shape: the pair join is an equi-join on ivf_cell, so the
+    quadratic is bounded per cell — the clustering step exists precisely
+    so dedup never sees the global O(N²). At 100 TB: k-means-trained
+    centroids (same contract as the PQ codebook) size cells to ~N/k, and
+    the per-cell join shuffles each vector once."""
+    d = ivf_assign(_spread(df), centroids, col)
+    n = d.withColumn("norm", F.sqrt(F.expr(_DOT.format(a="v", b="v")))).select(
+        F.col(id_col).alias("id"), "ivf_cell", "v", "norm"
+    )
+    a = n.select(F.col("id").alias("id_a"), F.col("ivf_cell"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = n.select(F.col("id").alias("id_b"), F.col("ivf_cell"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.expr(_DOT.format(a="va", b="vb"))
+    dominated = (
+        a.join(b, ["ivf_cell"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(dot / (F.col("na") * F.col("nb")), 6) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        n.join(dominated.withColumn("dropped", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("ivf_cell").cast("long").alias("ivf_cell"),
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,

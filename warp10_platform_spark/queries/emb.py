@@ -442,3 +442,50 @@ def emb_pq_trained_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return _sim.pq_topk(queries, emb, _sim.pq_codebook_trained(), topk=3)
+
+
+def _semantic_dedup_oracle(dim: int = 64, n_cells: int = 8, threshold: float = 0.4) -> str:
+    """DuckDB replica of semantic_dedup: same centroid literals and
+    squared-L2 cell argmin as the IVF oracles, then the greedy min-id
+    keep — a vector is dropped iff some smaller-id vector in ITS cell
+    sits at round(cos, 6) >= threshold."""
+    cents = _ivf_centroids(dim, n_cells)
+    vals = ", ".join(
+        f"({i}, [{','.join(str(x) for x in c)}]::DOUBLE[], {sum(x * x for x in c)})" for i, c in enumerate(cents)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents(i, c, cc) AS (VALUES {vals}),
+dist AS (
+  SELECT e.vec_id, cents.i,
+         list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, cents.c) + cents.cc AS d
+  FROM e CROSS JOIN cents
+),
+cell AS (
+  SELECT vec_id, i AS ivf_cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rk FROM dist
+  ) WHERE rk = 1
+),
+n AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS norm, cell.ivf_cell
+      FROM e JOIN cell ON e.vec_id = cell.vec_id),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM n a JOIN n b ON a.ivf_cell = b.ivf_cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= {threshold}
+)
+SELECT n.vec_id, CAST(n.ivf_cell AS BIGINT) AS ivf_cell,
+       (dropped.vec_id IS NULL) AS kept
+FROM n LEFT JOIN dropped ON n.vec_id = dropped.vec_id
+"""
+
+
+@register("emb_semantic_dedup", _semantic_dedup_oracle())
+def emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): IVF-cluster the
+    corpus (literal centroids), then inside each cell drop every vector
+    with a smaller-id neighbor at cos >= 0.4 (greedy min-id keep). The
+    keep-one DECISION tier of the embedding dedup ladder — emb_cosine_dup
+    emits pairs, this emits the per-vector verdict the pipeline acts on;
+    the in-cell equi-join bounds the quadratic to cell size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _sim.semantic_dedup(emb, _ivf_centroids(), threshold=0.4)

@@ -406,6 +406,7 @@ class _Handler(BaseHTTPRequestHandler):
         socket (the reference default: close)."""
         seqno = 0
         errormsg = False
+        skip_attributes = False
         while True:
             msg = conn.recv_message()
             if msg is None:
@@ -417,6 +418,22 @@ class _Handler(BaseHTTPRequestHandler):
                     errormsg = toks[1].lower() == "message"
                 conn.send_text(f"OK {seqno} {head}")
                 seqno += 1
+            elif head in ("DELTAON", "DELTAOFF", "ATTRSKIPON", "ATTRSKIPOFF"):
+                # Attribute-handling verbs (StandaloneStreamUpdateHandler
+                # .java:175-193). Delta attribute updates are disabled by
+                # default in the reference (warp.update.attributes.delta);
+                # this engine has no per-point attribute wire either, so
+                # DELTAON fails with the reference's message and the
+                # ATTRSKIP pair toggles an (inert here) parse flag. These
+                # must NOT fall through to measurement parsing.
+                if head == "DELTAON":
+                    if errormsg:
+                        conn.send_text("ERROR Delta update of attributes is disabled.")
+                    else:
+                        conn.close(1011, "Delta update of attributes is disabled.")
+                        break
+                else:
+                    skip_attributes = head == "ATTRSKIPON"
             else:
                 try:
                     self.store.append_update(msg)
