@@ -66,6 +66,8 @@ EXTENDED = [
     # points, rollup_daily_profile serves the same daily grain from hourly
     # partials (provably never scanning raw points — test_rollup.py)
     "rollup_daily_profile",
+    # the keep/drop verdict tier of the embedding dedup ladder (r7)
+    "emb_semantic_dedup",
 ]
 
 
