@@ -352,3 +352,52 @@ def test_websocket_streamupdate_attr_verbs(server):
     c.send("NOOP")  # socket still alive after the error reply
     assert c.recv().endswith("NOOP")
     c.close()
+
+
+def test_plasma_hub_slow_subscriber_evicted():
+    """publish() must NEVER block ingest on a slow peer: a subscriber
+    whose outbound queue fills is evicted (closed + deregistered) while
+    a healthy subscriber keeps receiving."""
+    import threading
+    import time as _time
+
+    from warp10_platform_spark.core.selector import parse_selector
+    from warp10_platform_spark.server import PlasmaHub
+
+    hub = PlasmaHub()
+    hub.MAX_QUEUE = 4
+
+    class FakeConn:
+        def __init__(self, block):
+            self.block = block
+            self.got = []
+            self.closed = None
+            self.unblock = threading.Event()
+
+        def send_text(self, text):
+            if self.block:
+                self.unblock.wait(30)
+            self.got.append(text)
+
+        def close(self, code=1000, reason=""):
+            self.closed = (code, reason)
+
+    slow, fast = FakeConn(True), FakeConn(False)
+    hub.register(slow)  # queue depth 4 — fills during the burst
+    hub.MAX_QUEUE = 1024
+    hub.register(fast)  # deep queue — absorbs the burst while draining
+    for c in (slow, fast):
+        hub.subscribe(c, "p.m{}", parse_selector("p.m{}"))
+
+    t0 = _time.perf_counter()
+    for i in range(8):  # queue depth 4 (+1 in-flight) < 8 publishes
+        hub.publish(f"{i}00// p.m{{}} {i}")
+    publish_elapsed = _time.perf_counter() - t0
+    assert publish_elapsed < 5  # ingest never blocked on the stalled peer
+    assert slow.closed and slow.closed[0] == 1013
+    slow.unblock.set()
+    deadline = _time.time() + 10
+    while len(fast.got) < 8 and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert len(fast.got) == 8  # healthy peer received everything
+    hub.deregister(fast)

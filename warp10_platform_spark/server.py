@@ -55,22 +55,52 @@ class PlasmaHub:
     PlasmaFrontEnd.java); on a cluster the same hub contract would sit
     behind the kafka / kafka-shaped streaming source instead."""
 
+    # Per-subscriber outbound queue depth. A subscriber that stops
+    # reading long enough to fill it is EVICTED (connection closed)
+    # rather than allowed to stall ingest — publish never blocks on a
+    # peer's socket (the reference's sendStringByFuture is likewise
+    # async; Jetty evicts on write-buffer exhaustion).
+    MAX_QUEUE = 1024
+
     def __init__(self):
         import re as _re
 
         from warp10_platform_spark.sources.gts_text import GTS_LINE_RE
 
         self._lock = threading.Lock()
-        self._subs: dict[int, tuple] = {}  # id(conn) -> (conn, [(raw, Selector)])
+        self._subs: dict[int, tuple] = {}  # id(conn) -> (conn, [(raw, Selector)], Queue)
         self._line_re = _re.compile(GTS_LINE_RE)
 
-    def register(self, conn) -> None:
+    def register(self, conn):
+        import queue
+
+        q: "queue.Queue[str | None]" = queue.Queue(maxsize=self.MAX_QUEUE)
         with self._lock:
-            self._subs[id(conn)] = (conn, [])
+            self._subs[id(conn)] = (conn, [], q)
+
+        def drain():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                try:
+                    conn.send_text(item)
+                except Exception:  # noqa: BLE001 — dead peer
+                    self.deregister(conn)
+                    return
+
+        t = threading.Thread(target=drain, daemon=True, name="plasma-writer")
+        t.start()
+        return q
 
     def deregister(self, conn) -> None:
         with self._lock:
-            self._subs.pop(id(conn), None)
+            entry = self._subs.pop(id(conn), None)
+        if entry:
+            try:
+                entry[2].put_nowait(None)  # stop the writer thread
+            except Exception:  # noqa: BLE001 — queue full: writer dies with conn
+                pass
 
     def subscribe(self, conn, raw: str, sel) -> None:
         with self._lock:
@@ -102,16 +132,20 @@ class PlasmaHub:
                 kv.split("=", 1) for kv in (m.group(7) or "").split(",") if "=" in kv
             )
             parsed.append((ln, m.group(6), labels))
-        for conn, sels in subs:
+        import queue as _queue
+
+        for conn, sels, q in subs:
             out = [
                 ln for (ln, cls, labels) in parsed
                 if any(matches(s, cls, labels) for (_r, s) in sels)
             ]
             if out:
                 try:
-                    conn.send_text("\n".join(out) + "\n")
-                except Exception:  # noqa: BLE001 — dead peer
+                    q.put_nowait("\n".join(out) + "\n")
+                except _queue.Full:
+                    # laggard eviction: never block ingest on a slow peer
                     self.deregister(conn)
+                    conn.close(1013, "subscriber too slow")
 
 
 class Store:
