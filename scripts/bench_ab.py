@@ -61,6 +61,22 @@ def main() -> None:
     ap.add_argument("--worktree", default="/tmp/bench_ab_baseline")
     args = ap.parse_args()
 
+    want = subprocess.run(
+        ["git", "rev-parse", args.baseline], cwd=REPO,
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    if os.path.exists(os.path.join(args.worktree, "bench.py")):
+        have = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=args.worktree,
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        if have != want:
+            # A stale worktree would silently measure the WRONG baseline
+            # while the artifact records args.baseline — recreate it.
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", args.worktree],
+                cwd=REPO, check=True,
+            )
     if not os.path.exists(os.path.join(args.worktree, "bench.py")):
         subprocess.run(
             ["git", "worktree", "add", "--detach", args.worktree, args.baseline],

@@ -372,6 +372,7 @@ def test_plasma_hub_slow_subscriber_evicted():
             self.block = block
             self.got = []
             self.closed = None
+            self.open = True
             self.unblock = threading.Event()
 
         def send_text(self, text):
@@ -381,6 +382,11 @@ def test_plasma_hub_slow_subscriber_evicted():
 
         def close(self, code=1000, reason=""):
             self.closed = (code, reason)
+            self.open = False
+
+        def abort(self):
+            self.closed = (1013, "aborted")
+            self.open = False
 
     slow, fast = FakeConn(True), FakeConn(False)
     hub.register(slow)  # queue depth 4 — fills during the burst
@@ -401,3 +407,56 @@ def test_plasma_hub_slow_subscriber_evicted():
         _time.sleep(0.05)
     assert len(fast.got) == 8  # healthy peer received everything
     hub.deregister(fast)
+
+
+def test_websocket_abort_unblocks_stalled_writer():
+    """The eviction path must work even when the writer thread is BLOCKED
+    mid-send holding the write lock (TCP backpressure from a peer that
+    stopped reading): abort() bypasses the lock by shutting the socket,
+    which makes the blocked send raise."""
+    import socket
+    import threading
+    import time as _time
+
+    from warp10_platform_spark import websocket as ws
+
+    a, b = socket.socketpair()
+    try:
+        a.settimeout(60)
+        wf = a.makefile("wb")
+        conn = ws.WSConnection(None, wf, sock=a)
+        dead = threading.Event()
+
+        def writer():
+            try:
+                while True:
+                    conn.send_text("x" * 65536)
+            except Exception:  # noqa: BLE001 — expected on abort
+                dead.set()
+
+        t = threading.Thread(target=writer, daemon=True)
+        t.start()
+        _time.sleep(1.0)  # let the send buffer fill and the writer block
+        assert not dead.is_set()  # writer is stalled, holding _wlock
+        t0 = _time.perf_counter()
+        conn.abort()  # must not block on the write lock
+        assert _time.perf_counter() - t0 < 1.0
+        assert dead.wait(10)  # blocked send raised; writer unwound
+    finally:
+        a.close()
+        b.close()
+
+
+def test_websocket_frame_length_cap():
+    """A frame declaring an absurd 64-bit length is rejected before any
+    allocation (ConnectionError), not buffered to OOM."""
+    import io
+    import struct
+
+    import pytest as _pytest
+
+    from warp10_platform_spark import websocket as ws
+
+    buf = io.BytesIO(bytes([0x80 | ws.OP_BINARY, 127]) + struct.pack(">Q", 1 << 40))
+    with _pytest.raises(ConnectionError, match="MAX_FRAME"):
+        ws.read_frame(buf)

@@ -159,7 +159,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.script is not None:
             if args.script == "-":
                 ap.error("cannot combine --interactive with a stdin script ('-')")
-            st.exec(open(args.script).read())
+            with open(args.script) as f:
+                seed = f.read()
+            try:
+                st.exec(seed)
+            except Exception as e:  # noqa: BLE001
+                # like `python -i script.py`: report, then still open the
+                # REPL on whatever stack state the script left behind
+                print(
+                    json.dumps({"error": f"{type(e).__name__}: {e}", "stack_depth": len(st.stack)}),
+                    file=sys.stderr,
+                )
         tty = sys.stdin.isatty()
         buf: list[str] = []
         while True:

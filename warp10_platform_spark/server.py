@@ -79,9 +79,18 @@ class PlasmaHub:
             self._subs[id(conn)] = (conn, [], q)
 
         def drain():
+            # Terminates on: stop sentinel, conn no longer open (evicted
+            # or session ended — checked even when the sentinel was
+            # dropped by a full queue), or a send failure. Never sends
+            # to a closed connection (no frames after Close).
             while True:
-                item = q.get()
-                if item is None:
+                try:
+                    item = q.get(timeout=5)
+                except queue.Empty:
+                    if not getattr(conn, "open", False):
+                        return
+                    continue
+                if item is None or not getattr(conn, "open", False):
                     return
                 try:
                     conn.send_text(item)
@@ -99,12 +108,14 @@ class PlasmaHub:
         if entry:
             try:
                 entry[2].put_nowait(None)  # stop the writer thread
-            except Exception:  # noqa: BLE001 — queue full: writer dies with conn
-                pass
+            except Exception:  # noqa: BLE001 — full queue: the writer's
+                pass  # open-check (drain loop) reaps it instead
 
     def subscribe(self, conn, raw: str, sel) -> None:
         with self._lock:
-            self._subs[id(conn)][1].append((raw, sel))
+            entry = self._subs.get(id(conn))
+            if entry is not None:  # may have been evicted concurrently
+                entry[1].append((raw, sel))
 
     def unsubscribe(self, conn, raw: str) -> None:
         with self._lock:
@@ -143,9 +154,14 @@ class PlasmaHub:
                 try:
                     q.put_nowait("\n".join(out) + "\n")
                 except _queue.Full:
-                    # laggard eviction: never block ingest on a slow peer
+                    # Laggard eviction: never block ingest on a slow peer.
+                    # abort(), not close() — a graceful Close frame would
+                    # wait on the write lock the stalled writer holds.
                     self.deregister(conn)
-                    conn.close(1013, "subscriber too slow")
+                    if hasattr(conn, "abort"):
+                        conn.abort()
+                    else:
+                        conn.close(1013, "subscriber too slow")
 
 
 class Store:
@@ -383,7 +399,7 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Sec-WebSocket-Accept", ws.accept_key(key))
         self.end_headers()
         self.wfile.flush()
-        conn = ws.WSConnection(self.rfile, self.wfile)
+        conn = ws.WSConnection(self.rfile, self.wfile, sock=self.connection)
         try:
             if url.path == f"{API}/plasma":
                 self._plasma_session(conn)

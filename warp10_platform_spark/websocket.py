@@ -27,6 +27,24 @@ _GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"  # RFC 6455 §1.3
 OP_CONT, OP_TEXT, OP_BINARY = 0x0, 0x1, 0x2
 OP_CLOSE, OP_PING, OP_PONG = 0x8, 0x9, 0xA
 
+# Per-frame and per-message size caps (the reference's Jetty policy has
+# maxText/BinaryMessageSize the same way): a client declaring a huge
+# 64-bit length or streaming endless non-FIN fragments must not be able
+# to allocate unbounded driver memory.
+MAX_FRAME = 64 * 1024 * 1024
+MAX_MESSAGE = 128 * 1024 * 1024
+
+
+def _xor_mask(payload: bytes, mask: bytes) -> bytes:
+    """Unmask/mask a payload — one big-int XOR instead of a per-byte
+    Python loop (multi-MB ingest frames would otherwise be CPU-bound
+    in bytecode)."""
+    n = len(payload)
+    if n == 0:
+        return payload
+    key = (mask * ((n // 4) + 1))[:n]
+    return (int.from_bytes(payload, "big") ^ int.from_bytes(key, "big")).to_bytes(n, "big")
+
 
 def accept_key(sec_websocket_key: str) -> str:
     """Sec-WebSocket-Accept for a client key (RFC 6455 §4.2.2 step 5.4)."""
@@ -55,10 +73,12 @@ def read_frame(rf) -> tuple[bool, int, bytes]:
         (ln,) = struct.unpack(">H", _read_exact(rf, 2))
     elif ln == 127:
         (ln,) = struct.unpack(">Q", _read_exact(rf, 8))
+    if ln > MAX_FRAME:
+        raise ConnectionError(f"websocket frame of {ln} bytes exceeds MAX_FRAME")
     mask = _read_exact(rf, 4) if masked else None
     payload = _read_exact(rf, ln)
     if mask:
-        payload = bytes(c ^ mask[i & 3] for i, c in enumerate(payload))
+        payload = _xor_mask(payload, mask)
     return fin, opcode, payload
 
 
@@ -77,7 +97,7 @@ def write_frame(wf, payload: bytes, opcode: int = OP_TEXT, mask: bool = False) -
         import os as _os
 
         key = _os.urandom(4)
-        payload = bytes(c ^ key[i & 3] for i, c in enumerate(payload))
+        payload = _xor_mask(payload, key)
         header += key
     wf.write(header + payload)
     wf.flush()
@@ -88,9 +108,10 @@ class WSConnection:
     automatic pong, write lock (the Plasma hub's push thread and the
     reader thread both send)."""
 
-    def __init__(self, rfile, wfile):
+    def __init__(self, rfile, wfile, sock=None):
         self.rfile = rfile
         self.wfile = wfile
+        self.sock = sock  # raw socket, for lock-free aborts
         self._wlock = threading.Lock()
         self.open = True
 
@@ -107,6 +128,20 @@ class WSConnection:
                 write_frame(self.wfile, struct.pack(">H", code) + reason.encode()[:100], OP_CLOSE)
         except Exception:  # noqa: BLE001 — peer may already be gone
             pass
+
+    def abort(self) -> None:
+        """Hard close WITHOUT touching the write lock: a stalled writer
+        may hold it indefinitely (TCP backpressure from a peer that
+        stopped reading), so eviction must go around it. Shutting the
+        socket makes any blocked send raise, which unwinds the writer."""
+        self.open = False
+        if self.sock is not None:
+            import socket as _socket
+
+            try:
+                self.sock.shutdown(_socket.SHUT_RDWR)
+            except OSError:
+                pass
 
     def recv_message(self) -> str | None:
         """Next complete TEXT/BINARY message as str, handling control
@@ -128,5 +163,8 @@ class WSConnection:
             if opcode == OP_PONG:
                 continue
             parts.append(payload)
+            if sum(len(p) for p in parts) > MAX_MESSAGE:
+                self.close(1009, "message too big")  # RFC 6455 §7.4.1
+                return None
             if fin:
                 return b"".join(parts).decode("utf-8", "replace")
