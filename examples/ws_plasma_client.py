@@ -88,6 +88,7 @@ def main() -> int:
         "1700000000000001// demo.cpu{dc=us} 0.17\n"   # filtered out
         "1700000001000000// demo.cpu{dc=eu} 0.58"
     )
+    print("[streamupdate]", pub.recv())  # OK 1 UPDATE 3 <nano>
     # The ingest commits through a Spark job before publishing — wait
     # for the matched points (2 of the 3 lines select dc=eu).
     import time

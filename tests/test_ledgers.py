@@ -104,3 +104,30 @@ def test_lazy_single_access_imports_one_module():
     )
     r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
     assert r.returncode == 0 and r.stdout.startswith("OK"), r.stderr[-2000:]
+
+
+def test_lazy_registry_miss_does_not_trigger_full_load():
+    """A registry miss for a name the INDEX knows (e.g. an ORACLES
+    .get() on a query registered without an oracle) must import only the
+    owning module and raise KeyError — NOT fall through to load_all()
+    and eagerly import all 25 query modules for the rest of the process.
+    Simulated by injecting a fake index entry pointing at a real module
+    that never registers the name (no query is currently oracle-less)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from warp10_platform_spark.queries import ORACLES, QUERIES\n"
+        "from warp10_platform_spark.queries._index import QUERY_MODULE\n"
+        "QUERY_MODULE['__fake_no_oracle__'] = 'tpch'\n"
+        "assert ORACLES.get('__fake_no_oracle__') is None\n"
+        "assert '__fake_no_oracle__' not in ORACLES\n"
+        "loaded = sorted(m.rsplit('.', 1)[-1] for m in sys.modules\n"
+        "                if m.startswith('warp10_platform_spark.queries.'))\n"
+        "assert loaded == ['_index', 'tpch'], loaded  # no full load on the miss\n"
+        "assert 'name_absent_from_index' not in QUERIES  # stale-index net: full load OK\n"
+        "print('OK')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+    assert r.returncode == 0 and r.stdout.startswith("OK"), r.stderr[-2000:]

@@ -266,18 +266,18 @@ def test_websocket_streamupdate_verbs_and_ingest(server):
     c.send("ONERROR message")
     assert c.recv() == "OK 2 ONERROR"
     c.send("1704844800000000// ws.temp{site=eu-1} 21.5")
-    # no ack for measurements (reference behavior); verify via fetch
-    import time as _time
-
-    deadline = _time.time() + 60
-    body = ""
-    while _time.time() < deadline and "ws.temp" not in body:
-        _, body, _ = _get(
-            f"{server}/api/v0/fetch?selector=ws.temp%7B%7D&start=0&end=1804844800000000"
-        )
-        if "ws.temp" not in body:
-            _time.sleep(0.5)
+    # stored updates ack 'OK <seqno> UPDATE <count> <nano>' after the
+    # store commits (StandaloneStreamUpdateHandler.java:454) — reference
+    # clients block on this ack, and the seqno contract includes it
+    ack = c.recv().split()
+    assert ack[:4] == ["OK", "3", "UPDATE", "1"] and int(ack[4]) > 0, ack
+    # ack ⇒ committed: the point is immediately fetchable
+    _, body, _ = _get(
+        f"{server}/api/v0/fetch?selector=ws.temp%7B%7D&start=0&end=1804844800000000"
+    )
     assert "ws.temp{site=eu-1} 21.5" in body
+    c.send("NOOP")
+    assert c.recv() == "OK 4 NOOP"  # seqno advanced past the UPDATE ack
     c.close()
 
 
@@ -326,7 +326,7 @@ def test_websocket_frame_codec_roundtrip_property():
     buf = io.BytesIO()
     part1, part2, part3 = b"hello ", b"fragmented ", b"world"
     buf.write(bytes([ws.OP_TEXT, 0x80 | len(part1)]) + bytes(4) + part1)  # FIN=0, masked zero-key
-    ws.write_frame(buf, b"ping!", ws.OP_PING)
+    ws.write_frame(buf, b"ping!", ws.OP_PING, mask=True)
     buf.write(bytes([ws.OP_CONT, 0x80 | len(part2)]) + bytes(4) + part2)  # FIN=0
     buf.write(bytes([0x80 | ws.OP_CONT, 0x80 | len(part3)]) + bytes(4) + part3)  # FIN=1
     buf.seek(0)
@@ -338,12 +338,68 @@ def test_websocket_frame_codec_roundtrip_property():
     assert op == ws.OP_PONG and pong == b"ping!"  # auto-pong carried payload
 
 
+def test_websocket_protocol_violations_fail_connection():
+    """RFC 6455 strictness (server side): an unmasked client frame fails
+    the connection with close 1002 (§5.1), a TEXT/BINARY opcode arriving
+    mid-fragment is rejected instead of silently concatenated (§5.4), a
+    CONT with no message in progress and a reserved opcode likewise."""
+    import io
+    import struct
+
+    from warp10_platform_spark import websocket as ws
+
+    def close_code(out):
+        out.seek(0)
+        fin, op, payload = ws.read_frame(out)
+        assert op == ws.OP_CLOSE
+        return struct.unpack(">H", payload[:2])[0]
+
+    # unmasked client frame
+    buf, out = io.BytesIO(), io.BytesIO()
+    ws.write_frame(buf, b"hi", ws.OP_TEXT)  # no mask
+    buf.seek(0)
+    conn = ws.WSConnection(buf, out)
+    assert conn.recv_message() is None
+    assert close_code(out) == 1002
+    # a CLIENT-side codec (server=False) must keep accepting unmasked
+    # server frames — the strictness is one-directional
+    buf, out = io.BytesIO(), io.BytesIO()
+    ws.write_frame(buf, b"hi", ws.OP_TEXT)
+    buf.seek(0)
+    assert ws.WSConnection(buf, out, server=False).recv_message() == "hi"
+    # new data frame while a fragmented message is in progress
+    buf, out = io.BytesIO(), io.BytesIO()
+    buf.write(bytes([ws.OP_TEXT, 0x80 | 2]) + bytes(4) + b"ab")  # FIN=0
+    ws.write_frame(buf, b"cd", ws.OP_TEXT, mask=True)  # TEXT, not CONT
+    buf.seek(0)
+    assert ws.WSConnection(buf, out).recv_message() is None
+    assert close_code(out) == 1002
+    # CONT with nothing in progress
+    buf, out = io.BytesIO(), io.BytesIO()
+    buf.write(bytes([0x80 | ws.OP_CONT, 0x80 | 2]) + bytes(4) + b"ab")
+    buf.seek(0)
+    assert ws.WSConnection(buf, out).recv_message() is None
+    assert close_code(out) == 1002
+    # reserved opcode 0x3
+    buf, out = io.BytesIO(), io.BytesIO()
+    buf.write(bytes([0x80 | 0x3, 0x80 | 0]) + bytes(4))
+    buf.seek(0)
+    assert ws.WSConnection(buf, out).recv_message() is None
+    assert close_code(out) == 1002
+
+
 def test_websocket_streamupdate_attr_verbs(server):
     """DELTAON/ATTRSKIP verbs must not fall through to measurement
     parsing: ATTRSKIPON/OFF are accepted silently, DELTAON errors with
     the reference's message (ONERROR message mode keeps the socket open)."""
     c = _WSClient(server, "/api/v0/streamupdate")
     c.send("ONERROR message")
+    assert c.recv().startswith("OK ")
+    # unrecognized ONERROR argument: acked but the mode is UNCHANGED
+    # (the reference only flips on exact 'message'/'close') — DELTAON
+    # below still error-replies instead of closing, proving we stayed
+    # in message mode
+    c.send("ONERROR bogus")
     assert c.recv().startswith("OK ")
     c.send("ATTRSKIPON")
     c.send("ATTRSKIPOFF")

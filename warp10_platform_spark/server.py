@@ -451,9 +451,13 @@ class _Handler(BaseHTTPRequestHandler):
         """Persistent-socket ingest (StandaloneStreamUpdateHandler.java:
         150-200): TOKEN/CLEARTOKEN/NOOP/ONERROR verbs ack ``OK <seqno>
         <VERB>``; any other message is GTS text lines fed to the same
-        store path as POST /update. ONERROR message|close picks whether
-        a failed update replies with an error frame or closes the
-        socket (the reference default: close)."""
+        store path as POST /update, acked ``OK <seqno> UPDATE <count>
+        <nano>`` after the store commits (StandaloneStreamUpdateHandler
+        .java:454 — reference clients block on this ack). ONERROR
+        message|close picks whether a failed update replies with an
+        error frame or closes the socket (the reference default: close);
+        any other ONERROR argument leaves the mode unchanged
+        (the reference only flips on exact 'message'/'close')."""
         seqno = 0
         errormsg = False
         skip_attributes = False
@@ -465,7 +469,11 @@ class _Handler(BaseHTTPRequestHandler):
             if head in ("TOKEN", "CLEARTOKEN", "NOOP", "ONERROR"):
                 toks = msg.split()
                 if head == "ONERROR" and len(toks) > 1:
-                    errormsg = toks[1].lower() == "message"
+                    arg = toks[1].lower()
+                    if arg == "message":
+                        errormsg = True
+                    elif arg == "close":
+                        errormsg = False
                 conn.send_text(f"OK {seqno} {head}")
                 seqno += 1
             elif head in ("DELTAON", "DELTAOFF", "ATTRSKIPON", "ATTRSKIPOFF"):
@@ -486,7 +494,11 @@ class _Handler(BaseHTTPRequestHandler):
                     skip_attributes = head == "ATTRSKIPON"
             else:
                 try:
-                    self.store.append_update(msg)
+                    nano = time.perf_counter_ns()
+                    count = self.store.append_update(msg)
+                    nano = time.perf_counter_ns() - nano
+                    conn.send_text(f"OK {seqno} UPDATE {count} {nano}")
+                    seqno += 1
                 except Exception as e:  # noqa: BLE001
                     if errormsg:
                         conn.send_text(f"ERROR {type(e).__name__}: {e}"[:900])

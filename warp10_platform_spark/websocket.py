@@ -35,6 +35,12 @@ MAX_FRAME = 64 * 1024 * 1024
 MAX_MESSAGE = 128 * 1024 * 1024
 
 
+class ProtocolError(ConnectionError):
+    """RFC 6455 protocol violation — the connection must be failed
+    (close code 1002, §7.1.7). Subclasses ConnectionError so callers
+    that only guard against peer loss still unwind safely."""
+
+
 def _xor_mask(payload: bytes, mask: bytes) -> bytes:
     """Unmask/mask a payload — one big-int XOR instead of a per-byte
     Python loop (multi-MB ingest frames would otherwise be CPU-bound
@@ -62,12 +68,17 @@ def _read_exact(rf, n: int) -> bytes:
     return buf
 
 
-def read_frame(rf) -> tuple[bool, int, bytes]:
-    """One frame off the wire → (fin, opcode, unmasked payload)."""
+def read_frame(rf, require_mask: bool = False) -> tuple[bool, int, bytes]:
+    """One frame off the wire → (fin, opcode, unmasked payload).
+    ``require_mask=True`` is the server side of §5.1: a client MUST mask
+    every frame, and the server MUST fail the connection on an unmasked
+    one (close 1002) — raised here as ProtocolError."""
     b1, b2 = _read_exact(rf, 2)
     fin = bool(b1 & 0x80)
     opcode = b1 & 0x0F
     masked = bool(b2 & 0x80)
+    if require_mask and not masked:
+        raise ProtocolError("unmasked client frame (RFC 6455 §5.1)")
     ln = b2 & 0x7F
     if ln == 126:
         (ln,) = struct.unpack(">H", _read_exact(rf, 2))
@@ -108,10 +119,11 @@ class WSConnection:
     automatic pong, write lock (the Plasma hub's push thread and the
     reader thread both send)."""
 
-    def __init__(self, rfile, wfile, sock=None):
+    def __init__(self, rfile, wfile, sock=None, server: bool = True):
         self.rfile = rfile
         self.wfile = wfile
         self.sock = sock  # raw socket, for lock-free aborts
+        self.server = server  # server side ⇒ client frames MUST be masked (§5.1)
         self._wlock = threading.Lock()
         self.open = True
 
@@ -149,7 +161,10 @@ class WSConnection:
         parts: list[bytes] = []
         while True:
             try:
-                fin, opcode, payload = read_frame(self.rfile)
+                fin, opcode, payload = read_frame(self.rfile, require_mask=self.server)
+            except ProtocolError as e:
+                self.close(1002, str(e))
+                return None
             except (ConnectionError, OSError):
                 self.open = False
                 return None
@@ -162,6 +177,22 @@ class WSConnection:
                 continue
             if opcode == OP_PONG:
                 continue
+            # §5.4 sequencing: a fragmented message is TEXT/BINARY then
+            # CONT frames only; a new data opcode mid-fragment (or a CONT
+            # with no message in progress, or a reserved opcode) fails
+            # the connection — silent concatenation would splice two
+            # messages into one.
+            if opcode in (OP_TEXT, OP_BINARY):
+                if parts:
+                    self.close(1002, "data frame during fragmented message (RFC 6455 §5.4)")
+                    return None
+            elif opcode == OP_CONT:
+                if not parts:
+                    self.close(1002, "continuation frame with no message in progress")
+                    return None
+            else:
+                self.close(1002, f"reserved opcode 0x{opcode:x}")
+                return None
             parts.append(payload)
             if sum(len(p) for p in parts) > MAX_MESSAGE:
                 self.close(1009, "message too big")  # RFC 6455 §7.4.1
