@@ -63,3 +63,26 @@ def test_trained_codebook_beats_random(spark, truth):
     # may only tie the random one until scripts/train_pq_codebook.py
     # is re-run
     assert r["emb_pq_trained_topk"] >= r["emb_pq_topk"]
+
+
+def test_trained_ivf_cell_balance():
+    """The semantic-dedup scale contract: the TRAINED centroids
+    (scripts/train_ivf_centroids.py) must keep every IVF cell within a
+    small factor of N/k on the training corpus — that balance is what
+    bounds the in-cell pair join. (The seeded random centroids
+    degenerate to one cell holding all 500 vectors on this corpus.)
+    Driver-side numpy replica of ivf_assign's squared-L2 argmin."""
+    import duckdb
+    import numpy as np
+
+    from warp10_platform_spark.pipeline.similarity import ivf_centroids_trained
+
+    a = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchnumpy()["embedding"]
+    x = np.stack([np.array(v) for v in a]).astype(np.float64)
+    c = np.array(ivf_centroids_trained())
+    k = len(c)
+    sizes = np.bincount(((x[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(1), minlength=k)
+    assert sizes.max() <= 1.5 * len(x) / k, sizes.tolist()  # measured 66 vs N/k=62
+    assert sizes.min() >= 1, sizes.tolist()  # no empty cells either

@@ -424,3 +424,27 @@ def test_macrofilter_unbounded_fallback_refused(spark, sf_dir, monkeypatch):
     stack.append([gf, [], ("macrofilter", lambda ids, s: [])])
     with pytest.raises(RuntimeError, match="WARP10_MACROFILTER_MAXIDS"):
         WF._filter(st)
+
+
+def test_macrofilter_dropped_symbol_diagnostic(spark, sf_dir, monkeypatch):
+    """A shipped filter macro referencing a symbol that could NOT be
+    pickled to the executors (a lazy frame bound on the driver) must
+    fail with the shipping diagnostic naming the symbol — not a generic
+    undefined-variable NameError (r7 verdict #7)."""
+    import pytest
+
+    import warp10_platform_spark.warpscript.functions as WF
+    from warp10_platform_spark.warpscript.stack import WarpScriptStack
+
+    monkeypatch.setattr(WF, "MACROFILTER_MAXIDS", 1)
+    st = WarpScriptStack(spark, sf_dir)
+    # bind an unpicklable, driver-only value (the SparkSession itself),
+    # then reference it from the filter macro
+    st.symbols["driverthing"] = spark
+    script = (
+        "[ '~events\\..*' {} 0 1706659200000000 ] FETCH "
+        "[ SWAP [] <% $driverthing NULL == %> MACROFILTER ] FILTER"
+    )
+    with pytest.raises(Exception, match="could not be pickled"):
+        st.exec(script)
+        st.pop().df.collect()  # executor-side failure surfaces on action

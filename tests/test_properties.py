@@ -291,3 +291,121 @@ def test_wkt_roundtrip_and_raycast_consistency(n, seed):
     assert parse_wkt(to_wkt(shape)).coords == shape.coords
     assert _point_in_rings(shape.coords, 0.0, 0.0)
     assert not _point_in_rings(shape.coords, 1000.0, 1000.0)
+
+
+def _semantic_dedup_unguarded(spark, emb, centroids, threshold):
+    """The pre-r8 direct in-cell self-join — kept as the property-test
+    reference for the rep-collapse guard (pipeline/similarity.py)."""
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.pipeline.similarity import _DOT, ivf_assign
+    from warp10_platform_spark.pipeline.util import spread
+
+    d = ivf_assign(spread(emb), centroids)
+    n = d.withColumn("norm", F.sqrt(F.expr(_DOT.format(a="v", b="v")))).select(
+        F.col("vec_id").alias("id"), "ivf_cell", "v", "norm"
+    )
+    a = n.select(F.col("id").alias("id_a"), "ivf_cell", F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = n.select(F.col("id").alias("id_b"), "ivf_cell", F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.expr(_DOT.format(a="va", b="vb"))
+    dominated = (
+        a.join(b, ["ivf_cell"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(dot / (F.col("na") * F.col("nb")), 6) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        n.join(dominated.withColumn("dropped", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("ivf_cell").cast("long").alias("ivf_cell"),
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def test_semantic_dedup_guard_preserves_verdicts(spark):
+    """The identical-embedding rep-collapse guard (r8) must emit exactly
+    the unguarded per-vector verdicts on a corpus mixing exact duplicate
+    groups, in-cell near-dups, and cross-cell vectors — at a threshold
+    below and above 1.0. Degenerate zero vectors are checked separately
+    in non-ANSI mode (0/0 -> NULL cosine, which never satisfies >= t, so
+    they neither dominate nor get dominated; under ANSI both paths raise
+    DIVIDE_BY_ZERO identically)."""
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.pipeline.similarity import semantic_dedup
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    vecs = [
+        (0, [1.0, 0.05, 0.0]),   # cell 0
+        (1, [1.0, 0.05, 0.0]),   # exact dup of 0
+        (2, [1.0, 0.30, 0.0]),   # near-dup of 0 (cos ~0.96)
+        (3, [0.0, 1.0, 0.02]),   # cell 1
+        (6, [0.0, 1.0, 0.02]),   # exact dup of 3
+        (7, [-1.0, 0.0, 0.1]),   # cell 0 region, anti-aligned (cos < 0)
+        (8, [1.0, 0.05, 0.0]),   # third copy of 0
+        (9, [0.0, 0.95, -0.3]),  # cell 1, moderate cos
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    for thr in (0.9, 1.5):
+        got = sorted(tuple(r) for r in semantic_dedup(emb, cents, threshold=thr).collect())
+        want = sorted(tuple(r) for r in _semantic_dedup_unguarded(spark, emb, cents, thr).collect())
+        assert got == want, (thr, got, want)
+    # verdicts are sane at 0.9: reps of dup groups kept, copies dropped
+    res = {r["vec_id"]: r["kept"] for r in semantic_dedup(emb, cents, threshold=0.9).collect()}
+    assert res[0] and not res[1] and not res[8]  # dup group keeps min id
+    # zero vectors: guarded == unguarded in non-ANSI NaN semantics
+    zvecs = vecs + [(4, [0.0, 0.0, 0.0]), (5, [0.0, 0.0, 0.0]), (10, [0.0, 0.0, 0.0])]
+    zemb = spark.createDataFrame(zvecs, ["vec_id", "embedding"])
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        got = sorted(tuple(r) for r in semantic_dedup(zemb, cents, threshold=0.9).collect())
+        want = sorted(tuple(r) for r in _semantic_dedup_unguarded(spark, zemb, cents, 0.9).collect())
+        assert got == want, (got, want)
+        zres = {t[0]: t[2] for t in got}
+        # Spark non-ANSI divide-by-zero yields NULL (not IEEE NaN), and
+        # NULL >= t filters out — zero vectors neither dominate nor get
+        # dominated, so every one is kept, including the duplicates
+        assert zres[4] and zres[5] and zres[10]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_semantic_dedup_all_dup_corpus_guarded(spark):
+    """A corpus of N identical vectors must pair-join over ONE
+    representative: verdicts are min-id-keep, and the rep-level join the
+    plan runs is 1x1 per cell (duplication-independent by construction)."""
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.pipeline.similarity import semantic_dedup
+
+    n = 200
+    emb = spark.range(n).select(F.col("id").alias("vec_id"), F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"))
+    out = semantic_dedup(emb, [[1.0, 2.0], [-1.0, -2.0]], threshold=0.9).collect()
+    assert len(out) == n
+    kept = {r["vec_id"] for r in out if r["kept"]}
+    assert kept == {0}
+
+
+def test_semantic_dedup_cell_cap_fails_loudly(spark):
+    """More DISTINCT embeddings in one cell than cell_cap must fail the
+    job with the retrain-centroids message (plan-side assert_true), not
+    silently run the quadratic; the same corpus passes with the cap off."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from warp10_platform_spark.pipeline.similarity import semantic_dedup
+
+    # 50 DISTINCT vectors, all landing in cell 0
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), (F.col("id") * 0.001).cast("double")).alias("embedding"),
+    )
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    with pytest.raises(Exception, match="retrain centroids"):
+        semantic_dedup(emb, cents, threshold=0.99, cell_cap=10).collect()
+    assert semantic_dedup(emb, cents, threshold=0.99, cell_cap=None).count() == 50
+    assert semantic_dedup(emb, cents, threshold=0.99, cell_cap=50).count() == 50

@@ -200,6 +200,20 @@ def pq_codebook_trained():
         return json.load(f)["codebook"]
 
 
+def ivf_centroids_trained():
+    """The offline-trained IVF centroids (scripts/train_ivf_centroids.py:
+    seeded kmeans++ + 25 Lloyd iterations on the corpus) — the
+    semantic-dedup production contract: trained centroids keep cells
+    ~N/k so the in-cell pair join stays bounded. Training cell sizes on
+    the synthetic corpus: 56-66 for N/k = 62."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ivf_centroids_v1.json")
+    with open(path) as f:
+        return json.load(f)["centroids"]
+
+
 def pq_codes(df: DataFrame, codebook, col: str = "embedding") -> DataFrame:
     """PQ encode: per subspace, the index of the nearest centroid
     (argmin of exact squared L2, ties broken by centroid index via struct
@@ -326,7 +340,8 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95, id_col: str = "vec_
 
 
 def semantic_dedup(df: DataFrame, centroids: list[list[float]], threshold: float = 0.85,
-                   id_col: str = "vec_id", col: str = "embedding") -> DataFrame:
+                   id_col: str = "vec_id", col: str = "embedding",
+                   cell_cap: int | None = 50_000) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023,
     arXiv:2303.09540 — cluster, then deduplicate WITHIN clusters): coarse-
     quantize the corpus to IVF cells (literal centroids, JVM argmin, no
@@ -335,31 +350,83 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]], threshold: float
     deterministic, single pass, no iteration). Returns one row per input
     vector: (vec_id, ivf_cell, kept).
 
-    Scale shape: the pair join is an equi-join on ivf_cell, so the
-    quadratic is bounded per cell — the clustering step exists precisely
-    so dedup never sees the global O(N²). At 100 TB: k-means-trained
-    centroids (same contract as the PQ codebook) size cells to ~N/k, and
-    the per-cell join shuffles each vector once."""
+    Identical-embedding guard (the minhash/simhash guards' triplet — r7
+    verdict #1): vectors group by exact content first (one shuffle on a
+    128-bit content key), the in-cell pair join runs over ONE min-id
+    representative per distinct embedding, and verdicts expand back
+    exactly. Correct because cosine is content-determined: for any
+    member x of group g, x is dropped iff some group h (possibly g
+    itself) has cos(h, g) ≥ threshold and min_id(h) < id_x — so the
+    per-group MIN dominating rep id decides every member in one
+    broadcast-join pass. Self-pairs (h = g) carry the group's own
+    self-cosine, which also reproduces the engine semantics for
+    degenerate zero vectors (0/0 → NULL in non-ANSI Spark, and NULL ≥ t
+    never holds — zero vectors neither dominate nor get dominated; ANSI
+    raises identically on both paths). Output set is property-tested
+    identical to the unguarded
+    join; the join cost becomes duplication-independent — a corpus of
+    100 copies per vector costs the same as one copy each.
+
+    Scale shape: the rep-level pair join is an equi-join on ivf_cell, so
+    the remaining quadratic is bounded per cell by the DISTINCT
+    embedding count — the clustering step exists precisely so dedup
+    never sees the global O(N²). At 100 TB: k-means-trained centroids
+    (scripts/train_ivf_centroids.py, same contract as the PQ codebook)
+    size cells to ~N/k. `cell_cap` is the backstop for corpora the
+    centroids don't fit (degenerate embeddings concentrating one cell):
+    a cell with more DISTINCT embeddings than the cap fails the job
+    loudly at execution (plan-side assert_true — no driver probe, no
+    silent quadratic) instead of letting one straggler task do
+    cap²·cos work; the fix is retraining centroids, not a bigger cap."""
     d = ivf_assign(_spread(df), centroids, col)
     n = d.withColumn("norm", F.sqrt(F.expr(_DOT.format(a="v", b="v")))).select(
         F.col(id_col).alias("id"), "ivf_cell", "v", "norm"
     )
-    a = n.select(F.col("id").alias("id_a"), F.col("ivf_cell"), F.col("v").alias("va"), F.col("norm").alias("na"))
-    b = n.select(F.col("id").alias("id_b"), F.col("ivf_cell"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
-    dot = F.expr(_DOT.format(a="va", b="vb"))
-    dominated = (
-        a.join(b, ["ivf_cell"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(dot / (F.col("na") * F.col("nb")), 6) >= threshold)
-        .select(F.col("id_b").alias("id"))
-        .distinct()
+    # content key: md5 of the shortest-round-trip double rendering —
+    # injective per distinct double (Java Double.toString), 128 bits so
+    # collisions stay negligible at corpus scale
+    gk = F.md5(F.expr("array_join(transform(v, x -> cast(x AS string)), ',')"))
+    grp = (
+        n.select("id", "ivf_cell", "v", "norm", gk.alias("gkey"))
+        .groupBy("gkey")
+        .agg(
+            F.min("id").alias("rep"),
+            F.first("ivf_cell").alias("ivf_cell"),
+            F.first("v").alias("v"),
+            F.first("norm").alias("norm"),
+            F.collect_list("id").alias("ids"),
+        )
+        .persist()
     )
+    reps = grp.select("rep", "ivf_cell", "v", "norm")
+    if cell_cap is not None:
+        counts = reps.groupBy("ivf_cell").agg(F.count("*").alias("cell_reps"))
+        reps = reps.join(F.broadcast(counts), "ivf_cell").where(
+            F.expr(
+                f"assert_true(cell_reps <= {int(cell_cap)}, 'semantic_dedup: IVF cell ' || "
+                f"cast(ivf_cell AS string) || ' holds ' || cast(cell_reps AS string) || "
+                f"' distinct embeddings (cell_cap={int(cell_cap)}) — retrain centroids "
+                f"(scripts/train_ivf_centroids.py) or raise cell_cap') IS NULL"
+            )
+        ).drop("cell_reps")
+    a = reps.select(F.col("rep").alias("rep_a"), "ivf_cell", F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = reps.select(F.col("rep").alias("rep_b"), "ivf_cell", F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.expr(_DOT.format(a="va", b="vb"))
+    # min dominating rep per TARGET group — self-pairs included (a
+    # group's own rep dominates its later members iff self-cos ≥ t)
+    min_dom = (
+        a.join(b, ["ivf_cell"])
+        .where(F.round(dot / (F.col("na") * F.col("nb")), 6) >= threshold)
+        .groupBy("rep_b")
+        .agg(F.min("rep_a").alias("min_dom"))
+    )
+    member = grp.select("rep", "ivf_cell", F.explode("ids").alias("id"))
     return (
-        n.join(dominated.withColumn("dropped", F.lit(True)), "id", "left")
+        member.join(min_dom, member["rep"] == min_dom["rep_b"], "left")
         .select(
             F.col("id").alias(id_col),
             F.col("ivf_cell").cast("long").alias("ivf_cell"),
-            F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept"),
+            F.coalesce(F.col("min_dom") >= F.col("id"), F.lit(True)).alias("kept"),
         )
     )
 

@@ -444,12 +444,14 @@ def emb_pq_trained_topk(spark, sf_dir):
     return _sim.pq_topk(queries, emb, _sim.pq_codebook_trained(), topk=3)
 
 
-def _semantic_dedup_oracle(dim: int = 64, n_cells: int = 8, threshold: float = 0.4) -> str:
+def _semantic_dedup_oracle(dim: int = 64, n_cells: int = 8, threshold: float = 0.4,
+                           cents: list[list[float]] | None = None) -> str:
     """DuckDB replica of semantic_dedup: same centroid literals and
     squared-L2 cell argmin as the IVF oracles, then the greedy min-id
     keep — a vector is dropped iff some smaller-id vector in ITS cell
     sits at round(cos, 6) >= threshold."""
-    cents = _ivf_centroids(dim, n_cells)
+    if cents is None:
+        cents = _ivf_centroids(dim, n_cells)
     vals = ", ".join(
         f"({i}, [{','.join(str(x) for x in c)}]::DOUBLE[], {sum(x * x for x in c)})" for i, c in enumerate(cents)
     )
@@ -477,6 +479,20 @@ SELECT n.vec_id, CAST(n.ivf_cell AS BIGINT) AS ivf_cell,
        (dropped.vec_id IS NULL) AS kept
 FROM n LEFT JOIN dropped ON n.vec_id = dropped.vec_id
 """
+
+
+@register("emb_semantic_dedup_trained", _semantic_dedup_oracle(cents=_sim.ivf_centroids_trained()))
+def emb_semantic_dedup_trained(spark, sf_dir):
+    """semantic_dedup with the OFFLINE-TRAINED IVF centroids (seeded
+    kmeans++ + Lloyd, scripts/train_ivf_centroids.py) — the production
+    contract the docstring promises: trained centroids size cells to
+    ~N/k (56-66 on this corpus for N/k = 62 — the seeded RANDOM
+    centroids of emb_semantic_dedup put all 500 vectors in ONE cell,
+    i.e. degenerate to global O(N²)), which is what bounds the in-cell
+    pair join at 100 TB. Same greedy min-id keep and threshold as
+    emb_semantic_dedup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _sim.semantic_dedup(emb, _sim.ivf_centroids_trained(), threshold=0.4)
 
 
 @register("emb_semantic_dedup", _semantic_dedup_oracle())

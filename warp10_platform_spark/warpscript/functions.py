@@ -157,7 +157,10 @@ def _store(st):
 
 @register("LOAD")
 def _load(st):
-    st.push(st.symbols[st.pop()])
+    name = st.pop()
+    if name not in st.symbols:
+        raise NameError(f"undefined variable {name!r}{st._dropped_hint(name)}")
+    st.push(st.symbols[name])
 
 
 @register("EVAL", "RUN")
@@ -704,24 +707,28 @@ def _macrofilter_cap() -> int:
     return int(os.environ.get("WARP10_MACROFILTER_MAXIDS", "10000"))
 
 
-def _picklable_symbols(symbols: dict) -> dict:
+def _picklable_symbols(symbols: dict) -> tuple[dict, list[str]]:
     """Snapshot of the driver stack's symbol table that survives pickling
-    to executors (scalars, lists/maps, Macros); lazy frames and other
-    driver-bound values are dropped — a shipped filter macro referencing
-    one fails executor-side with a clear NameError-style message."""
+    to executors (scalars, lists/maps, Macros), plus the NAMES that were
+    dropped (lazy frames and other driver-bound values). The dropped
+    names ship alongside so a filter macro referencing one fails
+    executor-side with 'was bound on the driver but could not be
+    pickled', not a generic undefined-variable NameError."""
     import pickle
 
-    out = {}
+    out, dropped = {}, []
     for k, v in symbols.items():
         try:
             pickle.dumps(v)
         except Exception:  # noqa: BLE001 — py4j/DataFrame handles
+            dropped.append(k)
             continue
         out[k] = v
-    return out
+    return out, dropped
 
 
-def macrofilter_semijoin(df, tokens, symbols: dict | None = None):
+def macrofilter_semijoin(df, tokens, symbols: dict | None = None,
+                         dropped_symbols: list[str] | None = None):
     """Distributed MACROFILTER (MACROFILTER.java): evaluate the filter
     macro over the DISTINCT series identities ON THE EXECUTORS — a
     mapInPandas over the directory partitions runs a Spark-less
@@ -734,6 +741,7 @@ def macrofilter_semijoin(df, tokens, symbols: dict | None = None):
     ids = df.select("class", "labels_key").distinct()
     toks = list(tokens)
     syms = dict(symbols or {})
+    dropped = list(dropped_symbols or [])
 
     def run(batches):
         import numpy as np
@@ -742,6 +750,7 @@ def macrofilter_semijoin(df, tokens, symbols: dict | None = None):
 
         wst = WarpScriptStack(None, "", bootstrap=False)
         wst.symbols.update(syms)
+        wst.dropped_symbols.update(dropped)
         macro = Macro(toks)
         for pdf in batches:
             keep = []
@@ -795,8 +804,9 @@ def _filter(st):
                     "(WARP10_MACROFILTER_MAXIDS) and no shippable macro — "
                     "refusing the unbounded driver-side evaluation"
                 )
+            syms, dropped = _picklable_symbols(st.symbols)
             st.push(GTSFrame(
-                macrofilter_semijoin(gf.df, tokens, _picklable_symbols(st.symbols)),
+                macrofilter_semijoin(gf.df, tokens, syms, dropped),
                 gf.bucketspec, gf.value_col,
             ))
         else:

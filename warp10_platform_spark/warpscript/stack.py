@@ -71,6 +71,10 @@ class WarpScriptStack:
         self.max_ops = max_ops
         self.max_depth = max_depth
         self._ops = 0
+        # names dropped when a macro shipped to executors (unpicklable
+        # driver-bound values) — consulted to turn a generic undefined-
+        # variable NameError into an actionable shipping diagnostic
+        self.dropped_symbols: set[str] = set()
         # stackps surface (ext/stackps): process-wide visibility + signal
         self.uuid = str(_uuid.uuid4())
         self.name: str | None = None
@@ -131,6 +135,15 @@ class WarpScriptStack:
         except ScriptStop:
             pass
 
+    def _dropped_hint(self, name: str) -> str:
+        if name in self.dropped_symbols:
+            return (
+                f" — symbol {name!r} was bound on the driver but could not be"
+                " pickled to the executors (lazy frame or other driver-bound"
+                " value); rebind it to a shippable value before MACROFILTER"
+            )
+        return ""
+
     def exec_macro(self, macro: Macro) -> None:
         try:
             self._run(macro.tokens)
@@ -151,7 +164,7 @@ class WarpScriptStack:
                 self.push(t.value)
             elif t.kind == "load":
                 if t.value not in self.symbols:
-                    raise NameError(f"line {t.lineno}: undefined variable ${t.value}")
+                    raise NameError(f"line {t.lineno}: undefined variable ${t.value}{self._dropped_hint(t.value)}")
                 self.push(self.symbols[t.value])
             elif t.kind == "deref":
                 macro = self.symbols.get(t.value)
