@@ -10,7 +10,11 @@ compilation (measured ~10 s across the 19-query set — pure driver/JVM
 compile cost that amortizes to zero in any real deployment), so the
 steady-state run is the number that predicts cluster throughput. The
 cold first-pass total is still reported as "cold_value" for
-transparency.
+transparency. Each steady pass also splits per-query BUILD (DataFrame
+construction: driver-side py4j + analysis, constant per call) from EXEC
+(the noop-sink action: the part that scales with data) — "build"/"exec"
+per query plus "build_value"/"exec_value" headline sums — so cross-round
+deltas are attributable without a profiling session (r7 verdict #5).
 """
 
 from __future__ import annotations
@@ -68,6 +72,9 @@ EXTENDED = [
     "rollup_daily_profile",
     # the keep/drop verdict tier of the embedding dedup ladder (r7)
     "emb_semantic_dedup",
+    # same operator with kmeans-trained centroids (r8): cells ~N/k
+    # instead of one degenerate cell — the 100 TB configuration
+    "emb_semantic_dedup_trained",
 ]
 
 
@@ -115,8 +122,16 @@ def main() -> None:
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         bucketed_fact(spark, SF_DIR, tbl, key).limit(1).count()
 
+    # Each timed pass records THREE numbers per query (r7 verdict #5):
+    # build = DataFrame construction (driver-side py4j round-trips +
+    # analysis — constant per call, independent of data volume; measured
+    # ~35-40 % of the sf0.1 total), exec = the noop-sink action (the part
+    # that scales with data and predicts cluster throughput), and their
+    # sum as the cross-round headline. Splitting them makes a
+    # cross-round delta attributable at a glance: a build-only move is a
+    # plan-construction change, an exec move is a real execution change.
     cold: dict[str, float] = {}
-    steadies: list[dict[str, float]] = [{} for _ in range(max(1, args.runs))]
+    steadies: list[dict[str, dict[str, float]]] = [{} for _ in range(max(1, args.runs))]
     for target in [cold] + steadies:
         # Drop persisted intermediates built by the previous pass (minhash
         # signatures etc.) so the steady-state pass measures full compute
@@ -127,17 +142,29 @@ def main() -> None:
             if fn is None:
                 continue
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            target[name] = round(time.perf_counter() - t0, 3)
+            df = fn(spark, SF_DIR)
+            t1 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            t2 = time.perf_counter()
+            if target is cold:
+                cold[name] = round(t2 - t0, 3)
+            else:
+                target[name] = {"build": t1 - t0, "exec": t2 - t1}
     # Per-query MEDIAN of the steady passes (robust to a single
     # GC/scheduler outlier in either direction), plus the spread
     # (max - min) so a cross-round delta can be judged against this
     # box's measured run-to-run variance without a re-run.
     import statistics
 
-    samples = {n: sorted(s[n] for s in steadies) for n in steadies[0]}
+    samples = {n: sorted(s[n]["build"] + s[n]["exec"] for s in steadies) for n in steadies[0]}
     med = {n: round(statistics.median(v), 3) for n, v in samples.items()}
     spread = {n: round(v[-1] - v[0], 3) for n, v in samples.items()}
+    build = {
+        n: round(statistics.median([s[n]["build"] for s in steadies]), 3) for n in steadies[0]
+    }
+    execu = {
+        n: round(statistics.median([s[n]["exec"] for s in steadies]), 3) for n in steadies[0]
+    }
     timings = {n: med[n] for n in HEADLINE if n in med}
     extended = {n: med[n] for n in EXTENDED if n in med}
 
@@ -153,6 +180,14 @@ def main() -> None:
                 "queries": timings,
                 "extended": extended,
                 "spread": {n: spread[n] for n in list(timings) + list(extended)},
+                # per-query medians of the two phases (build + exec ==
+                # the per-query total up to independent-median skew);
+                # exec_value is the execution-only headline the 2x
+                # BASELINE bound should be judged on
+                "build": {n: build[n] for n in list(timings) + list(extended)},
+                "exec": {n: execu[n] for n in list(timings) + list(extended)},
+                "build_value": round(sum(build[n] for n in timings), 3),
+                "exec_value": round(sum(execu[n] for n in timings), 3),
                 "cold_value": round(sum(cold[n] for n in timings), 3),
                 "runs": len(steadies),
                 "startup": {

@@ -3797,7 +3797,18 @@ def _metaset(st):
         return None if isinstance(v, float) and _math.isnan(v) else int(v)
 
     selector = str(cls) + "{" + ",".join(f"{k}={v}" for k, v in (labels or {}).items()) + "}"
-    rows = find(build_directory(events_points(st.spark, st.sf_dir)), selector).collect()
+    # Bounded materialization (r7 verdict #4): the reference's FIND.java:
+    # 523 enforces the stack's gts.limit attribute (DEFAULT_GTS_LIMIT
+    # 100000) while draining the directory iterator — same contract
+    # here via a limit(cap+1) probe, so a 10^7-series selector fails
+    # with the reference's message instead of collecting the directory.
+    cap = int(getattr(st, "attributes", {}).get("maxgts", 100_000))
+    rows = find(build_directory(events_points(st.spark, st.sf_dir)), selector).limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"METASET exceeded limit of {cap} Geo Time Series. "
+            "Consider raising the limit (MAXGTS) or narrowing the selector."
+        )
     if not rows:
         raise ValueError(
             "METASET couldn't find any metadata matching the given class and label selectors."
