@@ -6,8 +6,13 @@
 - every queries() entry run, oracled entries compared to DuckDB
   (sorted columns, sorted rows, value compare with float tolerance).
 
-Usage: python scripts/driver_mirror.py [sf_dir] [query ...]
+Usage: python scripts/driver_mirror.py [--json FILE] [sf_dir] [query ...]
 Prints one line per query: PASS / NO_ORACLE / FAIL(reason) / ERR(exc).
+--json additionally writes a CORRECTNESS-style machine-diffable record:
+{"meta": {sf_dir, mode, tz, ansi, parts, full_run, when},
+ "results": {name: {"status": ..., "secs": ..., "reason": ...}}}
+so ledger top-ups carry their provenance in a diffable form instead of
+hand-edited PASS lines (r7 verdict #8).
 """
 
 import math
@@ -44,8 +49,14 @@ def compare(sp, du, float_tol=1e-6, rel_tol=1e-6):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from pyspark.sql import SparkSession
 
@@ -84,6 +95,7 @@ def main():
     oracles = entry.oracle_sql()
 
     n_pass = n_fail = n_err = n_noora = 0
+    results: dict[str, dict] = {}
     for name in sorted(queries):
         if only and name not in only:
             continue
@@ -96,21 +108,49 @@ def main():
                 reason = compare(sp, du)
                 if reason is None:
                     n_pass += 1
+                    results[name] = {"status": "PASS", "secs": round(time.time() - t0, 1)}
                     print(f"PASS      {name} ({time.time()-t0:.1f}s)")
                 else:
                     n_fail += 1
+                    results[name] = {"status": "FAIL", "reason": reason}
                     print(f"FAIL      {name}: {reason}")
             else:
                 df.limit(5).collect()
                 n_noora += 1
+                results[name] = {"status": "NO_ORACLE", "secs": round(time.time() - t0, 1)}
                 print(f"NO_ORACLE {name} ({time.time()-t0:.1f}s)")
         except Exception as e:  # noqa: BLE001
             n_err += 1
+            results[name] = {
+                "status": "ERR",
+                "reason": f"{type(e).__name__}: {str(e).splitlines()[0][:200]}",
+            }
             print(f"ERR       {name}: {type(e).__name__}: {str(e).splitlines()[0][:200]}")
             if only:
                 traceback.print_exc()
         sys.stdout.flush()
     print(f"\nTOTAL pass={n_pass} fail={n_fail} err={n_err} no_oracle={n_noora}")
+    if json_out:
+        import datetime
+        import json as _json
+
+        rec = {
+            "meta": {
+                "sf_dir": sf_dir,
+                "time_units": os.environ.get("WARP10_TIME_UNITS", "us"),
+                "tz": os.environ.get("MIRROR_TZ") or "UTC(default)",
+                "ansi": os.environ.get("MIRROR_ANSI") or "(default)",
+                "shuffle_partitions": parts,
+                "full_run": not only,
+                "queries_requested": sorted(only) if only else "ALL",
+                "when": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
+                "totals": {"pass": n_pass, "fail": n_fail, "err": n_err, "no_oracle": n_noora},
+            },
+            "results": results,
+        }
+        with open(json_out, "w") as f:
+            _json.dump(rec, f, indent=1)
+        print(f"wrote {json_out}")
 
 
 if __name__ == "__main__":
