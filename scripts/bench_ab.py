@@ -35,8 +35,9 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-# r6 final code commit (pre-r7 state) — the pinned comparison point.
-DEFAULT_BASELINE = "eab8b3f"
+# r7 final commit (pre-r8 state) — the pinned comparison point.
+# (r7's run pinned the r6 close eab8b3f the same way.)
+DEFAULT_BASELINE = "65aa281"
 
 
 def run_bench(workdir: str) -> dict:
@@ -144,7 +145,7 @@ def main() -> None:
         "per_query": per_query,
         "runs": pairs,
     }
-    round_no = os.environ.get("ROUND", "7")
+    round_no = os.environ.get("ROUND", "8")
     path = os.path.join(REPO, f"BENCH_AB_r{round_no}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
