@@ -88,7 +88,16 @@ def main() -> None:
              "per-query MEDIAN of these (default 3) — making the artifact's "
              "sample count explicit (r6 verdict ask #8)",
     )
+    ap.add_argument(
+        "--tier", choices=("all", "headline"), default="all",
+        help="'headline' times only the headline set (the cross-round "
+             "comparable tier) — used by scripts/bench_cores.py, where the "
+             "extended tier's deliberately-degenerate configurations (e.g. "
+             "emb_semantic_dedup's random one-cell centroids) would dominate "
+             "a low-core run with work the probe isn't measuring",
+    )
     args = ap.parse_args()
+    extended_set = EXTENDED if args.tier == "all" else []
 
     # Startup budget (r6 verdict ask #7): time the Python import of the
     # bench's query set (lazy, index-driven — only the owning modules
@@ -96,7 +105,7 @@ def main() -> None:
     t_imp0 = time.perf_counter()
     from warp10_platform_spark.queries import QUERIES
 
-    for _name in HEADLINE + EXTENDED + ["map_delta"]:
+    for _name in HEADLINE + extended_set + ["map_delta"]:
         QUERIES[_name]
     t_imports = time.perf_counter() - t_imp0
 
@@ -137,7 +146,7 @@ def main() -> None:
         # signatures etc.) so the steady-state pass measures full compute
         # with warm JIT, not cached-frame reads.
         spark.catalog.clearCache()
-        for name in HEADLINE + EXTENDED:
+        for name in HEADLINE + extended_set:
             fn = QUERIES.get(name)
             if fn is None:
                 continue

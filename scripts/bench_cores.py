@@ -1,11 +1,15 @@
 """Core-scaling probe (r7 verdict #2): the decade probe (SCALE.md)
 scaled ROWS at fixed cores; this scales CORES at fixed rows.
 
-Runs the bench headline tier at a fixed scale factor (default
-.cache/sf1, ~6M-row lineitem) on local[4/8/16/32] — each core count in
-a FRESH subprocess (a SparkSession's master is fixed for the JVM's
-lifetime) using bench.py's own timing discipline (warm-up pass, then
---runs steady passes, per-query medians, build/exec split). Reports
+Runs the bench HEADLINE tier (--tier headline: the extended tier's
+deliberately-degenerate configurations, e.g. emb_semantic_dedup's
+random one-cell centroids, would dominate a low-core run — measured:
+~40 min of interpreted dot products at local[4]/sf1) at a fixed scale
+factor (default .cache/sf1, ~6M-row lineitem) on local[4/8/16/32] —
+each core count in a FRESH subprocess (a SparkSession's master is
+fixed for the JVM's lifetime) using bench.py's own timing discipline
+(warm-up pass, then --runs steady passes, per-query medians,
+build/exec split). Reports
 per-query parallel efficiency E(c) = (T_exec(4) * 4) / (T_exec(c) * c)
 relative to the 4-core run — EXEC time only, because plan build is
 driver-side and constant by construction (the decade probe quantified
@@ -38,7 +42,7 @@ def run_one(cores: int, sf_dir: str, runs: int) -> dict:
         SPARK_DRIVER_MEMORY="24g",
     )
     r = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), "--runs", str(runs)],
+        [sys.executable, os.path.join(REPO, "bench.py"), "--runs", str(runs), "--tier", "headline"],
         capture_output=True,
         text=True,
         env=env,

@@ -413,10 +413,20 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]], threshold: float
     b = reps.select(F.col("rep").alias("rep_b"), "ivf_cell", F.col("v").alias("vb"), F.col("norm").alias("nb"))
     dot = F.expr(_DOT.format(a="va", b="vb"))
     # min dominating rep per TARGET group — self-pairs included (a
-    # group's own rep dominates its later members iff self-cos ≥ t)
+    # group's own rep dominates its later members iff self-cos ≥ t).
+    # rep_a <= rep_b prunes half the pairs WITHOUT changing min_dom: a
+    # qualifying dominator with rep_a > rep_b could only matter if it
+    # lowered the min, but whenever ANY pair qualifies at t ≤ 1 the
+    # self-pair does too (self-cos rounds to 1.0 for norm > 0; zero
+    # vectors qualify nowhere — NULL cosine), so min_dom ≤ rep_b already
+    # and larger reps can never lower it; at t > 1 nothing qualifies at
+    # all. The cheap comparison is FIRST in the conjunction so the
+    # interpreted higher-order dot product short-circuits away for the
+    # pruned half (HOF exprs don't codegen — measured: this predicate is
+    # the whole cost of a degenerate one-cell corpus).
     min_dom = (
         a.join(b, ["ivf_cell"])
-        .where(F.round(dot / (F.col("na") * F.col("nb")), 6) >= threshold)
+        .where((F.col("rep_a") <= F.col("rep_b")) & (F.round(dot / (F.col("na") * F.col("nb")), 6) >= threshold))
         .groupBy("rep_b")
         .agg(F.min("rep_a").alias("min_dom"))
     )
