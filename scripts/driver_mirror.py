@@ -53,6 +53,8 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("-") or os.path.isdir(argv[i + 1]):
+            sys.exit("usage: driver_mirror.py [--json FILE] [sf_dir] [query ...] — --json needs an output FILE")
         json_out = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"

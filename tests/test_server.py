@@ -386,6 +386,18 @@ def test_websocket_protocol_violations_fail_connection():
     buf.seek(0)
     assert ws.WSConnection(buf, out).recv_message() is None
     assert close_code(out) == 1002
+    # fragmented control frame (PING with FIN=0, §5.5)
+    buf, out = io.BytesIO(), io.BytesIO()
+    buf.write(bytes([ws.OP_PING, 0x80 | 2]) + bytes(4) + b"ab")
+    buf.seek(0)
+    assert ws.WSConnection(buf, out).recv_message() is None
+    assert close_code(out) == 1002
+    # oversized control payload (> 125 bytes, §5.5)
+    buf, out = io.BytesIO(), io.BytesIO()
+    ws.write_frame(buf, b"x" * 126, ws.OP_PING, mask=True)
+    buf.seek(0)
+    assert ws.WSConnection(buf, out).recv_message() is None
+    assert close_code(out) == 1002
 
 
 def test_websocket_streamupdate_attr_verbs(server):

@@ -386,15 +386,22 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]], threshold: float
     # injective per distinct double (Java Double.toString), 128 bits so
     # collisions stay negligible at corpus scale
     gk = F.md5(F.expr("array_join(transform(v, x -> cast(x AS string)), ',')"))
+    keyed = n.select("id", "ivf_cell", "v", "norm", gk.alias("gkey"))
+    # No collect_list of member ids: a 10^8-copy group would build one
+    # ~GB array row in a single aggregation buffer — the exact skew this
+    # guard exists for. Membership is recovered by re-joining `keyed` on
+    # gkey instead (same shuffle key, bounded rows). persist() (memory-
+    # and-disk, LRU-evictable) is the same pattern as the minhash guard:
+    # grp feeds both join sides + the cap counts + the expansion, and
+    # unpersisting eagerly would defeat the reuse (the caller's action
+    # drives all of them in one job).
     grp = (
-        n.select("id", "ivf_cell", "v", "norm", gk.alias("gkey"))
-        .groupBy("gkey")
+        keyed.groupBy("gkey")
         .agg(
             F.min("id").alias("rep"),
             F.first("ivf_cell").alias("ivf_cell"),
             F.first("v").alias("v"),
             F.first("norm").alias("norm"),
-            F.collect_list("id").alias("ids"),
         )
         .persist()
     )
@@ -430,7 +437,9 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]], threshold: float
         .groupBy("rep_b")
         .agg(F.min("rep_a").alias("min_dom"))
     )
-    member = grp.select("rep", "ivf_cell", F.explode("ids").alias("id"))
+    member = keyed.select("id", "gkey").join(
+        grp.select("gkey", "rep", "ivf_cell"), "gkey"
+    )
     return (
         member.join(min_dom, member["rep"] == min_dom["rep_b"], "left")
         .select(

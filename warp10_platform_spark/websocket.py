@@ -168,6 +168,12 @@ class WSConnection:
             except (ConnectionError, OSError):
                 self.open = False
                 return None
+            # §5.5: control frames MUST NOT be fragmented and MUST carry
+            # ≤ 125 payload bytes — fail the connection like the other
+            # protocol violations rather than silently processing them.
+            if opcode >= OP_CLOSE and (not fin or len(payload) > 125):
+                self.close(1002, "fragmented or oversized control frame (RFC 6455 §5.5)")
+                return None
             if opcode == OP_CLOSE:
                 self.close()
                 return None
