@@ -11,7 +11,7 @@ Four tiers, increasingly scalable:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 def TOKS():
@@ -52,24 +52,49 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 _INTRA_FLAT_MAX = 64
 
 
-def _intra_pairs(grp: DataFrame) -> DataFrame:
-    """(id_a, id_b) pairs within each identical-doc group (columns:
-    ids array, rep). Hybrid flatten/join on group size, see above."""
-    flat = (
-        grp.where((F.size("ids") > 1) & (F.size("ids") <= _INTRA_FLAT_MAX))
+def _group_members(keyed: DataFrame, key: str = "gk") -> DataFrame:
+    """Annotate each row of `keyed` with its identical-content group's
+    (rep, cnt) via an unbounded window over the group key, and persist
+    the result — the ONE cached frame each guard's downstream branches
+    (reps, membership expansion, intra-pairs) all read. Replaces the
+    pre-r8 groupBy(collect_list(ids)) pattern: a giant duplicate group
+    now occupies one window task that STREAMS min/count (spillable)
+    instead of one ~GB array row in an aggregation buffer."""
+    w = Window.partitionBy(key)
+    return keyed.select(
+        "*", F.min("doc_id").over(w).alias("rep"), F.count("*").over(w).alias("cnt")
+    ).persist()
+
+
+def _intra_pairs(member: DataFrame) -> DataFrame:
+    """(id_a, id_b) pairs within each identical-doc group. `member` has
+    one row per doc: (rep, doc_id, cnt) where rep = the group's min id
+    and cnt = group size (rep is group-unique, so it serves as the
+    group key — a LONG, cheaper to shuffle/compare than the md5 string).
+    Hybrid on group size, see above — with the r8 refinement that NO
+    unbounded collect_list exists anywhere: small groups re-pack a
+    BOUNDED (≤ _INTRA_FLAT_MAX) id array per group and flatten their
+    pairs in one row; big groups pay the distributed self-join. A
+    10^8-copy duplicate group therefore never builds a ~GB array in a
+    single aggregation buffer (the skew hole the r8 review found in the
+    semantic-dedup guard applies identically here)."""
+    small = (
+        member.where((F.col("cnt") > 1) & (F.col("cnt") <= _INTRA_FLAT_MAX))
+        .groupBy("rep")
+        .agg(F.collect_list("doc_id").alias("ids"))
         .select(F.explode(F.expr(
             "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), "
             "y -> named_struct('a', least(x, y), 'b', greatest(x, y)))))"
         )).alias("p"))
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
     )
-    big = grp.where(F.size("ids") > _INTRA_FLAT_MAX).select("rep", F.explode("ids").alias("doc_id"))
+    big = member.where(F.col("cnt") > _INTRA_FLAT_MAX).select("rep", "doc_id")
     ia, ib = big.alias("ia"), big.alias("ib")
     joined = (
         ia.join(ib, (F.col("ia.rep") == F.col("ib.rep")) & (F.col("ia.doc_id") < F.col("ib.doc_id")))
         .select(F.col("ia.doc_id").alias("id_a"), F.col("ib.doc_id").alias("id_b"))
     )
-    return flat.unionByName(joined)
+    return small.unionByName(joined)
 
 
 def _shingles(docs: DataFrame, n: int, id_col: str) -> DataFrame:
@@ -118,14 +143,18 @@ def ngram_jaccard_pairs(
     contributes k-1 edges instead of k(k-1)/2 — the shape dup-clustering
     at 100 TB needs.
     """
-    sh = _shingles(_spread(docs), n, id_col)
     key = F.md5(F.array_join(F.array_sort("sh"), "\x01"))
-    grp = (
-        sh.groupBy(key.alias("gk"))
-        .agg(F.min("doc_id").alias("rep"), F.first("sh").alias("sh"), F.collect_list("doc_id").alias("ids"))
-        .persist()
+    # ONE persisted frame carries shingles + content key + per-group
+    # (rep, cnt) via an unbounded window — no collect_list of member ids
+    # anywhere, so no group ever materializes its full id list in one
+    # aggregation-buffer row (r8, the skew hole the review found in the
+    # semantic-dedup guard; a giant group here lands in one WINDOW task
+    # that streams min/count with spill, never one giant row). Reps,
+    # membership and intra-pairs all read this cache — no extra joins.
+    member = _group_members(
+        _shingles(_spread(docs), n, id_col).select("doc_id", "sh", key.alias("gk"))
     )
-    rsh = grp.select(F.col("rep").alias("doc_id"), "sh")
+    rsh = member.where(F.col("doc_id") == F.col("rep")).select("doc_id", "sh")
     e = rsh.select("doc_id", F.explode("sh").alias("s"))
     sizes = rsh.select("doc_id", F.size("sh").alias("n"))
     a, b = e.alias("a"), e.alias("b")
@@ -144,7 +173,6 @@ def ngram_jaccard_pairs(
         .where(j >= threshold)
         .select(F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), F.round(j, 6).alias("jaccard"))
     )
-    member = grp.select("rep", F.explode("ids").alias("doc_id"))
     if cluster_edges:
         stars = member.where(F.col("doc_id") != F.col("rep")).select(
             F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b"), F.lit(1.0).alias("jaccard")
@@ -163,7 +191,7 @@ def ngram_jaccard_pairs(
             "jaccard",
         )
     )
-    intra = _intra_pairs(grp).withColumn("jaccard", F.lit(1.0))
+    intra = _intra_pairs(member).withColumn("jaccard", F.lit(1.0))
     if threshold > 1.0:
         intra = intra.where(F.lit(False))
     return expanded.unionByName(intra)
@@ -215,10 +243,7 @@ def minhash_lsh_pairs(
     ngram_jaccard_pairs (id_a, id_b, jaccard). portable=True swaps the
     base hash and band key for forms DuckDB reproduces exactly."""
     rows = num_hashes // bands
-    # Persist the shingle frame: it feeds signature computation AND the
-    # rep-level exact verify; recomputing per-doc hashing dominates the
-    # operator otherwise. Spark evicts LRU on pressure.
-    sh = _shingles(_spread(docs), n, id_col).persist()
+    sh = _shingles(_spread(docs), n, id_col)
     # ---- identical-set guard -------------------------------------------
     # Degenerate corpora (thousands of byte-identical docs) put whole
     # groups on EVERY band key (quadratic×bands band join) AND make the
@@ -232,17 +257,12 @@ def minhash_lsh_pairs(
     # jaccard = 1.0 by construction. Output set == the unguarded one
     # (property-tested: test_minhash_lsh_guard_preserves_candidates).
     gk = F.md5(F.array_join(F.array_sort("sh"), "\x01"))
-    grp = (
-        sh.select("doc_id", "sh", gk.alias("sk"))
-        .groupBy("sk")
-        .agg(
-            F.min("doc_id").alias("rep"),
-            F.first("sh").alias("sh"),
-            F.collect_list("doc_id").alias("ids"),
-        )
-        .persist()
-    )
-    reps_sh = grp.select(F.col("rep").alias("doc_id"), "sh")
+    # ONE persisted frame (shingles + content key + windowed rep/cnt —
+    # _group_members) serves signature computation, the rep-level exact
+    # verify, membership expansion and intra-pairs; no collect_list of
+    # member ids anywhere (r8 — see _group_members/_intra_pairs).
+    member = _group_members(sh.select("doc_id", "sh", gk.alias("gk")))
+    reps_sh = member.where(F.col("doc_id") == F.col("rep")).select("doc_id", "sh")
     reps = minhash_signatures(docs, n, num_hashes, id_col, shingles=reps_sh, portable=portable)
     if portable:
         bh = f"array_join(slice(sig, b * {rows} + 1, {rows}), ',')"
@@ -274,7 +294,6 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("rep_a", "rep_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    member = grp.select("rep", F.explode("ids").alias("doc_id"))
     ma, mb = member.alias("ma"), member.alias("mb")
     expanded = (
         rep_pairs.join(ma, F.col("ma.rep") == F.col("rep_a"))
@@ -287,7 +306,7 @@ def minhash_lsh_pairs(
     )
     # Intra-group pairs (identical shingle sets, jaccard exactly 1.0):
     # hybrid flatten/self-join on group size (_intra_pairs).
-    intra = _intra_pairs(grp).withColumn("jaccard", F.lit(1.0))
+    intra = _intra_pairs(member).withColumn("jaccard", F.lit(1.0))
     if threshold > 1.0:
         intra = intra.where(F.lit(False))
     return expanded.unionByName(intra)
@@ -332,13 +351,12 @@ def simhash_pairs(docs: DataFrame, radius: int = 3, id_col: str = "doc_id", port
     DISTINCT fingerprint instead of 4·ΣC(k,2) duplicate-bucket rows —
     the sf10 fixture, 100 copies per text, measured 46.9 s unguarded
     with the whole excess in the blocked self-join + distinct)."""
+    # ONE persisted frame (fingerprint + windowed rep/cnt) serves the
+    # segment blocking, membership expansion and intra-pairs; no
+    # collect_list of member ids (r8 — see _group_members/_intra_pairs).
     s = simhash(_spread(docs), id_col, portable=portable)
-    grp = (
-        s.groupBy("simhash")
-        .agg(F.min("doc_id").alias("rep"), F.collect_list("doc_id").alias("ids"))
-        .persist()
-    )
-    reps = grp.select(F.col("rep").alias("doc_id"), "simhash")
+    member = _group_members(s.select("doc_id", "simhash"), key="simhash")
+    reps = member.where(F.col("doc_id") == F.col("rep")).select("doc_id", "simhash")
     segs = reps.select(
         "doc_id",
         "simhash",
@@ -357,7 +375,6 @@ def simhash_pairs(docs: DataFrame, radius: int = 3, id_col: str = "doc_id", port
         .distinct()
         .where(F.col("hamming") <= radius)
     )
-    member = grp.select("rep", F.explode("ids").alias("doc_id"))
     ma, mb = member.alias("ma"), member.alias("mb")
     expanded = (
         rep_pairs.join(ma, F.col("ma.rep") == F.col("rep_a"))
@@ -368,5 +385,5 @@ def simhash_pairs(docs: DataFrame, radius: int = 3, id_col: str = "doc_id", port
             "hamming",
         )
     )
-    intra = _intra_pairs(grp).withColumn("hamming", F.lit(0))
+    intra = _intra_pairs(member).withColumn("hamming", F.lit(0))
     return expanded.unionByName(intra)

@@ -386,26 +386,19 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]], threshold: float
     # injective per distinct double (Java Double.toString), 128 bits so
     # collisions stay negligible at corpus scale
     gk = F.md5(F.expr("array_join(transform(v, x -> cast(x AS string)), ',')"))
-    keyed = n.select("id", "ivf_cell", "v", "norm", gk.alias("gkey"))
-    # No collect_list of member ids: a 10^8-copy group would build one
-    # ~GB array row in a single aggregation buffer — the exact skew this
-    # guard exists for. Membership is recovered by re-joining `keyed` on
-    # gkey instead (same shuffle key, bounded rows). persist() (memory-
-    # and-disk, LRU-evictable) is the same pattern as the minhash guard:
-    # grp feeds both join sides + the cap counts + the expansion, and
-    # unpersisting eagerly would defeat the reuse (the caller's action
-    # drives all of them in one job).
-    grp = (
-        keyed.groupBy("gkey")
-        .agg(
-            F.min("id").alias("rep"),
-            F.first("ivf_cell").alias("ivf_cell"),
-            F.first("v").alias("v"),
-            F.first("norm").alias("norm"),
-        )
-        .persist()
-    )
-    reps = grp.select("rep", "ivf_cell", "v", "norm")
+    # No collect_list of member ids and no second corpus scan: ONE
+    # window over the content key annotates every row with its group's
+    # min-id rep (a giant duplicate group occupies one window task that
+    # STREAMS the min with spill — never one ~GB array row in an
+    # aggregation buffer, the exact skew this guard exists for), and the
+    # persisted result serves the rep-level join sides, the cap counts
+    # and the verdict expansion. persist() (memory-and-disk,
+    # LRU-evictable) is the same pattern as the minhash guard.
+    member = n.select(
+        "id", "ivf_cell", "v", "norm",
+        F.min("id").over(Window.partitionBy(gk)).alias("rep"),
+    ).persist()
+    reps = member.where(F.col("id") == F.col("rep")).select("rep", "ivf_cell", "v", "norm")
     if cell_cap is not None:
         counts = reps.groupBy("ivf_cell").agg(F.count("*").alias("cell_reps"))
         reps = reps.join(F.broadcast(counts), "ivf_cell").where(
@@ -436,9 +429,6 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]], threshold: float
         .where((F.col("rep_a") <= F.col("rep_b")) & (F.round(dot / (F.col("na") * F.col("nb")), 6) >= threshold))
         .groupBy("rep_b")
         .agg(F.min("rep_a").alias("min_dom"))
-    )
-    member = keyed.select("id", "gkey").join(
-        grp.select("gkey", "rep", "ivf_cell"), "gkey"
     )
     return (
         member.join(min_dom, member["rep"] == min_dom["rep_b"], "left")
