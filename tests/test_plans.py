@@ -143,8 +143,12 @@ def test_minhash_guard_bands_reps_only(spark, sf_dir):
 
     from warp10_platform_spark.pipeline import dedup
 
+    # the guard routes through the windowed group annotation (r8): reps
+    # are the rows where doc_id == rep of the ONE persisted member frame
     src = inspect.getsource(dedup.minhash_lsh_pairs)
-    assert "reps.select" in src and 'F.min("doc_id").alias("rep")' in src
+    assert "_group_members" in src and 'F.col("doc_id") == F.col("rep")' in src
+    gm = inspect.getsource(dedup._group_members)
+    assert 'F.min("doc_id").over' in gm and "F.collect_list" not in gm
 
 
 def test_contamination_broadcasts_eval_side(spark, sf_dir):

@@ -553,3 +553,61 @@ def test_pluggable_kafka_shaped_source_same_pipeline(spark, sf_dir, tmp_path):
     assert [(f.name, f.dataType) for f in shaped.schema] == [
         (f.name, f.dataType) for f in want
     ]  # nullability differs on literals; names+types are the contract
+
+
+def test_plasma_frontend_kafka_topology(spark, tmp_path):
+    """Distributed Plasma front-end (PlasmaFrontEnd.java:460 topology):
+    a kafka-shaped plasma topic stream consumed by plasma_frontend
+    pushes GTS text to the hub's subscribers — only selector-matched
+    lines reach each session, exactly like the standalone in-process
+    wiring, so the cluster deployment differs only in the source."""
+    import threading
+
+    from warp10_platform_spark.core.selector import parse_selector
+    from warp10_platform_spark.server import PlasmaHub
+    from warp10_platform_spark.streaming.ingest import plasma_frontend
+
+    text_dir = tmp_path / "plasma_topic"
+    text_dir.mkdir()
+    (text_dir / "b1.txt").write_text(
+        "1704844800000000// pf.cpu{dc=eu} 0.25\n"
+        "1704844800000001// pf.cpu{dc=us} 0.50\n"
+        "1704844800000002// pf.mem{dc=eu} 0.75\n"
+    )
+
+    hub = PlasmaHub()
+
+    class FakeConn:
+        def __init__(self):
+            self.lines = []
+            self.open = True
+            self._lk = threading.Lock()
+
+        def send_text(self, text):
+            with self._lk:
+                self.lines.extend(ln for ln in text.splitlines() if ln.strip())
+
+        def close(self, *a):
+            self.open = False
+
+        abort = close
+
+    sub = FakeConn()
+    hub.register(sub)
+    hub.subscribe(sub, "pf.cpu{dc=eu}", parse_selector("pf.cpu{dc=eu}"))
+
+    q = plasma_frontend(
+        spark, hub, source="kafka-shaped", path=str(text_dir),
+        topic="plasma-out", checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import time as _time
+
+    deadline = _time.time() + 15
+    while _time.time() < deadline and len(sub.lines) < 1:
+        _time.sleep(0.1)
+    assert sub.lines == ["1704844800000000// pf.cpu{dc=eu} 0.25"]
+    hub.deregister(sub)

@@ -67,6 +67,14 @@ def read_points_stream(spark: SparkSession, source: str = "file", **options) -> 
       downstream of the broker executes verbatim; the broker-only delta
       is offset/rebalance management, owned by Spark's kafka source.
     """
+    return parse_gts_lines(_read_lines_stream(spark, source, **options))
+
+
+def _read_lines_stream(spark: SparkSession, source: str, **options) -> DataFrame:
+    """The transport half of read_points_stream: source → `value` STRING
+    column of GTS text lines, BEFORE parsing — shared by the ingest
+    pipeline (parse → watermark → append) and the Plasma front-end
+    (push raw lines to WS subscribers, no parse needed)."""
     if source == "file":
         path = options.pop("path")
         reader = spark.readStream.format("text")
@@ -131,7 +139,42 @@ def read_points_stream(spark: SparkSession, source: str = "file", **options) -> 
         lines = _from_kafka_rows(shaped)
     else:
         raise ValueError(f"unknown streaming source {source!r}: file|socket|rate|kafka|kafka-shaped")
-    return parse_gts_lines(lines)
+    return lines
+
+
+def plasma_frontend(spark: SparkSession, hub, *, source: str = "kafka-shaped",
+                    checkpoint: str, **options):
+    """Distributed Plasma FRONT-END topology (continuum/plasma/
+    PlasmaFrontEnd.java:460): subscribe to the plasma TOPIC stream and
+    push each micro-batch's GTS text lines to the hub's WebSocket
+    subscribers. In the distributed reference, ingress publishes to
+    Kafka plasma topics, PlasmaBackEnd crosses them, and each front-end
+    instance consumes ITS topic partitions and fans matched data out to
+    its connected sessions; the standalone wiring (server.py: ingest →
+    hub.publish in-process) collapses the topic away. This runner is
+    that consumer over the kafka / kafka-shaped source — the cluster
+    deployment swaps source='kafka' + broker options and nothing else
+    changes.
+
+    The per-batch driver materialization is the topology's own shape —
+    a front-end IS the single consumer that hands its partition subset
+    to in-process WS sessions (the reference's onWebSocketMessage path
+    likewise holds the message being fanned out); batch size is bounded
+    by the source's trigger knobs (maxFilesPerTrigger /
+    maxOffsetsPerTrigger), and hub.publish never blocks on a slow peer
+    (laggard eviction, test_plasma_hub_throughput_under_load)."""
+    lines = _read_lines_stream(spark, source, **options)
+
+    def push(batch_df, _bid):
+        rows = [r[0] for r in batch_df.collect()]
+        if rows:
+            hub.publish("\n".join(rows))
+
+    return (
+        lines.writeStream.foreachBatch(push)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
 
 
 # The Spark kafka source's fixed output schema (structured-streaming-
