@@ -178,6 +178,37 @@ def main() -> None:
     extended = {n: med[n] for n in EXTENDED if n in med}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Two stdout lines, detail FIRST and a compact summary LAST (r8
+    # verdict #8): the driver captures a bounded tail of stdout and
+    # parses the last JSON line — the pre-r9 single full line (~2.6 KB
+    # with five per-query dicts) overflowed that tail and parsed as
+    # null in BENCH_r08.json. The last line stays the machine-readable
+    # contract (bench_ab/bench_cores read the last parseable line) and
+    # carries everything they use (value, queries, exec, build_value,
+    # exec_value); the detail line keeps extended/spread/per-phase for
+    # committed artifacts.
+    print(
+        json.dumps(
+            {
+                "detail": "full per-query medians; summary line follows",
+                "extended": extended,
+                "spread": {n: spread[n] for n in list(timings) + list(extended)},
+                # per-query medians of the two phases (build + exec ==
+                # the per-query total up to independent-median skew);
+                # exec_value is the execution-only headline the 2x
+                # BASELINE bound should be judged on
+                "build": {n: build[n] for n in list(timings) + list(extended)},
+                "exec_all": {n: execu[n] for n in list(timings) + list(extended)},
+                "startup": {
+                    "imports_sec": round(t_imports, 3),
+                    "session_sec": round(t_session, 3),
+                },
+                "sf": sf_val,
+            }
+        ),
+        flush=True,
+    )
     print(
         json.dumps(
             {
@@ -187,25 +218,15 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "extended": extended,
-                "spread": {n: spread[n] for n in list(timings) + list(extended)},
-                # per-query medians of the two phases (build + exec ==
-                # the per-query total up to independent-median skew);
-                # exec_value is the execution-only headline the 2x
-                # BASELINE bound should be judged on
-                "build": {n: build[n] for n in list(timings) + list(extended)},
-                "exec": {n: execu[n] for n in list(timings) + list(extended)},
+                "exec": {n: execu[n] for n in timings},
                 "build_value": round(sum(build[n] for n in timings), 3),
                 "exec_value": round(sum(execu[n] for n in timings), 3),
                 "cold_value": round(sum(cold[n] for n in timings), 3),
                 "runs": len(steadies),
-                "startup": {
-                    "imports_sec": round(t_imports, 3),
-                    "session_sec": round(t_session, 3),
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -79,8 +79,12 @@ def main() -> None:
         row = {}
         for c in cores:
             t = results[c]["exec"].get(n)
-            row[f"exec_{c}"] = t
-            if t and c != base:
+            # only set present cells so the markdown formatter's .get
+            # default applies to a missing query (a stored None under
+            # exec_{c} made f"{None:.2f}" raise AFTER the full run)
+            if t is not None:
+                row[f"exec_{c}"] = t
+            if t and c != base and n in results[base]["exec"]:
                 row[f"eff_{c}"] = round(results[base]["exec"][n] * base / (t * c), 2)
         table[n] = row
     out = {

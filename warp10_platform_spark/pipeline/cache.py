@@ -1,0 +1,69 @@
+"""Lifecycle for the dedup guards' persisted member frames.
+
+Each rep-collapse guard (minhash/simhash/ngram's ``_group_members``,
+``semantic_dedup``'s member frame) persists ONE frame that its reps /
+membership / intra-pair branches all read — the r8 shape that replaced
+collect_list. persist() alone leaks across a long-lived session: a
+notebook running many dedup calls accumulates cached frames and relies
+on LRU eviction racing memory fragmentation (r8 verdict #2/#4). This
+module scopes them:
+
+- ``register(df)`` — persist + track. The registry is BOUNDED: pushing
+  past ``MAX_LIVE`` unpersists the oldest entry, so a long-lived session
+  holds at most MAX_LIVE guard caches no matter how many pipeline calls
+  it makes. One pipeline call creates exactly one guard cache (the
+  pairs functions each call _group_members / the semantic member build
+  once), so evicting the oldest can never touch the frame a currently-
+  building plan still shares.
+- ``release_guard_caches()`` — deterministic release of everything
+  still tracked (call after the consuming action when you control it).
+- ``guard_cache_scope()`` — context manager releasing every cache
+  registered inside the block on exit; for sinks/tests that materialize
+  the output frame within the block.
+
+Unpersist is non-blocking and merely drops the storage hint — a frame
+whose cache was released recomputes (correctness unaffected; the
+windowed guard is deterministic).
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+
+# One guard cache per pipeline call (see module docstring); 8 leaves
+# generous headroom for future compositions while keeping a long-lived
+# session's cached-frame count O(1) instead of O(#calls).
+MAX_LIVE = 8
+
+_live: list[DataFrame] = []
+
+
+def register(df: DataFrame) -> DataFrame:
+    """Persist `df` (MEMORY_AND_DISK default) and track it for release."""
+    cached = df.persist()
+    _live.append(cached)
+    while len(_live) > MAX_LIVE:
+        _live.pop(0).unpersist(blocking=False)
+    return cached
+
+
+def release_guard_caches() -> int:
+    """Unpersist every tracked guard cache; returns how many were live."""
+    n = len(_live)
+    while _live:
+        _live.pop().unpersist(blocking=False)
+    return n
+
+
+@contextmanager
+def guard_cache_scope():
+    """Release the guard caches registered inside the block on exit."""
+    before = {id(df) for df in _live}
+    try:
+        yield
+    finally:
+        for df in [d for d in _live if id(d) not in before]:
+            _live.remove(df)
+            df.unpersist(blocking=False)

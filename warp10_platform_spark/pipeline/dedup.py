@@ -59,11 +59,17 @@ def _group_members(keyed: DataFrame, key: str = "gk") -> DataFrame:
     (reps, membership expansion, intra-pairs) all read. Replaces the
     pre-r8 groupBy(collect_list(ids)) pattern: a giant duplicate group
     now occupies one window task that STREAMS min/count (spillable)
-    instead of one ~GB array row in an aggregation buffer."""
+    instead of one ~GB array row in an aggregation buffer. The persist
+    is tracked by pipeline.cache (bounded registry + release API) so a
+    long-lived session never accumulates guard caches (r9)."""
+    from warp10_platform_spark.pipeline import cache as _cache
+
     w = Window.partitionBy(key)
-    return keyed.select(
-        "*", F.min("doc_id").over(w).alias("rep"), F.count("*").over(w).alias("cnt")
-    ).persist()
+    return _cache.register(
+        keyed.select(
+            "*", F.min("doc_id").over(w).alias("rep"), F.count("*").over(w).alias("cnt")
+        )
+    )
 
 
 def _intra_pairs(member: DataFrame) -> DataFrame:

@@ -393,11 +393,17 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]], threshold: float
     # aggregation buffer, the exact skew this guard exists for), and the
     # persisted result serves the rep-level join sides, the cap counts
     # and the verdict expansion. persist() (memory-and-disk,
-    # LRU-evictable) is the same pattern as the minhash guard.
-    member = n.select(
-        "id", "ivf_cell", "v", "norm",
-        F.min("id").over(Window.partitionBy(gk)).alias("rep"),
-    ).persist()
+    # LRU-evictable) is the same pattern as the minhash guard, tracked
+    # by pipeline.cache's bounded registry + release API (r9) so a
+    # long-lived session never accumulates guard caches.
+    from warp10_platform_spark.pipeline import cache as _cache
+
+    member = _cache.register(
+        n.select(
+            "id", "ivf_cell", "v", "norm",
+            F.min("id").over(Window.partitionBy(gk)).alias("rep"),
+        )
+    )
     reps = member.where(F.col("id") == F.col("rep")).select("rep", "ivf_cell", "v", "norm")
     if cell_cap is not None:
         counts = reps.groupBy("ivf_cell").agg(F.count("*").alias("cell_reps"))
@@ -409,6 +415,15 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]], threshold: float
                 f"(scripts/train_ivf_centroids.py) or raise cell_cap') IS NULL"
             )
         ).drop("cell_reps")
+    # Pin the pair-join's parallelism to the cell count with an explicit
+    # repartition-by-NUM (AQE never coalesces user-numbered shuffles):
+    # the in-cell join is COMPUTE-dense but BYTE-tiny (embeddings are a
+    # few MB where the HOF cosine work is quadratic per cell), so the
+    # session's byte-targeted coalescing (r9 session.py) would merge all
+    # cells into one serial task if left to the advisory size. Skew
+    # inside this exchange is already bounded by cell_cap above.
+    n_cell_parts = max(min(len(centroids), 256), 8)
+    reps = reps.repartition(n_cell_parts, "ivf_cell")
     a = reps.select(F.col("rep").alias("rep_a"), "ivf_cell", F.col("v").alias("va"), F.col("norm").alias("na"))
     b = reps.select(F.col("rep").alias("rep_b"), "ivf_cell", F.col("v").alias("vb"), F.col("norm").alias("nb"))
     dot = F.expr(_DOT.format(a="va", b="vb"))

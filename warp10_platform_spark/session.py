@@ -22,12 +22,10 @@ def get_spark(app_name: str = "warp10-platform-spark", shuffle_partitions: int |
       Arrow batches.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    cpus_i = int(cpus) if cpus.isdigit() else 32
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -41,4 +39,28 @@ def get_spark(app_name: str = "warp10-platform-spark", shuffle_partitions: int |
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if shuffle_partitions is not None:
+        # explicit caller choice (tests pin 8) — pre-r9 behavior
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    else:
+        # r9 (r8 verdict #6): size post-shuffle partitions by BYTES, not
+        # box width. BENCH_CORES_r8 proved partitions=cores over-splits —
+        # 32 cores ran sf1 SLOWER than 16 (uniform per-task overhead,
+        # ~190k rows/partition below the data-per-core floor). Start wide
+        # (4x cores — the pre-coalesce map-side fan-out; AQE merges, never
+        # splits) and let AQE coalesce CONTIGUOUS partitions to the
+        # advisory byte target instead of stopping at one-per-core
+        # (parallelismFirst=false). On a 1000-executor cluster the same
+        # three knobs hold: partition count tracks shuffled bytes, so a
+        # 100 TB shuffle still fans out to ~tens of thousands of tasks
+        # while a small broadcast-side agg collapses to a handful.
+        builder = (
+            builder.config("spark.sql.shuffle.partitions", str(max(4 * cpus_i, 64)))
+            .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+            .config(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "16m"),
+            )
+            .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+        )
     return builder.getOrCreate()

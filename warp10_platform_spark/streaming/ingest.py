@@ -142,8 +142,16 @@ def _read_lines_stream(spark: SparkSession, source: str, **options) -> DataFrame
     return lines
 
 
+# Source options that bound how much a micro-batch can pull (Spark's
+# own per-trigger admission knobs, compared case-insensitively).
+_TRIGGER_BOUND_OPTIONS = frozenset(
+    {"maxfilespertrigger", "maxoffsetspertrigger", "maxbytespertrigger"}
+)
+
+
 def plasma_frontend(spark: SparkSession, hub, *, source: str = "kafka-shaped",
-                    checkpoint: str, **options):
+                    checkpoint: str, max_batch_rows: int | None = 100_000,
+                    **options):
     """Distributed Plasma FRONT-END topology (continuum/plasma/
     PlasmaFrontEnd.java:460): subscribe to the plasma TOPIC stream and
     push each micro-batch's GTS text lines to the hub's WebSocket
@@ -159,14 +167,45 @@ def plasma_frontend(spark: SparkSession, hub, *, source: str = "kafka-shaped",
     The per-batch driver materialization is the topology's own shape —
     a front-end IS the single consumer that hands its partition subset
     to in-process WS sessions (the reference's onWebSocketMessage path
-    likewise holds the message being fanned out); batch size is bounded
-    by the source's trigger knobs (maxFilesPerTrigger /
-    maxOffsetsPerTrigger), and hub.publish never blocks on a slow peer
-    (laggard eviction, test_plasma_hub_throughput_under_load)."""
+    likewise holds the message being fanned out) — but it MUST be
+    bounded (r8 verdict #1): a restarted front-end with no admission
+    knob would otherwise collect the entire topic backlog in batch 0.
+    `max_batch_rows` (default 100k lines ≈ tens of MB of GTS text, the
+    same order as the reference front-end's in-flight buffer) caps each
+    batch and fails the query LOUDLY when exceeded — fanning a partial
+    batch silently would drop plasma data. Callers that prefer pure
+    source-side admission control can pass max_batch_rows=None, which
+    then REQUIRES one of Spark's per-trigger bound options
+    (maxFilesPerTrigger / maxOffsetsPerTrigger / maxBytesPerTrigger) —
+    refused at start, not discovered at backlog-replay time. hub.publish
+    never blocks on a slow peer (laggard eviction,
+    test_plasma_hub_throughput_under_load)."""
+    if max_batch_rows is None:
+        if not any(k.lower() in _TRIGGER_BOUND_OPTIONS for k in options):
+            raise ValueError(
+                "plasma_frontend: max_batch_rows=None requires a source-side "
+                "per-trigger bound (maxFilesPerTrigger / maxOffsetsPerTrigger / "
+                "maxBytesPerTrigger) — without one, a restart replays the whole "
+                "topic backlog into a single unbounded micro-batch"
+            )
+    elif max_batch_rows <= 0:
+        raise ValueError(f"plasma_frontend: max_batch_rows must be positive, got {max_batch_rows}")
     lines = _read_lines_stream(spark, source, **options)
 
     def push(batch_df, _bid):
-        rows = [r[0] for r in batch_df.collect()]
+        if max_batch_rows is not None:
+            # limit(cap+1) keeps the driver materialization bounded even
+            # while detecting the overflow — never collect-then-count.
+            rows = [r[0] for r in batch_df.limit(max_batch_rows + 1).collect()]
+            if len(rows) > max_batch_rows:
+                raise RuntimeError(
+                    f"plasma_frontend: micro-batch {_bid} exceeds max_batch_rows="
+                    f"{max_batch_rows} — bound the source with maxFilesPerTrigger/"
+                    "maxOffsetsPerTrigger/maxBytesPerTrigger (or raise max_batch_rows); "
+                    "refusing to fan out a partial batch"
+                )
+        else:
+            rows = [r[0] for r in batch_df.collect()]
         if rows:
             hub.publish("\n".join(rows))
 
