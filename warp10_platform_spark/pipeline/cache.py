@@ -37,15 +37,37 @@ from pyspark.sql import DataFrame
 # session's cached-frame count O(1) instead of O(#calls).
 MAX_LIVE = 8
 
-_live: list[DataFrame] = []
+# (semantic_hash, frame): Spark's cache manager keys entries by LOGICAL
+# PLAN, not by DataFrame object — two frames with the same plan share
+# ONE cache entry, so evicting a stale same-plan twin would silently
+# unpersist the LIVE frame's data (measured: emb_semantic_dedup 2.5s →
+# 13.3s inside bench.py's repeated passes, where each pass rebuilds an
+# identical plan). register() therefore drops any tracked same-plan
+# entry WITHOUT unpersisting — the new registration owns the shared
+# cache entry — and only genuinely-different plans are evicted. Plan
+# identity is df.semanticHash() (one driver call; a 32-bit collision
+# merely leaves one stale tracked-by-nothing entry until release).
+_live: list[tuple[int, DataFrame]] = []
+
+
+def _semantic_hash(df: DataFrame) -> int:
+    try:
+        return df.semanticHash()
+    except Exception:
+        return id(df)
 
 
 def register(df: DataFrame) -> DataFrame:
     """Persist `df` (MEMORY_AND_DISK default) and track it for release."""
+    h = _semantic_hash(df)
+    for i, (oh, _old) in enumerate(_live):
+        if oh == h:
+            _live.pop(i)
+            break
     cached = df.persist()
-    _live.append(cached)
+    _live.append((h, cached))
     while len(_live) > MAX_LIVE:
-        _live.pop(0).unpersist(blocking=False)
+        _live.pop(0)[1].unpersist(blocking=False)
     return cached
 
 
@@ -53,17 +75,17 @@ def release_guard_caches() -> int:
     """Unpersist every tracked guard cache; returns how many were live."""
     n = len(_live)
     while _live:
-        _live.pop().unpersist(blocking=False)
+        _live.pop()[1].unpersist(blocking=False)
     return n
 
 
 @contextmanager
 def guard_cache_scope():
     """Release the guard caches registered inside the block on exit."""
-    before = {id(df) for df in _live}
+    before = {id(df) for _h, df in _live}
     try:
         yield
     finally:
-        for df in [d for d in _live if id(d) not in before]:
-            _live.remove(df)
-            df.unpersist(blocking=False)
+        for entry in [e for e in _live if id(e[1]) not in before]:
+            _live.remove(entry)
+            entry[1].unpersist(blocking=False)

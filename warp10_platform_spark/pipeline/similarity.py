@@ -415,15 +415,11 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]], threshold: float
                 f"(scripts/train_ivf_centroids.py) or raise cell_cap') IS NULL"
             )
         ).drop("cell_reps")
-    # Pin the pair-join's parallelism to the cell count with an explicit
-    # repartition-by-NUM (AQE never coalesces user-numbered shuffles):
-    # the in-cell join is COMPUTE-dense but BYTE-tiny (embeddings are a
-    # few MB where the HOF cosine work is quadratic per cell), so the
-    # session's byte-targeted coalescing (r9 session.py) would merge all
-    # cells into one serial task if left to the advisory size. Skew
-    # inside this exchange is already bounded by cell_cap above.
-    n_cell_parts = max(min(len(centroids), 256), 8)
-    reps = reps.repartition(n_cell_parts, "ivf_cell")
+    # NOTE (r9, measured): do NOT pin this join's partitioning with an
+    # explicit repartition-by-num. A pin disables AQE skew-join
+    # splitting for the exchange, and the degenerate one-cell corpus
+    # (random centroids) went 2.6s → 17.8s at sf0.1 when pinned — the
+    # skew splitter is what parallelizes a single fat cell.
     a = reps.select(F.col("rep").alias("rep_a"), "ivf_cell", F.col("v").alias("va"), F.col("norm").alias("na"))
     b = reps.select(F.col("rep").alias("rep_b"), "ivf_cell", F.col("v").alias("vb"), F.col("norm").alias("nb"))
     dot = F.expr(_DOT.format(a="va", b="vb"))

@@ -39,21 +39,23 @@ def get_spark(app_name: str = "warp10-platform-spark", shuffle_partitions: int |
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Post-shuffle partition sizing (r8 verdict #6 asked for byte-derived
+    # partitions; the r9 measurement REJECTED it as the default): byte-
+    # targeted AQE coalescing (parallelismFirst=false, 16m advisory) cost
+    # +60% exec at sf0.1 because this engine's hottest shuffles are
+    # CPU-dense but BYTE-tiny — minhash/simhash signature windows and the
+    # HOF-cosine cell join collapsed to 1-2 serial tasks, and an explicit
+    # repartition pin for the latter disabled AQE skew-splitting of the
+    # degenerate one-cell join (2.6s → 17.8s). Parallelism-first with
+    # partitions = cores is the right default for mixed compute density;
+    # SPARK_GRAFT_PARTITION_MODE exists for controlled experiments:
+    # "cores" (default), an integer (pin that count), or "bytes" (the
+    # rejected advisory configuration, kept for A/B probes).
+    mode = os.environ.get("SPARK_GRAFT_PARTITION_MODE", "cores")
     if shuffle_partitions is not None:
-        # explicit caller choice (tests pin 8) — pre-r9 behavior
+        # explicit caller choice (tests pin 8)
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    else:
-        # r9 (r8 verdict #6): size post-shuffle partitions by BYTES, not
-        # box width. BENCH_CORES_r8 proved partitions=cores over-splits —
-        # 32 cores ran sf1 SLOWER than 16 (uniform per-task overhead,
-        # ~190k rows/partition below the data-per-core floor). Start wide
-        # (4x cores — the pre-coalesce map-side fan-out; AQE merges, never
-        # splits) and let AQE coalesce CONTIGUOUS partitions to the
-        # advisory byte target instead of stopping at one-per-core
-        # (parallelismFirst=false). On a 1000-executor cluster the same
-        # three knobs hold: partition count tracks shuffled bytes, so a
-        # 100 TB shuffle still fans out to ~tens of thousands of tasks
-        # while a small broadcast-side agg collapses to a handful.
+    elif mode == "bytes":
         builder = (
             builder.config("spark.sql.shuffle.partitions", str(max(4 * cpus_i, 64)))
             .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
@@ -63,4 +65,8 @@ def get_spark(app_name: str = "warp10-platform-spark", shuffle_partitions: int |
             )
             .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         )
+    elif mode.isdigit():
+        builder = builder.config("spark.sql.shuffle.partitions", mode)
+    else:
+        builder = builder.config("spark.sql.shuffle.partitions", str(cpus_i))
     return builder.getOrCreate()
