@@ -614,6 +614,88 @@ def test_plasma_frontend_kafka_topology(spark, tmp_path):
     hub.deregister(sub)
 
 
+def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
+    """r8 verdict #5: the streaming semantic-dedup tier's cross-batch
+    drop decisions equal batch semantic_dedup on the same data. The
+    fixture exercises the hard cases: a TRANSITIVE chain (a~b, b~c,
+    a!~c — c must be dropped by the DROPPED rep b, so state must hold
+    all reps, not survivors), depth-2 transitivity across batch
+    boundaries, an exact duplicate across batches, a zero vector
+    (NULL-cosine semantics: always kept), and a second IVF cell."""
+    import json
+    import math
+    import os
+
+    from warp10_platform_spark.pipeline.similarity import semantic_dedup
+    from warp10_platform_spark.streaming import streaming_semantic_dedup
+
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    t = 0.85
+
+    def ang(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    rows = [
+        # batch 1
+        (1, ang(0)),     # cell0 rep — kept
+        (2, ang(30)),    # cos(1,2)=.866>=t — dropped by 1
+        # batch 2
+        (3, ang(60)),    # cos(1,3)=.5<t BUT cos(2,3)=.866 — dropped by DROPPED 2
+        (4, ang(0)),     # exact duplicate of 1 across the batch boundary — dropped
+        (5, [0.0, 0.0]),  # zero vector — NULL cosine, kept
+        # batch 3
+        (6, ang(170)),   # cell1 rep — kept
+        (7, ang(150)),   # cos(6,7)=cos20=.94 — dropped by 6
+        (8, ang(80)),    # cell0; only dominator is DROPPED 3 (cos20=.94) — dropped
+    ]
+    batches = [rows[:2], rows[2:5], rows[5:]]
+    d = tmp_path / "semdedup_stream"
+    os.makedirs(d)
+    for i, b in enumerate(batches):
+        p = d / f"b{i}.json"
+        p.write_text(
+            "\n".join(json.dumps({"vec_id": vid, "embedding": emb}) for vid, emb in b)
+        )
+        # FileStreamSource orders by mtime; sub-ms write ties would make
+        # the batch order (and thus which rep arrives first) arbitrary
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    out = streaming_semantic_dedup(stream, cents, threshold=t)
+    sink = f"semdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {r["vec_id"]: (r["ivf_cell"], r["kept"]) for r in spark.table(sink).collect()}
+
+    # batch twin on the union of all batches (non-ANSI: the zero vector's
+    # 0/0 cosine must be NULL, not a DIVIDE_BY_ZERO error — same branch
+    # the batch guard property tests take)
+    ansi = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        bdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        batch = {
+            r["vec_id"]: (r["ivf_cell"], r["kept"])
+            for r in semantic_dedup(bdf, cents, threshold=t).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+
+    assert streamed == batch
+    kept = sorted(v for v, (_, k) in streamed.items() if k)
+    assert kept == [1, 5, 6]  # transitive drops (3, 8) + dup (4) + chain (2, 7)
+
+
 def test_plasma_frontend_batch_bound(spark, tmp_path):
     """r8 verdict #1: the front-end's micro-batch materialization is
     bounded. (a) a pre-loaded backlog exceeding max_batch_rows fails the

@@ -6,5 +6,6 @@ from warp10_platform_spark.streaming.ingest import (  # noqa: F401
     streaming_exact_dedup,
     streaming_minhash_dedup,
     streaming_last,
+    streaming_semantic_dedup,
     streaming_sessionize,
 )
