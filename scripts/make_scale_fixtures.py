@@ -14,6 +14,15 @@
   operator must survive); (b) one document text is duplicated into ~50%
   of doc rows (one minhash band bucket holding half the corpus — the
   LSH-bucket explosion case).
+- series1m: the INVERSE shape of every other fixture — series-heavy,
+  point-light (r8 verdict #2: no fixture had ever probed metadata
+  cardinality). events holds 10^6 distinct series (5 event types ×
+  200k users, 3 points each = 3M rows); all other tables come from
+  sf0.001 (tiny — only the directory axis is under test). This is the
+  axis the reference's Directory service (continuum/store/
+  Directory.java — HLL stats, streaming metadata iterators) exists
+  for: FIND/FINDSTATS/selector pushdown, METASET's gts.limit, and the
+  accessor caps at 10^6-series metadata scale.
 
 Everything is pure SQL over the source parquet (seedless, rerunnable,
 byte-stable). Output under .cache/ (never /root/testdata).
@@ -134,6 +143,54 @@ def make_skew():
         print("skew", t, con.execute(f"SELECT count(*) FROM read_parquet('{SKEW}/{t}.parquet')").fetchone()[0])
 
 
+SERIES1M = os.path.join(ROOT, ".cache", "series1m")
+SMALL_SRC = "/root/testdata/sf0.001"
+
+
+def make_series1m(n_users: int = 200_000, pts_per_series: int = 3, out: str = SERIES1M):
+    """10^6-series directory-cardinality fixture (r8 verdict #2). Pure
+    deterministic SQL: series (t, u) gets points at distinct,
+    series-dependent ticks inside 2024-01 so first/last extents differ
+    per series; values are a cheap series-dependent polynomial so
+    aggregates aren't degenerate."""
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    types = "'click','view','purchase','signup','error'"
+    q = f"""
+    WITH series AS (
+      SELECT t.range AS t, u.range AS u,
+             (u.range * 5 + t.range) AS sid
+      FROM range(5) t, range({n_users}) u
+    ), pts AS (
+      SELECT s.*, p.range AS i FROM series s, range({pts_per_series}) p
+    )
+    SELECT
+      sid * {pts_per_series} + i                       AS event_id,
+      make_timestamp(1704067200000000
+                     + (sid % 86400) * 1000000
+                     + i * 86400000000)                AS ts,
+      u + 1                                            AS user_id,
+      ([{types}])[t + 1]                               AS event_type,
+      ((sid % 1000) * 0.25 + i)::DOUBLE                AS value,
+      '{{"k": ' || (sid % 100)::VARCHAR || '}}'        AS props
+    FROM pts
+    """
+    con.execute(f"COPY ({q}) TO '{out}/events.parquet' (FORMAT PARQUET)")
+    for t in TABLES:
+        if t == "events":
+            continue
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SMALL_SRC}/{t}.parquet')) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    n_series, n_rows = con.execute(
+        f"SELECT count(DISTINCT (event_type, user_id)), count(*) "
+        f"FROM read_parquet('{out}/events.parquet')"
+    ).fetchone()
+    print(f"series1m events: {n_rows} rows, {n_series} distinct series")
+    assert n_series == 5 * n_users
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     if what in ("sf1", "all"):
@@ -143,3 +200,6 @@ if __name__ == "__main__":
         make_sf1(copies=100, out=SF10, label="sf10")
     if what in ("skew", "all"):
         make_skew()
+    if what == "series1m":
+        # on demand: the directory-cardinality axis (r8 verdict #2)
+        make_series1m()
