@@ -76,14 +76,33 @@ def fetch_gskip_gcount(
     `gskip` matched SERIES, then fetch at most `gcount` series — a series
     budget, not a point budget. The reference walks the directory iterator
     in its storage order; here the order is pinned to (class, labels_key),
-    the deterministic analog. The ranked match set stays directory-sized
-    (one row per series), so the global window is cheap even at 10^6
-    series, and the points scan still sees only a broadcast semi-join."""
+    the deterministic analog.
+
+    The global rank is TWO-PHASE (r9): a bare Window.orderBy ranks the
+    whole match set in one task — fine at 10^6 series (3.3 s, the
+    DIRSCALE_r9 probe) but the wrong shape at 10^8+. Instead the match
+    set is range-repartitioned on the storage order, ranked LOCALLY per
+    partition, and per-partition row counts (one row per partition,
+    broadcast) turn local ranks into global ones — every stage stays
+    parallel and directory-sized. (class, labels_key) is unique per
+    series, so range boundaries can never split a key and the two-phase
+    rank is exactly the single-window rank."""
     from pyspark.sql import Window
 
     matched = find(directory, selector)
-    w = Window.orderBy("class", "labels_key")
-    ranked = matched.withColumn("_rn", F.row_number().over(w))
+    n_parts = max(matched.sparkSession.sparkContext.defaultParallelism, 8)
+    part = matched.repartitionByRange(n_parts, "class", "labels_key").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = part.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy("class", "labels_key"))
+    )
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_c"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.withColumn("_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0)))
+    ranked = local.join(F.broadcast(offs.select("_pid", "_off")), "_pid").withColumn(
+        "_rn", F.col("_lrn") + F.col("_off")
+    )
     hi = gskip + gcount if gcount is not None else None
     cond = F.col("_rn") > gskip
     if hi is not None:

@@ -3803,23 +3803,63 @@ def _metaset(st):
     # here via a limit(cap+1) probe, so a 10^7-series selector fails
     # with the reference's message instead of collecting the directory.
     cap = int(getattr(st, "attributes", {}).get("maxgts", 100_000))
-    rows = find(build_directory(events_points(st.spark, st.sf_dir)), selector).limit(cap + 1).collect()
-    if len(rows) > cap:
+    dir_df = find(build_directory(events_points(st.spark, st.sf_dir)), selector)
+    n = dir_df.limit(cap + 1).count()
+    if n > cap:
         raise ValueError(
             f"METASET exceeded limit of {cap} Geo Time Series. "
             "Consider raising the limit (MAXGTS) or narrowing the selector."
         )
-    if not rows:
+    if n == 0:
         raise ValueError(
             "METASET couldn't find any metadata matching the given class and label selectors."
         )
-    metas = [
-        gc.write_metadata(
-            r["class"], dict(r["labels"] or {}),
-            dict(r["attributes"]) if "attributes" in r.__fields__ and r["attributes"] else None,
-        )
-        for r in rows
-    ]
+    # The MetaSet body is a thrift list whose elements are independently
+    # encoded Metadata blobs (write_metaset just concatenates them), so
+    # the per-series encode is associative work that belongs on the
+    # EXECUTORS: the old driver-side loop cost ~1.4 ms/series — 276 s
+    # for a 200k-series selector at a raised MAXGTS (DIRSCALE_r9 probe).
+    # Above a small floor the blobs are built by an Arrow-batched pandas
+    # UDF and the driver only concatenates; below it the pandas-UDF
+    # startup (~2 s) would dominate, so tiny interactive calls keep the
+    # driver loop. Both paths sort on (class, labels_key) — the
+    # deterministic analog of the reference's directory iterator order —
+    # so the blob is byte-stable regardless of path or partitioning.
+    has_attrs = "attributes" in dir_df.columns
+    if n > 5000:
+        import pandas as _pd
+
+        @F.pandas_udf("binary")
+        def _enc(cls: _pd.Series, labels: _pd.Series, attrs: _pd.Series) -> _pd.Series:
+            from warp10_platform_spark.core import gtscodec as _gc
+
+            return _pd.Series(
+                [
+                    _gc.write_metadata(c, dict(l) if l is not None else {}, dict(a) if a else None)
+                    for c, l, a in zip(cls, labels, attrs)
+                ]
+            )
+
+        attrs_col = F.col("attributes") if has_attrs else F.lit(None).cast("map<string,string>")
+        metas = [
+            bytes(r["b"])
+            for r in dir_df.select(
+                _enc(F.col("class"), F.col("labels"), attrs_col).alias("b"),
+                "class",
+                "labels_key",
+            )
+            .sort("class", "labels_key")
+            .select("b")
+            .collect()
+        ]
+    else:
+        metas = [
+            gc.write_metadata(
+                r["class"], dict(r["labels"] or {}),
+                dict(r["attributes"]) if has_attrs and r["attributes"] else None,
+            )
+            for r in dir_df.sort("class", "labels_key").limit(cap).collect()
+        ]
     import time as _t
 
     # expiry = now_ms + ttl / TIME_UNITS_PER_MS (µs platform → /1000)
