@@ -196,3 +196,41 @@ def test_metaset_respects_gts_limit(spark, sf_dir):
     st2.push(["rtoken", "~.*", {}, float("nan"), float("nan"), 3600000000, 60000000])
     REGISTRY["METASET"](st2)
     assert isinstance(st2.pop(), str)
+
+
+def test_metaset_distributed_encode_byte_identical(spark, sf_dir, monkeypatch):
+    """The executor-side (pandas-UDF) Metadata encode path must produce a
+    byte-identical MetaSet to the driver-side loop: both sort on
+    (class, labels_key) and the blobs are deterministic, so only the
+    WHERE the encode runs may differ. Patches the floor to force the
+    distributed path on the tiny fixture and compares decoded structs
+    AND raw serialized bytes (pre-AES, which is the only nondeterminism
+    in the envelope)."""
+    import gzip as _gz
+
+    from warp10_platform_spark.core import gtscodec as gc
+    from warp10_platform_spark.functions import aes
+    from warp10_platform_spark.warpscript import functions_ext
+
+    args = ["btoken", "~.*", {}, float("nan"), float("nan"), 3600000000, 60000000]
+
+    def run():
+        st = WarpScriptStack(spark, sf_dir)
+        st.push(list(args))
+        REGISTRY["METASET"](st)
+        blob = st.pop()
+        body = _gz.decompress(aes.unwrap(bytes(range(32)), gc.opb64_decode(blob)))
+        ms = gc.read_metaset(body)
+        # expiry embeds wall-clock; zero it for the byte compare
+        return gc.write_metaset(
+            0, ms["token"],
+            [gc.write_metadata(m["name"], m["labels"], m.get("attributes")) for m in ms["metadatas"]],
+            maxduration=ms["maxduration"], notbefore=ms["notbefore"], notafter=ms["notafter"],
+        ), ms
+
+    driver_bytes, driver_ms = run()
+    monkeypatch.setattr(functions_ext, "_METASET_DISTRIBUTED_FLOOR", 0)
+    dist_bytes, dist_ms = run()
+    assert len(driver_ms["metadatas"]) > 1
+    assert dist_ms["metadatas"] == driver_ms["metadatas"]
+    assert dist_bytes == driver_bytes

@@ -3773,6 +3773,13 @@ def _metadiff(st):
     st.push(GTSFrame(meta_delta(gf.df, attrs), gf.bucketspec, gf.value_col))
 
 
+# Below this many matched series METASET keeps the driver-side encode
+# loop (the Arrow/pandas-UDF startup ~2 s would dominate); above it the
+# per-series Metadata blobs are built on the executors. Both paths are
+# byte-identical (test_meta_ssss.py patches this to 0 to prove it).
+_METASET_DISTRIBUTED_FLOOR = 5000
+
+
 @register("METASET")
 def _metaset(st):
     """[ token 'class' {labels} notbefore notafter maxduration ttl ]
@@ -3826,11 +3833,10 @@ def _metaset(st):
     # deterministic analog of the reference's directory iterator order —
     # so the blob is byte-stable regardless of path or partitioning.
     has_attrs = "attributes" in dir_df.columns
-    if n > 5000:
+    if n > _METASET_DISTRIBUTED_FLOOR:
         import pandas as _pd
 
-        @F.pandas_udf("binary")
-        def _enc(cls: _pd.Series, labels: _pd.Series, attrs: _pd.Series) -> _pd.Series:
+        def _enc_fn(cls, labels, attrs):
             from warp10_platform_spark.core import gtscodec as _gc
 
             return _pd.Series(
@@ -3839,6 +3845,14 @@ def _metaset(st):
                     for c, l, a in zip(cls, labels, attrs)
                 ]
             )
+
+        # this module uses postponed annotations (PEP 563), which leaves
+        # pandas_udf's type-hint inference unresolvable strings — hand it
+        # real objects instead
+        _enc_fn.__annotations__ = {
+            "cls": _pd.Series, "labels": _pd.Series, "attrs": _pd.Series, "return": _pd.Series
+        }
+        _enc = F.pandas_udf(_enc_fn, "binary")
 
         attrs_col = F.col("attributes") if has_attrs else F.lit(None).cast("map<string,string>")
         metas = [
