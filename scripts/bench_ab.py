@@ -37,7 +37,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # r7 final commit (pre-r8 state) — the pinned comparison point.
 # (r7's run pinned the r6 close eab8b3f the same way.)
-DEFAULT_BASELINE = "65aa281"
+DEFAULT_BASELINE = "d8aa260"
 
 
 def run_bench(workdir: str) -> dict:
@@ -145,7 +145,7 @@ def main() -> None:
         "per_query": per_query,
         "runs": pairs,
     }
-    round_no = os.environ.get("ROUND", "8")
+    round_no = os.environ.get("ROUND", "9")
     path = os.path.join(REPO, f"BENCH_AB_r{round_no}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
