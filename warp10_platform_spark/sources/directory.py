@@ -86,16 +86,31 @@ def fetch_gskip_gcount(
     broadcast) turn local ranks into global ones — every stage stays
     parallel and directory-sized. (class, labels_key) is unique per
     series, so range boundaries can never split a key and the two-phase
-    rank is exactly the single-window rank."""
+    rank is exactly the single-window rank.
+
+    The locally-ranked frame is persisted (bounded guard-cache
+    registry): repartitionByRange SAMPLES its boundaries with a seed
+    derived from the materialization, and the counts branch and the
+    join branch are separate exchanges (spark_partition_id is
+    nondeterministic, so Catalyst never reuses the exchange across
+    them) — unpersisted, each branch could draw DIFFERENT boundaries
+    and the offsets would correct the wrong partitions (caught as an
+    intermittent failure of test_gskip_gcount_series_budget_at_1m).
+    One shared materialization makes the pid→count mapping and the
+    local ranks come from the same boundary draw."""
     from pyspark.sql import Window
+
+    from warp10_platform_spark.pipeline import cache as _cache
 
     matched = find(directory, selector)
     n_parts = max(matched.sparkSession.sparkContext.defaultParallelism, 8)
     part = matched.repartitionByRange(n_parts, "class", "labels_key").withColumn(
         "_pid", F.spark_partition_id()
     )
-    local = part.withColumn(
-        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy("class", "labels_key"))
+    local = _cache.register(
+        part.withColumn(
+            "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy("class", "labels_key"))
+        )
     )
     counts = local.groupBy("_pid").agg(F.count("*").alias("_c"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
