@@ -166,6 +166,31 @@ def test_rfc3394_wrap_vector():
     assert aes.kw_unwrap(kek, wrapped) == kd
 
 
+def test_rfc3394_pure_path_vector_and_native_equality():
+    """The r9 fast path dispatches kw_wrap/kw_unwrap to the OpenSSL-backed
+    `cryptography` keywrap for >=2-block payloads (METASET envelopes are
+    multi-MB at 10^5+ series); this pins (a) the PURE derived-tables
+    implementation against the RFC 3394 4.1 vector regardless of
+    dispatch, and (b) bit-equality of the two implementations across
+    payload sizes and key widths, including the 1-block case only the
+    pure path serves."""
+    kek = bytes.fromhex("000102030405060708090A0B0C0D0E0F")
+    kd = bytes.fromhex("00112233445566778899AABBCCDDEEFF")
+    wrapped = aes._kw_wrap_pure(kek, kd)
+    assert wrapped.hex().upper() == "1FA68B0A8112B447AEF34BD8FB5A7B829D3E862371D2CFE5"
+    assert aes._kw_unwrap_pure(kek, wrapped) == kd
+    import random
+    rnd = random.Random(9)
+    for klen in (16, 24, 32):
+        key = bytes(rnd.randrange(256) for _ in range(klen))
+        for size in (8, 16, 24, 256):
+            data = bytes(rnd.randrange(256) for _ in range(size))
+            w_pub = aes.kw_wrap(key, data)
+            assert w_pub == aes._kw_wrap_pure(key, data)
+            assert aes.kw_unwrap(key, w_pub) == data
+            assert aes._kw_unwrap_pure(key, w_pub) == data
+
+
 def test_rfc3394_integrity_check():
     kek = bytes(16)
     wrapped = bytearray(aes.kw_wrap(kek, bytes(16)))

@@ -11,11 +11,15 @@ round constants DERIVED at import time (multiplicative inverse in
 GF(2^8) mod 0x11B + affine transform) rather than transcribed, so the
 tables cannot be silently wrong, and the cipher is pinned by the FIPS-197
 appendix-C known-answer vectors plus the RFC 3394 §4 wrap vectors in
-tests/test_digests.py.
+tests/test_digests_secure.py.
 
 Scale note: these run driver-side on stack scalars (the reference's
 DIGEST/AESWRAP are stack functions too); nothing here is on a per-row
-hot path.
+hot path. The one large-payload caller is METASET's envelope (a
+multi-MB blob at 10^5+ series), which is why kw_wrap/kw_unwrap
+dispatch to the OpenSSL-backed `cryptography` keywrap when available —
+bit-identical (asserted in tests/test_digests_secure.py) and ~14x faster; the
+derived-tables implementation remains the spec-pinned reference.
 """
 
 from __future__ import annotations
@@ -146,10 +150,30 @@ def decrypt_block(key: bytes, block: bytes) -> bytes:
 
 _KW_IV = 0xA6A6A6A6A6A6A6A6
 
+# RFC 3394 is a fixed deterministic construction, so the OpenSSL-backed
+# `cryptography` implementation is bit-identical to the pure-Python one
+# below (asserted in tests/test_digests_secure.py) and ~14x faster — which
+# matters since r9's distributed METASET made the ENCODE parallel and
+# left the driver-side wrap of a multi-MB metaset blob as the remaining
+# serial cost (the wrap itself is inherently sequential: a chained A
+# register). Native handles >= 2 blocks and 16/24/32-byte keys; the
+# derived-tables implementation stays as the spec-pinned reference and
+# the fallback for the 1-block case native refuses.
+try:
+    from cryptography.hazmat.primitives import keywrap as _native_kw
+except ImportError:  # pragma: no cover - cryptography is in the base env
+    _native_kw = None
+
 
 def kw_wrap(kek: bytes, plaintext: bytes) -> bytes:
     if len(plaintext) % 8 != 0 or len(plaintext) < 8:
         raise ValueError("RFC 3394 wraps whole 64-bit blocks")
+    if _native_kw is not None and len(plaintext) >= 16 and len(kek) in (16, 24, 32):
+        return _native_kw.aes_key_wrap(kek, plaintext)
+    return _kw_wrap_pure(kek, plaintext)
+
+
+def _kw_wrap_pure(kek: bytes, plaintext: bytes) -> bytes:
     n = len(plaintext) // 8
     a = _KW_IV
     r = [struct.unpack(">Q", plaintext[8 * i:8 * i + 8])[0] for i in range(n)]
@@ -164,6 +188,15 @@ def kw_wrap(kek: bytes, plaintext: bytes) -> bytes:
 def kw_unwrap(kek: bytes, ciphertext: bytes) -> bytes:
     if len(ciphertext) % 8 != 0 or len(ciphertext) < 16:
         raise ValueError("invalid RFC 3394 ciphertext length")
+    if _native_kw is not None and len(ciphertext) >= 24 and len(kek) in (16, 24, 32):
+        try:
+            return _native_kw.aes_key_unwrap(kek, ciphertext)
+        except _native_kw.InvalidUnwrap:
+            raise ValueError("RFC 3394 integrity check failed") from None
+    return _kw_unwrap_pure(kek, ciphertext)
+
+
+def _kw_unwrap_pure(kek: bytes, ciphertext: bytes) -> bytes:
     n = len(ciphertext) // 8 - 1
     a = struct.unpack(">Q", ciphertext[:8])[0]
     r = [struct.unpack(">Q", ciphertext[8 * (i + 1):8 * (i + 2)])[0] for i in range(n)]
