@@ -35,8 +35,9 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-# r7 final commit (pre-r8 state) — the pinned comparison point.
-# (r7's run pinned the r6 close eab8b3f the same way.)
+# r8 final commit (pre-r9 state) — the pinned comparison point.
+# (each round pins the previous round's close: r8 pinned 65aa281,
+# r7 pinned eab8b3f.)
 DEFAULT_BASELINE = "d8aa260"
 
 

@@ -88,3 +88,23 @@ def test_gskip_gcount_series_budget_at_1m(spark, directory):
     pts = events_points(spark, FIXTURE)
     out = fetch_gskip_gcount(pts, directory, "~events\\..*{}", gskip=500_000, gcount=100)
     assert out.count() == 300  # 100 series x 3 points
+
+
+def test_gskip_rank_survives_cache_release(spark, directory):
+    """The two-phase rank's bucket boundaries are deterministic literals
+    baked into the plan, so releasing the guard caches (or losing them
+    to eviction) between build and materialization cannot desynchronize
+    the counts branch from the join branch (r9 review find: the first
+    repartitionByRange design depended on a persisted frame the
+    registry is allowed to evict — boundaries re-sampled per branch)."""
+    from warp10_platform_spark.pipeline.cache import release_guard_caches
+    from warp10_platform_spark.sources.directory import fetch_gskip_gcount
+    from warp10_platform_spark.sources.tables import events_points
+
+    pts = events_points(spark, FIXTURE)
+    out = fetch_gskip_gcount(pts, directory, "~events\\..*{}", gskip=500_000, gcount=100)
+    release_guard_caches()  # drop the perf-hint cache BEFORE materializing
+    assert out.count() == 300
+    # and again on a second, fully-uncached materialization
+    release_guard_caches()
+    assert out.count() == 300

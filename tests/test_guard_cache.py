@@ -82,3 +82,39 @@ def test_released_guard_output_still_correct(spark, docs):
     cache.release_guard_caches()
     after = sorted(tuple(r) for r in pairs.collect())
     assert before == after and len(before) > 0
+
+
+def test_eviction_fires_on_distinct_plans(spark):
+    """MAX_LIVE+3 registrations with DISTINCT logical plans exercise the
+    oldest-first eviction loop (the repeated-pipeline test above
+    registers one identical plan over and over, which the same-plan
+    reuse branch collapses to a single entry — found in the r9 review:
+    the eviction path had zero coverage)."""
+    cache.release_guard_caches()
+    base = _n_cached(spark)
+    frames = []
+    for i in range(cache.MAX_LIVE + 3):
+        df = cache.register(spark.range(100 + i).selectExpr("id", f"id * {i + 1} AS v"))
+        df.count()
+        frames.append(df)
+    assert len(cache._live) == cache.MAX_LIVE  # oldest 3 evicted
+    assert _n_cached(spark) - base <= cache.MAX_LIVE
+    cache.release_guard_caches()
+    assert _n_cached(spark) == base
+
+
+def test_same_plan_reregistration_returns_original_object(spark):
+    """Re-registering an identical plan must hand back the ORIGINAL
+    tracked DataFrame (LRU refreshed), not track a second object: Spark's
+    cache manager keys entries by plan, so a second tracked object would
+    let guard_cache_scope unpersist on exit a cache an outer caller
+    registered before the scope (r9 review find)."""
+    cache.release_guard_caches()
+    outer = cache.register(spark.range(500).selectExpr("id", "id * 7 AS v"))
+    outer.count()
+    with cache.guard_cache_scope():
+        inner = cache.register(spark.range(500).selectExpr("id", "id * 7 AS v"))
+        assert inner is outer  # shared plan -> shared tracked object
+    # scope exit must NOT have unpersisted the outer frame's cache
+    assert outer.storageLevel.useMemory or outer.storageLevel.useDisk
+    cache.release_guard_caches()

@@ -696,6 +696,47 @@ def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
     assert kept == [1, 5, 6]  # transitive drops (3, 8) + dup (4) + chain (2, 7)
 
 
+def test_streaming_semantic_dedup_rejects_out_of_order_ids(spark, tmp_path):
+    """The equality-with-batch contract requires ids to ASCEND across
+    micro-batches (append-only ingest); an out-of-order arrival must
+    fail the query loudly instead of silently inverting keep/drop
+    decisions relative to batch semantic_dedup (r9 review find: id 5
+    arriving after id 9 would be judged against a dominator the batch
+    operator says it precedes)."""
+    import json
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from warp10_platform_spark.streaming import streaming_semantic_dedup
+
+    cents = [[1.0, 0.0]]
+    d = tmp_path / "semdedup_ooo"
+    os.makedirs(d)
+    for i, batch in enumerate([[(9, [1.0, 0.0])], [(5, [0.9, 0.1])]]):
+        p = d / f"b{i}.json"
+        p.write_text("\n".join(json.dumps({"vec_id": v, "embedding": e}) for v, e in batch))
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    out = streaming_semantic_dedup(stream, cents, threshold=0.85)
+    sink = f"semdedup_ooo_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        with pytest.raises(StreamingQueryException, match="ascending across"):
+            q.processAllAvailable()
+            if q.exception() is not None:
+                raise q.exception()
+    finally:
+        q.stop()
+
+
 def test_plasma_frontend_batch_bound(spark, tmp_path):
     """r8 verdict #1: the front-end's micro-batch materialization is
     bounded. (a) a pre-loaded backlog exceeding max_batch_rows fails the
@@ -721,6 +762,17 @@ def test_plasma_frontend_batch_bound(spark, tmp_path):
         plasma_frontend(
             spark, hub, source="kafka-shaped", path=str(text_dir),
             checkpoint=str(tmp_path / "ckpt_none"), max_batch_rows=None,
+        )
+
+    # (b') a knob the chosen source does NOT honor is not a bound: a
+    # kafka admission option left behind while swapping to the
+    # file-backed source must be refused, not silently ignored (r9
+    # review find — the old name-only check passed this)
+    with pytest.raises(ValueError, match="SOURCE HONORS"):
+        plasma_frontend(
+            spark, hub, source="kafka-shaped", path=str(text_dir),
+            checkpoint=str(tmp_path / "ckpt_mismatch"), max_batch_rows=None,
+            maxOffsetsPerTrigger="10000",
         )
 
     # (a) backlog (15 lines, one batch with no trigger knob) > cap=4 →

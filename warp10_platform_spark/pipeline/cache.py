@@ -58,11 +58,29 @@ def _semantic_hash(df: DataFrame) -> int:
 
 
 def register(df: DataFrame) -> DataFrame:
-    """Persist `df` (MEMORY_AND_DISK default) and track it for release."""
+    """Persist `df` (MEMORY_AND_DISK default) and track it for release.
+
+    Re-registering a frame with the SAME logical plan returns the
+    originally tracked DataFrame object (LRU position refreshed, persist
+    re-asserted in case an external clearCache dropped it) rather than
+    tracking a second object for the shared plan-keyed cache entry: a
+    second object would let guard_cache_scope() — which tracks by object
+    identity — unpersist on exit a cache an OUTER caller registered
+    before the scope (review find, r9). The cheap semanticHash match is
+    confirmed with one sameSemantics() round-trip so a 32-bit collision
+    cannot silently splice a different plan's frame into a caller."""
     h = _semantic_hash(df)
-    for i, (oh, _old) in enumerate(_live):
+    for i, (oh, old) in enumerate(_live):
         if oh == h:
-            _live.pop(i)
+            try:
+                same = old.sameSemantics(df)
+            except Exception:
+                same = True
+            if same:
+                _live.pop(i)
+                _live.append((oh, old))
+                old.persist()
+                return old
             break
     cached = df.persist()
     _live.append((h, cached))

@@ -80,42 +80,58 @@ def fetch_gskip_gcount(
 
     The global rank is TWO-PHASE (r9): a bare Window.orderBy ranks the
     whole match set in one task — fine at 10^6 series (3.3 s, the
-    DIRSCALE_r9 probe) but the wrong shape at 10^8+. Instead the match
-    set is range-repartitioned on the storage order, ranked LOCALLY per
-    partition, and per-partition row counts (one row per partition,
-    broadcast) turn local ranks into global ones — every stage stays
-    parallel and directory-sized. (class, labels_key) is unique per
-    series, so range boundaries can never split a key and the two-phase
-    rank is exactly the single-window rank.
+    DIRSCALE_r9 probe) but the wrong shape at 10^8+. Instead rows are
+    assigned to ORDER-PRESERVING buckets, ranked LOCALLY per bucket,
+    and per-bucket counts (tiny, broadcast) turn local ranks into
+    global ones — every stage stays parallel and directory-sized.
 
-    The locally-ranked frame is persisted (bounded guard-cache
-    registry): repartitionByRange SAMPLES its boundaries with a seed
-    derived from the materialization, and the counts branch and the
-    join branch are separate exchanges (spark_partition_id is
-    nondeterministic, so Catalyst never reuses the exchange across
-    them) — unpersisted, each branch could draw DIFFERENT boundaries
-    and the offsets would correct the wrong partitions (caught as an
-    intermittent failure of test_gskip_gcount_series_budget_at_1m).
-    One shared materialization makes the pid→count mapping and the
-    local ranks come from the same boundary draw."""
+    Bucket boundaries are DETERMINISTIC literals, not sampled: a
+    hash-mod subset of the matched keys is collected once (one tiny
+    scan-side job), sorted driver-side, and stride-picked; each row's
+    bucket is then a pure function of its own key against those plan
+    literals. The first cut used repartitionByRange +
+    spark_partition_id, which is unsound across plan branches:
+    range boundaries are SAMPLED per materialization and
+    spark_partition_id is nondeterministic so Catalyst never reuses
+    the exchange — the counts branch and the join branch could draw
+    DIFFERENT boundaries and the offsets corrected the wrong
+    partitions (intermittent test_gskip_gcount failure), and hiding
+    that behind a persist() made correctness depend on a cache the
+    registry is allowed to evict. With literal boundaries every
+    materialization buckets identically, cached or not; the register()
+    below is purely a perf hint (the window feeds two consumers).
+    Keys compare as concat(class, \\x00, labels_key), equivalent to the
+    (class, labels_key) tuple order because \\x00 is the minimal byte
+    (class names never contain NUL)."""
     from pyspark.sql import Window
 
     from warp10_platform_spark.pipeline import cache as _cache
 
     matched = find(directory, selector)
-    n_parts = max(matched.sparkSession.sparkContext.defaultParallelism, 8)
-    part = matched.repartitionByRange(n_parts, "class", "labels_key").withColumn(
-        "_pid", F.spark_partition_id()
+    key = F.concat_ws("\x00", "class", "labels_key")
+    sample = sorted(
+        r[0]
+        for r in matched.select(key.alias("k"))
+        .where(F.abs(F.xxhash64(F.col("k"))) % 101 == 0)
+        .collect()
     )
+    n_parts = max(matched.sparkSession.sparkContext.defaultParallelism, 8)
+    step = max(len(sample) // n_parts, 1)
+    bounds = sample[step::step][: n_parts - 1]
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: b <= key))
+    else:
+        bucket = F.lit(0)
     local = _cache.register(
-        part.withColumn(
-            "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy("class", "labels_key"))
+        matched.withColumn("_bkt", bucket).withColumn(
+            "_lrn", F.row_number().over(Window.partitionBy("_bkt").orderBy("class", "labels_key"))
         )
     )
-    counts = local.groupBy("_pid").agg(F.count("*").alias("_c"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    counts = local.groupBy("_bkt").agg(F.count("*").alias("_c"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.withColumn("_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0)))
-    ranked = local.join(F.broadcast(offs.select("_pid", "_off")), "_pid").withColumn(
+    ranked = local.join(F.broadcast(offs.select("_bkt", "_off")), "_bkt").withColumn(
         "_rn", F.col("_lrn") + F.col("_off")
     )
     hi = gskip + gcount if gcount is not None else None

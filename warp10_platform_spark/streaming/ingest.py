@@ -143,10 +143,17 @@ def _read_lines_stream(spark: SparkSession, source: str, **options) -> DataFrame
 
 
 # Source options that bound how much a micro-batch can pull (Spark's
-# own per-trigger admission knobs, compared case-insensitively).
-_TRIGGER_BOUND_OPTIONS = frozenset(
-    {"maxfilespertrigger", "maxoffsetspertrigger", "maxbytespertrigger"}
-)
+# own per-trigger admission knobs, compared case-insensitively) — PER
+# SOURCE, because a knob the source silently ignores is not a bound:
+# the kafka source honors maxOffsetsPerTrigger only, file-backed
+# sources honor maxFilesPerTrigger/maxBytesPerTrigger only (review
+# find, r9 — a kafka knob left on a swapped-in file source would have
+# passed the old name-only check while bounding nothing).
+_TRIGGER_BOUND_OPTIONS = {
+    "kafka": frozenset({"maxoffsetspertrigger"}),
+    "kafka-shaped": frozenset({"maxfilespertrigger", "maxbytespertrigger"}),
+    "file": frozenset({"maxfilespertrigger", "maxbytespertrigger"}),
+}
 
 
 def plasma_frontend(spark: SparkSession, hub, *, source: str = "kafka-shaped",
@@ -181,12 +188,14 @@ def plasma_frontend(spark: SparkSession, hub, *, source: str = "kafka-shaped",
     never blocks on a slow peer (laggard eviction,
     test_plasma_hub_throughput_under_load)."""
     if max_batch_rows is None:
-        if not any(k.lower() in _TRIGGER_BOUND_OPTIONS for k in options):
+        honored = _TRIGGER_BOUND_OPTIONS.get(source, frozenset())
+        if not any(k.lower() in honored for k in options):
             raise ValueError(
-                "plasma_frontend: max_batch_rows=None requires a source-side "
-                "per-trigger bound (maxFilesPerTrigger / maxOffsetsPerTrigger / "
-                "maxBytesPerTrigger) — without one, a restart replays the whole "
-                "topic backlog into a single unbounded micro-batch"
+                f"plasma_frontend: max_batch_rows=None requires a per-trigger bound THE "
+                f"'{source}' SOURCE HONORS ({', '.join(sorted(honored)) or 'none exist for this source'}) "
+                "— a knob another source type accepts is silently ignored here, and without "
+                "an effective bound a restart replays the whole topic backlog into a single "
+                "unbounded micro-batch"
             )
     elif max_batch_rows <= 0:
         raise ValueError(f"plasma_frontend: max_batch_rows must be positive, got {max_batch_rows}")
@@ -563,17 +572,25 @@ def streaming_semantic_dedup(
             StructField("kept", BooleanType()),
         ]
     )
-    # reps packed as (ids CSV, concatenated float64 little-endian buffer)
-    state_schema = StructType([StructField("ids", StringType()), StructField("embs", BinaryType())])
+    # reps packed as (ids CSV, concatenated float64 little-endian buffer,
+    # max id EVER seen in the cell — reps skip zero vectors and identical
+    # content, so the ordering check needs its own watermark)
+    state_schema = StructType(
+        [
+            StructField("ids", StringType()),
+            StructField("embs", BinaryType()),
+            StructField("max_id", LongType()),
+        ]
+    )
 
     def fn(key, pdfs, state: GroupState):
         cell = int(key[0])
         if state.exists:
-            ids_s, buf = state.get
+            ids_s, buf, max_id = state.get
             rep_ids = [int(x) for x in ids_s.split(",")] if ids_s else []
             mat = np.frombuffer(bytes(buf), dtype="<f8").reshape(-1, dim).copy() if buf else np.empty((0, dim))
         else:
-            rep_ids, mat = [], np.empty((0, dim))
+            rep_ids, mat, max_id = [], np.empty((0, dim)), -1
         norms = np.sqrt((mat * mat).sum(axis=1)) if len(rep_ids) else np.empty(0)
         seen = {m.tobytes(): None for m in mat}  # content-identical lookup
         rows = []
@@ -583,6 +600,24 @@ def streaming_semantic_dedup(
         chunks = [p for p in pdfs if len(p)]
         if chunks:
             batch_pdf = pd.concat(chunks, ignore_index=True).sort_values("vec_id")
+            # The equality-with-batch contract REQUIRES ids to ascend
+            # across micro-batches (append-only ingest): a late smaller
+            # id would be judged against dominators the batch operator
+            # says it precedes, silently inverting keep/drop both ways.
+            # Enforce instead of assuming (review find, r9).
+            if not batch_pdf["vec_id"].is_unique:
+                raise RuntimeError(
+                    f"streaming_semantic_dedup: duplicate vec_id within a micro-batch in "
+                    f"IVF cell {cell} — ids must be unique"
+                )
+            first = int(batch_pdf["vec_id"].iloc[0])
+            if first <= max_id:
+                raise RuntimeError(
+                    f"streaming_semantic_dedup: id {first} arrived in IVF cell {cell} after "
+                    f"max seen id {max_id} — ids must be unique and ascending across "
+                    "micro-batches (append-only ingest) for decisions to match batch "
+                    "semantic_dedup"
+                )
             for _, r in batch_pdf.iterrows():
                 vid = int(r["vec_id"])
                 x = np.asarray(r["v"], dtype="<f8")
@@ -615,7 +650,8 @@ def streaming_semantic_dedup(
                         f"distinct embeddings (cell_cap={cell_cap}) — retrain centroids "
                         "(scripts/train_ivf_centroids.py) or raise cell_cap"
                     )
-        state.update((",".join(str(i) for i in rep_ids), mat.astype("<f8").tobytes()))
+            max_id = int(batch_pdf["vec_id"].iloc[-1])
+        state.update((",".join(str(i) for i in rep_ids), mat.astype("<f8").tobytes(), max_id))
         yield pd.DataFrame(rows, columns=["vec_id", "ivf_cell", "kept"])
 
     return assigned.groupBy("ivf_cell").applyInPandasWithState(

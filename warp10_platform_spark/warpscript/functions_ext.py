@@ -3810,70 +3810,76 @@ def _metaset(st):
     # here via a limit(cap+1) probe, so a 10^7-series selector fails
     # with the reference's message instead of collecting the directory.
     cap = int(getattr(st, "attributes", {}).get("maxgts", 100_000))
-    dir_df = find(build_directory(events_points(st.spark, st.sf_dir)), selector)
-    n = dir_df.limit(cap + 1).count()
-    if n > cap:
-        raise ValueError(
-            f"METASET exceeded limit of {cap} Geo Time Series. "
-            "Consider raising the limit (MAXGTS) or narrowing the selector."
-        )
-    if n == 0:
-        raise ValueError(
-            "METASET couldn't find any metadata matching the given class and label selectors."
-        )
-    # The MetaSet body is a thrift list whose elements are independently
-    # encoded Metadata blobs (write_metaset just concatenates them), so
-    # the per-series encode is associative work that belongs on the
-    # EXECUTORS: the old driver-side loop cost ~1.4 ms/series — 276 s
-    # for a 200k-series selector at a raised MAXGTS (DIRSCALE_r9 probe).
-    # Above a small floor the blobs are built by an Arrow-batched pandas
-    # UDF and the driver only concatenates; below it the pandas-UDF
-    # startup (~2 s) would dominate, so tiny interactive calls keep the
-    # driver loop. Both paths sort on (class, labels_key) — the
-    # deterministic analog of the reference's directory iterator order —
-    # so the blob is byte-stable regardless of path or partitioning.
-    has_attrs = "attributes" in dir_df.columns
-    if n > _METASET_DISTRIBUTED_FLOOR:
-        import pandas as _pd
-
-        def _enc_fn(cls, labels, attrs):
-            from warp10_platform_spark.core import gtscodec as _gc
-
-            return _pd.Series(
-                [
-                    _gc.write_metadata(c, dict(l) if l is not None else {}, dict(a) if a else None)
-                    for c, l, a in zip(cls, labels, attrs)
-                ]
+    # persist for the call: the cap probe and the encode are two JOBS on
+    # the same directory frame, and without the cache each would rebuild
+    # the directory from a full points scan (review find, r9)
+    dir_df = find(build_directory(events_points(st.spark, st.sf_dir)), selector).persist()
+    try:
+        n = dir_df.limit(cap + 1).count()
+        if n > cap:
+            raise ValueError(
+                f"METASET exceeded limit of {cap} Geo Time Series. "
+                "Consider raising the limit (MAXGTS) or narrowing the selector."
             )
-
-        # this module uses postponed annotations (PEP 563), which leaves
-        # pandas_udf's type-hint inference unresolvable strings — hand it
-        # real objects instead
-        _enc_fn.__annotations__ = {
-            "cls": _pd.Series, "labels": _pd.Series, "attrs": _pd.Series, "return": _pd.Series
-        }
-        _enc = F.pandas_udf(_enc_fn, "binary")
-
-        attrs_col = F.col("attributes") if has_attrs else F.lit(None).cast("map<string,string>")
-        metas = [
-            bytes(r["b"])
-            for r in dir_df.select(
-                _enc(F.col("class"), F.col("labels"), attrs_col).alias("b"),
-                "class",
-                "labels_key",
+        if n == 0:
+            raise ValueError(
+                "METASET couldn't find any metadata matching the given class and label selectors."
             )
-            .sort("class", "labels_key")
-            .select("b")
-            .collect()
-        ]
-    else:
-        metas = [
-            gc.write_metadata(
-                r["class"], dict(r["labels"] or {}),
-                dict(r["attributes"]) if has_attrs and r["attributes"] else None,
-            )
-            for r in dir_df.sort("class", "labels_key").limit(cap).collect()
-        ]
+        # The MetaSet body is a thrift list whose elements are independently
+        # encoded Metadata blobs (write_metaset just concatenates them), so
+        # the per-series encode is associative work that belongs on the
+        # EXECUTORS: the old driver-side loop cost ~1.4 ms/series — 276 s
+        # for a 200k-series selector at a raised MAXGTS (DIRSCALE_r9 probe).
+        # Above a small floor the blobs are built by an Arrow-batched pandas
+        # UDF and the driver only concatenates; below it the pandas-UDF
+        # startup (~2 s) would dominate, so tiny interactive calls keep the
+        # driver loop. Both paths sort on (class, labels_key) — the
+        # deterministic analog of the reference's directory iterator order —
+        # so the blob is byte-stable regardless of path or partitioning.
+        has_attrs = "attributes" in dir_df.columns
+        if n > _METASET_DISTRIBUTED_FLOOR:
+            import pandas as _pd
+
+            def _enc_fn(cls, labels, attrs):
+                from warp10_platform_spark.core import gtscodec as _gc
+
+                return _pd.Series(
+                    [
+                        _gc.write_metadata(c, dict(l) if l is not None else {}, dict(a) if a else None)
+                        for c, l, a in zip(cls, labels, attrs)
+                    ]
+                )
+
+            # this module uses postponed annotations (PEP 563), which leaves
+            # pandas_udf's type-hint inference unresolvable strings — hand it
+            # real objects instead
+            _enc_fn.__annotations__ = {
+                "cls": _pd.Series, "labels": _pd.Series, "attrs": _pd.Series, "return": _pd.Series
+            }
+            _enc = F.pandas_udf(_enc_fn, "binary")
+
+            attrs_col = F.col("attributes") if has_attrs else F.lit(None).cast("map<string,string>")
+            metas = [
+                bytes(r["b"])
+                for r in dir_df.select(
+                    _enc(F.col("class"), F.col("labels"), attrs_col).alias("b"),
+                    "class",
+                    "labels_key",
+                )
+                .sort("class", "labels_key")
+                .select("b")
+                .collect()
+            ]
+        else:
+            metas = [
+                gc.write_metadata(
+                    r["class"], dict(r["labels"] or {}),
+                    dict(r["attributes"]) if has_attrs and r["attributes"] else None,
+                )
+                for r in dir_df.sort("class", "labels_key").limit(cap).collect()
+            ]
+    finally:
+        dir_df.unpersist(blocking=False)
     import time as _t
 
     # expiry = now_ms + ttl / TIME_UNITS_PER_MS (µs platform → /1000)
