@@ -63,39 +63,47 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]], col: str = "embeddin
     """IVF coarse quantization: assign each vector to its nearest centroid
     (the inverted-file cell). Centroids are plan literals (trained
     offline / sampled deterministically); assignment is a JVM-side argmin
-    over per-centroid dot-product distances — no UDF, no shuffle."""
-    d = _as_double(df, col)
+    over per-centroid dot-product distances — no UDF, no shuffle.
+
+    r9: the v·v term is hoisted into one `_n2` column instead of being
+    re-evaluated inside every centroid's struct — HOF exprs are
+    interpreted, so the k inline copies cost k full dim-length passes per
+    vector (k=8, dim=64: 16 dot products per vector where 9 suffice).
+    Bitwise-identical: the hoisted aggregate produces the exact same
+    double, every distance struct sees the same value as before."""
+    d = _as_double(df, col).withColumn("_n2", F.expr(_DOT.format(a="v", b="v")))
     dists = []
     for i, c in enumerate(centroids):
         arr = "array(" + ",".join(f"{x}D" for x in c) + ")"
         # squared L2 via dot products: |v-c|^2 = v·v - 2 v·c + c·c
         cc = sum(x * x for x in c)
         dists.append(
-            f"named_struct('d', {_DOT.format(a='v', b='v')} - 2.0D * {_DOT.format(a='v', b=arr)} + {cc}D, 'i', {i})"
+            f"named_struct('d', _n2 - 2.0D * {_DOT.format(a='v', b=arr)} + {cc}D, 'i', {i})"
         )
     best = f"array_min(array({', '.join(dists)}))"  # struct compare: d first, i tie-break
-    return d.withColumn("ivf_cell", F.expr(best + ".i"))
+    return d.withColumn("ivf_cell", F.expr(best + ".i")).drop("_n2")
 
 
 def ivf_probe(df: DataFrame, centroids: list[list[float]], nprobe: int,
               col: str = "embedding") -> DataFrame:
     """Multi-probe assignment: one row per (vector, probed cell) for the
     vector's `nprobe` nearest centroids — the standard IVF recall lever.
-    Same literal-centroid arithmetic as ivf_assign; the sorted-struct
+    Same literal-centroid arithmetic as ivf_assign (incl. the r9 v·v
+    hoist — bitwise-identical, see ivf_assign); the sorted-struct
     slice runs JVM-side, and the explode multiplies only the QUERY side
     (tiny) by nprobe."""
-    d = _as_double(df, col)
+    d = _as_double(df, col).withColumn("_n2", F.expr(_DOT.format(a="v", b="v")))
     dists = []
     for i, c in enumerate(centroids):
         arr = "array(" + ",".join(f"{x}D" for x in c) + ")"
         cc = sum(x * x for x in c)
         dists.append(
-            f"named_struct('d', {_DOT.format(a='v', b='v')} - 2.0D * {_DOT.format(a='v', b=arr)} + {cc}D, 'i', {i})"
+            f"named_struct('d', _n2 - 2.0D * {_DOT.format(a='v', b=arr)} + {cc}D, 'i', {i})"
         )
     probed = (
         f"transform(slice(array_sort(array({', '.join(dists)})), 1, {nprobe}), s -> s.i)"
     )
-    return d.withColumn("ivf_cell", F.explode(F.expr(probed)))
+    return d.withColumn("ivf_cell", F.explode(F.expr(probed))).drop("_n2")
 
 
 def ivf_topk(
@@ -143,12 +151,18 @@ def sq8_codes(df: DataFrame, col: str = "embedding") -> DataFrame:
     itself, never the arithmetic). The per-vector scale cancels out of
     cosine, so similarity is computed on codes alone; floor(+0.5) is used
     instead of round() because floor is IEEE-identical across engines
-    while decimal-string rounding is not. All JVM HOF exprs, no UDF."""
-    d = _as_double(df, col)
-    s = "greatest(array_max(transform(v, x -> abs(x))), 1e-30D)"
+    while decimal-string rounding is not. All JVM HOF exprs, no UDF.
+
+    r9: the scale is hoisted into one `_sc` column — inlined inside the
+    transform lambda it was re-evaluated per ELEMENT (interpreted HOF:
+    an O(dim²) abs/array_max sweep per vector). Bitwise-identical: the
+    hoisted expression yields the exact same double for every element."""
+    d = _as_double(df, col).withColumn(
+        "_sc", F.expr("greatest(array_max(transform(v, x -> abs(x))), 1e-30D)")
+    )
     return d.withColumn(
-        "code", F.expr(f"transform(v, x -> floor(x / {s} * 127.0D + 0.5D))")
-    ).withColumn("code_n2", F.expr(_DOT.format(a="code", b="code")))
+        "code", F.expr("transform(v, x -> floor(x / _sc * 127.0D + 0.5D))")
+    ).withColumn("code_n2", F.expr(_DOT.format(a="code", b="code"))).drop("_sc")
 
 
 def sq8_topk(queries: DataFrame, candidates: DataFrame, k: int = 3) -> DataFrame:
@@ -219,9 +233,19 @@ def pq_codes(df: DataFrame, codebook, col: str = "embedding") -> DataFrame:
     (argmin of exact squared L2, ties broken by centroid index via struct
     compare — same contract as ivf_assign). Output `pq` is an array of m
     small ints: the 100 TB corpus representation is m bytes/vector. All
-    literal-centroid JVM exprs, no UDF, no shuffle."""
+    literal-centroid JVM exprs, no UDF, no shuffle.
+
+    r9: each subspace's self dot product s·s is hoisted into one `_sn2`
+    array column instead of being re-evaluated inside every centroid's
+    struct (k=16 inline copies per subspace in interpreted HOF exprs).
+    Bitwise-identical — the hoisted aggregates produce the exact same
+    doubles the inline copies did."""
     d = _as_double(df, col)
     m, k, sub = len(codebook), len(codebook[0]), len(codebook[0][0])
+    sn2 = "array(" + ", ".join(
+        _DOT.format(a=_pq_sub(mi, sub), b=_pq_sub(mi, sub)) for mi in range(m)
+    ) + ")"
+    d = d.withColumn("_sn2", F.expr(sn2))
     per_sub = []
     for mi in range(m):
         s = _pq_sub(mi, sub)
@@ -230,10 +254,10 @@ def pq_codes(df: DataFrame, codebook, col: str = "embedding") -> DataFrame:
             arr = "array(" + ",".join(f"{x}D" for x in c) + ")"
             cc = sum(x * x for x in c)
             dists.append(
-                f"named_struct('d', {_DOT.format(a=s, b=s)} - 2.0D * {_DOT.format(a=s, b=arr)} + {cc}D, 'i', {ci})"
+                f"named_struct('d', _sn2[{mi}] - 2.0D * {_DOT.format(a=s, b=arr)} + {cc}D, 'i', {ci})"
             )
         per_sub.append(f"array_min(array({', '.join(dists)})).i")
-    return d.withColumn("pq", F.expr("array(" + ", ".join(per_sub) + ")"))
+    return d.withColumn("pq", F.expr("array(" + ", ".join(per_sub) + ")")).drop("_sn2")
 
 
 def pq_topk(queries: DataFrame, candidates: DataFrame, codebook, topk: int = 3) -> DataFrame:

@@ -38,6 +38,28 @@ def get_spark(app_name: str = "warp10-platform-spark", shuffle_partitions: int |
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # r9 (measured, guide §2.5): AQE's coalesce floor defaults to 1 MB
+        # per partition, which collapses byte-tiny but CPU-dense stages —
+        # the dedup guards' cached member frames and the in-cell HOF-cosine
+        # join shuffle ~1 MB of arrays that cost seconds of interpreted
+        # HOF work — down to 1-2 tasks, serializing them on one core
+        # (emb_semantic_dedup median 19.5 s → 3.4 s at sf0.1 when the
+        # floor drops to 64k; the 1 MB control reproduced the slow regime,
+        # so it is causal, not box drift). Scale-safe: with parallelismFirst
+        # the coalesce target is max(stage_bytes/parallelism, this floor),
+        # so the floor only binds when a stage's bytes are tiny — at real
+        # scale bytes/parallelism dominates and behavior is unchanged.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
+        # r9: PySpark's DataFrame-debugging call-site capture (default on)
+        # adds ~3 py4j round trips + a Python stack walk to EVERY
+        # DataFrame API call, purely to enrich error messages; off, plan
+        # construction (the bench's "build" phase) drops ~15-20 %
+        # (doc_minhash_lsh build 1.33 s → 1.05 s measured). Error
+        # behavior is unchanged apart from the call-site annotation.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     # Post-shuffle partition sizing (r8 verdict #6 asked for byte-derived
     # partitions; the r9 measurement REJECTED it as the default): byte-
