@@ -11,10 +11,10 @@ module scopes them:
 - ``register(df)`` — persist + track. The registry is BOUNDED: pushing
   past ``MAX_LIVE`` unpersists the oldest entry, so a long-lived session
   holds at most MAX_LIVE guard caches no matter how many pipeline calls
-  it makes. One pipeline call creates exactly one guard cache (the
-  pairs functions each call _group_members / the semantic member build
-  once), so evicting the oldest can never touch the frame a currently-
-  building plan still shares.
+  it makes. One pipeline call registers at most two frames (the
+  _group_members / semantic member build, plus r9: minhash's banded
+  signature frame), well under MAX_LIVE, so evicting the oldest can
+  never touch a frame a currently-building plan still shares.
 - ``release_guard_caches()`` — deterministic release of everything
   still tracked (call after the consuming action when you control it).
 - ``guard_cache_scope()`` — context manager releasing every cache

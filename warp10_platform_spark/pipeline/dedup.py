@@ -277,7 +277,19 @@ def minhash_lsh_pairs(
     band_col = F.explode(
         F.expr(f"transform(sequence(0, {bands - 1}), b -> named_struct('band', b, 'bh', {bh}))")
     )
-    banded = reps.select("doc_id", band_col.alias("bb")).select("doc_id", "bb.band", "bb.bh")
+    # r9: persist the banded frame — the band SELF-join otherwise
+    # recomputes the full signature expression on BOTH branches (when
+    # one side broadcasts there is no Exchange for reuse to dedupe; a
+    # forced sort-merge join measured WORSE than either option). The
+    # cache holds (doc_id, band, bh) scalars only — |reps|·bands rows,
+    # tiny next to the shingle arrays — and is tracked by the same
+    # bounded registry as the guard cache. Measured at sf0.1: 1.3 s →
+    # 1.0-1.1 s interleaved medians, output identical.
+    from warp10_platform_spark.pipeline import cache as _cache
+
+    banded = _cache.register(
+        reps.select("doc_id", band_col.alias("bb")).select("doc_id", "bb.band", "bb.bh")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     rcands = (
         a.join(

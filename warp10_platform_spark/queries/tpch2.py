@@ -381,7 +381,10 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
     flag, then per order a supplier count and a late-supplier count —
     `nsupp > 1 AND nlate = 1` is exactly EXISTS ∧ NOT-EXISTS, with two
     shuffles on the same orderkey instead of three correlated probes of
-    the fact."""
+    the fact. r9: the per-order counts come from a WINDOW over the
+    (order, supplier) aggregate instead of a groupBy + self-join-back —
+    one fewer exchange of the ls rows and no join, same integers
+    (measured 1.4 s → 1.1 s interleaved at sf0.1, output identical)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
@@ -394,13 +397,13 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("late"))
     )
-    agg = ls.groupBy(F.col("l_orderkey").alias("a_orderkey")).agg(
-        F.count("*").alias("nsupp"), F.sum("late").alias("nlate")
+    w = Window.partitionBy("l_orderkey")
+    lsw = ls.withColumn("nsupp", F.count("*").over(w)).withColumn(
+        "nlate", F.sum("late").over(w)
     )
     return (
-        ls.join(agg, ls.l_orderkey == F.col("a_orderkey"))
-        .where((F.col("late") == 1) & (F.col("nsupp") > 1) & (F.col("nlate") == 1))
-        .join(F.broadcast(s.select("s_suppkey", "s_name", "s_nationkey")), ls.l_suppkey == F.col("s_suppkey"))
+        lsw.where((F.col("late") == 1) & (F.col("nsupp") > 1) & (F.col("nlate") == 1))
+        .join(F.broadcast(s.select("s_suppkey", "s_name", "s_nationkey")), lsw.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(n.select("n_nationkey")), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
