@@ -22,6 +22,18 @@ from warp10_platform_spark.sources.tables import epoch_us_col, load_table
 # Headroom: charge sums carry scale 1e6 → int64 overflows around sf≈10 per
 # group; beyond that the DECIMAL(28,6) form (kept in git history / the
 # bucketize tier) is the fallback. The gate SFs are 0.01–0.1.
+#
+# r9 (Spark side only; oracle SQL unchanged): the cents recovery is written
+# `CAST(x*100 + 0.5D AS BIGINT)` instead of `CAST(round(x*100) AS BIGINT)`.
+# Equivalent for these NON-NEGATIVE cent-quantized columns: the quantization
+# test pins |x*100 − round(x*100)| < 1e-6, so x*100 = m ± δ with δ ≪ 0.5 and
+# m + 0.5 ± δ truncates (double→long cast, toward zero == floor for
+# positives) to exactly m — the same integer round() produces. round() on
+# DOUBLE routes through BigDecimal.valueOf → Double.toString PER ROW, which
+# dominated the scan stage (measured r9: q1 exec 0.69 s → 0.39 s at sf0.1
+# from this change alone); the additive form stays in codegen'd primitive
+# arithmetic. Negative-capable columns (c_acctbal) use a sign-aware form —
+# see tpch2.py q22.
 Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        (sum(round(l_quantity*100)::BIGINT)::BIGINT)::DOUBLE / 100.0 AS sum_qty,
@@ -41,10 +53,10 @@ GROUP BY l_returnflag, l_linestatus
 @register("tpch_q1", Q1_ORACLE)
 def tpch_q1(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    qc = "CAST(round(l_quantity*100) AS BIGINT)"
-    pc = "CAST(round(l_extendedprice*100) AS BIGINT)"
-    dc = "CAST(round(l_discount*100) AS BIGINT)"
-    tc = "CAST(round(l_tax*100) AS BIGINT)"
+    qc = "CAST(l_quantity*100 + 0.5D AS BIGINT)"
+    pc = "CAST(l_extendedprice*100 + 0.5D AS BIGINT)"
+    dc = "CAST(l_discount*100 + 0.5D AS BIGINT)"
+    tc = "CAST(l_tax*100 + 0.5D AS BIGINT)"
     avg6 = lambda s: f"CAST((2*10000*sum({s}) + count(*)) DIV (2*count(*)) AS DOUBLE)/1000000.0"  # noqa: E731
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
@@ -80,7 +92,7 @@ def tpch_q6(spark, sf_dir):
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.expr("CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)) + 50) DIV 100 AS DOUBLE)/100.0").alias("revenue"))
+        .agg(F.expr("CAST((sum(CAST(l_extendedprice*100 + 0.5D AS BIGINT) * CAST(l_discount*100 + 0.5D AS BIGINT)) + 50) DIV 100 AS DOUBLE)/100.0").alias("revenue"))
     )
 
 
@@ -112,7 +124,7 @@ def tpch_q3(spark, sf_dir):
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.expr("CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) DIV 100 AS DOUBLE)/100.0").alias("revenue"))
+        .agg(F.expr("CAST((sum(CAST(l_extendedprice*100 + 0.5D AS BIGINT) * (100 - CAST(l_discount*100 + 0.5D AS BIGINT))) + 50) DIV 100 AS DOUBLE)/100.0").alias("revenue"))
         .select(
             "o_orderkey",
             "revenue",
@@ -149,7 +161,7 @@ def tpch_q5(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
         .groupBy("n_name")
-        .agg(F.expr("CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) DIV 100 AS DOUBLE)/100.0").alias("revenue"))
+        .agg(F.expr("CAST((sum(CAST(l_extendedprice*100 + 0.5D AS BIGINT) * (100 - CAST(l_discount*100 + 0.5D AS BIGINT))) + 50) DIV 100 AS DOUBLE)/100.0").alias("revenue"))
     )
 
 
@@ -215,7 +227,7 @@ def tpch_q10_returns(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.expr("CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) DIV 100 AS DOUBLE)/100.0").alias("revenue"))
+        .agg(F.expr("CAST((sum(CAST(l_extendedprice*100 + 0.5D AS BIGINT) * (100 - CAST(l_discount*100 + 0.5D AS BIGINT))) + 50) DIV 100 AS DOUBLE)/100.0").alias("revenue"))
     )
     # (revenue, custkey) is a total order, so this is exactly the
     # oracle's row_number cut
@@ -276,7 +288,7 @@ def tpch_q18_bigorders(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.expr("sum(CAST(round(l_quantity*100) AS BIGINT))").alias("_q"))
+        .agg(F.expr("sum(CAST(l_quantity*100 + 0.5D AS BIGINT))").alias("_q"))
         .where(F.col("_q") > 15000)
         .select(F.col("l_orderkey").alias("_big_orderkey"))
     )
@@ -287,14 +299,14 @@ def tpch_q18_bigorders(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("c_name", "o_orderkey", "o_totalprice")
-        .agg(F.expr("CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0").alias("total_qty"))
+        .agg(F.expr("CAST(sum(CAST(l_quantity*100 + 0.5D AS BIGINT)) AS DOUBLE)/100.0").alias("total_qty"))
     )
 
 
 # Shared integer-cents revenue fragments (see header comment).
 _REV_SPARK = (
-    "CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
-    "(100 - CAST(round(l_discount*100) AS BIGINT))) + 50) DIV 100 AS DOUBLE)/100.0"
+    "CAST((sum(CAST(l_extendedprice*100 + 0.5D AS BIGINT) * "
+    "(100 - CAST(l_discount*100 + 0.5D AS BIGINT))) + 50) DIV 100 AS DOUBLE)/100.0"
 )
 _REV_DUCK = (
     "((sum(round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT))::BIGINT"
@@ -372,7 +384,7 @@ def tpch_q14_promo(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     )
     p = load_table(spark, sf_dir, "part")
-    cents = "CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))"
+    cents = "CAST(l_extendedprice*100 + 0.5D AS BIGINT) * (100 - CAST(l_discount*100 + 0.5D AS BIGINT))"
     return (
         li.join(F.broadcast(p.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
         .agg(
@@ -454,7 +466,7 @@ def tpch_q8_market_share(spark, sf_dir):
         F.col("n_regionkey").alias("cn_region"),
     )
     cents = (
-        "CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))"
+        "CAST(l_extendedprice*100 + 0.5D AS BIGINT) * (100 - CAST(l_discount*100 + 0.5D AS BIGINT))"
     )
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)

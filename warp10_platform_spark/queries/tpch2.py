@@ -30,9 +30,9 @@ from warp10_platform_spark.queries import register
 from warp10_platform_spark.sources.tables import bucketed_fact, load_table
 
 # Integer-cents fragments (see tpch.py header for the discipline).
-_PC = "CAST(round(l_extendedprice*100) AS BIGINT)"
-_DC = "CAST(round(l_discount*100) AS BIGINT)"
-_QC = "CAST(round(l_quantity*100) AS BIGINT)"
+_PC = "CAST(l_extendedprice*100 + 0.5D AS BIGINT)"
+_DC = "CAST(l_discount*100 + 0.5D AS BIGINT)"
+_QC = "CAST(l_quantity*100 + 0.5D AS BIGINT)"
 
 
 Q2_ORACLE = """
@@ -137,7 +137,7 @@ def tpch_q9_profit(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     term = (
         f"{_PC} * (100 - {_DC})"
-        f" - CAST(round(p_retailprice*100) AS BIGINT) * {_QC}"
+        f" - CAST(p_retailprice*100 + 0.5D AS BIGINT) * {_QC}"
     )
     return (
         li.join(F.broadcast(p.select("p_partkey", "p_retailprice")), li.l_partkey == F.col("p_partkey"))
@@ -486,7 +486,12 @@ def tpch_q22_dormant_customers(spark, sf_dir):
         F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY", "FURNITURE")
     )
     o = load_table(spark, sf_dir, "orders").select("o_custkey")
-    ac = "CAST(round(c_acctbal*100) AS BIGINT)"
+    # c_acctbal is the one NEGATIVE-capable money column, so the fast
+    # additive cents form (tpch.py header, r9) needs the sign-aware
+    # offset: double→long truncates toward zero, and round() is
+    # half-AWAY-from-zero — ±0.5 keeps them identical on cent-quantized
+    # values of either sign.
+    ac = "CAST(c_acctbal*100 + IF(c_acctbal < 0, -0.5D, 0.5D) AS BIGINT)"
     pos = c.where(F.col("c_acctbal") > 0.0).agg(
         F.expr(f"sum({ac})").alias("s"), F.count("*").alias("n")
     )
