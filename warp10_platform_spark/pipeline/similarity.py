@@ -16,6 +16,38 @@ from warp10_platform_spark.pipeline.util import spread as _spread
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
 
 
+def round6_ge_cutoff(threshold: float) -> float:
+    """The double c such that `F.round(x, 6) >= threshold` ⟺ `x >= c` for
+    every double x — letting similarity predicates drop the PER-PAIR
+    round() (Spark's Round on doubles goes BigDecimal.valueOf →
+    Double.toString per evaluation; measured r9: it cost ~3× the 64-dim
+    HOF dot product itself in the semantic-dedup cell join).
+
+    Derivation (exact, not approximate): Spark evaluates
+    double(shortest_decimal(x) rounded HALF_UP to 6 dp) >= threshold.
+    Both engines' double→decimal shortest round-trip repr is the unique
+    nearest shortest decimal, and double conversion is monotone, so with
+    m0 = the smallest integer with float(m0/1e6) >= threshold, the
+    predicate holds iff shortest_decimal(x) >= m0/1e6 − 5e-7 (the exact
+    HALF_UP tie included on both sides), which — because a 7-fractional-
+    digit decimal is ≥ 5e-7 away from every other candidate while a
+    double's round-trip zone is ≤ half an ulp (~1e-16 here) — holds iff
+    x >= float(m0/1e6 − 5e-7). NULL→NULL→false and NaN>=c→false match
+    round()'s behavior on both paths. Property-tested ulp-by-ulp around
+    the boundaries in tests/test_round_cutoff.py."""
+    from decimal import ROUND_FLOOR, Decimal
+
+    # Smallest m0 with float(m0/1e6) >= threshold. Start from the FLOOR of
+    # the exact binary expansion: when threshold's expansion sits just
+    # above the decimal grid point (e.g. 0.9 → 0.90000000000000002…),
+    # float(floor/1e6) re-rounds to the threshold double itself and
+    # already satisfies >= — ceiling would overshoot by one grid step.
+    m0 = int((Decimal(threshold) * 10**6).to_integral_value(rounding=ROUND_FLOOR))
+    while float(Decimal(m0) / 10**6) < threshold:
+        m0 += 1
+    return float(Decimal(m0) / 10**6 - Decimal("0.0000005"))
+
+
 def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
     return df.withColumn("v", F.expr(f"transform({col}, x -> cast(x AS double))"))
 
@@ -355,11 +387,14 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95, id_col: str = "vec_
     a = n.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
     b = n.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
     dot = F.expr(_DOT.format(a="va", b="vb"))
+    # r9: filter on the raw cosine via the exact round-equivalence cutoff
+    # (round6_ge_cutoff — same rows, provably), so the BigDecimal round
+    # runs only for the surviving pairs' output column.
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 6))
-        .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+        .withColumn("_raw", dot / (F.col("na") * F.col("nb")))
+        .where(F.col("_raw") >= F.lit(round6_ge_cutoff(threshold)))
+        .select("id_a", "id_b", F.round("_raw", 6).alias("cos"))
     )
 
 
@@ -459,9 +494,16 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]], threshold: float
     # interpreted higher-order dot product short-circuits away for the
     # pruned half (HOF exprs don't codegen — measured: this predicate is
     # the whole cost of a degenerate one-cell corpus).
+    # r9: the threshold test runs on the RAW cosine against the exact
+    # round-equivalence cutoff (round6_ge_cutoff) instead of rounding
+    # per pair — same boolean for every double (incl. NULL/NaN), and the
+    # BigDecimal round path measured ~3× the HOF dot itself here.
     min_dom = (
         a.join(b, ["ivf_cell"])
-        .where((F.col("rep_a") <= F.col("rep_b")) & (F.round(dot / (F.col("na") * F.col("nb")), 6) >= threshold))
+        .where(
+            (F.col("rep_a") <= F.col("rep_b"))
+            & (dot / (F.col("na") * F.col("nb")) >= F.lit(round6_ge_cutoff(threshold)))
+        )
         .groupBy("rep_b")
         .agg(F.min("rep_a").alias("min_dom"))
     )
