@@ -72,18 +72,27 @@ def _group_members(keyed: DataFrame, key: str = "gk") -> DataFrame:
     )
 
 
-def _intra_pairs(member: DataFrame) -> DataFrame:
+def _intra_pairs(member: DataFrame, key: str = "gk") -> DataFrame:  # key kept for call-site clarity
     """(id_a, id_b) pairs within each identical-doc group. `member` has
-    one row per doc: (rep, doc_id, cnt) where rep = the group's min id
-    and cnt = group size (rep is group-unique, so it serves as the
-    group key — a LONG, cheaper to shuffle/compare than the md5 string).
-    Hybrid on group size, see above — with the r8 refinement that NO
-    unbounded collect_list exists anywhere: small groups re-pack a
-    BOUNDED (≤ _INTRA_FLAT_MAX) id array per group and flatten their
-    pairs in one row; big groups pay the distributed self-join. A
-    10^8-copy duplicate group therefore never builds a ~GB array in a
-    single aggregation buffer (the skew hole the r8 review found in the
-    semantic-dedup guard applies identically here)."""
+    one row per doc: (key, rep, doc_id, cnt) where rep = the group's min
+    id and cnt = group size. Hybrid on group size, see above — with the
+    r8 refinement that NO unbounded collect_list exists anywhere: small
+    groups re-pack a BOUNDED (≤ _INTRA_FLAT_MAX) id array per group and
+    flatten their pairs in one row; big groups pay the distributed
+    self-join. A 10^8-copy duplicate group therefore never builds a ~GB
+    array in a single aggregation buffer (the skew hole the r8 review
+    found in the semantic-dedup guard applies identically here).
+
+    r9 NEGATIVE RESULT (measured, kept rep-keyed): grouping/joining on
+    the original window key instead of `rep` CANNOT elide the exchange —
+    the member frame is cached under an AdaptiveSparkPlan wrapper whose
+    output partitioning is opaque to consumers, so EnsureRequirements
+    re-shuffles either way, and `rep` (8-byte long) shuffles narrower
+    than the md5 key string (guide §2.3). Forcing static cached plans
+    (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=false)
+    measured consistently WORSE across the dedup family (interleaved
+    A/B: 6.1-6.7 s vs 5.1-5.9 s for the 4-query set) — AQE inside the
+    cached subplans is worth more than the saved exchange."""
     small = (
         member.where((F.col("cnt") > 1) & (F.col("cnt") <= _INTRA_FLAT_MAX))
         .groupBy("rep")
@@ -390,8 +399,12 @@ def simhash_pairs(docs: DataFrame, radius: int = 3, id_col: str = "doc_id", port
             (F.col("a.seg") == F.col("b.seg")) & (F.col("a.sv") == F.col("b.sv")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b"), ham.alias("hamming"))
-        .distinct()
+        # r9: hamming filter BEFORE the dedup exchange — hamming is a
+        # function of the pair, so filter∘distinct ≡ distinct∘filter,
+        # and most segment collisions fail radius ≤ 3 (48 other bits),
+        # shrinking the distinct's shuffle input (guide §2.3).
         .where(F.col("hamming") <= radius)
+        .distinct()
     )
     ma, mb = member.alias("ma"), member.alias("mb")
     expanded = (
@@ -403,5 +416,5 @@ def simhash_pairs(docs: DataFrame, radius: int = 3, id_col: str = "doc_id", port
             "hamming",
         )
     )
-    intra = _intra_pairs(member).withColumn("hamming", F.lit(0))
+    intra = _intra_pairs(member, key="simhash").withColumn("hamming", F.lit(0))
     return expanded.unionByName(intra)
