@@ -487,7 +487,8 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]], threshold: float
     # rep_a <= rep_b prunes half the pairs WITHOUT changing min_dom: a
     # qualifying dominator with rep_a > rep_b could only matter if it
     # lowered the min, but whenever ANY pair qualifies at t ≤ 1 the
-    # self-pair does too (self-cos rounds to 1.0 for norm > 0; zero
+    # self-pair does too (raw self-cos is 1 ± a few ulp for norm > 0,
+    # above every t ≤ 1 cutoff ≤ 0.9999995; zero
     # vectors qualify nowhere — NULL cosine), so min_dom ≤ rep_b already
     # and larger reps can never lower it; at t > 1 nothing qualifies at
     # all. The cheap comparison is FIRST in the conjunction so the
