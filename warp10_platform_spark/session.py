@@ -53,6 +53,20 @@ def get_spark(app_name: str = "warp10-platform-spark", shuffle_partitions: int |
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
             os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
         )
+        # r9 (measured, guide §1.2 order-of-operations step 3): Spark's
+        # whole-stage-codegen class cache holds 100 entries by default;
+        # this engine's query surface compiles far more distinct codegen
+        # units (the 30-query bench alone cycles the cache every pass),
+        # so steady-state runs paid continuous janino recompilation on
+        # the driver. 2000 entries: full-tier steady pass 31 s → 18.5 s
+        # (alternated A/B, two pairs each way; periodic-GC alone was
+        # noise). Not a core-count tune: any long-running deployment
+        # serving this operator surface cycles >100 generated classes.
+        # Cost is metaspace for the cached classes — bounded by the knob.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"),
+        )
         # r9: PySpark's DataFrame-debugging call-site capture (default on)
         # adds ~3 py4j round trips + a Python stack walk to EVERY
         # DataFrame API call, purely to enrich error messages; off, plan
