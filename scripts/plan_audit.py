@@ -104,6 +104,17 @@ ALLOW = {
     "fill_trend_daily": _PANDAS_PER_SERIES + " (model filler: per-series least-squares fit over present points)",
     "wrap_thrift_roundtrip": _CODEC,
     "ws_encoder_roundtrip": _CODEC,
+    # r10 vectorized dedup kernels (guide §4.2): deliberate Arrow-batched
+    # numpy stages replacing interpreted HOF folds, bit-exact by property
+    # test (tests/test_kernels.py) and oracle-gated.
+    "emb_semantic_dedup": (
+        "bounded cells' pairwise min-dominator runs as one numpy task per "
+        "cell (kernels.cell_min_dom, bit-exact with the join path); cells "
+        "above kernel_cell_max keep the AQE-skew-split join"
+    ),
+    "emb_semantic_dedup_trained": (
+        "same cell_min_dom kernel routing as emb_semantic_dedup"
+    ),
 }
 
 

@@ -400,7 +400,8 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95, id_col: str = "vec_
 
 def semantic_dedup(df: DataFrame, centroids: list[list[float]], threshold: float = 0.85,
                    id_col: str = "vec_id", col: str = "embedding",
-                   cell_cap: int | None = 50_000) -> DataFrame:
+                   cell_cap: int | None = 50_000,
+                   kernel_cell_max: int | None = 4096) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023,
     arXiv:2303.09540 — cluster, then deduplicate WITHIN clusters): coarse-
     quantize the corpus to IVF cells (literal centroids, JVM argmin, no
@@ -436,7 +437,14 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]], threshold: float
     a cell with more DISTINCT embeddings than the cap fails the job
     loudly at execution (plan-side assert_true — no driver probe, no
     silent quadratic) instead of letting one straggler task do
-    cap²·cos work; the fix is retraining centroids, not a bigger cap."""
+    cap²·cos work; the fix is retraining centroids, not a bigger cap.
+
+    r10: cells with at most `kernel_cell_max` distinct embeddings run
+    their in-cell pair scan as ONE Arrow numpy task per cell
+    (kernels.cell_min_dom — bit-exact with the join predicate, see its
+    docstring); larger cells keep the AQE-skew-split join. None
+    disables the kernel (pure join path, used by the equivalence
+    tests)."""
     d = ivf_assign(_spread(df), centroids, col)
     n = d.withColumn("norm", F.sqrt(F.expr(_DOT.format(a="v", b="v")))).select(
         F.col(id_col).alias("id"), "ivf_cell", "v", "norm"
@@ -464,23 +472,47 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]], threshold: float
         )
     )
     reps = member.where(F.col("id") == F.col("rep")).select("rep", "ivf_cell", "v", "norm")
+    # Per-cell rep counts serve BOTH the cell_cap backstop and the r10
+    # kernel routing below; one broadcast join per rep row either way.
+    counts = reps.groupBy("ivf_cell").agg(F.count("*").alias("cell_reps"))
+    reps = reps.join(F.broadcast(counts), "ivf_cell")
     if cell_cap is not None:
-        counts = reps.groupBy("ivf_cell").agg(F.count("*").alias("cell_reps"))
-        reps = reps.join(F.broadcast(counts), "ivf_cell").where(
+        reps = reps.where(
             F.expr(
                 f"assert_true(cell_reps <= {int(cell_cap)}, 'semantic_dedup: IVF cell ' || "
                 f"cast(ivf_cell AS string) || ' holds ' || cast(cell_reps AS string) || "
                 f"' distinct embeddings (cell_cap={int(cell_cap)}) — retrain centroids "
                 f"(scripts/train_ivf_centroids.py) or raise cell_cap') IS NULL"
             )
-        ).drop("cell_reps")
+        )
+    # r10 (guide §4.2, r9-verdict ask #2): cells whose DISTINCT-embedding
+    # count is bounded (<= kernel_cell_max) compute their min-dominator
+    # in ONE Arrow task per cell — a numpy pairwise kernel whose
+    # dimension-by-dimension accumulation reproduces the HOF left-fold
+    # dot bit-for-bit (kernels.cell_min_dom; property-tested against the
+    # join path). The pair join evaluated the interpreted 64-dim HOF dot
+    # per candidate pair; the kernel runs the same arithmetic as k
+    # whole-matrix numpy ops per cell. Cells ABOVE the gate keep the
+    # join path: there AQE skew-splitting parallelizes the fat cell,
+    # which one grouped-map task could not (the r9 deferral reason —
+    # the gate is what reconciles the two).
+    if kernel_cell_max is not None:
+        from warp10_platform_spark.pipeline import kernels as _kern
+
+        ansi = str(df.sparkSession.conf.get("spark.sql.ansi.enabled", "true")).lower() == "true"
+        kreps = reps.where(F.col("cell_reps") <= int(kernel_cell_max)).drop("cell_reps")
+        jreps = reps.where(F.col("cell_reps") > int(kernel_cell_max)).drop("cell_reps")
+        kernel_dom = _kern.cell_min_dom(kreps, round6_ge_cutoff(threshold), strict_zero=ansi)
+    else:
+        jreps = reps.drop("cell_reps")
+        kernel_dom = None
     # NOTE (r9, measured): do NOT pin this join's partitioning with an
     # explicit repartition-by-num. A pin disables AQE skew-join
     # splitting for the exchange, and the degenerate one-cell corpus
     # (random centroids) went 2.6s → 17.8s at sf0.1 when pinned — the
     # skew splitter is what parallelizes a single fat cell.
-    a = reps.select(F.col("rep").alias("rep_a"), "ivf_cell", F.col("v").alias("va"), F.col("norm").alias("na"))
-    b = reps.select(F.col("rep").alias("rep_b"), "ivf_cell", F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    a = jreps.select(F.col("rep").alias("rep_a"), "ivf_cell", F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = jreps.select(F.col("rep").alias("rep_b"), "ivf_cell", F.col("v").alias("vb"), F.col("norm").alias("nb"))
     dot = F.expr(_DOT.format(a="va", b="vb"))
     # min dominating rep per TARGET group — self-pairs included (a
     # group's own rep dominates its later members iff self-cos ≥ t).
@@ -508,6 +540,9 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]], threshold: float
         .groupBy("rep_b")
         .agg(F.min("rep_a").alias("min_dom"))
     )
+    if kernel_dom is not None:
+        # a cell routes to exactly one side, so rep_b sets are disjoint
+        min_dom = kernel_dom.unionByName(min_dom)
     return (
         member.join(min_dom, member["rep"] == min_dom["rep_b"], "left")
         .select(
