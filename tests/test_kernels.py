@@ -5,6 +5,7 @@ on adversarial corpora — the kernels are optimizations, never semantics."""
 import pytest
 from pyspark.sql import functions as F
 
+from warp10_platform_spark.pipeline import dedup as dd
 from warp10_platform_spark.pipeline import similarity as sim
 
 
@@ -107,3 +108,72 @@ def test_semantic_kernel_boundary_cutoff_ties(spark):
     want = _collect_set(sim.semantic_dedup(emb, CENTS, threshold=0.9, kernel_cell_max=None))
     got = _collect_set(sim.semantic_dedup(emb, CENTS, threshold=0.9, kernel_cell_max=4096))
     assert got == want
+
+
+def _adversarial_docs(spark):
+    """Texts that stress the fingerprint folds: empty/whitespace (split
+    yields ['']), single token, unicode, heavy duplication, and enough
+    length for multi-shingle signatures."""
+    rows = [
+        (0, ""),                      # -> [''] after split(trim(...))
+        (1, "   "),
+        (2, "one"),
+        (3, "κόσμε ünïcode 漢字 a b c d"),
+        (4, "the quick brown fox jumps over the lazy dog again and again"),
+        (5, "the quick brown fox jumps over the lazy dog again and again"),
+        (6, " ".join(f"w{i % 17}" for i in range(200))),
+        (7, " ".join(f"tok{i}" for i in range(64))),
+    ] + [(100 + i, f"shared prefix words {'x' * (i % 3)} tail{i % 5}") for i in range(40)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.mark.parametrize("portable", [True, False])
+def test_simhash_kernel_matches_hof(spark, portable):
+    """The numpy majority fold must reproduce the SQL aggregate bit for
+    bit — portable (60-bit md5, non-negative) AND xxhash64 (negative
+    hashes exercise the arithmetic-shift sign lane and the 1<<63 wrap)."""
+    docs = _adversarial_docs(spark)
+    want = _collect_set(dd.simhash(docs, portable=portable, vectorized=False))
+    got = _collect_set(dd.simhash(docs, portable=portable, vectorized=True))
+    assert got == want
+
+
+@pytest.mark.parametrize("portable", [True, False])
+def test_minhash_kernel_matches_hof(spark, portable):
+    """The numpy (h*a+b) mod p / 32-lane min fold must reproduce the SQL
+    signature exactly (values < 2^31 masked, products < 2^62: no
+    overflow divergence between Java and int64 numpy)."""
+    docs = _adversarial_docs(spark)
+    want = {(r[0], tuple(r[1])) for r in
+            dd.minhash_signatures(docs, portable=portable, vectorized=False).collect()}
+    got = {(r[0], tuple(r[1])) for r in
+           dd.minhash_signatures(docs, portable=portable, vectorized=True).collect()}
+    assert got == want
+
+
+def test_kernel_routing_threshold(spark, sf_dir):
+    """Size routing: corpora at the bench/test SFs keep the HOF plan (no
+    Python eval); a file-backed corpus whose Catalyst size estimate
+    crosses SPARK_GRAFT_KERNEL_MIN_BYTES routes to the Arrow kernel;
+    unknown-size frames (createDataFrame) stay on the HOF plan."""
+    from functools import reduce
+
+    from warp10_platform_spark.sources.tables import load_table
+
+    def plan(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+
+    small = load_table(spark, sf_dir, "documents")
+    assert not dd._kernel_input(small)
+    assert "MapInArrow" not in plan(dd.simhash(small))
+    # unknown stats (LogicalRDD sentinel) -> HOF
+    assert not dd._kernel_input(_adversarial_docs(spark))
+    # a union stack of file scans crosses the byte threshold -> kernel
+    copies = max(2, dd._KERNEL_MIN_BYTES // max(1, small.count() * 120) + 1)
+    big = reduce(lambda a, b: a.unionAll(b), [small] * min(copies, 200))
+    if dd._kernel_input(big):
+        assert "MapInArrow" in plan(dd.simhash(big))
+        got = {tuple(r) for r in dd.simhash(big).collect()}
+        want = {tuple(r) for r in dd.simhash(big, vectorized=False).collect()}
+        assert got == want

@@ -32,6 +32,38 @@ _MD5_64 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) AS bigint)"
 
 from warp10_platform_spark.pipeline.util import spread as _spread
 
+# r10 (guide §4.2): above this estimated input size, the fingerprint
+# folds (simhash's per-token ±1 majority, minhash's 32-hash signature)
+# run as Arrow-batched numpy kernels instead of interpreted HOF exprs.
+# The folds are the per-row hot path (HOFs don't codegen: one boxed
+# lambda eval per (token, lane) pair) and the kernels are bit-exact
+# (tests/test_kernels.py), but the Python boundary has a ~0.25 s fixed
+# cost per query at local[32] — measured crossover on the sf ladder:
+# HOF wins at sf0.1 (0.6 MB, 5k docs; kernel +0.25 s), kernel wins ≥1.4×
+# at 10× that and grows with volume. 4 MB routes sf0.1-sized corpora to
+# HOF and sf1+ to the kernel; override with SPARK_GRAFT_KERNEL_MIN_BYTES.
+import os as _os
+
+_KERNEL_MIN_BYTES = int(_os.environ.get("SPARK_GRAFT_KERNEL_MIN_BYTES", 4 * 1024 * 1024))
+
+
+def _kernel_input(docs: DataFrame) -> bool:
+    """True when `docs` is big enough that the vectorized fingerprint
+    kernels beat the interpreted HOF forms (Catalyst size estimate —
+    the same statistic autoBroadcastJoinThreshold routes on). Streaming
+    frames have no size estimate and keep the streamable HOF forms."""
+    if docs.isStreaming:
+        return False
+    try:
+        size = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return False
+    # Long.MaxValue is Catalyst's "unknown" sentinel (e.g. LogicalRDD
+    # from createDataFrame): keep the HOF form there — real corpora come
+    # from files/tables whose estimates exist, and unknown-size test
+    # frames should take the same plan the bench SFs take.
+    return _KERNEL_MIN_BYTES <= size < (1 << 63) - 1
+
 
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical documents: md5(text) → (hash, n, keeper)."""
@@ -219,12 +251,17 @@ def minhash_signatures(
     id_col: str = "doc_id",
     shingles: DataFrame | None = None,
     portable: bool = False,
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: base hash = xxhash64(shingle) (JVM,
     deterministic), hash family h_i = (a_i*h + b_i) mod p; signature[i] =
-    min over shingles. Entirely higher-order-function exprs — no UDF, no
-    shuffle (per-row computation). Pass a precomputed (cached) `shingles`
-    frame to avoid re-shingling when the caller also needs the shingles."""
+    min over shingles. Base hashing stays a JVM expression; the 32-lane
+    min fold is the per-row hot path and routes by input size
+    (_kernel_input) between the HOF expr form and the bit-exact numpy
+    kernel (kernels.minhash_sig_from_hs) — `vectorized` forces a path
+    (the equivalence tests drive both). Pass a precomputed (cached)
+    `shingles` frame to avoid re-shingling when the caller also needs
+    the shingles."""
     import random
 
     rnd = random.Random(42)
@@ -232,6 +269,12 @@ def minhash_signatures(
     sh = shingles if shingles is not None else _shingles(docs, n, id_col)
     h = (_MD5_64 if portable else _XX64).format(x="s")
     hashed = sh.select("doc_id", F.expr(f"transform(sh, s -> ({h}) & {_P}L)").alias("hs"))
+    if vectorized is None:
+        vectorized = _kernel_input(docs)
+    if vectorized:
+        from warp10_platform_spark.pipeline import kernels as _kern
+
+        return _kern.minhash_sig_from_hs(hashed, coeffs, _P)
     # ONE expr for the whole signature array (not num_hashes separate
     # F.expr columns): plan-construction cost at the driver is py4j/
     # analysis round-trips per expression, and this query's bench number
@@ -339,14 +382,24 @@ def minhash_lsh_pairs(
     return expanded.unionByName(intra)
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", portable: bool = False) -> DataFrame:
+def simhash(docs: DataFrame, id_col: str = "doc_id", portable: bool = False,
+            vectorized: bool | None = None) -> DataFrame:
     """64-bit SimHash per doc: per-token xxhash64; fingerprint bit b = 1
-    iff sum over tokens of ±1 for bit b is positive. JVM-side, one pass.
+    iff sum over tokens of ±1 for bit b is positive. Token hashing stays
+    a JVM expression; the 64-lane majority fold routes by input size
+    (_kernel_input) between the HOF expr form and the bit-exact numpy
+    kernel (kernels.simhash_from_hs) — `vectorized` forces a path.
     portable=True uses the md5-derived 60-bit base hash (bits 60-63 are
     then always 0) so DuckDB reproduces the fingerprint exactly."""
     d = docs.select(F.col(id_col).alias("doc_id"), TOKS().alias("toks"))
     h = (_MD5_64 if portable else _XX64).format(x="t")
     hashed = d.select("doc_id", F.expr(f"transform(toks, t -> {h})").alias("hs"))
+    if vectorized is None:
+        vectorized = _kernel_input(docs)
+    if vectorized:
+        from warp10_platform_spark.pipeline import kernels as _kern
+
+        return _kern.simhash_from_hs(hashed)
     # Single pass over the token hashes: accumulate a 64-element count
     # vector (one zip_with per token), then fold the sign bits into the
     # fingerprint. Replaces 64 independent aggregate() exprs that each
