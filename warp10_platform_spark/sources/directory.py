@@ -160,4 +160,6 @@ def directory_table(spark, sf_dir: str) -> DataFrame:
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build_directory(events_points(spark, sf_dir)).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    from warp10_platform_spark.sources.tables import _read_parquet_memo
+
+    return _read_parquet_memo(spark, path)

@@ -58,6 +58,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
+    """Memoized scan of a WRITE-ONCE materialized layout (canonical /
+    partitioned points, directory) — same plan-object reuse as
+    load_table; never use for tables that maintenance rewrites (rollup
+    partials), where a pinned file listing would go stale."""
+    key = (id(spark), path, "")
+    hit = _SCANS.get(key)
+    if hit is None:
+        hit = _SCANS[key] = spark.read.parquet(path)
+    return hit
+
+
 def epoch_us_col(df: DataFrame, name: str = "ts"):
     """Column `name` → platform LONG-µs epoch, timezone-independent.
 
@@ -170,7 +182,7 @@ def canonical_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".cache", f"points_{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         events_points(spark, sf_dir).write.mode("overwrite").partitionBy("class").parquet(path)
-    return spark.read.parquet(path)
+    return _read_parquet_memo(spark, path)
 
 
 # DuckDB-side equivalent of events_points, for oracle SQL construction —
@@ -266,7 +278,7 @@ def partitioned_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("class", "day")
             .parquet(path)
         )
-    return spark.read.parquet(path)
+    return _read_parquet_memo(spark, path)
 
 
 def bucketed_fact(spark: SparkSession, sf_dir: str, table: str, key: str, buckets: int = 8) -> DataFrame:
