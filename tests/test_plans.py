@@ -151,6 +151,28 @@ def test_minhash_guard_bands_reps_only(spark, sf_dir):
     assert 'F.min("doc_id").over' in gm and "F.collect_list" not in gm
 
 
+def test_q21_keyed_exchange_shape(spark, sf_dir):
+    """r9's q21 win: at gate/bench scale the (order,supplier) aggregate's
+    exchange is keyed by l_orderkey alone and the per-order window reuses
+    it — exactly TWO shuffle exchanges (aggregate keying + final s_name
+    groupBy). Pins the shape so an AQE/config change can't silently
+    reintroduce the third exchange (r9 verdict #5/#6)."""
+    r = plan_report(E.queries()["tpch_q21_waiting_supplier"](spark, sf_dir))
+    assert r.exchanges == 2, r.exchanges
+    assert r.cartesian_products == 0
+
+
+def test_chunk_dedup_single_window_shape(spark, sf_dir):
+    """r9's chunk_dedup win: duplicate-count per chunk comes from ONE
+    window over the chunk key (no groupBy + join-back): at most the
+    chunking shuffle + the window's exchange, and no join in the plan
+    beyond broadcasts."""
+    r = plan_report(E.queries()["doc_chunk_dedup"](spark, sf_dir))
+    assert r.exchanges <= 2, r.exchanges
+    assert r.sortmerge_joins == 0 and r.shuffle_hash_joins == 0
+    assert r.python_evals == 0
+
+
 def test_contamination_broadcasts_eval_side(spark, sf_dir):
     # the eval/benchmark n-gram set must be broadcast (KB-scale at any
     # corpus size); the train corpus must never be on the build side

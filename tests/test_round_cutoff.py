@@ -53,6 +53,18 @@ def test_cutoff_matches_spark_round_ulp_sweep(spark):
             assert bool(r.via_round) == bool(r.via_cutoff), (t, cutoff, r.x.hex() if isinstance(r.x, float) and not math.isnan(r.x) else r.x, r.via_round, r.via_cutoff)
 
 
+def test_cutoff_rejects_non_positive_thresholds():
+    """For t <= 0 the HALF_UP tie flips sides (round() includes the exact
+    negative tie, the cutoff would exclude it — verified one-double
+    divergence per boundary in the r9 review), so the derivation refuses
+    rather than silently diverging."""
+    import pytest
+
+    for t in (0.0, -0.5, -0.85):
+        with pytest.raises(ValueError, match="threshold > 0"):
+            round6_ge_cutoff(t)
+
+
 def test_cutoff_null_matches(spark):
     df = spark.createDataFrame([(None,)], "x double")
     r = df.select(

@@ -104,10 +104,11 @@ def _group_members(keyed: DataFrame, key: str = "gk") -> DataFrame:
     )
 
 
-def _intra_pairs(member: DataFrame, key: str = "gk") -> DataFrame:  # key kept for call-site clarity
+def _intra_pairs(member: DataFrame) -> DataFrame:
     """(id_a, id_b) pairs within each identical-doc group. `member` has
-    one row per doc: (key, rep, doc_id, cnt) where rep = the group's min
-    id and cnt = group size. Hybrid on group size, see above — with the
+    one row per doc: (rep, doc_id, cnt) where rep = the group's min
+    id and cnt = group size (the group key column itself is not read —
+    rep determines the group). Hybrid on group size, see above — with the
     r8 refinement that NO unbounded collect_list exists anywhere: small
     groups re-pack a BOUNDED (≤ _INTRA_FLAT_MAX) id array per group and
     flatten their pairs in one row; big groups pay the distributed
@@ -469,5 +470,5 @@ def simhash_pairs(docs: DataFrame, radius: int = 3, id_col: str = "doc_id", port
             "hamming",
         )
     )
-    intra = _intra_pairs(member, key="simhash").withColumn("hamming", F.lit(0))
+    intra = _intra_pairs(member).withColumn("hamming", F.lit(0))
     return expanded.unionByName(intra)

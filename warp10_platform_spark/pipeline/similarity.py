@@ -34,7 +34,18 @@ def round6_ge_cutoff(threshold: float) -> float:
     double's round-trip zone is ≤ half an ulp (~1e-16 here) — holds iff
     x >= float(m0/1e6 − 5e-7). NULL→NULL→false and NaN>=c→false match
     round()'s behavior on both paths. Property-tested ulp-by-ulp around
-    the boundaries in tests/test_round_cutoff.py."""
+    the boundaries in tests/test_round_cutoff.py.
+
+    Thresholds must be POSITIVE (r9 advice): HALF_UP rounds away from
+    zero, so for t <= 0 the exact negative tie (e.g. x = -0.5000005 at
+    t = -0.5) is included by round() but excluded by this cutoff — the
+    equivalence breaks by one double per boundary. No call site uses a
+    non-positive threshold; fail loudly rather than silently diverge."""
+    if not threshold > 0:
+        raise ValueError(
+            f"round6_ge_cutoff requires threshold > 0 (got {threshold}): the "
+            "HALF_UP tie is inclusive on the other side for t <= 0"
+        )
     from decimal import ROUND_FLOOR, Decimal
 
     # Smallest m0 with float(m0/1e6) >= threshold. Start from the FLOOR of

@@ -30,6 +30,11 @@ from warp10_platform_spark.queries import register
 from warp10_platform_spark.sources.tables import bucketed_fact, load_table
 
 # Integer-cents fragments (see tpch.py header for the discipline).
+# q21 exchange-keying size gate — see tpch_q21_waiting_supplier's docstring
+import os as _os
+
+_Q21_KEYED_MAX_BYTES = int(_os.environ.get("SPARK_GRAFT_Q21_KEYED_MAX_BYTES", 512 * 1024 * 1024))
+
 _PC = "CAST(l_extendedprice*100 + 0.5D AS BIGINT)"
 _DC = "CAST(l_discount*100 + 0.5D AS BIGINT)"
 _QC = "CAST(l_quantity*100 + 0.5D AS BIGINT)"
@@ -390,7 +395,20 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
     coalesces): hash(l_orderkey) satisfies the (l_orderkey, l_suppkey)
     grouping distribution AND the window's, so the window's own 600k-row
     exchange disappears — 3 exchanges → 2, 0.96 s → 0.51 s interleaved
-    at sf0.1, output identical."""
+    at sf0.1, output identical.
+
+    TRADEOFF (r9 advice, measured r10): keying the exchange BEFORE the
+    aggregate moves partial (map-side) aggregation after the shuffle, so
+    the one exchange carries raw joined rows (incl. both date columns)
+    instead of 3-column partials. Interleaved A/B on the scale ladder:
+    the keyed shape wins at sf0.1 (0.51 vs 0.96 s) and sf1 (med 1.7 vs
+    2.1 s) where the elided exchange dominates, and LOSES at sf10 (3/4
+    pairs, ~7.6 vs ~6.9 s) where raw-row shuffle bytes overtake it — so
+    the keying is routed on the fact's size estimate (same statistic
+    autoBroadcastJoinThreshold uses): below _Q21_KEYED_MAX_BYTES (512 MB,
+    env-overridable) the exchange is keyed; above, the groupBy keeps its
+    map-side partials and the window pays its own exchange. Results are
+    identical either way (verified at sf1/sf10; oracle-gated)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
@@ -398,12 +416,14 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
     late = F.expr(
         "CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END"
     )
-    ls = (
-        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
-        .repartition("l_orderkey")
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late).alias("late"))
-    )
+    lsj = li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+    try:
+        li_bytes = int(li._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        li_bytes = 0
+    if 0 < li_bytes < _Q21_KEYED_MAX_BYTES:
+        lsj = lsj.repartition("l_orderkey")
+    ls = lsj.groupBy("l_orderkey", "l_suppkey").agg(F.max(late).alias("late"))
     w = Window.partitionBy("l_orderkey")
     lsw = ls.withColumn("nsupp", F.count("*").over(w)).withColumn(
         "nlate", F.sum("late").over(w)
