@@ -35,10 +35,10 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-# r8 final commit (pre-r9 state) — the pinned comparison point.
-# (each round pins the previous round's close: r8 pinned 65aa281,
-# r7 pinned eab8b3f.)
-DEFAULT_BASELINE = "d8aa260"
+# r9 final commit (pre-r10 state) — the pinned comparison point.
+# (each round pins the previous round's close: r9 pinned d8aa260,
+# r8 pinned 65aa281, r7 pinned eab8b3f.)
+DEFAULT_BASELINE = "4069fe4"
 
 
 def run_bench(workdir: str) -> dict:

@@ -34,6 +34,19 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _steal():
+    """(steal_jiffies, total_jiffies) from /proc/stat — this probe's box
+    shows bursty hypervisor CPU steal (3-13% under load, r10), and a
+    per-point steal fraction in the artifact is what separates a real
+    scaling penalty from a contention storm."""
+    try:
+        with open("/proc/stat") as f:
+            v = [int(x) for x in f.readline().split()[1:]]
+        return v[7], sum(v)
+    except Exception:
+        return 0, 0
+
+
 def run_one(cores: int, sf_dir: str, runs: int) -> dict:
     env = dict(
         os.environ,
@@ -53,6 +66,14 @@ def run_one(cores: int, sf_dir: str, runs: int) -> dict:
     return json.loads(r.stdout.strip().splitlines()[-1])
 
 
+def run_one_steal_tracked(cores: int, sf_dir: str, runs: int) -> dict:
+    s0, c0 = _steal()
+    res = run_one(cores, sf_dir, runs)
+    s1, c1 = _steal()
+    res["steal_frac"] = round((s1 - s0) / max(1, c1 - c0), 4)
+    return res
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="bench_cores.py")
     ap.add_argument("--sf-dir", default=os.path.join(REPO, ".cache", "sf1"))
@@ -65,9 +86,10 @@ def main() -> None:
     results: dict[int, dict] = {}
     for c in cores:
         print(f"== local[{c}] @ {args.sf_dir} ...", file=sys.stderr, flush=True)
-        results[c] = run_one(c, args.sf_dir, args.runs)
+        results[c] = run_one_steal_tracked(c, args.sf_dir, args.runs)
         print(
-            f"   total {results[c]['value']}s (exec {results[c]['exec_value']}s)",
+            f"   total {results[c]['value']}s (exec {results[c]['exec_value']}s, "
+            f"steal {results[c]['steal_frac']:.1%})",
             file=sys.stderr,
             flush=True,
         )
@@ -93,6 +115,7 @@ def main() -> None:
         "runs": args.runs,
         "totals": {c: results[c]["value"] for c in cores},
         "exec_totals": {c: results[c]["exec_value"] for c in cores},
+        "steal_frac": {c: results[c].get("steal_frac") for c in cores},
         "build_totals": {c: results[c]["build_value"] for c in cores},
         "per_query": table,
         "raw": {c: results[c] for c in cores},
