@@ -474,3 +474,34 @@ def test_macrofilter_dropped_symbol_diagnostic(spark, sf_dir, monkeypatch):
     with pytest.raises(Exception, match="could not be pickled"):
         st.exec(script)
         st.pop().df.collect()  # executor-side failure surfaces on action
+
+
+def test_q3_eager_agg_and_semi_prune_shape(spark, sf_dir, monkeypatch):
+    """r10's q3 win (guide §2.3 + §3.2): the revenue aggregation sits
+    BELOW the orders join — lineitem pre-aggregates by l_orderkey, the
+    pre-agg's exchange doubles as the join's — and below the size gate
+    lineitem is pruned by a broadcast LEFT SEMI on qualifying orderkeys
+    before that exchange. Above the gate (100 TB: the key set outgrows
+    any broadcast) the semi prune must drop out while the eager pre-agg
+    stays. Pins both routings so a config/AQE change can't silently
+    reintroduce the post-join aggregate or ship an unbounded broadcast."""
+    import inspect
+
+    from warp10_platform_spark.plans.audit import explain_formatted
+    from warp10_platform_spark.queries import tpch
+
+    df = E.queries()["tpch_q3"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "LeftSemi" in plan  # gate scale: semi prune engaged
+    r = plan_report(df)
+    # one shuffle exchange for the pre-agg (reused by the join); allow a
+    # second only for the orders side at non-broadcast scale
+    assert r.exchanges <= 2, r.exchanges
+    assert r.cartesian_products == 0
+    # the aggregate consumes lineitem, not the joined rows
+    src = inspect.getsource(tpch.tpch_q3)
+    assert 'groupBy("l_orderkey")' in src and 'groupBy("o_orderkey"' not in src
+    # 100 TB routing: estimate above the gate -> no semi broadcast
+    monkeypatch.setattr(tpch, "_Q3_SEMI_MAX_BYTES", 0)
+    plan2 = explain_formatted(E.queries()["tpch_q3"](spark, sf_dir))
+    assert "LeftSemi" not in plan2

@@ -6,10 +6,21 @@ pushdown to parquet, broadcast joins for dims, partial aggregation.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import functions as F
 
 from warp10_platform_spark.queries import register
 from warp10_platform_spark.sources.tables import epoch_us_col, load_table
+
+# r10 (guide §3.2): below this Catalyst size estimate of the FILTERED
+# orders side, q3 prunes lineitem with a broadcast left-semi join on the
+# qualifying orderkeys before its shuffle. Above it (real 100 TB scale,
+# where the key set outgrows any broadcast), the semi-prune is skipped
+# and the eager pre-aggregation alone carries the win. Measured points:
+# filtered-orders estimate is 2.7 MB / 30 MB / 300 MB at sf0.1/1/10 —
+# all far below the 1 GB default (keys broadcast ≈ tens of MB there).
+_Q3_SEMI_MAX_BYTES = int(_os.environ.get("SPARK_GRAFT_Q3_SEMI_MAX_BYTES", 1 << 30))
 
 # Money columns are fixed-point cents (quantization invariant asserted in
 # tests/test_tpch_quantization.py), so sums accumulate as UNSCALED LONGS:
@@ -116,15 +127,42 @@ def tpch_q3(spark, sf_dir):
     """Join order: big fact (lineitem) last; customer is the only dim-sized
     input → broadcast it. orders is fact-sized (1.5M rows/sf) so
     orders⋈lineitem stays a shuffle join; AQE picks shuffle-hash/sort-merge
-    and handles skew at scale."""
+    and handles skew at scale.
+
+    r10 (guide §2.3 + §3.2, measured): the revenue aggregation moves BELOW
+    the orders join — lineitem pre-aggregates by l_orderkey, so the map
+    side ships ~2× fewer, narrower rows (partial agg compresses the ~4
+    clustered lines per order), the pre-agg's exchange doubles as the
+    join's (hash(l_orderkey) satisfies both), and the post-join
+    HashAggregate over joined rows disappears. Equivalent because
+    o_orderkey is unique in orders: grouping lineitem by l_orderkey alone
+    produces exactly the per-(orderkey, orderdate, orderpriority) sums the
+    joined groupBy did — verified row-identical at sf0.1/sf1/sf10 and
+    oracle-gated. Below _Q3_SEMI_MAX_BYTES (filtered-orders estimate),
+    lineitem is additionally pruned with a broadcast LEFT SEMI join on the
+    qualifying orderkeys BEFORE its shuffle (§3.2's semi-join form: ~80 %
+    of lineitem rows have no BUILDING-customer order and drop pre-shuffle
+    for free); above it the key set outgrows a broadcast and the pre-agg
+    alone carries the win. Interleaved medians, outputs identical:
+    sf1 3.55 s → 1.71 s (pre-agg) → 1.16 s (+semi); sf10 3.66 → 3.29 →
+    2.41 s."""
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz"))
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz"))
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    try:
+        o_bytes = int(o._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        o_bytes = 1 << 62
+    if o_bytes < _Q3_SEMI_MAX_BYTES:
+        li = li.join(
+            F.broadcast(oc.select("o_orderkey")), li.l_orderkey == F.col("o_orderkey"), "left_semi"
+        )
+    li_agg = li.groupBy("l_orderkey").agg(
+        F.expr("CAST((sum(CAST(l_extendedprice*100 + 0.5D AS BIGINT) * (100 - CAST(l_discount*100 + 0.5D AS BIGINT))) + 50) DIV 100 AS DOUBLE)/100.0").alias("revenue")
+    )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.expr("CAST((sum(CAST(l_extendedprice*100 + 0.5D AS BIGINT) * (100 - CAST(l_discount*100 + 0.5D AS BIGINT))) + 50) DIV 100 AS DOUBLE)/100.0").alias("revenue"))
+        oc.join(li_agg, F.col("l_orderkey") == oc.o_orderkey)
         .select(
             "o_orderkey",
             "revenue",
