@@ -59,6 +59,36 @@ def test_connected_components_chain_and_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
 
 
+def test_connected_components_materializes_edges_once(spark):
+    """r10: the edge list is localCheckpoint'ed before the label loop —
+    the upstream pair-generation pipeline must run ONCE, not once per
+    propagation round (doc_dup_clusters re-ran the quadratic
+    ngram-jaccard self-join ~(rounds+1) times before the fix). An
+    accumulator-counting UDF on the edge source pins the evaluation
+    count: the chain graph below needs ≥4 rounds, so a regression
+    multiplies the count well past the assertion bound."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from warp10_platform_spark.pipeline.cluster import connected_components
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(x):
+        acc.add(1)
+        return x
+
+    cudf = F.udf(counted, LongType())
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)], ["raw_a", "id_b"]
+    ).select(cudf("raw_a").alias("id_a"), "id_b")
+    got = {r["id"]: r["rep"] for r in connected_components(edges).collect()}
+    assert got == {i: 1 for i in range(1, 8)}
+    # 6 edge rows, evaluated once by the eager checkpoint (task retries
+    # could legitimately add a few; pre-fix this was ≥ 5 rounds × 6 ≥ 30)
+    assert acc.value <= 12, f"edge pipeline evaluated {acc.value} row-times"
+
+
 def test_events_points_labels_key_matches_canonical(spark):
     """events_points builds labels_key by template concat (perf); it must
     equal the generic canonical_labels()/with_gts_id form bit-for-bit."""

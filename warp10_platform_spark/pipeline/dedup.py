@@ -126,15 +126,19 @@ def _intra_pairs(member: DataFrame) -> DataFrame:
     measured consistently WORSE across the dedup family (interleaved
     A/B: 6.1-6.7 s vs 5.1-5.9 s for the 4-query set) — AQE inside the
     cached subplans is worth more than the saved exchange."""
+    # inline() emits (id_a, id_b) columns straight from the struct array —
+    # one Dataset op instead of explode-then-project (r10: every chained
+    # DataFrame op re-analyzes the whole accumulated tree, so the deep
+    # dedup chains paid ~40 ms of driver time per op; plan unchanged
+    # modulo the generator node).
     small = (
         member.where((F.col("cnt") > 1) & (F.col("cnt") <= _INTRA_FLAT_MAX))
         .groupBy("rep")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .select(F.explode(F.expr(
-            "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), "
-            "y -> named_struct('a', least(x, y), 'b', greatest(x, y)))))"
-        )).alias("p"))
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .select(F.expr(
+            "inline(flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), "
+            "y -> named_struct('id_a', least(x, y), 'id_b', greatest(x, y))))))"
+        ))
     )
     big = member.where(F.col("cnt") > _INTRA_FLAT_MAX).select("rep", "doc_id")
     ia, ib = big.alias("ia"), big.alias("ib")
@@ -327,8 +331,11 @@ def minhash_lsh_pairs(
         bh = f"array_join(slice(sig, b * {rows} + 1, {rows}), ',')"
     else:
         bh = f"xxhash64(cast(slice(sig, b * {rows} + 1, {rows}) AS string))"
-    band_col = F.explode(
-        F.expr(f"transform(sequence(0, {bands - 1}), b -> named_struct('band', b, 'bh', {bh}))")
+    # inline() emits (band, bh) directly — fuses the explode + struct-field
+    # projection into one Dataset op (r10 build-chain fusion; same plan
+    # modulo the generator node).
+    band_col = F.expr(
+        f"inline(transform(sequence(0, {bands - 1}), b -> named_struct('band', b, 'bh', {bh})))"
     )
     # r9: persist the banded frame — the band SELF-join otherwise
     # recomputes the full signature expression on BOTH branches (when
@@ -340,9 +347,7 @@ def minhash_lsh_pairs(
     # 1.0-1.1 s interleaved medians, output identical.
     from warp10_platform_spark.pipeline import cache as _cache
 
-    banded = _cache.register(
-        reps.select("doc_id", band_col.alias("bb")).select("doc_id", "bb.band", "bb.bh")
-    )
+    banded = _cache.register(reps.select("doc_id", band_col))
     a, b = banded.alias("a"), banded.alias("b")
     rcands = (
         a.join(
@@ -357,11 +362,17 @@ def minhash_lsh_pairs(
     # exact verify on REP pairs only (sh shared with the signature stage)
     sa = reps_sh.select(F.col("doc_id").alias("rep_a"), F.col("sh").alias("sh_a"))
     sb = reps_sh.select(F.col("doc_id").alias("rep_b"), F.col("sh").alias("sh_b"))
+    # one fused select computes the jaccard (the optimizer collapsed the
+    # old withColumn pair into the same expression anyway — this just
+    # skips two whole-tree re-analyses at build time; r10 chain fusion)
+    _i = F.size(F.array_intersect("sh_a", "sh_b"))
     rep_pairs = (
         rcands.join(sa, "rep_a")
         .join(sb, "rep_b")
-        .withColumn("i", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("jaccard", F.col("i") / (F.size("sh_a") + F.size("sh_b") - F.col("i")))
+        .select(
+            "rep_a", "rep_b",
+            (_i / (F.size("sh_a") + F.size("sh_b") - _i)).alias("jaccard"),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("rep_a", "rep_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -405,15 +416,19 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", portable: bool = False,
     # vector (one zip_with per token), then fold the sign bits into the
     # fingerprint. Replaces 64 independent aggregate() exprs that each
     # re-walked the array (64 passes/row and a codegen-bloated plan).
-    counts = F.expr(
+    # single fused expression (count vector nested inside the sign fold):
+    # the optimizer collapsed the old two-select form into exactly this
+    # projection, so the plan is unchanged — nesting just skips one
+    # whole-tree re-analysis at build time (r10 chain fusion).
+    counts = (
         "aggregate(hs, array_repeat(0L, 64), (acc, h) -> "
         "zip_with(acc, sequence(0, 63), (c, b) -> c + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1L ELSE -1L END))"
     )
     fp = F.expr(
-        "aggregate(zip_with(cnt, sequence(0, 63), (c, b) -> CASE WHEN c > 0 THEN shiftleft(1L, b) ELSE 0L END), "
+        f"aggregate(zip_with({counts}, sequence(0, 63), (c, b) -> CASE WHEN c > 0 THEN shiftleft(1L, b) ELSE 0L END), "
         "0L, (acc, v) -> acc | v)"
     )
-    return hashed.select("doc_id", counts.alias("cnt")).select("doc_id", fp.alias("simhash"))
+    return hashed.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, radius: int = 3, id_col: str = "doc_id", portable: bool = False) -> DataFrame:
@@ -438,26 +453,31 @@ def simhash_pairs(docs: DataFrame, radius: int = 3, id_col: str = "doc_id", port
     s = simhash(_spread(docs), id_col, portable=portable)
     member = _group_members(s.select("doc_id", "simhash"), key="simhash")
     reps = member.where(F.col("doc_id") == F.col("rep")).select("doc_id", "simhash")
+    # inline() fuses the explode + struct-field projection (r10 chain
+    # fusion; plan unchanged modulo the generator node)
     segs = reps.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.expr("transform(sequence(0, 3), i -> named_struct('seg', i, 'sv', shiftright(simhash, i * 16) & 65535))")
-        ).alias("b"),
-    ).select("doc_id", "simhash", "b.seg", "b.sv")
+        F.expr("inline(transform(sequence(0, 3), i -> named_struct('seg', i, 'sv', shiftright(simhash, i * 16) & 65535)))"),
+    )
     a, b = segs.alias("a"), segs.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # The hamming radius test sits IN the join condition — that is where
+    # Catalyst pushed it anyway (the r9 "filter before distinct" reorder
+    # was plan-identical for exactly that reason), so the construction
+    # now says what the plan does, one Dataset op cheaper: hamming is a
+    # function of the pair, filter∘distinct ≡ distinct∘filter, and most
+    # segment collisions fail radius ≤ 3, shrinking the distinct's
+    # shuffle input (guide §2.3).
     rep_pairs = (
         a.join(
             b,
-            (F.col("a.seg") == F.col("b.seg")) & (F.col("a.sv") == F.col("b.sv")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.sv") == F.col("b.sv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (ham <= radius),
         )
         .select(F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b"), ham.alias("hamming"))
-        # r9: hamming filter BEFORE the dedup exchange — hamming is a
-        # function of the pair, so filter∘distinct ≡ distinct∘filter,
-        # and most segment collisions fail radius ≤ 3 (48 other bits),
-        # shrinking the distinct's shuffle input (guide §2.3).
-        .where(F.col("hamming") <= radius)
         .distinct()
     )
     ma, mb = member.alias("ma"), member.alias("mb")
